@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + semantic checks over the oracled queries at sf0.001 (the DuckDB
+  * hash-compare itself is the driver's t2 gate; here we assert the
+  * engine-side invariants the oracle can't see). */
+class QueriesSpec extends SparkSpec {
+
+  test("every registered query runs and every oracle key has a query") {
+    val qs = SparkEntry.queries
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    qs.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("entry returns rows (driver smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q_window_agg: every event lands in exactly 2 sliding windows") {
+    val events = graft.sources.Tables.events(spark, sf).count()
+    val windowed = graft.etl.EventsQueries.qWindowAgg(spark, sf)
+      .agg(sum("unique_events")).head().getLong(0)
+    assert(windowed == 2 * events)
+  }
+
+  test("q_dedup keeps exactly one row per event_id") {
+    val d = graft.etl.EventsQueries.qDedup(spark, sf)
+    assert(d.groupBy("event_id").count().filter(col("count") > 1).isEmpty)
+  }
+
+  test("approx_count_distinct within 5% of exact (A3 tolerance, SURVEY §5.2)") {
+    val approx = graft.etl.EventsQueries.qApproxDistinct(spark, sf)
+    val exact = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("exact_users"))
+    val joined = approx.join(exact, "event_type").collect()
+    joined.foreach { r =>
+      val a = r.getAs[Long]("approx_users").toDouble
+      val e = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(a - e) / e < 0.05, s"approx $a vs exact $e")
+    }
+  }
+
+  test("q1 pricing plan broadcasts nothing and pushes the shipdate filter") {
+    val plan = graft.batch.AnalyticsQueries.q1Pricing(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("q5 plan broadcast-joins every dimension (no shuffle for dims)") {
+    val plan = graft.batch.AnalyticsQueries.q5NationRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
