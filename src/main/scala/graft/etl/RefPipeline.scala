@@ -105,13 +105,15 @@ object RefPipeline {
 
   /** T1–T2 + A1–A4 (reference app.py:158–174): watermarked sliding-window
     * aggregation. `withWatermark` is a no-op on batch inputs, so the same
-    * function serves the oracle twin and the streaming query. */
+    * function serves the oracle twin and the streaming query. Pass
+    * `watermark = None` when an upstream stage (e.g. bounded dedup) already
+    * defined one — Spark 4 disallows redefining it, and one watermark
+    * correctly gates all chained stateful operators. */
   def aggregate(fact: DataFrame,
                 window_ : String = "1 minute",
                 slide: String = "30 seconds",
-                watermark: String = "30 seconds"): DataFrame =
-    fact
-      .withWatermark("event_time", watermark)
+                watermark: Option[String] = Some("30 seconds")): DataFrame =
+    watermark.fold(fact)(w => fact.withWatermark("event_time", w))
       .groupBy(window(col("event_time"), window_, slide), col("country"), col("segment"))
       .agg(
         sum("amount").as("total_amount"),

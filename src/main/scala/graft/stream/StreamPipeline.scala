@@ -1,0 +1,134 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.etl.RefPipeline
+
+/**
+ * Streaming wiring for the reference pipeline (SURVEY §2.1, §2.8):
+ * source →  parse → clean(+bounded dedup) → enrich → aggregate → flatten →
+ * sink(s), all behind small config ADTs so tests drive the identical plan
+ * from MemoryStream/file sources without Kafka or docker (SURVEY §7.1).
+ *
+ * Scale notes:
+ *  - Source parallelism = Kafka partition count; at production scale the
+ *    topic needs ≥ executor-core partitions (the reference's 3-partition
+ *    topic caps it at 3 tasks — docker-compose.yml:63).
+ *  - The ONLY stateful stages are dedup and the windowed aggregate; both
+ *    key on high-cardinality columns, so state shards evenly across
+ *    executors' RocksDB/HDFS-backed StateStores.
+ *  - Dedup state is watermark-bounded ([[cleanStream]]) — the reference
+ *    dedups before its watermark (app.py:77–79 vs 160), so its state grows
+ *    forever; ours evicts keys older than the watermark, the fix SURVEY
+ *    §7.5.1 calls out as the one intentional semantic deviation.
+ */
+object StreamPipeline {
+
+  // ---------------------------------------------------------------- sources
+
+  sealed trait Source
+  /** S1 (reference app.py:53–59). Requires the spark-sql-kafka connector on
+    * the classpath at deploy time (not shipped in this dev image). */
+  final case class Kafka(bootstrapServers: String, topic: String,
+                         startingOffsets: String = "earliest") extends Source
+  /** Newline-delimited JSON files — the test/dev stand-in with identical
+    * downstream semantics (each line = one Kafka value). */
+  final case class JsonFiles(path: String) extends Source
+  /** Synthetic rate source (smoke/load tests without any infra). */
+  final case class Rate(rowsPerSecond: Int) extends Source
+
+  /** Raw stream with a `value` column, whatever the source. */
+  def read(spark: SparkSession, src: Source): DataFrame = src match {
+    case Kafka(servers, topic, offsets) =>
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", offsets)
+        .load()                                  // key,value,topic,partition,offset,timestamp
+    case JsonFiles(path) =>
+      spark.readStream.text(path).withColumnRenamed("text", "value")
+    case Rate(rps) =>
+      spark.readStream.format("rate").option("rowsPerSecond", rps.toLong).load()
+        .select(to_json(struct(
+          concat(lit("evt_"), col("value")).as("event_id"),
+          (col("value") % 5 + 1).cast("int").as("user_id"),
+          (col("value") % 8 + 1).cast("int").as("product_id"),
+          (rand(42) * 100).as("amount"),
+          date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("event_time"),
+          lit("US").as("country"),
+          lit("MOBILE").as("device"))).as("value"))
+  }
+
+  // ---------------------------------------------------------------- stages
+
+  /** Streaming clean: same scalar cleaning as [[RefPipeline.clean]] but the
+    * dedup is `dropDuplicatesWithinWatermark` AFTER the watermark, so state
+    * for an event_id is dropped once the watermark passes it. */
+  def cleanStream(parsed: DataFrame, watermark: String = "30 seconds"): DataFrame =
+    parsed
+      .withColumn("device_norm", RefPipeline.normalizeDevice(col("device")))
+      .withColumn("country", upper(col("country")))
+      .withColumn("event_time", to_timestamp(col("event_time")))
+      .na.fill(Map("amount" -> 0.0, "country" -> "UNKNOWN", "device_norm" -> "unknown"))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Full streaming plan: the same stage functions as the batch twin —
+    * parse (P1–P3), clean, enrich (J1–J3), aggregate (T1/T2, A1–A4),
+    * flatten (P11/P12, T8). */
+  def plan(spark: SparkSession, raw: DataFrame,
+           window_ : String = "1 minute", slide: String = "30 seconds",
+           watermark: String = "30 seconds"): DataFrame = {
+    val fact = RefPipeline.enrich(
+      cleanStream(RefPipeline.parse(raw), watermark),
+      RefPipeline.usersDim(spark), RefPipeline.productsDim(spark))
+    // watermark already set before dedup; it propagates through the joins
+    RefPipeline.flatten(RefPipeline.aggregate(fact, window_, slide, watermark = None))
+  }
+
+  // ---------------------------------------------------------------- sinks
+
+  sealed trait Sink
+  /** K1 (reference app.py:189–197): append-mode country-partitioned parquet,
+    * checkpointed, fixed trigger. Each query gets its OWN checkpoint dir —
+    * sharing one between queries corrupts offsets (SURVEY §2.8 T5). */
+  final case class ParquetSink(path: String, checkpoint: String,
+                               trigger: Trigger = Trigger.ProcessingTime("30 seconds")) extends Sink
+  /** K2 (reference app.py:200–205): update-mode console debug sink. */
+  final case class Console(trigger: Trigger = Trigger.ProcessingTime("30 seconds")) extends Sink
+  /** In-memory table sink for tests (`spark.table(name)`). Default trigger
+    * keeps the query alive across addData/processAllAvailable rounds —
+    * AvailableNow would terminate after the first drain. */
+  final case class Memory(name: String, outputMode: String = "append",
+                          trigger: Trigger = Trigger.ProcessingTime(0L)) extends Sink
+  /** Kafka write-back (K4 analog): aggregate rows re-serialized to JSON. */
+  final case class KafkaSink(bootstrapServers: String, topic: String,
+                             checkpoint: String) extends Sink
+
+  def writer(df: DataFrame, sink: Sink): DataStreamWriter[Row] = sink match {
+    case ParquetSink(path, chk, trig) =>
+      df.writeStream.outputMode("append").format("parquet")
+        .option("path", path).option("checkpointLocation", chk)
+        .partitionBy("country").trigger(trig)
+    case Console(trig) =>
+      df.writeStream.outputMode("update").format("console")
+        .option("truncate", "false").trigger(trig)
+    case Memory(name, mode, trig) =>
+      df.writeStream.outputMode(mode).format("memory").queryName(name).trigger(trig)
+    case KafkaSink(servers, topic, chk) =>
+      df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+        .writeStream.outputMode("append").format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("topic", topic).option("checkpointLocation", chk)
+  }
+
+  def start(df: DataFrame, sink: Sink): StreamingQuery = writer(df, sink).start()
+
+  /** T7 (reference app.py:189–209): one plan fanned out to several
+    * concurrent sinks; caller awaits via spark.streams. */
+  def fanOut(df: DataFrame, sinks: Seq[Sink]): Seq[StreamingQuery] =
+    sinks.map(start(df, _))
+}
