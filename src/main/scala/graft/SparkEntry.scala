@@ -34,9 +34,17 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     etl.EventsQueries.queries ++
-      batch.AnalyticsQueries.queries
+      batch.AnalyticsQueries.queries ++
+      ext.text.TextQueries.queries ++
+      ext.dedup.DedupQueries.queries ++
+      ext.sim.SimQueries.queries ++
+      ext.multimodal.Multimodal.queries
 
   def oracleSql: Map[String, String] =
     etl.EventsQueries.oracles ++
-      batch.AnalyticsQueries.oracles
+      batch.AnalyticsQueries.oracles ++
+      ext.text.TextQueries.oracles ++
+      ext.dedup.DedupQueries.oracles ++
+      ext.sim.SimQueries.oracles ++
+      ext.multimodal.Multimodal.oracles
 }

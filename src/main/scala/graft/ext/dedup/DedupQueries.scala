@@ -1,0 +1,295 @@
+package graft.ext.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.text.TextNorm
+import graft.functions.Exact
+import graft.sources.Tables
+
+/**
+ * Deduplication suite for LLM training-data pipelines over `documents` and
+ * `embeddings`: exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+ * embedding-cosine near-dup detection.
+ *
+ * Scale design (the point of each algorithm):
+ *  - Exact/fingerprint dedup: one shuffle on a 128-bit hash — trivially
+ *    100 TB-safe.
+ *  - MinHash: signatures are ONE narrow pass + one groupBy(doc_id); the LSH
+ *    band join generates candidates via equi-join on (band, band_hash) —
+ *    never the O(n²) cross join. Candidate count scales with actual
+ *    duplication, not corpus size.
+ *  - SimHash: 48-bit signature; candidate pairs via the pigeonhole chunk
+ *    join (4 chunks of 12 bits ⇒ any pair within Hamming≤3 shares one exact
+ *    chunk) then exact Hamming filter — same result as all-pairs, linear
+ *    candidate generation. The DuckDB oracle runs the all-pairs form, so the
+ *    driver's hash-compare proves the optimization is semantics-preserving.
+ *  - Jaccard: shared-shingle inverted-index join; a pair appears iff it
+ *    shares ≥1 shingle, which any pair above threshold must.
+ *  - Embedding near-dup: quantized exact-integer dot products
+ *    ([[graft.functions.Exact.fixed]]) make cosine bit-identical across
+ *    engines; all-pairs here (embeddings table is small), LSH-bucketed ANN
+ *    lives in [[graft.ext.sim.SimQueries]] as the scale path.
+ *
+ * All hashes derive from md5 ([[Exact.md5Long]]) — the one hash primitive
+ * Spark and DuckDB share bit-for-bit.
+ */
+object DedupQueries {
+
+  val MinhashFns = 12   // 4 bands × 3 rows
+  val Bands = 4
+  val RowsPerBand = 3
+  val SimhashBits = 48  // 4 chunks × 12 bits, pigeonhole for Hamming ≤ 3
+  val SimhashChunks = 4
+  val HammingMax = 3
+  val JaccardThreshold = 0.8
+  val CosineThreshold = 0.4
+
+  // ------------------------------------------------------------ exact
+
+  /** Exact dedup by normalized-text md5: one group per distinct content,
+    * keeper = min(doc_id), deterministic. */
+  def qExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(TextNorm.norm(col("text"))).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_docs"))
+
+  // ------------------------------------------------------------ minhash
+
+  /** doc_id + minhash signature array (MinhashFns exact 60-bit ints). */
+  private def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextNorm.shingles(TextNorm.toks(col("text"))).as("sh"))
+    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val mins = (0 until MinhashFns).map { j =>
+      min(Exact.md5Long(concat_ws("|", lit(j), col("s")))).as(s"mh_$j")
+    }
+    exploded.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashFns).map(j => col(s"mh_$j")): _*).as("sig"))
+  }
+
+  /** MinHash+LSH near-dup candidates: band the signature, equi-join on
+    * (band index, band hash), keep each pair once, attach the estimated
+    * Jaccard (= fraction of agreeing minhash slots — exact ints, so the
+    * estimate is deterministic). */
+  def qMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir)
+    val bands = sig.select(col("doc_id"), col("sig"),
+      explode(sequence(lit(0), lit(Bands - 1))).as("band"))
+      .withColumn("band_hash",
+        md5(concat_ws(",", transform(
+          slice(col("sig"), col("band") * RowsPerBand + 1, lit(RowsPerBand)),
+          x => x.cast("string")))))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("matches",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
+      .select(col("doc_a"), col("doc_b"),
+        (col("matches").cast("double") / lit(MinhashFns.toDouble)).as("est_jaccard"))
+  }
+
+  // ------------------------------------------------------------ simhash
+
+  /** 48-bit SimHash per doc: token-frequency-weighted bit votes over
+    * md5-derived token hashes. Two groupBys: (doc, token-hash) —
+    * high-cardinality, then (doc, bit) after a ×48 bit explode over the
+    * (tiny) distinct-token set. */
+  def qSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val tokCounts = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextNorm.toks(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", Exact.md5Long48(col("tok")))
+    val bitVotes = tokCounts
+      .select(col("doc_id"), col("cnt"), col("h"),
+        explode(sequence(lit(0), lit(SimhashBits - 1))).as("i"))
+      .withColumn("vote",
+        when(expr("shiftright(h, i) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(sum(col("vote")).as("s"))
+    bitVotes
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** Near-dup pairs within Hamming ≤ 3 of the 48-bit SimHash. Candidates
+    * via the 4×12-bit chunk equi-join (pigeonhole-complete for ≤3 bit
+    * errors), verified with exact popcount — identical result to the
+    * oracle's all-pairs scan. */
+  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sim = qSimhash(spark, dir)
+    val chunks = sim.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(SimhashChunks - 1))).as("c"))
+      .withColumn("chunk", expr("shiftright(simhash, 12 * c) & 4095"))
+    val a = chunks.as("a")
+    val b = chunks.as("b")
+    a.join(b, col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  // ------------------------------------------------------------ jaccard
+
+  /** Word-3-gram Jaccard near-dup pairs via the shared-shingle inverted
+    * index: explode distinct shingles, self-equi-join on shingle (every
+    * pair above any positive threshold shares ≥1), count intersections,
+    * exact integer Jaccard filter. */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextNorm.shingles(TextNorm.toks(col("text")))).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------ embedding
+
+  /** Embedding vectors quantized to exact integer micro-units: dot products
+    * and norms become order-independent integer sums, cosine becomes one
+    * IEEE expression over identical ints — bit-identical across engines. */
+  private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"), x => Exact.fixed(x.cast("double"), 1e6)).as("v"))
+      .withColumn("nsq",
+        aggregate(col("v"), lit(0L), (acc, x) => acc + x * x))
+
+  private[graft] def cosine(va: Column, vb: Column, nsqA: Column, nsqB: Column): Column = {
+    val dot = aggregate(zip_with(va, vb, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    dot.cast("double") / (sqrt(nsqA.cast("double")) * sqrt(nsqB.cast("double")))
+  }
+
+  /** Embedding-cosine near-dup pairs above [[CosineThreshold]]. All-pairs
+    * is acceptable here (embeddings ≤ thousands); at real scale the
+    * LSH/IVF candidate generation in graft.ext.sim replaces the cross
+    * join — same cosine, same filter. */
+  def qEmbeddingDups(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nsq").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nsq").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cosine") >= CosineThreshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"         -> (qExact _),
+    "dedup_minhash"       -> (qMinhash _),
+    "dedup_simhash"       -> (qSimhash _),
+    "dedup_simhash_pairs" -> (qSimhashPairs _),
+    "dedup_ngram_jaccard" -> (qNgramJaccard _),
+    "dedup_embedding"     -> (qEmbeddingDups _))
+
+  // ------------------------------------------------------------- oracles
+
+  private val shSql = TextNorm.shinglesSql("t")
+
+  /** Shared CTE prefix: tokens → shingles → exploded shingle rows. */
+  private val shingleCtes =
+    s"""toks AS (SELECT doc_id, ${TextNorm.toksSql} AS t FROM documents),
+       |sh AS (SELECT doc_id, $shSql AS shingles FROM toks),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)""".stripMargin
+
+  private def mhSql(j: String, s: String): String =
+    s"CAST('0x' || substring(md5(CAST($j AS VARCHAR) || '|' || $s), 1, 15) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT md5(${TextNorm.normSql}) AS content_hash,
+         |  min(doc_id) AS keeper_doc_id, count(*) AS n_docs
+         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH $shingleCtes,
+         |sigrows AS (
+         |  SELECT doc_id, j, min(${mhSql("j", "s")}) AS mh
+         |  FROM ex, (SELECT unnest(generate_series(0, ${MinhashFns - 1})) AS j) js
+         |  GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM sigrows GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, sig, b,
+         |    md5(array_to_string(list_transform(sig[b*$RowsPerBand+1 : b*$RowsPerBand+$RowsPerBand], y -> CAST(y AS VARCHAR)), ',')) AS bh
+         |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) AS b) bs),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_filter(generate_series(1, $MinhashFns), i -> sig_a[i] = sig_b[i])) AS DOUBLE)
+         |    / ${MinhashFns.toDouble} AS est_jaccard
+         |FROM cand""".stripMargin,
+    "dedup_simhash" -> simhashSql,
+    "dedup_simhash_pairs" ->
+      s"""WITH sim AS ($simhashSql)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+         |FROM inter JOIN sizes na ON doc_a = na.doc_id
+         |           JOIN sizes nb ON doc_b = nb.doc_id
+         |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= $JaccardThreshold""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH $quantizedSql
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  CAST(CAST(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) AS BIGINT) AS DOUBLE)
+         |    / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+         |FROM q a JOIN q b ON a.vec_id < b.vec_id
+         |WHERE CAST(CAST(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) AS BIGINT) AS DOUBLE)
+         |    / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= $CosineThreshold""".stripMargin)
+
+  private lazy val simhashSql: String =
+    s"""WITH tokrows AS (
+       |  SELECT doc_id, unnest(${TextNorm.toksSql}) AS tok FROM documents),
+       |tok AS (SELECT doc_id, tok, count(*) AS cnt FROM tokrows GROUP BY 1, 2),
+       |th AS (SELECT doc_id, cnt,
+       |  CAST('0x' || substring(md5(tok), 1, 12) AS BIGINT) AS h FROM tok),
+       |bits AS (
+       |  SELECT doc_id, i,
+       |    sum(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+       |  FROM th, (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS i) bs
+       |  GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY 1""".stripMargin
+
+  /** Quantized embeddings CTE (`q`): exact micro-unit ints + norm². */
+  private lazy val quantizedSql: String =
+    s"""q AS (
+       |  SELECT vec_id, label,
+       |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) for x in embedding] AS v,
+       |    CAST(list_sum([y * y for y in v]) AS BIGINT) AS nsq
+       |  FROM embeddings)""".stripMargin
+}

@@ -1,0 +1,133 @@
+package graft.ext.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** A multimodal corpus row: media payload as an opaque binary column plus
+  * typed metadata. At 100 TB the binary column lives in parquet alongside
+  * its metadata — never file-per-object — so scans prune metadata columns
+  * without touching payload bytes. */
+case class MediaItem(
+    id: Long,
+    modality: String,           // "image" | "audio" | "video" | "text"
+    format: String,             // container/codec tag, e.g. "png", "wav"
+    content: Array[Byte],
+    width: Int, height: Int,    // image/video metadata (0 when n/a)
+    sample_rate: Int,           // audio metadata (0 when n/a)
+    duration_ms: Long)          // audio/video metadata (0 when n/a)
+
+/** Extracted per-item features (decode output contract). */
+case class MediaFeatures(
+    id: Long,
+    modality: String,
+    n_bytes: Long,
+    byte_hist: Array[Long],     // 8-bucket byte histogram (stub features)
+    checksum: String)
+
+/**
+ * Multimodal-column plumbing: schema, partition-friendly batch iteration,
+ * and decode/resize/frame-sample operators.
+ *
+ * The DECODE STEP IS A STUB — this container has no image/audio codecs, so
+ * `decodeStub` computes a deterministic fake feature (byte histogram) in
+ * place of a real `ImageIO.read`/PCM decode. Everything around it — the
+ * binary-column schema, the mapPartitions batch shape (fixed-size buffers,
+ * one codec init per partition, never per row), and the output contract —
+ * is the real production plumbing and is what the tests pin down.
+ */
+object Multimodal {
+
+  val BatchSize = 64   // rows decoded per in-memory batch within a partition
+
+  /** Deterministic corpus: documents' text bytes dressed as media payloads
+    * (modality assigned round-robin) — a stand-in with realistic shape. */
+  def corpus(spark: SparkSession, dir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      element_at(array(lit("png"), lit("wav"), lit("mkv")),
+        (col("doc_id") % 3 + 1).cast("int")).as("format"),
+      encode(col("text"), "UTF-8").as("content"),
+      (col("n_chars") % 1920).cast("int").as("width"),
+      (col("n_chars") % 1080).cast("int").as("height"),
+      lit(16000).as("sample_rate"),
+      (col("n_chars") * 10).as("duration_ms")).as[MediaItem]
+  }
+
+  /** STUB for the real codec call: deterministic 8-bucket byte histogram.
+    * A production build swaps ONLY this function for the actual decoder
+    * (e.g. `javax.imageio.ImageIO.read` / an FFI codec binding). */
+  private def decodeStub(content: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](8)
+    var i = 0
+    while (i < content.length) {
+      hist((content(i) & 0xFF) >>> 5) += 1
+      i += 1
+    }
+    hist
+  }
+
+  /** Feature extraction over partitions in fixed-size batches: the codec
+    * (here: a MessageDigest as its stand-in) initializes once per
+    * partition, rows buffer into BatchSize groups — the exact shape a
+    * vectorized/Arrow decode needs, so swapping the stub keeps the plan. */
+  def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("MD5") // per-partition init
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          digest.reset()
+          val sum = digest.digest(m.content).map("%02x".format(_)).mkString
+          MediaFeatures(m.id, m.modality, m.content.length.toLong,
+            decodeStub(m.content), sum)
+        }
+      }
+    }
+  }
+
+  /** "Resize" stub: content-preserving truncation standing in for a pixel
+    * resample — keeps the binary-in/binary-out operator contract. */
+  def resize(items: Dataset[MediaItem], maxBytes: Int): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    items.map(m => m.copy(content = m.content.take(maxBytes)))
+  }
+
+  /** Frame-sample stub: every nth BatchSize-byte block of the payload —
+    * the video-frame-extraction operator shape (1 row in, k rows out). */
+  def frameSample(spark: SparkSession, items: Dataset[MediaItem], everyNth: Int): DataFrame = {
+    import spark.implicits._
+    items.flatMap { m =>
+      m.content.grouped(BatchSize).zipWithIndex
+        .filter(_._2 % everyNth == 0)
+        .map { case (block, idx) => (m.id, idx.toLong, block) }
+    }.toDF("id", "frame_idx", "frame_bytes")
+  }
+
+  /** Oracled metadata query: per-source payload stats over the binary
+    * column — proves the schema/pruning path without touching the stub. */
+  def qMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("source"),
+      length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+      md5(col("text")).as("checksum"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("checksum")).as("min_checksum"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta" -> (qMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT source, count(*) AS n_items,
+        |  CAST(sum(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
+        |  min(md5(text)) AS min_checksum
+        |FROM documents GROUP BY 1""".stripMargin)
+}

@@ -1,0 +1,143 @@
+package graft.ext.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.dedup.DedupQueries.{cosine, quantized}
+
+/**
+ * Approximate-nearest-neighbor search over the `embeddings` table
+ * (`array<float>`, 64-dim).
+ *
+ * Two tiers:
+ *  - [[qKnnBrute]]: exact brute-force top-k — the correctness baseline.
+ *    Query set × corpus via join; at 100 TB this is the path you run for a
+ *    small query batch against a broadcast-able corpus shard, not all-pairs.
+ *  - [[qKnnIvf]]: IVF-style two-stage search — rank partitions (here the
+ *    `label` column stands in for k-means cell ids, which at production
+ *    scale come from a training job) by query→centroid similarity, probe
+ *    the top `NProbe` cells, exact-search only within them. Work per query
+ *    drops from O(N) to O(N · nprobe / cells); the corpus side shuffles
+ *    once on the cell id and each probe is a partition-local scan.
+ *
+ * Determinism: vectors are quantized to integer micro-units
+ * ([[graft.ext.dedup.DedupQueries.quantized]]); "centroids" are integer
+ * cluster-sums — cosine is scale-invariant, so ranking against the sum
+ * equals ranking against the mean while keeping every dot product an exact
+ * BIGINT. Ties break on id. The DuckDB oracles replay the identical
+ * arithmetic, so even the IVF recall behavior hash-matches.
+ */
+object SimQueries {
+
+  val K = 5
+  val NProbe = 2
+  /** embedding dimensionality of the corpus (TESTDATA embeddings table);
+    * the Spark side is dimension-agnostic (posexplode), the DuckDB oracle
+    * needs a constant because generate_series can't be lateral. */
+  val Dim = 64
+  /** every 20th vector is a query — a deterministic sample. */
+  val QueryStride = 20
+
+  private def queriesDf(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir).filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nsq").as("qn"))
+
+  /** Exact top-K cosine neighbors for each query vector. */
+  def qKnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(spark, dir)
+      .select(col("vec_id"), col("v"), col("nsq"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    queriesDf(spark, dir)
+      .join(corpus, col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("v"), col("qn"), col("nsq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Integer cluster-sum "centroids": one row per cell with the summed
+    * vector and its norm². Exact, order-independent. */
+  private def centroids(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i")).agg(sum(col("x")).as("s"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
+        t => t.getField("s")).as("csum"))
+      .withColumn("cn", aggregate(col("csum"), lit(0L), (acc, x) => acc + x * x))
+
+  /** IVF search: probe the NProbe most-similar cells per query, exact
+    * top-K within the probed cells only. */
+  def qKnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val probeW = Window.partitionBy("query_id").orderBy(col("cscore").desc, col("label"))
+    val probes = queriesDf(spark, dir)
+      .join(broadcast(centroids(spark, dir)))
+      .withColumn("cscore", cosine(col("qv"), col("csum"), col("qn"), col("cn")))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= NProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("label"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    probes
+      .join(quantized(spark, dir), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("v"), col("qn"), col("nsq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label"), col("rank"), col("cosine"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_brute" -> (qKnnBrute _),
+    "knn_ivf"   -> (qKnnIvf _))
+
+  // ------------------------------------------------------------- oracles
+
+  /** Quantized embeddings + query subset, shared by both oracles. */
+  private val baseCtes =
+    s"""q AS (
+       |  SELECT vec_id, label,
+       |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) for x in embedding] AS v,
+       |    CAST(list_sum([y * y for y in v]) AS BIGINT) AS nsq
+       |  FROM embeddings),
+       |qs AS (SELECT vec_id AS query_id, v AS qv, nsq AS qn FROM q
+       |       WHERE vec_id % $QueryStride = 0)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum([$a[i] * $b[i] for i in generate_series(1, len($a))]) AS BIGINT)"
+
+  private def cosSql(a: String, b: String, na: String, nb: String): String =
+    s"CAST(${dotSql(a, b)} AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
+
+  val oracles: Map[String, String] = Map(
+    "knn_brute" ->
+      s"""WITH $baseCtes
+         |SELECT query_id, b.vec_id AS neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ${cosSql("qv", "b.v", "qn", "b.nsq")} DESC, b.vec_id) AS rank,
+         |  ${cosSql("qv", "b.v", "qn", "b.nsq")} AS cosine
+         |FROM qs JOIN q b ON b.vec_id <> query_id
+         |QUALIFY rank <= $K""".stripMargin,
+    "knn_ivf" ->
+      s"""WITH $baseCtes,
+         |csum_rows AS (
+         |  SELECT label, i, CAST(sum(v[i]) AS BIGINT) AS s
+         |  FROM q, generate_series(1, $Dim) t(i)
+         |  GROUP BY label, i),
+         |cent AS (
+         |  SELECT label, list(s ORDER BY i) AS csum FROM csum_rows GROUP BY label),
+         |cent2 AS (
+         |  SELECT label, csum, CAST(list_sum([y * y for y in csum]) AS BIGINT) AS cn FROM cent),
+         |probes AS (
+         |  SELECT query_id, qv, qn, label
+         |  FROM qs CROSS JOIN cent2
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ${cosSql("qv", "csum", "qn", "cn")} DESC, label) <= $NProbe)
+         |SELECT query_id, c.vec_id AS neighbor_id, p.label,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ${cosSql("p.qv", "c.v", "p.qn", "c.nsq")} DESC, c.vec_id) AS rank,
+         |  ${cosSql("p.qv", "c.v", "p.qn", "c.nsq")} AS cosine
+         |FROM probes p JOIN q c ON c.label = p.label AND c.vec_id <> p.query_id
+         |QUALIFY rank <= $K""".stripMargin)
+}

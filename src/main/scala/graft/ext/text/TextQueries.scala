@@ -1,0 +1,163 @@
+package graft.ext.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/**
+ * Text-analysis operators for LLM training-data pipelines over the
+ * `documents` table: language-ID (stopword-profile n-gram heuristic),
+ * quality scoring, token counting, and key-fingerprinting.
+ *
+ * Everything is built from codegen'd string/array built-ins — no UDFs — so
+ * the whole stage stays inside WholeStageCodegen and scales linearly with
+ * document count: no shuffles except the final per-language aggregate in
+ * [[qTokens]], which groups on a ~10-value key.
+ *
+ * Cross-engine determinism: all scores are integer counts or single IEEE
+ * expressions over integer counts (see [[graft.functions.Exact]] rationale),
+ * so the DuckDB oracles hash-match exactly.
+ */
+object TextQueries {
+
+  import TextNorm.toks
+
+  /** Stopword profiles for the language-ID heuristic. Deliberately tiny and
+    * ASCII-only — the capability under test is the Spark-side shape
+    * (array-filter scoring + argmax), not linguistic accuracy. */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "que", "y", "en", "un", "es", "los"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "est", "pas", "pour"))
+
+  private def score(t: Column, words: Seq[String]): Column =
+    size(filter(t, x => array_contains(array(words.map(lit): _*), x))).cast("long")
+
+  /** Language ID: per-language stopword hit counts + deterministic argmax
+    * (ties resolve by profile order en > de > es > fr). */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id") +: col("lang") +:
+        profiles.map { case (l, ws) => score(t, ws).as(s"s_$l") }: _*)
+    scored.withColumn("predicted_lang",
+      when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+        .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+        .when(col("s_es") >= col("s_fr"), "es")
+        .otherwise("fr"))
+  }
+
+  /** Quality scoring: length / alpha-ratio / punctuation / stopword-ratio
+    * signals combined into one deterministic score — the standard cheap
+    * pre-filter before expensive dedup/embedding stages. */
+  def qQuality(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val nChars = length(coalesce(t, lit(""))).cast("long")
+    val nAlpha = length(regexp_replace(coalesce(t, lit("")), "[^A-Za-z]", "")).cast("long")
+    val nPunct = length(regexp_replace(coalesce(t, lit("")), "[^.,;:!?]", "")).cast("long")
+    val nToks = size(toks(t)).cast("long")
+    val nStop = score(toks(t), profiles.head._2)
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      nChars.as("n_chars"), nAlpha.as("n_alpha"), nPunct.as("n_punct"),
+      nToks.as("n_tokens"), nStop.as("n_stopwords"))
+      .withColumn("alpha_ratio",
+        col("n_alpha").cast("double") / greatest(col("n_chars"), lit(1L)))
+      .withColumn("stop_ratio",
+        col("n_stopwords").cast("double") / greatest(col("n_tokens"), lit(1L)))
+      .withColumn("quality_score",
+        lit(0.4) * col("alpha_ratio") + lit(0.3) * col("stop_ratio") +
+          lit(0.3) * when(col("n_tokens").between(20, 2000), 1.0).otherwise(0.0))
+  }
+
+  /** Token counting per language: whitespace tokens + a BPE-ish regex
+    * tokenizer (words / digit runs / single symbols) — the usual
+    * budget-estimation pass; aggregates on the tiny `lang` key. */
+  def qTokens(spark: SparkSession, dir: String): DataFrame = {
+    val ws = size(toks(col("text"))).cast("long")
+    val bpe = size(regexp_extract_all(coalesce(col("text"), lit("")),
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("lang"), ws.as("ws_tokens"), bpe.as("bpe_tokens"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("bpe_tokens")).as("total_bpe_tokens"))
+      .withColumn("avg_ws_tokens",
+        col("total_ws_tokens").cast("double") / col("n_docs"))
+  }
+
+  /** Key fingerprint (sorted distinct normalized tokens → md5) — the
+    * OpenRefine-style clustering key; exact-dup docs collide, word-order
+    * variants collide too. Narrow, shuffle-free. */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      md5(array_join(array_sort(array_distinct(t)), " ")).as("fingerprint"),
+      size(array_distinct(t)).cast("long").as("n_distinct_tokens"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid"      -> (qLangId _),
+    "text_quality"     -> (qQuality _),
+    "text_tokens"      -> (qTokens _),
+    "text_fingerprint" -> (qFingerprint _))
+
+  // ------------------------------------------------------------- oracles
+
+  private val toksSql = TextNorm.toksSql
+
+  private def scoreSql(words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
+    s"CAST(len(list_filter($toksSql, x -> list_contains($arr, x))) AS BIGINT)"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_langid" -> {
+      val scores = profiles.map { case (l, ws) => s"${scoreSql(ws)} AS s_$l" }.mkString(",\n  ")
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, $scores FROM documents)
+         |SELECT *,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS predicted_lang
+         |FROM scored""".stripMargin
+    },
+    "text_quality" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, lang,
+         |    CAST(length(coalesce(text,'')) AS BIGINT) AS n_chars,
+         |    CAST(length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |    CAST(length(regexp_replace(coalesce(text,''), '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    ${scoreSql(profiles.head._2)} AS n_stopwords
+         |  FROM documents)
+         |SELECT *,
+         |  CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
+         |  CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) AS stop_ratio,
+         |  0.4 * (CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1))
+         |    + 0.3 * (CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1))
+         |    + 0.3 * (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) AS quality_score
+         |FROM m""".stripMargin,
+    "text_tokens" ->
+      s"""WITH per_doc AS (
+         |  SELECT lang,
+         |    CAST(len($toksSql) AS BIGINT) AS ws_tokens,
+         |    CAST(len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+         |  CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+         |  CAST(CAST(sum(ws_tokens) AS BIGINT) AS DOUBLE) / count(*) AS avg_ws_tokens
+         |FROM per_doc GROUP BY 1""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id, source,
+         |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fingerprint,
+         |  CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_distinct_tokens
+         |FROM documents""".stripMargin)
+}
