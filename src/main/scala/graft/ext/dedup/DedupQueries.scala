@@ -1,10 +1,11 @@
 package graft.ext.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.text.TextNorm
-import graft.functions.Exact
+import graft.functions.{Exact, VectorFunctions}
 import graft.sources.Tables
 
 /**
@@ -55,15 +56,48 @@ object DedupQueries {
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_docs"))
 
+  // ------------------------------------------------------------ shingles
+
+  /** Exploded distinct (doc_id, shingle) rows, built WITHOUT higher-order
+    * lambdas: posexplode the tokens (native generator), then two window
+    * `lead`s stitch consecutive tokens into 3-grams — every expression
+    * codegen'd. The direct `transform(sequence(...), …)` formulation costs
+    * ~6 ms/doc in interpreted lambda evaluation and dominated minhash AND
+    * jaccard wall-clock (≈60 s each at sf0.1 → ≈2 s this way). Docs with
+    * <3 tokens contribute their whole text, matching [[TextNorm.shingles]]
+    * and the DuckDB oracles exactly. One shuffle on doc_id. */
+  private[graft] def shingleRows(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextNorm.toks(col("text")).as("t"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = docs
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+      .withColumn("t2", lead("tok", 1).over(w))
+      .withColumn("t3", lead("tok", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("s"))
+    val short = docs.filter(size(col("t")) < 3)
+      .select(col("doc_id"), array_join(col("t"), " ").as("s"))
+    grams.union(short).distinct()
+  }
+
   // ------------------------------------------------------------ minhash
 
-  /** doc_id + minhash signature array (MinhashFns exact 60-bit ints). */
+  /** Universal-hash family over ONE 28-bit md5 base hash per shingle:
+    * h_j = (A_j·h + B_j) mod P. One md5 instead of MinhashFns md5s per
+    * shingle row — the md5 evaluations were 60% of minhash wall-clock at
+    * sf0.1. Constants are arbitrary-but-fixed; the oracle inlines the same
+    * values, so signatures stay engine-identical. */
+  val HashP = 1000000007L
+  val HashA: Seq[Long] = (0 until MinhashFns).map(j => (2654435761L * (j + 1)) % HashP)
+  val HashB: Seq[Long] = (0 until MinhashFns).map(j => (40503L * (j + 7) + 12289L) % HashP)
+
+  /** doc_id + minhash signature array (exact ints < P). */
   private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextNorm.shingles(TextNorm.toks(col("text"))).as("sh"))
-    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val exploded = shingleRows(spark, dir)
+      .withColumn("h", Exact.md5Long28(col("s")))
     val mins = (0 until MinhashFns).map { j =>
-      min(Exact.md5Long(concat_ws("|", lit(j), col("s")))).as(s"mh_$j")
+      min((lit(HashA(j)) * col("h") + lit(HashB(j))) % lit(HashP)).as(s"mh_$j")
     }
     exploded.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
@@ -149,8 +183,13 @@ object DedupQueries {
     * pair above any positive threshold shares ≥1), count intersections,
     * exact integer Jaccard filter. */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(TextNorm.shingles(TextNorm.toks(col("text")))).as("s"))
+    // join on the 60-bit hash of the shingle, not the string: 8-byte keys
+    // cut the self-join shuffle ~4× vs ~20-char strings. The oracle hashes
+    // identically, so any (vanishingly rare) collision affects both engines
+    // the same way.
+    val sh = shingleRows(spark, dir)
+      .select(col("doc_id"), Exact.md5Long(col("s")).as("s"))
+      .distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -175,11 +214,14 @@ object DedupQueries {
     Tables.embeddings(spark, dir).select(
       col("vec_id"), col("label"),
       transform(col("embedding"), x => Exact.fixed(x.cast("double"), 1e6)).as("v"))
-      .withColumn("nsq",
-        aggregate(col("v"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("nsq", VectorFunctions.arrayDotLong(col("v"), col("v")))
 
+  /** Cosine over quantized vectors. The dot product is the native codegen'd
+    * [[graft.functions.ArrayDotLong]] — same exact-integer semantics as the
+    * aggregate/zip_with HOF form it replaced, ~an order of magnitude faster
+    * on the O(pairs·dim) similarity kernels. */
   private[graft] def cosine(va: Column, vb: Column, nsqA: Column, nsqB: Column): Column = {
-    val dot = aggregate(zip_with(va, vb, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val dot = VectorFunctions.arrayDotLong(va, vb)
     dot.cast("double") / (sqrt(nsqA.cast("double")) * sqrt(nsqB.cast("double")))
   }
 
@@ -215,8 +257,8 @@ object DedupQueries {
        |sh AS (SELECT doc_id, $shSql AS shingles FROM toks),
        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)""".stripMargin
 
-  private def mhSql(j: String, s: String): String =
-    s"CAST('0x' || substring(md5(CAST($j AS VARCHAR) || '|' || $s), 1, 15) AS BIGINT)"
+  private val hashASql = HashA.mkString("[", ",", "]")
+  private val hashBSql = HashB.mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -225,9 +267,10 @@ object DedupQueries {
          |FROM documents GROUP BY 1""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $shingleCtes,
+         |exh AS (SELECT doc_id, ${Exact.md5Long28Sql("s")} AS h FROM ex),
          |sigrows AS (
-         |  SELECT doc_id, j, min(${mhSql("j", "s")}) AS mh
-         |  FROM ex, (SELECT unnest(generate_series(0, ${MinhashFns - 1})) AS j) js
+         |  SELECT doc_id, j, min(($hashASql[j+1] * h + $hashBSql[j+1]) % $HashP) AS mh
+         |  FROM exh, (SELECT unnest(generate_series(0, ${MinhashFns - 1})) AS j) js
          |  GROUP BY doc_id, j),
          |sig AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM sigrows GROUP BY doc_id),
          |bands AS (
@@ -251,10 +294,11 @@ object DedupQueries {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCtes,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+         |exg AS (SELECT DISTINCT doc_id, ${Exact.md5LongSql("s")} AS sh FROM ex),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM exg GROUP BY 1),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM exg a JOIN exg b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
          |  CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard

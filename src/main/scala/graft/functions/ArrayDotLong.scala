@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/**
+ * Native Catalyst expression: exact integer dot product of two
+ * `array<bigint>` columns.
+ *
+ * The vector-similarity kernels (dedup_embedding, knn_brute, knn_ivf) are
+ * O(pairs × dim); the higher-order-function formulation
+ * `aggregate(zip_with(a, b, _*_), 0, _+_)` materializes a zipped
+ * intermediate array and evaluates two lambdas per element — an allocation
+ * and megamorphic-call tax on the hottest loop in the engine. This
+ * expression generates a primitive `long` loop over the two ArrayData
+ * buffers inside whole-stage codegen: no allocation, no boxing, SIMD-able.
+ *
+ * Semantics are identical to the HOF form (exact BIGINT sums over
+ * quantized vectors — see [[Exact.fixed]]), so the DuckDB oracles are
+ * unaffected. Sum length = min(len(a), len(b)), like zip_with on equal-rank
+ * inputs; nulls propagate (null array → null result).
+ */
+case class ArrayDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotLong =
+    copy(left = newLeft, right = newRight)
+}

@@ -59,4 +59,12 @@ object Exact {
 
   def md5Long48Sql(expr: String): String =
     s"CAST('0x' || substring(md5($expr), 1, 12) AS BIGINT)"
+
+  /** 28-bit variant (7 hex chars) — the base hash for universal-hash
+    * families: small enough that a·h+b stays well inside BIGINT. */
+  def md5Long28(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  def md5Long28Sql(expr: String): String =
+    s"CAST('0x' || substring(md5($expr), 1, 7) AS BIGINT)"
 }

@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ext.text.TextNorm
+import graft.functions.Exact
+import graft.sources.Tables
+
+/** Scratch profiler for stage-level timings (dev tool). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+    spark.range(100).count()
+    val docs = Tables.documents(spark, dir)
+    time("norm only")(docs.select(TextNorm.norm(col("text")).as("n")).filter(length(col("n")) >= 0).count())
+    time("toks only")(docs.select(size(TextNorm.toks(col("text"))).as("n")).agg(sum("n")).count())
+    time("shingle array")(docs.select(size(TextNorm.shingles(TextNorm.toks(col("text")))).as("n")).agg(sum("n")).count())
+    val ex = docs.select(col("doc_id"), explode(TextNorm.shingles(TextNorm.toks(col("text")))).as("s"))
+    time("explode shingles")(ex.count())
+    val exB = docs.select(col("doc_id"), TextNorm.shingles(TextNorm.toks(col("text"))).as("sh"))
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    time("explode w/ exchange barrier")(exB.count())
+    val exh = exB.select(col("doc_id"), Exact.md5Long(col("s")).as("h")).distinct()
+    time("explode+hash+distinct")(exh.count())
+    val exhC = exh.cache()
+    exhC.count()
+    time("self-join on hash (cached)")(
+      exhC.as("a").join(exhC.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id"), col("b.doc_id")).agg(count(lit(1))).count())
+    spark.stop()
+  }
+}
