@@ -135,24 +135,26 @@ object DedupQueries {
   // ------------------------------------------------------------ simhash
 
   /** 48-bit SimHash per doc: token-frequency-weighted bit votes over
-    * md5-derived token hashes. Two groupBys: (doc, token-hash) —
-    * high-cardinality, then (doc, bit) after a ×48 bit explode over the
-    * (tiny) distinct-token set. */
+    * md5-derived token hashes. ONE groupBy with 49 static aggregate columns
+    * (total count + one masked sum per bit) instead of a ×48 bit explode —
+    * the sign of the classic ±cnt vote for bit i is `2·Σ(cnt·bit_i) >
+    * Σcnt`, so the whole signature assembles in a codegen'd projection.
+    * (The explode formulation generated 9.6 M intermediate rows per
+    * evaluation and dominated dedup_simhash_pairs wall-clock.) */
   def qSimhash(spark: SparkSession, dir: String): DataFrame = {
     val tokCounts = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextNorm.toks(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", Exact.md5Long48(col("tok")))
-    val bitVotes = tokCounts
-      .select(col("doc_id"), col("cnt"), col("h"),
-        explode(sequence(lit(0), lit(SimhashBits - 1))).as("i"))
-      .withColumn("vote",
-        when(expr("shiftright(h, i) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(sum(col("vote")).as("s"))
-    bitVotes
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0L)).as("simhash"))
+    val bitSums = (0 until SimhashBits).map { i =>
+      sum(col("cnt") * expr(s"shiftright(h, $i) & 1")).as(s"b_$i")
+    }
+    val agg = tokCounts.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("total"), bitSums: _*)
+    val simhash = (0 until SimhashBits).map { i =>
+      when(col(s"b_$i") * 2 > col("total"), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), simhash.as("simhash"))
   }
 
   /** Near-dup pairs within Hamming ≤ 3 of the 48-bit SimHash. Candidates
@@ -166,14 +168,16 @@ object DedupQueries {
       .withColumn("chunk", expr("shiftright(simhash, 12 * c) & 4095"))
     val a = chunks.as("a")
     val b = chunks.as("b")
+    // the Hamming cut sits INSIDE the join condition: of the ~likely-many
+    // chunk-collision candidates only true near-dups survive, so the
+    // pair-dedup distinct() shuffles a handful of rows instead of the whole
+    // candidate set (measured: the post-join distinct dominated this query)
     a.join(b, col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        expr("bit_count(a.simhash ^ b.simhash)") <= HammingMax)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
       .distinct()
-      .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
-      .filter(col("hamming") <= HammingMax)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
   // ------------------------------------------------------------ jaccard

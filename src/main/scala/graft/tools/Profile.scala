@@ -20,6 +20,20 @@ object Profile {
       println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     spark.range(100).count()
+    if (args.lift(1).contains("simhash")) {
+      import graft.ext.dedup.DedupQueries
+      val sim = DedupQueries.qSimhash(spark, dir)
+      time("qSimhash")(sim.count())
+      time("qSimhash again")(sim.count())
+      val chunks = sim.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("c"))
+        .withColumn("chunk", expr("shiftright(simhash, 12 * c) & 4095"))
+      time("chunks")(chunks.count())
+      val a = chunks.as("a"); val b = chunks.as("b")
+      time("join only")(a.join(b, col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id")).count())
+      time("full pairs query")(DedupQueries.qSimhashPairs(spark, dir).count())
+      spark.stop(); return
+    }
     val docs = Tables.documents(spark, dir)
     time("norm only")(docs.select(TextNorm.norm(col("text")).as("n")).filter(length(col("n")) >= 0).count())
     time("toks only")(docs.select(size(TextNorm.toks(col("text"))).as("n")).agg(sum("n")).count())
