@@ -106,10 +106,57 @@ object AnalyticsQueries {
         (col("rev_cents") / lit(100.0)).as("customer_revenue"), col("rank_in_nation"))
   }
 
+  /** TPC-H Q6-shaped forecast-revenue delta: pure scan+filter+agg, the
+    * canonical pushdown benchmark — every predicate must reach the parquet
+    * reader. */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.04, 0.08) &&
+        col("l_quantity") < 24)
+      .agg((sum(Exact.cents(col("l_extendedprice") * col("l_discount"))) / lit(100.0))
+        .as("revenue_delta"))
+
+  /** TPC-H Q12-shaped late-shipment census: lines shipped >60 days after
+    * order date, counted per order priority — integer date arithmetic,
+    * one shuffle join on orderkey, tiny group key. */
+  def q12LateLines(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L)
+          .otherwise(0L)).as("late_lines"),
+        count(lit(1)).as("total_lines"))
+      .withColumn("late_share",
+        col("late_lines").cast("double") / col("total_lines"))
+
+  }
+
+  /** TPC-H Q14-shaped promo revenue share: broadcast part dim; the share is
+    * a single division of two exact cent sums ⇒ engine-identical double. */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", revenueCents).otherwise(0L)).cast("double")
+          / sum(revenueCents)).as("promo_share"),
+        (sum(revenueCents) / lit(100.0)).as("total_revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"        -> (q1Pricing _),
     "q3_top_orders"     -> (q3TopOrders _),
     "q5_nation_revenue" -> (q5NationRevenue _),
+    "q6_forecast"       -> (q6Forecast _),
+    "q12_late_lines"    -> (q12LateLines _),
+    "q14_promo_share"   -> (q14PromoShare _),
     "q_topk_per_nation" -> (qTopCustomersPerNation _))
 
   private val revCentsSql = Exact.centsSql("l_extendedprice * (1.0 - l_discount)")
@@ -152,6 +199,30 @@ object AnalyticsQueries {
          |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          |GROUP BY 1""".stripMargin,
+    "q6_forecast" ->
+      s"""SELECT (CAST(sum(${Exact.centsSql("l_extendedprice * l_discount")}) AS DOUBLE) / 100.0) AS revenue_delta
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.04 AND 0.08
+         |  AND l_quantity < 24""".stripMargin,
+    "q12_late_lines" ->
+      """SELECT o.o_orderpriority,
+        |  CAST(sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+        |  count(*) AS total_lines,
+        |  CAST(CAST(sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / count(*) AS late_share
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q14_promo_share" ->
+      s"""SELECT
+         |  CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN $revCentsSql ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |    / CAST(sum($revCentsSql) AS BIGINT) AS promo_share,
+         |  (CAST(sum($revCentsSql) AS DOUBLE) / 100.0) AS total_revenue
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
     "q_topk_per_nation" ->
       s"""WITH cust_rev AS (
          |  SELECT o_custkey, CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT) AS rev_cents

@@ -20,6 +20,22 @@ object Profile {
       println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     spark.range(100).count()
+    if (args.lift(1).contains("session")) {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.stream.{SessionEvent, Sessionize, StreamPipeline}
+      import spark.implicits._
+      val raw = StreamPipeline.read(spark, StreamPipeline.JsonFiles(args(2)))
+      val events = graft.etl.RefPipeline.parse(raw)
+        .select(col("user_id").cast("long").as("user_id"),
+          to_timestamp(col("event_time")).as("event_time"),
+          coalesce(col("amount"), lit(0.0)).as("amount"))
+        .as[SessionEvent]
+      val q = Sessionize(events, gapSeconds = 60).toDF()
+        .writeStream.outputMode("append").format("console")
+        .option("truncate", "false").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.stop(); return
+    }
     if (args.lift(1).contains("simhash")) {
       import graft.ext.dedup.DedupQueries
       val sim = DedupQueries.qSimhash(spark, dir)

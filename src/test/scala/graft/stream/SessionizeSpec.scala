@@ -1,0 +1,67 @@
+package graft.stream
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** Custom stateful operator semantics: sessions close on event-time gap,
+  * emit exactly once, state is freed. */
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(user: Long, t: String, amount: Double = 1.0) =
+    SessionEvent(user, Timestamp.valueOf(t), amount)
+
+  test("sessions split on gap and emit once the watermark passes the deadline") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[SessionEvent]
+    val out = Sessionize(ms.toDS(), gapSeconds = 60)
+    val q = StreamPipeline.start(out.toDF(),
+      StreamPipeline.Memory("sessions", trigger = Trigger.ProcessingTime(0L)))
+
+    // one user: 3 events within the gap, then silence
+    ms.addData(
+      ev(1, "2024-01-01 00:00:00", 10.0),
+      ev(1, "2024-01-01 00:00:30", 20.0),
+      ev(1, "2024-01-01 00:00:50", 5.0))
+    q.processAllAvailable()
+    assert(spark.table("sessions").count() == 0, "session must not close while active")
+
+    // far-future event (other user) advances the watermark past the deadline
+    ms.addData(ev(2, "2024-01-01 01:00:00"))
+    q.processAllAvailable()
+    val s = spark.table("sessions").as[UserSession].collect()
+    assert(s.length == 1)
+    assert(s.head.user_id == 1 && s.head.n_events == 3 && s.head.total_amount == 35.0)
+    assert(s.head.session_start == Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(s.head.session_end == Timestamp.valueOf("2024-01-01 00:00:50"))
+
+    // same user returns much later: a NEW session (state was freed)
+    ms.addData(ev(1, "2024-01-01 02:00:00", 7.0))
+    ms.addData(ev(1, "2024-01-01 03:00:00"))   // advances watermark, closes it
+    q.processAllAvailable()
+    val s2 = spark.table("sessions").as[UserSession].collect()
+      .filter(u => u.user_id == 1 && u.total_amount == 7.0)
+    assert(s2.length == 1, "re-appearing user starts a fresh session")
+    q.stop()
+  }
+
+  test("two sessions in one micro-batch emit the earlier one immediately") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[SessionEvent]
+    val out = Sessionize(ms.toDS(), gapSeconds = 60)
+    val q = StreamPipeline.start(out.toDF(),
+      StreamPipeline.Memory("sessions2", trigger = Trigger.ProcessingTime(0L)))
+    // gap inside the batch: first session closes without waiting for timeout
+    ms.addData(
+      ev(9, "2024-01-01 00:00:00", 1.0),
+      ev(9, "2024-01-01 00:10:00", 2.0))
+    q.processAllAvailable()
+    val s = spark.table("sessions2").as[UserSession].collect()
+    assert(s.length == 1 && s.head.total_amount == 1.0)
+    q.stop()
+  }
+}
