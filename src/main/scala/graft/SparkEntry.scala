@@ -38,7 +38,8 @@ object SparkEntry {
       ext.text.TextQueries.queries ++
       ext.dedup.DedupQueries.queries ++
       ext.sim.SimQueries.queries ++
-      ext.multimodal.Multimodal.queries
+      ext.multimodal.Multimodal.queries ++
+      ext.pipeline.CurateQueries.queries
 
   def oracleSql: Map[String, String] =
     etl.EventsQueries.oracles ++
@@ -46,5 +47,6 @@ object SparkEntry {
       ext.text.TextQueries.oracles ++
       ext.dedup.DedupQueries.oracles ++
       ext.sim.SimQueries.oracles ++
-      ext.multimodal.Multimodal.oracles
+      ext.multimodal.Multimodal.oracles ++
+      ext.pipeline.CurateQueries.oracles
 }

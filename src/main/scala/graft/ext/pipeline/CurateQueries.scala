@@ -1,0 +1,148 @@
+package graft.ext.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.dedup.DedupQueries
+import graft.ext.text.{TextNorm, TextQueries}
+import graft.functions.Exact
+import graft.sources.Tables
+
+/**
+ * The composed training-data curation workflow — the extension operators
+ * assembled into the pipeline a 100 TB corpus actually runs:
+ *
+ *   quality filter → exact dedup → near-dup removal → split assignment →
+ *   shard packing
+ *
+ * Every stage is DataFrame-in/DataFrame-out and every query here has a
+ * DuckDB oracle, so the whole composition is under the correctness gate,
+ * not just its pieces.
+ *
+ * Scale shape: quality/split/pack are narrow or one-keyed-shuffle stages;
+ * dedup stages inherit the LSH/inverted-index candidate generation from
+ * [[DedupQueries]] (never O(n²)); near-dup removal is an anti-join against
+ * the (small) pair set.
+ */
+object CurateQueries {
+
+  val QualityMin = 0.15
+  val TrainPct = 90
+  val ValPct = 95          // [90,95) val, [95,100) test
+  val ShardTokens = 4096L
+
+  /** Greedy near-dup removal rule: within each jaccard-pair, the larger
+    * doc_id is dropped (deterministic, one anti-join; the standard greedy
+    * approximation of clique-collapse). */
+  private def survivors(spark: SparkSession, dir: String): DataFrame = {
+    val quality = TextQueries.qQuality(spark, dir)
+      .filter(col("quality_score") >= QualityMin)
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+    // exact dedup: keep the min doc_id of each content group
+    val keepers = DedupQueries.qExact(spark, dir).select(col("keeper_doc_id").as("doc_id"))
+    val nearDupLosers = DedupQueries.qNgramJaccard(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    quality
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Curated corpus: docs surviving quality + exact-dup + near-dup cuts. */
+  def qCurate(spark: SparkSession, dir: String): DataFrame =
+    survivors(spark, dir)
+
+  /** Deterministic train/val/test split by content-independent hash of the
+    * doc id — reproducible at any scale, no RNG. Counts per (lang, split). */
+  def qSampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(Exact.md5Long(concat(lit("split|"), col("doc_id"))), lit(100))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        when(bucket < TrainPct, "train")
+          .when(bucket < ValPct, "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Pack documents into ~[[ShardTokens]]-token shards per language: a
+    * running-total window (rowsBetween frame) assigns each doc the shard
+    * its starting offset falls in. Deterministic (ordered by doc_id),
+    * exact-integer, and the one place the engine exercises an explicit
+    * window FRAME spec. */
+  def qPackShards(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      size(TextNorm.toks(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("shard",
+        floor((col("cum_tokens") - col("n_tokens")).cast("double") / lit(ShardTokens.toDouble)).cast("long"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_pipeline" -> (qCurate _),
+    "sample_split"    -> (qSampleSplit _),
+    "pack_shards"     -> (qPackShards _))
+
+  // ------------------------------------------------------------- oracles
+
+  /** quality_score expression, inlined from the TextQueries oracle. */
+  private val qualityExpr =
+    s"""0.4 * (CAST(CAST(length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g')) AS BIGINT) AS DOUBLE)
+       |        / greatest(CAST(length(coalesce(text,'')) AS BIGINT), 1))
+       |  + 0.3 * (CAST(CAST(len(list_filter(${TextNorm.toksSql}, x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS BIGINT) AS DOUBLE)
+       |        / greatest(CAST(len(${TextNorm.toksSql}) AS BIGINT), 1))
+       |  + 0.3 * (CASE WHEN CAST(len(${TextNorm.toksSql}) AS BIGINT) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END)""".stripMargin
+
+  private val jaccardPairsSql =
+    s"""WITH toks AS (SELECT doc_id, ${TextNorm.toksSql} AS t FROM documents),
+       |sh AS (SELECT doc_id, ${TextNorm.shinglesSql("t")} AS shingles FROM toks),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |exg AS (SELECT DISTINCT doc_id, ${Exact.md5LongSql("s")} AS sh FROM ex),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM exg GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM exg a JOIN exg b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b FROM inter
+       |JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+       |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= ${DedupQueries.JaccardThreshold}""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "curate_pipeline" ->
+      s"""WITH pairs AS ($jaccardPairsSql),
+         |keepers AS (
+         |  SELECT min(doc_id) AS doc_id
+         |  FROM documents GROUP BY md5(${TextNorm.normSql})),
+         |losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+         |SELECT d.doc_id, d.lang, $qualityExpr AS quality_score
+         |FROM documents d
+         |JOIN keepers k ON d.doc_id = k.doc_id
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+         |  AND $qualityExpr >= $QualityMin""".stripMargin,
+    "sample_split" ->
+      s"""SELECT lang,
+         |  CASE WHEN ${Exact.md5LongSql("'split|' || CAST(doc_id AS VARCHAR)")} % 100 < $TrainPct THEN 'train'
+         |       WHEN ${Exact.md5LongSql("'split|' || CAST(doc_id AS VARCHAR)")} % 100 < $ValPct THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "pack_shards" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, CAST(len(${TextNorm.toksSql}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |packed AS (
+         |  SELECT lang, n_tokens,
+         |    CAST(floor(CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS DOUBLE)
+         |      / ${ShardTokens.toDouble}) AS BIGINT) AS shard
+         |  FROM toks)
+         |SELECT lang, shard, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+         |FROM packed GROUP BY 1, 2""".stripMargin)
+}

@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ext.pipeline.CurateQueries
+import graft.functions.Salt
+import graft.sources.Tables
+
+/** Composition-level invariants of the curation pipeline + salting. */
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curated corpus is a strict filter of the input with no dup survivors") {
+    val curated = CurateQueries.qCurate(spark, sf).cache()
+    val all = Tables.documents(spark, sf).count()
+    val n = curated.count()
+    assert(n > 0 && n <= all)
+    // no surviving near-dup pair: both endpoints can't be in the output
+    val pairs = graft.ext.dedup.DedupQueries.qNgramJaccard(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val ids = curated.select("doc_id").as[Long].collect().toSet
+    pairs.foreach { case (a, b) =>
+      assert(!(ids(a) && ids(b)), s"near-dup pair ($a,$b) both survived")
+    }
+    curated.unpersist()
+  }
+
+  test("sample split covers every doc exactly once, ~90/5/5") {
+    val split = CurateQueries.qSampleSplit(spark, sf)
+    val total = split.agg(sum("n_docs")).head().getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+    val bySplit = split.groupBy("split").agg(sum("n_docs").as("n"))
+      .as[(String, Long)].collect().toMap
+    val train = bySplit.getOrElse("train", 0L).toDouble / total
+    assert(train > 0.8 && train < 0.97, s"train share $train")
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("shard packing conserves tokens and respects the shard budget") {
+    val shards = CurateQueries.qPackShards(spark, sf).cache()
+    val totalPacked = shards.agg(sum("shard_tokens")).head().getLong(0)
+    val totalTokens = Tables.documents(spark, sf)
+      .select(size(graft.ext.text.TextNorm.toks(col("text"))).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(totalPacked == totalTokens, "packing must conserve tokens")
+    // every shard except possibly the last per lang starts within budget:
+    // a shard's first doc starts at offset shard*budget, so shards are
+    // contiguous 0..max with no gaps
+    val perLang = shards.groupBy("lang")
+      .agg(countDistinct("shard").as("n"), max("shard").as("mx"))
+      .as[(String, Long, Long)].collect()
+    perLang.foreach { case (lang, n, mx) =>
+      assert(n == mx + 1, s"$lang shards not contiguous: $n distinct, max $mx")
+    }
+    shards.unpersist()
+  }
+
+  test("salted aggregation is exactly equivalent to direct aggregation") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("k"),
+        graft.functions.Exact.cents(col("l_extendedprice")).as("v"))
+    val direct = li.groupBy("k").agg(sum("v").as("total"))
+      .as[(String, Long)].collect().toMap
+    val salted = Salt.saltedSum(li, col("k"), col("v"), "total", salts = 8)
+      .as[(String, Long)].collect().toMap
+    assert(direct == salted)
+    val directCnt = li.groupBy("k").count().as[(String, Long)].collect().toMap
+    val saltedCnt = Salt.saltedCount(li, col("k"), "n", salts = 8)
+      .as[(String, Long)].collect().toMap
+    assert(directCnt == saltedCnt)
+  }
+}
