@@ -10,20 +10,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (JIT, codegen framework, shuffle machinery, parquet
-    // reader) so the first timed query isn't charged ~4 s of cold-start.
+    // Steady-state methodology: one untimed warm pass over every query
+    // (JIT + whole-stage-codegen compilation + parquet footers), then the
+    // timed pass in fixed name order. Wide plans cost seconds of one-time
+    // codegen compilation that would otherwise be misattributed to whichever
+    // query ran first.
     spark.range(1000000L).selectExpr("sum(id * 2)").collect()
-    SparkEntry.queries.get("q_clean").foreach { fn =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
