@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/**
+ * Physical-layout I/O helpers — the 100 TB techniques that don't show up
+ * in query text:
+ *
+ *  - [[writeBucketed]]: hash-bucketed + sorted tables. Two tables bucketed
+ *    on the same key with the same bucket count join WITHOUT a shuffle —
+ *    the exchange that dominates large fact⋈fact joins disappears from the
+ *    plan (asserted in IoSpec). This is the batch analogue of
+ *    co-partitioned state.
+ *  - [[writePartitioned]]: hive-style directory partitioning for partition
+ *    pruning + dynamic partition pruning on the read side.
+ *
+ * Bucketing requires the table catalog (`saveAsTable`); plain
+ * `parquet(path)` cannot record bucket metadata.
+ */
+object Io {
+
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  def readCsv(spark: SparkSession, path: String,
+              schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+  }
+
+  def readJsonLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+}

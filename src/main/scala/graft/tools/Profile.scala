@@ -20,6 +20,21 @@ object Profile {
       println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     spark.range(100).count()
+    if (args.lift(1).contains("bucket")) {
+      import graft.sources.{Io, Tables}
+      System.setProperty("derby.system.home", "/tmp/graft_bucket_demo")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Io.writeBucketed(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity")),
+        "li_b", "l_orderkey", 8, Some("l_orderkey"))
+      Io.writeBucketed(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice")),
+        "ord_b", "o_orderkey", 8, Some("o_orderkey"))
+      val j = spark.table("li_b").join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      println("JOIN ROWS = " + j.count())
+      val plan = j.queryExecution.executedPlan.toString
+      println("HAS_SHUFFLE = " + plan.contains("Exchange hashpartitioning"))
+      println("BUCKETED_SCAN = " + plan.contains("Bucketed: true"))
+      spark.stop(); return
+    }
     if (args.lift(1).contains("session")) {
       import org.apache.spark.sql.streaming.Trigger
       import graft.stream.{SessionEvent, Sessionize, StreamPipeline}

@@ -12,11 +12,16 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    System.setProperty("derby.system.home", wh)
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", s"$wh/warehouse")
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$wh/metastore_db;create=true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

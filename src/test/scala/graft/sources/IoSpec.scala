@@ -1,0 +1,56 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Physical-layout behaviors: bucketed co-located joins, partitioned
+  * layout, csv/json readers. */
+class IoSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("joining two same-bucketed tables needs NO shuffle exchange") {
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+    val ord = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
+    Io.writeBucketed(li, "li_bucketed", "l_orderkey", 4, sortCol = Some("l_orderkey"))
+    Io.writeBucketed(ord, "ord_bucketed", "o_orderkey", 4, sortCol = Some("o_orderkey"))
+
+    // disable auto-broadcast: the point is the co-located SortMergeJoin
+    // path (at real scale neither fact side broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(joined.count() > 0)
+
+      // contrast: the same join over plain parquet shuffles BOTH sides
+      val unbucketed = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      assert(unbucketed.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("partitioned write produces prunable hive layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_io").toString + "/by_flag"
+    Io.writePartitioned(
+      Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_returnflag")),
+      dir, Seq("l_returnflag"))
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("l_returnflag=")))
+    val pruned = spark.read.parquet(dir).filter(col("l_returnflag") === "R")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("l_returnflag"), plan)
+  }
+
+  test("csv and json round-trips preserve data") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_io2").toString
+    val df = Tables.region(spark, sf)
+    df.write.option("header", "true").csv(s"$tmp/csv")
+    df.write.json(s"$tmp/json")
+    assert(Io.readCsv(spark, s"$tmp/csv").count() == df.count())
+    assert(Io.readJsonLines(spark, s"$tmp/json").count() == df.count())
+  }
+}

@@ -112,6 +112,39 @@ class StreamPipelineSpec extends SparkSpec {
     assert(new java.io.File(chkDir, "offsets").exists(), "checkpoint not written")
   }
 
+  test("restart from checkpoint resumes incrementally — no reprocessing (T5 exactly-once)") {
+    val inDir = Files.createTempDirectory("graft_restart_in").toString
+    val outDir = Files.createTempDirectory("graft_restart").toString + "/out"
+    val chkDir = Files.createTempDirectory("graft_restart_chk").toString
+
+    def runOnce(): Unit = {
+      val out = StreamPipeline.plan(spark, StreamPipeline.read(spark, StreamPipeline.JsonFiles(inDir)))
+      val q = StreamPipeline.writer(out,
+        StreamPipeline.ParquetSink(outDir, chkDir, Trigger.AvailableNow())).start()
+      q.awaitTermination(60000)
+    }
+
+    // run 1: two events + a late watermark-advancer → 1 user-window emitted ×2 slides
+    Files.write(java.nio.file.Paths.get(s"$inDir/b1.json"), java.util.Arrays.asList(
+      json("a", "2024-01-01T00:00:10Z", 10.0),
+      json("w1", "2024-01-01T01:00:00Z", 1.0)))
+    runOnce()
+    val afterFirst = spark.read.parquet(outDir).count()
+    assert(afterFirst > 0)
+
+    // run 2 (fresh query, SAME checkpoint): only the NEW file is processed;
+    // previously-emitted windows are not re-emitted
+    Files.write(java.nio.file.Paths.get(s"$inDir/b2.json"), java.util.Arrays.asList(
+      json("b", "2024-01-01T02:00:00Z", 20.0),
+      json("w2", "2024-01-01T03:00:00Z", 1.0)))
+    runOnce()
+    val afterSecond = spark.read.parquet(outDir)
+    // event 'a' windows appear exactly once across both runs
+    assert(afterSecond.filter($"total_amount" === 10.0).count() == 2,
+      "event a must appear in exactly its 2 sliding windows, not re-emitted")
+    assert(afterSecond.count() > afterFirst)
+  }
+
   test("update-mode memory sink emits unfinalized windows (K2 semantics)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[String]
