@@ -35,6 +35,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     etl.EventsQueries.queries ++
       batch.AnalyticsQueries.queries ++
+      batch.SqlSurfaceQueries.queries ++
       ext.text.TextQueries.queries ++
       ext.dedup.DedupQueries.queries ++
       ext.sim.SimQueries.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     etl.EventsQueries.oracles ++
       batch.AnalyticsQueries.oracles ++
+      batch.SqlSurfaceQueries.oracles ++
       ext.text.TextQueries.oracles ++
       ext.dedup.DedupQueries.oracles ++
       ext.sim.SimQueries.oracles ++

@@ -49,6 +49,46 @@ class SessionizeSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming sessionize ≡ batch gaps-and-islands twin on identical data") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic event set: 3 users, mixed gaps straddling the 60s line
+    val events = Seq(
+      ev(1, "2024-01-01 00:00:00", 1.0), ev(1, "2024-01-01 00:00:59", 2.0),
+      ev(1, "2024-01-01 00:02:00", 4.0),   // 61s gap → new session
+      ev(2, "2024-01-01 00:00:30", 8.0),
+      ev(3, "2024-01-01 00:01:00", 16.0), ev(3, "2024-01-01 00:02:00", 32.0))
+
+    // batch twin (the oracled formulation from SqlSurfaceQueries, gap 60s)
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("event_time")
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val batch = events.toDF("user_id", "event_time", "amount")
+      .withColumn("prev", lag(col("event_time").cast("long"), 1).over(byUser))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("event_time").cast("long") - col("prev") > 60, 1L).otherwise(0L))
+      .withColumn("sid", sum("brk").over(running))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"), sum("amount").as("total_amount"))
+      .select("user_id", "n_events", "total_amount")
+      .as[(Long, Long, Double)].collect().toSet
+
+    // streaming: same rows + a far-future flush event per user
+    val ms = MemoryStream[SessionEvent]
+    val q = StreamPipeline.start(Sessionize(ms.toDS(), gapSeconds = 60).toDF(),
+      StreamPipeline.Memory("sess_twin", trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)))
+    ms.addData(events: _*)
+    q.processAllAvailable()
+    ms.addData(ev(99, "2024-01-02 00:00:00"))   // watermark flush
+    q.processAllAvailable()
+    val streamed = spark.table("sess_twin").as[UserSession].collect()
+      .filter(_.user_id != 99)
+      .map(s => (s.user_id, s.n_events, s.total_amount)).toSet
+    q.stop()
+    assert(streamed == batch,
+      s"streaming $streamed != batch $batch")
+  }
+
   test("two sessions in one micro-batch emit the earlier one immediately") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[SessionEvent]
