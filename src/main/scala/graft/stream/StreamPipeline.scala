@@ -131,4 +131,23 @@ object StreamPipeline {
     * concurrent sinks; caller awaits via spark.streams. */
   def fanOut(df: DataFrame, sinks: Seq[Sink]): Seq[StreamingQuery] =
     sinks.map(start(df, _))
+
+  /** Stream-stream interval join (beyond the reference's stream⋈static
+    * joins): events enriched with the latest profile update in the
+    * preceding `intervalSeconds`. Both sides carry watermarks, so join
+    * state is bounded — Spark drops buffered rows once the watermark
+    * passes the interval's reach. State shards by user_id.
+    *
+    * Inputs: events(user_id, event_time, …), profiles(p_user_id,
+    * update_time, …). */
+  def joinStreams(events: DataFrame, profiles: DataFrame,
+                  watermark: String = "30 seconds",
+                  intervalSeconds: Long = 60): DataFrame =
+    events.withWatermark("event_time", watermark)
+      .join(
+        profiles.withWatermark("update_time", watermark),
+        expr(s"""
+          user_id = p_user_id AND
+          update_time <= event_time AND
+          update_time >= event_time - INTERVAL $intervalSeconds SECONDS"""))
 }

@@ -20,6 +20,20 @@ object Profile {
       println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     spark.range(100).count()
+    if (args.lift(1).contains("ssjoin")) {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.stream.StreamPipeline
+      val evs = spark.readStream.schema("user_id LONG, event_time TIMESTAMP, amount DOUBLE")
+        .json(args(2))
+      val profs = spark.readStream.schema("p_user_id LONG, update_time TIMESTAMP, segment STRING")
+        .json(args(3))
+      val q = StreamPipeline.joinStreams(evs, profs)
+        .select("user_id", "event_time", "amount", "segment")
+        .writeStream.outputMode("append").format("console")
+        .option("truncate", "false").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.stop(); return
+    }
     if (args.lift(1).contains("bucket")) {
       import graft.sources.{Io, Tables}
       System.setProperty("derby.system.home", "/tmp/graft_bucket_demo")

@@ -158,6 +158,32 @@ class StreamPipelineSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream interval join matches profiles within the window, drops stale ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val profs = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = StreamPipeline.joinStreams(
+      evs.toDF().toDF("user_id", "event_time", "amount"),
+      profs.toDF().toDF("p_user_id", "update_time", "segment"))
+    val q = StreamPipeline.start(joined.select("user_id", "amount", "segment"),
+      StreamPipeline.Memory("ss_join"))
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // profile 30s before the event → inside the 60s interval → joins
+    profs.addData((1L, ts("2024-01-01 00:00:00"), "growth"))
+    evs.addData((1L, ts("2024-01-01 00:00:30"), 10.0))
+    q.processAllAvailable()
+    val got = spark.table("ss_join").collect()
+    assert(got.length == 1 && got.head.getAs[String]("segment") == "growth")
+
+    // profile 10 minutes older than the event → outside interval → no join
+    profs.addData((2L, ts("2024-01-01 00:00:00"), "stale"))
+    evs.addData((2L, ts("2024-01-01 00:10:00"), 5.0))
+    q.processAllAvailable()
+    assert(spark.table("ss_join").filter($"segment" === "stale").isEmpty)
+    q.stop()
+  }
+
   test("rate source generates parseable synthetic events") {
     val raw = StreamPipeline.read(spark, StreamPipeline.Rate(5))
     assert(raw.isStreaming)
