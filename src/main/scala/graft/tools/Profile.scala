@@ -20,6 +20,45 @@ object Profile {
       println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     spark.range(100).count()
+    if (args.lift(1).contains("scale")) {
+      import graft.functions.Exact
+      // 10x lineitem (6M rows) via copy-union: does the agg scale linearly?
+      val li = Tables.lineitem(spark, dir)
+      val li10 = li.crossJoin(spark.range(10))
+      def q1(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg((sum(Exact.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))) / lit(100.0)).as("rev"))
+      q1(li).count()  // warm
+      time("q1 @ 1x (600k rows)")(q1(li).count())
+      time("q1 @ 10x (6M rows)")(q1(li10).count())
+      val ev = Tables.events(spark, dir)
+      val ev10 = ev.crossJoin(spark.range(10).withColumnRenamed("id", "copy"))
+        .withColumn("event_id", col("event_id") * 10 + col("copy")).drop("copy")
+      def win(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(window(col("ts"), "60 seconds", "30 seconds"), col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("u"))
+      win(ev).count()
+      time("window_agg @ 1x (100k)")(win(ev).count())
+      time("window_agg @ 10x (1M)")(win(ev10).count())
+      val e = graft.ext.dedup.DedupQueries.quantized(spark, dir)
+      val q = e.filter(col("vec_id") % 20 === 0)
+      def knn(corpusMult: Int) = {
+        val corpus = if (corpusMult == 1) e else e.crossJoin(spark.range(corpusMult.toLong).withColumnRenamed("id", "cp"))
+          .withColumn("vec_id", col("vec_id") * corpusMult + col("cp")).drop("cp")
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        q.select(col("vec_id").as("qid"), col("v").as("qv"), col("nsq").as("qn"))
+          .join(corpus, col("vec_id") =!= col("qid"))
+          .withColumn("cos", graft.functions.VectorFunctions.arrayDotLong(col("qv"), col("v")).cast("double")
+            / (sqrt(col("qn").cast("double")) * sqrt(col("nsq").cast("double"))))
+          .withColumn("r", row_number().over(w)).filter(col("r") <= 5).count()
+      }
+      knn(1)
+      time("knn_brute @ 1x (100q x 2k)")(knn(1))
+      time("knn_brute @ 10x (100q x 20k)")(knn(10))
+      spark.stop(); return
+    }
     if (args.lift(1).contains("ssjoin")) {
       import org.apache.spark.sql.streaming.Trigger
       import graft.stream.StreamPipeline
