@@ -63,13 +63,14 @@ object SqlSurfaceQueries {
         (expr("percentile(cents, 0.5)") / lit(100.0)).as("p50"),
         (expr("percentile(cents, 0.95)") / lit(100.0)).as("p95"))
 
-  /** Set operations: user cohorts by activity window — INTERSECT for
-    * retained users, EXCEPT for churned. */
+  /** Set operations: purchase cohorts by activity window — INTERSECT for
+    * retained buyers, EXCEPT for churned (purchase-specific so both
+    * branches carry rows at test density). */
   def qUserCohorts(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val firstWeek = ev.filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+    val buys = Tables.events(spark, dir).filter(col("event_type") === "purchase")
+    val firstWeek = buys.filter(col("ts") < lit("2024-01-08").cast("timestamp"))
       .select(col("user_id")).distinct()
-    val lastWeek = ev.filter(col("ts") >= lit("2024-01-24").cast("timestamp"))
+    val lastWeek = buys.filter(col("ts") >= lit("2024-01-24").cast("timestamp"))
       .select(col("user_id")).distinct()
     firstWeek.intersect(lastWeek).withColumn("cohort", lit("retained"))
       .unionByName(firstWeek.except(lastWeek).withColumn("cohort", lit("churned")))
@@ -115,12 +116,16 @@ object SqlSurfaceQueries {
          |FROM events GROUP BY 1""".stripMargin,
     "q_user_cohorts" ->
       """SELECT user_id, 'retained' AS cohort FROM (
-        |  SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08 00:00:00'
         |  INTERSECT
-        |  SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00')
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-24 00:00:00')
         |UNION ALL
         |SELECT user_id, 'churned' AS cohort FROM (
-        |  SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08 00:00:00'
         |  EXCEPT
-        |  SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00')""".stripMargin)
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-24 00:00:00')""".stripMargin)
 }
