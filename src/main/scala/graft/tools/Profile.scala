@@ -20,6 +20,21 @@ object Profile {
       println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     spark.range(100).count()
+    if (args.lift(1).contains("udaf")) {
+      import graft.functions.{Exact, SimhashAggregator}
+      val sim = udaf(SimhashAggregator)
+      val tok = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(graft.ext.text.TextNorm.toks(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+        .withColumn("h", Exact.md5Long48(col("tok")))
+      val viaUdaf = tok.groupBy("doc_id").agg(sim(col("h"), col("cnt")).as("s"))
+      viaUdaf.orderBy("doc_id").show(3)
+      val cols = graft.ext.dedup.DedupQueries.qSimhash(spark, dir)
+      val agree = viaUdaf.join(cols, "doc_id")
+        .filter(col("s") === col("simhash")).count()
+      println(s"AGREE = $agree / " + cols.count())
+      spark.stop(); return
+    }
     if (args.lift(1).contains("scale")) {
       import graft.functions.Exact
       // 10x lineitem (6M rows) via copy-union: does the agg scale linearly?
