@@ -76,11 +76,49 @@ object SqlSurfaceQueries {
       .unionByName(firstWeek.except(lastWeek).withColumn("cohort", lit("churned")))
   }
 
+  /** Orders-per-customer histogram (TPC-H Q13 shape): LEFT OUTER join so
+    * zero-order customers land in bucket 0, then a histogram of counts —
+    * two keyed aggregations, no wide state. */
+  def qOrdersHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir).select(col("o_custkey"))
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("n_orders"))   // count skips nulls
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** Suppliers with above-average account balance (scalar-subquery shape);
+    * the average is exact cents so the cut is engine-identical. */
+  def qTopSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+    val avgCents = s.agg(
+      (sum(Exact.cents(col("s_acctbal"))).cast("double") / count(lit(1))).as("a"))
+    s.join(broadcast(avgCents))
+      .filter(Exact.cents(col("s_acctbal")).cast("double") > col("a"))
+      .select(col("s_suppkey"), col("s_name"),
+        (Exact.cents(col("s_acctbal")) / lit(100.0)).as("acctbal"))
+  }
+
+  /** Customers with no orders in a window (NOT EXISTS / anti-join shape). */
+  def qInactiveCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    Tables.customer(spark, dir)
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_sessionize"     -> (qSessionize _),
-    "q_rollup_pricing" -> (qRollupPricing _),
-    "q_percentiles"    -> (qPercentiles _),
-    "q_user_cohorts"   -> (qUserCohorts _))
+    "q_sessionize"       -> (qSessionize _),
+    "q_rollup_pricing"   -> (qRollupPricing _),
+    "q_percentiles"      -> (qPercentiles _),
+    "q_user_cohorts"     -> (qUserCohorts _),
+    "q_orders_histogram" -> (qOrdersHistogram _),
+    "q_top_suppliers"    -> (qTopSuppliers _),
+    "q_inactive_custs"   -> (qInactiveCustomers _))
 
   private val centsValue = Exact.centsSql("coalesce(value, 0.0)")
 
@@ -114,6 +152,25 @@ object SqlSurfaceQueries {
          |  (quantile_cont($centsValue, 0.5) / 100.0) AS p50,
          |  (quantile_cont($centsValue, 0.95) / 100.0) AS p95
          |FROM events GROUP BY 1""".stripMargin,
+    "q_orders_histogram" ->
+      """WITH per_cust AS (
+        |  SELECT c.c_custkey, count(o.o_custkey) AS n_orders
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |SELECT n_orders, count(*) AS n_customers
+        |FROM per_cust GROUP BY 1""".stripMargin,
+    "q_top_suppliers" ->
+      s"""SELECT s_suppkey, s_name,
+         |  (CAST(${Exact.centsSql("s_acctbal")} AS DOUBLE) / 100.0) AS acctbal
+         |FROM supplier
+         |WHERE CAST(${Exact.centsSql("s_acctbal")} AS DOUBLE) >
+         |  (SELECT CAST(sum(${Exact.centsSql("s_acctbal")}) AS DOUBLE) / count(*) FROM supplier)""".stripMargin,
+    "q_inactive_custs" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')""".stripMargin,
     "q_user_cohorts" ->
       """SELECT user_id, 'retained' AS cohort FROM (
         |  SELECT DISTINCT user_id FROM events

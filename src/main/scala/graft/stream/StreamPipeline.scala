@@ -107,6 +107,13 @@ object StreamPipeline {
   /** Kafka write-back (K4 analog): aggregate rows re-serialized to JSON. */
   final case class KafkaSink(bootstrapServers: String, topic: String,
                              checkpoint: String) extends Sink
+  /** foreachBatch escape hatch — the production pattern for upserts/merges
+    * into external stores: each micro-batch arrives as a regular DataFrame
+    * plus its id (exactly-once when the target write is idempotent on the
+    * batch id). */
+  final case class ForeachBatch(fn: (DataFrame, Long) => Unit,
+                                outputMode: String = "update",
+                                trigger: Trigger = Trigger.ProcessingTime(0L)) extends Sink
 
   def writer(df: DataFrame, sink: Sink): DataStreamWriter[Row] = sink match {
     case ParquetSink(path, chk, trig) =>
@@ -123,6 +130,10 @@ object StreamPipeline {
         .writeStream.outputMode("append").format("kafka")
         .option("kafka.bootstrap.servers", servers)
         .option("topic", topic).option("checkpointLocation", chk)
+    case ForeachBatch(fn, mode, trig) =>
+      df.writeStream.outputMode(mode)
+        .foreachBatch((batch: org.apache.spark.sql.Dataset[Row], id: Long) => fn(batch.toDF(), id))
+        .trigger(trig)
   }
 
   def start(df: DataFrame, sink: Sink): StreamingQuery = writer(df, sink).start()

@@ -20,6 +20,15 @@ object Profile {
       println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     spark.range(100).count()
+    if (args.lift(1).contains("fb")) {
+      import graft.stream.StreamPipeline
+      val out = StreamPipeline.plan(spark, StreamPipeline.read(spark, StreamPipeline.JsonFiles(args(2))))
+      val q = StreamPipeline.writer(out, StreamPipeline.ForeachBatch(
+        (df, id) => println(s"FOREACH_BATCH id=$id rows=" + df.count()),
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())).start()
+      q.awaitTermination()
+      spark.stop(); return
+    }
     if (args.lift(1).contains("udaf")) {
       import graft.functions.{Exact, SimhashAggregator}
       val sim = udaf(SimhashAggregator)

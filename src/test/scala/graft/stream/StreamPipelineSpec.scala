@@ -190,6 +190,24 @@ class StreamPipelineSpec extends SparkSpec {
     assert(raw.columns.contains("value"))
   }
 
+  test("foreachBatch sink delivers each micro-batch as a DataFrame with its id") {
+    implicit val sqlCtx = spark.sqlContext
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val ms = MemoryStream[String]
+    val cleaned = StreamPipeline.cleanStream(graft.etl.RefPipeline.parse(ms.toDF()))
+      .select("event_id", "amount")
+    val q = StreamPipeline.start(cleaned,
+      StreamPipeline.ForeachBatch((df, id) => { seen.add((id, df.count())) }))
+    ms.addData(json("f1", "2024-01-01T00:00:10Z"), json("f2", "2024-01-01T00:00:11Z"))
+    q.processAllAvailable()
+    ms.addData(json("f3", "2024-01-01T00:00:12Z"))
+    q.processAllAvailable()
+    q.stop()
+    val batches = seen.toArray(Array.empty[(Long, Long)]).toSeq.sortBy(_._1)
+    assert(batches.map(_._2).sum == 3, s"got $batches")
+    assert(batches.map(_._1).distinct.size == batches.size, "batch ids must be unique")
+  }
+
   test("kafka source/sink wiring constructs (connector needed only at runtime)") {
     // no connector jar in this image: constructing the plan must still work
     val cfg = StreamPipeline.Kafka("broker:9092", "events")
