@@ -209,6 +209,41 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Document-frequency cap for the adversarial-corpus variant: shingles
+    * appearing in more than this many documents are dropped from the
+    * similarity universe (they cannot discriminate near-dups, and each
+    * contributes df² candidate pairs). */
+  val MaxShingleDf = 50
+
+  /** Jaccard near-dups over the DF-CAPPED shingle universe — the
+    * production-safe variant of [[qNgramJaccard]] (SCALING.md): with the
+    * cap, candidate generation is bounded by docs·shingles·MaxShingleDf
+    * instead of exploding quadratically on a boilerplate shingle. Both the
+    * sets AND the intersections use the capped universe, so the Jaccard is
+    * well-defined and the DuckDB oracle replays it exactly. At this corpus
+    * the result equals the uncapped query (no shingle is that common);
+    * on a boilerplate-heavy corpus they diverge by design. */
+  def qNgramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(spark, dir)
+      .select(col("doc_id"), Exact.md5Long(col("s")).as("s"))
+      .distinct()
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf).select(col("s"))
+    val capped = sh.join(rare, "s")
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = capped.as("a")
+    val b = capped.as("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   // ------------------------------------------------------------ embedding
 
   /** Embedding vectors quantized to exact integer micro-units: dot products
@@ -249,6 +284,7 @@ object DedupQueries {
     "dedup_simhash"       -> (qSimhash _),
     "dedup_simhash_pairs" -> (qSimhashPairs _),
     "dedup_ngram_jaccard" -> (qNgramJaccard _),
+    "dedup_ngram_capped"  -> (qNgramJaccardCapped _),
     "dedup_embedding"     -> (qEmbeddingDups _))
 
   // ------------------------------------------------------------- oracles
@@ -303,6 +339,21 @@ object DedupQueries {
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
          |  FROM exg a JOIN exg b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+         |FROM inter JOIN sizes na ON doc_a = na.doc_id
+         |           JOIN sizes nb ON doc_b = nb.doc_id
+         |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= $JaccardThreshold""".stripMargin,
+    "dedup_ngram_capped" ->
+      s"""WITH $shingleCtes,
+         |exg AS (SELECT DISTINCT doc_id, ${Exact.md5LongSql("s")} AS sh FROM ex),
+         |rare AS (SELECT sh FROM exg GROUP BY sh HAVING count(*) <= $MaxShingleDf),
+         |capped AS (SELECT exg.doc_id, exg.sh FROM exg JOIN rare USING (sh)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
          |  CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
