@@ -26,7 +26,12 @@ object TextNorm {
       x => x =!= "")
 
   /** Distinct 3-word shingles; documents shorter than 3 tokens contribute
-    * their whole text as a single shingle so every doc has ≥1. */
+    * their whole text as a single shingle so every doc has ≥1.
+    *
+    * REFERENCE SEMANTICS ONLY — higher-order `transform` lambdas run
+    * interpreted (~6 ms/doc); every hot path uses the codegen-equivalent
+    * [[graft.ext.dedup.DedupQueries.shingleRows]] instead (equivalence
+    * pinned by a spec). */
   def shingles(t: Column): Column =
     when(size(t) >= 3,
       array_distinct(transform(sequence(lit(0), size(t) - 3),

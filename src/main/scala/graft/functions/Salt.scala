@@ -33,11 +33,12 @@ object Salt {
       .groupBy(key)
       .agg(sum(col("__partial")).as(alias))
 
-  /** Salted count per key. */
+  /** Salted count per key. The salt comes from the row id, not the key
+    * (hashing the key would put every row of a hot key in ONE salt bucket,
+    * defeating the spread); counts are invariant to how rows split. */
   def saltedCount(df: DataFrame, key: Column, alias: String,
                   salts: Int = 16): DataFrame =
-    df.withColumn("__salt", saltCol(key, salts))  // key-hash salt: fine for count
-      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
       .groupBy(key, col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(key)

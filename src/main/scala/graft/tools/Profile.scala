@@ -20,6 +20,18 @@ object Profile {
       println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     spark.range(100).count()
+    if (args.lift(1).contains("salt")) {
+      import graft.functions.{Exact, Salt}
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("k"), Exact.cents(col("l_extendedprice")).as("v"))
+      val direct = li.groupBy("k").agg(sum("v").as("t")).orderBy("k").collect().toSeq
+      val salted = Salt.saltedSum(li, col("k"), col("v"), "t", 8).orderBy("k").collect().toSeq
+      val directN = li.groupBy("k").count().orderBy("k").collect().toSeq
+      val saltedN = Salt.saltedCount(li, col("k"), "count", 8).orderBy("k").collect().toSeq
+      println("SUM_EQUAL = " + (direct.toString == salted.toString))
+      println("CNT_EQUAL = " + (directN.map(_.getLong(1)).toString == saltedN.map(_.getLong(1)).toString))
+      spark.stop(); return
+    }
     if (args.lift(1).contains("fb")) {
       import graft.stream.StreamPipeline
       val out = StreamPipeline.plan(spark, StreamPipeline.read(spark, StreamPipeline.JsonFiles(args(2))))
