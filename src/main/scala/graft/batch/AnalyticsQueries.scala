@@ -150,7 +150,43 @@ object AnalyticsQueries {
         (sum(revenueCents) / lit(100.0)).as("total_revenue"))
   }
 
+  /** Pivot: revenue by returnflag × linestatus as a wide table — Spark's
+    * `pivot` with explicit values compiles to the same conditional
+    * aggregation the oracle spells out, one hash agg either way. */
+  def qPivotPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O", "P"))
+      .agg(sum(revenueCents))
+      .select(col("l_returnflag"),
+        (coalesce(col("F"), lit(0L)) / lit(100.0)).as("F"),
+        (coalesce(col("O"), lit(0L)) / lit(100.0)).as("O"),
+        (coalesce(col("P"), lit(0L)) / lit(100.0)).as("P"))
+
+  /** TPC-H Q9-shaped profit: the widest join graph in the suite
+    * (lineitem ⋈ orders ⋈ part ⋈ supplier ⋈ nation), grouped by nation ×
+    * order year. Dims broadcast; lineitem⋈orders is the one shuffle. */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val pt = Tables.part(spark, dir).filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sup = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg((sum(Exact.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        - col("p_retailprice") * col("l_quantity") * lit(0.4))) / lit(100.0)).as("profit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q9_profit"         -> (q9Profit _),
+    "q_pivot_pricing"   -> (qPivotPricing _),
     "q1_pricing"        -> (q1Pricing _),
     "q3_top_orders"     -> (q3TopOrders _),
     "q5_nation_revenue" -> (q5NationRevenue _),
@@ -162,6 +198,23 @@ object AnalyticsQueries {
   private val revCentsSql = Exact.centsSql("l_extendedprice * (1.0 - l_discount)")
 
   val oracles: Map[String, String] = Map(
+    "q_pivot_pricing" ->
+      s"""SELECT l_returnflag,
+         |  (CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN $revCentsSql END), 0) AS DOUBLE) / 100.0) AS F,
+         |  (CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN $revCentsSql END), 0) AS DOUBLE) / 100.0) AS O,
+         |  (CAST(coalesce(sum(CASE WHEN l_linestatus = 'P' THEN $revCentsSql END), 0) AS DOUBLE) / 100.0) AS P
+         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q9_profit" ->
+      s"""SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         |  (CAST(sum(${Exact.centsSql(
+             "l_extendedprice * (1.0 - l_discount) - p_retailprice * l_quantity * 0.4")}) AS DOUBLE) / 100.0) AS profit
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN part p ON l.l_partkey = p.p_partkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |WHERE p.p_type = 'PROMO'
+         |GROUP BY 1, 2""".stripMargin,
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  (CAST(sum(${Exact.centsSql("l_quantity")}) AS DOUBLE) / 100.0) AS sum_qty,
