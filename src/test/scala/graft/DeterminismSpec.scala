@@ -1,0 +1,28 @@
+package graft
+
+/**
+ * Meta-test for the whole query registry: every query must return the
+ * identical result set under different shuffle-partition counts. Partial
+ * aggregation order, shuffle placement, and window-partition planning all
+ * change with parallelism — a query that survives this is safe against the
+ * driver's hash-compare gate at any cluster size; one that doesn't has an
+ * unbroken tie or an order-dependent float somewhere.
+ */
+class DeterminismSpec extends SparkSpec {
+
+  test("every registered query is invariant to shuffle parallelism (4 vs 7 partitions)") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      def run(parts: String): Seq[String] = {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try fn(spark, sf).collect().map(_.toString).sorted.toSeq
+        finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+      }
+      val a = run("4")
+      val b = run("7")
+      if (a == b) None
+      else Some(s"$name: ${a.size} vs ${b.size} rows, first diff: " +
+        a.zip(b).find { case (x, y) => x != y }.orElse(Some((a.length.toString, b.length.toString))))
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
