@@ -69,14 +69,7 @@ object DailyBatch {
   /** CLI: DailyBatch <factParquetDir> <runDate yyyy-MM-dd> <outDir>. */
   def main(args: Array[String]): Unit = {
     val Array(factDir, runDate, outDir) = args.take(3)
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-      .appName("graft-daily-batch")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.SparkSessions.recommended("graft-daily-batch")
     val n = run(spark, factDir, runDate, outDir)
     println(s"row_count=$n")
     spark.stop()

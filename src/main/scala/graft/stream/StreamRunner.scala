@@ -17,15 +17,7 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamRunner {
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir, chkDir) = args.take(3)
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-      .appName("graft-stream")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.SparkSessions.recommended("graft-stream", streaming = true)
 
     val out = StreamPipeline.plan(spark,
       StreamPipeline.read(spark, StreamPipeline.JsonFiles(inDir)))
