@@ -9,27 +9,35 @@ import org.apache.spark.sql.SparkSession
  * builders per the driver contract.
  *
  * Rationale per knob:
- *  - shuffle partitions sized to cores (local) — on a cluster, set to
- *    2–3× total executor cores; AQE coalesces the excess.
- *  - AQE + skew-join on: runtime re-planning is the first line of defense
- *    against skew and stale stats (reference enables the same flags,
- *    spark/app.py:20–22).
- *  - RocksDB state store: streaming state (dedup keys, open windows,
- *    sessions, join buffers) spills off-heap to local disk instead of
- *    living on the JVM heap — mandatory once state outgrows memory.
- *  - UTC session timezone: every timestamp computation is
- *    zone-independent (and oracle-comparable).
- *  - maxPartitionBytes 128 MB: scan-task granularity that keeps 1000
- *    executors busy without tiny-file task storms.
+ *  - master: spark-submit's `--master` wins (code-set master would override
+ *    it); `SPARK_MASTER` env overrides for ad-hoc runs; `local[4]` only as
+ *    the last-resort default for bare `sbt runMain`.
+ *  - shuffle partitions: `SPARK_GRAFT_CPUS` if set, else the local master's
+ *    thread count — on a cluster, set it to 2–3× total executor cores and
+ *    let AQE coalesce the excess.
+ *  - AQE + coalesce + skew-join + 128 MB scan partitions: Spark 4 defaults,
+ *    pinned here so a deployment-side conf file can't silently regress them
+ *    (the reference pins the same AQE flags, spark/app.py:20–22).
+ *  - RocksDB state store (streaming): dedup keys, open windows, sessions
+ *    and join buffers spill off-heap to local disk instead of living on the
+ *    JVM heap. NOTE: the provider is recorded in the checkpoint and cannot
+ *    change across restarts — it only takes effect for NEW checkpoints.
+ *  - UTC session timezone: zone-independent, oracle-comparable timestamps.
  */
 object SparkSessions {
 
-  def recommended(appName: String,
-                  master: String = sys.env.getOrElse("SPARK_MASTER", "local[4]"),
-                  streaming: Boolean = false): SparkSession = {
-    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  private val LocalMaster = "local\\[(\\d+)\\]".r
+
+  def recommended(appName: String, streaming: Boolean = false): SparkSession = {
+    val master = sys.env.get("SPARK_MASTER")
+      .orElse(sys.props.get("spark.master"))
+      .getOrElse("local[4]")
+    val defaultParts = master match {
+      case LocalMaster(n) => n
+      case _              => "200"   // cluster: expect SPARK_GRAFT_CPUS or AQE
+    }
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultParts)
     val b = SparkSession.builder()
-      .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
@@ -38,11 +46,15 @@ object SparkSessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
+    // only set the master when spark-submit didn't already provide one
+    val withMaster =
+      if (sys.props.contains("spark.master") && sys.env.get("SPARK_MASTER").isEmpty) b
+      else b.master(master)
     val withState =
       if (streaming)
-        b.config("spark.sql.streaming.stateStore.providerClass",
+        withMaster.config("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      else b
+      else withMaster
     val spark = withState.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

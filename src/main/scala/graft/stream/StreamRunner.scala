@@ -1,6 +1,5 @@
 package graft.stream
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.Trigger
 
 /**
@@ -16,6 +15,10 @@ import org.apache.spark.sql.streaming.Trigger
  */
 object StreamRunner {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println("usage: StreamRunner <inputJsonDir> <outputParquetDir> <checkpointDir>")
+      sys.exit(2)
+    }
     val Array(inDir, outDir, chkDir) = args.take(3)
     val spark = graft.SparkSessions.recommended("graft-stream", streaming = true)
 
