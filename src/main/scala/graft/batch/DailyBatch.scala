@@ -35,23 +35,33 @@ object DailyBatch {
     ).toDF("segment", "is_premium").dropDuplicates("segment")
   }
 
-  /** The full job as a DataFrame (no side effects). */
-  def summarize(spark: SparkSession, factDir: String, runDate: String): DataFrame = {
-    val facts = spark.read.parquet(factDir)
+  /** The reference's intermediate `daily` table (kafka_spark_etl.py:63–78):
+    * per-(day, country, segment) metrics with the in-country revenue rank.
+    * Exposed as a first-class output — the reference computed the rank and
+    * then dropped it on the floor in its final merge; here consumers that
+    * want the ranked table get it, and [[summarize]] rolls up WITHOUT
+    * computing a window Catalyst would only prune away. */
+  def dailyRanked(spark: SparkSession, factDir: String, runDate: String): DataFrame = {
+    val w = Window.partitionBy(col("event_date"), col("country"))
+      .orderBy(col("daily_revenue").desc, col("segment"))
+    daily(spark, factDir, runDate)
+      .withColumn("revenue_rank_in_country", row_number().over(w).cast("long"))
+  }
+
+  private def daily(spark: SparkSession, factDir: String, runDate: String): DataFrame =
+    spark.read.parquet(factDir)
       .filter(col("event_date") === lit(runDate).cast("date"))
-    val daily = facts
       .groupBy(col("event_date"), col("country"), col("segment"))
       .agg(
         sum(col("total_amount")).as("daily_revenue"),
         sum(col("unique_events")).as("daily_events"))
-    val w = Window.partitionBy(col("event_date"), col("country"))
-      .orderBy(col("daily_revenue").desc, col("segment"))
-    val ranked = daily.withColumn("revenue_rank_in_country", row_number().over(w).cast("long"))
-    ranked
+
+  /** The summary rollup the job writes (reference's A.4 contract). */
+  def summarize(spark: SparkSession, factDir: String, runDate: String): DataFrame =
+    daily(spark, factDir, runDate)
       .join(broadcast(segmentDim(spark)), Seq("segment"), "left")
       .groupBy(col("event_date"), col("country"), col("is_premium"))
       .agg(sum(col("daily_revenue")).as("total_revenue"))
-  }
 
   /** Run + write + quality-check. Returns the row count (the reference's
     * XCom metric). Soft gate: an empty day logs a warning and still writes,

@@ -126,9 +126,9 @@ object SqlSurfaceQueries {
     "q_sessionize" ->
       s"""WITH marked AS (
          |  SELECT user_id, ts, event_id, $centsValue AS cents,
-         |    CASE WHEN lag(CAST(epoch(ts) AS BIGINT)) OVER w IS NULL
-         |           OR CAST(epoch(ts) AS BIGINT)
-         |              - lag(CAST(epoch(ts) AS BIGINT)) OVER w > $SessionGapSeconds
+         |    CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+         |           OR CAST(floor(epoch(ts)) AS BIGINT)
+         |              - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > $SessionGapSeconds
          |         THEN 1 ELSE 0 END AS brk
          |  FROM events
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

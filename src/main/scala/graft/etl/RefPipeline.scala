@@ -34,7 +34,9 @@ object RefPipeline {
   /** P4 (reference app.py:66–70) as a genuine Scala UDF — kept to preserve
     * the declared UDF capability (SURVEY §2.9). */
   val normalizeDeviceUdf: UserDefinedFunction =
-    udf((d: String) => if (d == null) "unknown" else d.trim.toLowerCase)
+    udf((d: String) =>
+      if (d == null) "unknown"
+      else d.trim.toLowerCase(java.util.Locale.ROOT))  // locale-stable, ≡ Spark lower()
 
   /** P4 as pure built-ins — codegen-friendly twin of the UDF; the hot path
     * uses this. Tests assert equivalence (SURVEY §2.9). */

@@ -384,8 +384,9 @@ object DedupQueries {
        |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
        |FROM bits GROUP BY 1""".stripMargin
 
-  /** Quantized embeddings CTE (`q`): exact micro-unit ints + norm². */
-  private lazy val quantizedSql: String =
+  /** Quantized embeddings CTE (`q`): exact micro-unit ints + norm².
+    * Shared with graft.ext.sim so both oracles quantize identically. */
+  private[graft] lazy val quantizedSql: String =
     s"""q AS (
        |  SELECT vec_id, label,
        |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) for x in embedding] AS v,

@@ -51,7 +51,7 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("modality"),
       element_at(array(lit("png"), lit("wav"), lit("mkv")),
         (col("doc_id") % 3 + 1).cast("int")).as("format"),
-      encode(col("text"), "UTF-8").as("content"),
+      encode(coalesce(col("text"), lit("")), "UTF-8").as("content"),
       (col("n_chars") % 1920).cast("int").as("width"),
       (col("n_chars") % 1080).cast("int").as("height"),
       lit(16000).as("sample_rate"),

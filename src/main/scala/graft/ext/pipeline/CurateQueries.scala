@@ -91,27 +91,15 @@ object CurateQueries {
 
   // ------------------------------------------------------------- oracles
 
-  /** quality_score expression, inlined from the TextQueries oracle. */
-  private val qualityExpr =
-    s"""0.4 * (CAST(CAST(length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g')) AS BIGINT) AS DOUBLE)
-       |        / greatest(CAST(length(coalesce(text,'')) AS BIGINT), 1))
-       |  + 0.3 * (CAST(CAST(len(list_filter(${TextNorm.toksSql}, x -> list_contains(['the','and','of','to','a','in','is','it'], x))) AS BIGINT) AS DOUBLE)
-       |        / greatest(CAST(len(${TextNorm.toksSql}) AS BIGINT), 1))
-       |  + 0.3 * (CASE WHEN CAST(len(${TextNorm.toksSql}) AS BIGINT) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END)""".stripMargin
+  /** Shared oracle fragments — single sources of truth next to their Spark
+    * twins, so a formula change cannot desynchronize this composed oracle
+    * from the per-operator ones it builds on. */
+  private val qualityExpr = TextQueries.qualityScoreSql
 
   private val jaccardPairsSql =
-    s"""WITH toks AS (SELECT doc_id, ${TextNorm.toksSql} AS t FROM documents),
-       |sh AS (SELECT doc_id, ${TextNorm.shinglesSql("t")} AS shingles FROM toks),
-       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-       |exg AS (SELECT DISTINCT doc_id, ${Exact.md5LongSql("s")} AS sh FROM ex),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM exg GROUP BY 1),
-       |inter AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-       |  FROM exg a JOIN exg b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b FROM inter
-       |JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
-       |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= ${DedupQueries.JaccardThreshold}""".stripMargin
+    s"""SELECT doc_a, doc_b FROM (
+       |${DedupQueries.oracles("dedup_ngram_jaccard")}
+       |) jaccard_pairs""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "curate_pipeline" ->

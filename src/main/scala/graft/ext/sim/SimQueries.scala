@@ -56,16 +56,24 @@ object SimQueries {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** Integer cluster-sum "centroids": one row per cell with the summed
-    * vector and its norm². Exact, order-independent. */
+  /** Integer centroids: per-cell component means in micro-units, derived
+    * from exact integer sums via an explicit floor division (computed
+    * identically in DuckDB — neither engine's native integer division is
+    * used because they disagree on negative operands: Spark truncates
+    * toward zero, DuckDB floors). Means, not raw sums: a cluster-sum's
+    * norm² overflows Long once a cell holds ≳380 same-sign vectors, while
+    * means stay in single-vector range at ANY cell size. Exact ints ⇒
+    * order-independent and engine-identical. */
   private def centroids(spark: SparkSession, dir: String): DataFrame =
     quantized(spark, dir)
       .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col("label"), col("i")).agg(sum(col("x")).as("s"))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", floor(col("s").cast("double") / col("n")).cast("long"))
       .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
-        t => t.getField("s")).as("csum"))
-      .withColumn("cn", aggregate(col("csum"), lit(0L), (acc, x) => acc + x * x))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        t => t.getField("c")).as("csum"))
+      .withColumn("cn", graft.functions.VectorFunctions.arrayDotLong(col("csum"), col("csum")))
 
   /** IVF search: probe the NProbe most-similar cells per query, exact
     * top-K within the probed cells only. */
@@ -94,13 +102,10 @@ object SimQueries {
 
   // ------------------------------------------------------------- oracles
 
-  /** Quantized embeddings + query subset, shared by both oracles. */
+  /** Quantized embeddings (shared CTE from DedupQueries — one quantization
+    * definition for all vector oracles) + the query subset. */
   private val baseCtes =
-    s"""q AS (
-       |  SELECT vec_id, label,
-       |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) for x in embedding] AS v,
-       |    CAST(list_sum([y * y for y in v]) AS BIGINT) AS nsq
-       |  FROM embeddings),
+    s"""${graft.ext.dedup.DedupQueries.quantizedSql},
        |qs AS (SELECT vec_id AS query_id, v AS qv, nsq AS qn FROM q
        |       WHERE vec_id % $QueryStride = 0)""".stripMargin
 
@@ -122,11 +127,12 @@ object SimQueries {
     "knn_ivf" ->
       s"""WITH $baseCtes,
          |csum_rows AS (
-         |  SELECT label, i, CAST(sum(v[i]) AS BIGINT) AS s
+         |  SELECT label, i,
+         |    CAST(floor(CAST(CAST(sum(v[i]) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS c
          |  FROM q, generate_series(1, $Dim) t(i)
          |  GROUP BY label, i),
          |cent AS (
-         |  SELECT label, list(s ORDER BY i) AS csum FROM csum_rows GROUP BY label),
+         |  SELECT label, list(c ORDER BY i) AS csum FROM csum_rows GROUP BY label),
          |cent2 AS (
          |  SELECT label, csum, CAST(list_sum([y * y for y in csum]) AS BIGINT) AS cn FROM cent),
          |probes AS (

@@ -116,6 +116,16 @@ object TextQueries {
     s"CAST(len(list_filter($toksSql, x -> list_contains($arr, x))) AS BIGINT)"
   }
 
+  /** The quality_score expression as DuckDB SQL — single source of truth
+    * shared by the text_quality oracle and the curation-pipeline oracle
+    * (drift between copies would silently desynchronize the gates). */
+  val qualityScoreSql: String =
+    s"""0.4 * (CAST(CAST(length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g')) AS BIGINT) AS DOUBLE)
+       |        / greatest(CAST(length(coalesce(text,'')) AS BIGINT), 1))
+       |  + 0.3 * (CAST(${scoreSql(profiles.head._2)} AS DOUBLE)
+       |        / greatest(CAST(len($toksSql) AS BIGINT), 1))
+       |  + 0.3 * (CASE WHEN CAST(len($toksSql) AS BIGINT) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_langid" -> {
       val scores = profiles.map { case (l, ws) => s"${scoreSql(ws)} AS s_$l" }.mkString(",\n  ")

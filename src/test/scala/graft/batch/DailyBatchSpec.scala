@@ -39,6 +39,15 @@ class DailyBatchSpec extends SparkSpec {
     assert(inFree.getAs[Double]("total_revenue") == 100.0)
   }
 
+  test("dailyRanked exposes the per-country revenue rank (reference's intermediate table)") {
+    val ranked = DailyBatch.dailyRanked(spark, factDir, "2024-01-01").collect()
+    val in = ranked.filter(_.getAs[String]("country") == "IN")
+      .sortBy(_.getAs[Long]("revenue_rank_in_country"))
+    assert(in.map(_.getAs[String]("segment")).toSeq ==
+      Seq("growth", "enterprise", "starter"))     // 300 > 200 > 100
+    assert(in.map(_.getAs[Long]("revenue_rank_in_country")).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("run writes a single-file parquet summary and returns the row count") {
     val outDir = Files.createTempDirectory("graft_daily_out").toString
     val n = DailyBatch.run(spark, factDir, "2024-01-01", outDir)
