@@ -11,10 +11,13 @@ package graft
 class DeterminismSpec extends SparkSpec {
 
   test("every registered query is invariant to shuffle parallelism (4 vs 7 partitions)") {
+    // sf0.01, not the smoke tier: more rows ⇒ more groups whose unbroken
+    // ties or order-dependent floats would actually collide
+    val dir = "/root/testdata/sf0.01"
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       def run(parts: String): Seq[String] = {
         spark.conf.set("spark.sql.shuffle.partitions", parts)
-        try fn(spark, sf).collect().map(_.toString).sorted.toSeq
+        try fn(spark, dir).collect().map(_.toString).sorted.toSeq
         finally spark.conf.set("spark.sql.shuffle.partitions", "4")
       }
       val a = run("4")
