@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /**
  * Native Catalyst expression: exact integer dot product of two
@@ -26,6 +26,19 @@ case class ArrayDotLong(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
+
+  /** Registered publicly for SQL (GraftExtensions), so malformed input must
+    * fail analysis, not produce garbage: getLong over an int-array's 4-byte
+    * slots would silently misread. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = ArrayType(LongType)
+    if (Seq(left, right).forall(e => DataType.equalsIgnoreNullability(e.dataType, ok)))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"array_dot_long requires (array<bigint>, array<bigint>), " +
+          s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -19,26 +19,26 @@ import org.apache.spark.sql.functions._
  */
 object Salt {
 
-  /** Deterministic salt from row content (any column works — it only
-    * spreads rows; the final aggregate is salt-invariant). */
-  private def saltCol(on: Column, salts: Int): Column =
-    pmod(hash(on), lit(salts))
+  /** Row-id salt: spreads a hot key's rows regardless of content. Hashing
+    * the value would collapse a hot key with a constant value (e.g. 0.0
+    * from upstream na.fill) back into one bucket — the exact hotspot this
+    * helper exists to eliminate. Sums/counts are invariant to the split. */
+  private def saltCol(salts: Int): Column =
+    pmod(monotonically_increasing_id(), lit(salts.toLong))
 
   /** Salted equivalent of `df.groupBy(key).agg(sum(value).as(alias))`. */
   def saltedSum(df: DataFrame, key: Column, value: Column, alias: String,
                 salts: Int = 16): DataFrame =
-    df.withColumn("__salt", saltCol(value, salts))
+    df.withColumn("__salt", saltCol(salts))
       .groupBy(key, col("__salt"))
       .agg(sum(value).as("__partial"))
       .groupBy(key)
       .agg(sum(col("__partial")).as(alias))
 
-  /** Salted count per key. The salt comes from the row id, not the key
-    * (hashing the key would put every row of a hot key in ONE salt bucket,
-    * defeating the spread); counts are invariant to how rows split. */
+  /** Salted count per key. */
   def saltedCount(df: DataFrame, key: Column, alias: String,
                   salts: Int = 16): DataFrame =
-    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    df.withColumn("__salt", saltCol(salts))
       .groupBy(key, col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(key)

@@ -25,7 +25,13 @@ object Tables {
     * reader rejects outright. Read the raw nanos as long (legacy conf) and
     * floor-divide to micros — the same truncation DuckDB applies when it
     * downcasts TIMESTAMP_NS to its micro TIMESTAMP, so both engines see
-    * identical values. */
+    * identical values.
+    *
+    * The conf set here is session-wide and intentionally left on: it only
+    * changes how TIMESTAMP(NANOS) columns read (as raw longs), the corpus
+    * has exactly one such column, and flipping it back after load() would
+    * be unsafe because parquet scans may consult the conf again at
+    * physical-planning time. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")

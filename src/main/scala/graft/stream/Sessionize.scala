@@ -2,13 +2,15 @@ package graft.stream
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Input contract for sessionization. */
 case class SessionEvent(user_id: Long, event_time: Timestamp, amount: Double)
 
-/** A closed session (emitted only when the gap timeout passes). */
+/** A closed session (emitted only when the watermark passes its gap
+  * deadline). */
 case class UserSession(
     user_id: Long,
     session_start: Timestamp,
@@ -16,7 +18,8 @@ case class UserSession(
     n_events: Long,
     total_amount: Double)
 
-/** Mutable per-user state carried across micro-batches. */
+/** One pending session buffer; a user's state holds every session the
+  * watermark has not yet finalized. */
 case class SessionBuf(start: Long, last: Long, n: Long, total: Double)
 
 /**
@@ -25,62 +28,64 @@ case class SessionBuf(start: Long, last: Long, n: Long, total: Double)
  * windows can't express (a session ends `gap` after its LAST event, not at
  * a fixed boundary).
  *
- * Scale design: state is one tiny fixed-size buffer per ACTIVE user, keyed
- * by user_id (high cardinality ⇒ shards across executors); event-time
- * timeout + watermark guarantee every session eventually closes and its
- * state is freed — no unbounded growth. Emission is append-only: a session
- * is output exactly once, when the watermark passes its gap deadline.
+ * Emission contract: a session is output EXACTLY once, and only when the
+ * watermark passes `last_event + gap` — never mid-batch, because an
+ * out-of-order event still above the watermark may yet extend or bridge
+ * it. Such stragglers attach by min/max-extending the session they fall
+ * into, and an event landing between two pending sessions merges them.
+ *
+ * Scale design: state is a handful of fixed-size buffers per ACTIVE user
+ * (bounded: every session's deadline ≤ watermark gets flushed and freed),
+ * keyed by user_id so state shards evenly across executors.
  */
 object Sessionize {
 
   /** @param gapSeconds session closes after this much event-time silence */
   def apply(events: Dataset[SessionEvent], gapSeconds: Long,
             watermark: String = "30 seconds"): Dataset[UserSession] = {
-    implicit val outEnc = Encoders.product[UserSession]
-    implicit val stateEnc = Encoders.product[SessionBuf]
-    implicit val keyEnc = Encoders.scalaLong
+    implicit val outEnc: Encoder[UserSession] = Encoders.product[UserSession]
+    implicit val stateEnc: Encoder[Seq[SessionBuf]] = ExpressionEncoder[Seq[SessionBuf]]()
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
     val gapMs = gapSeconds * 1000L
+
+    // coalesce sorted sessions whose gaps closed (an event can bridge two)
+    def mergeAdjacent(sorted: List[SessionBuf]): List[SessionBuf] =
+      sorted.foldLeft(List.empty[SessionBuf]) {
+        case (prev :: rest, cur) if cur.start - prev.last <= gapMs =>
+          SessionBuf(prev.start, math.max(prev.last, cur.last),
+            prev.n + cur.n, prev.total + cur.total) :: rest
+        case (acc, cur) => cur :: acc
+      }.reverse
 
     events
       .withWatermark("event_time", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionBuf, UserSession](
+      .flatMapGroupsWithState[Seq[SessionBuf], UserSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionBuf]) =>
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[Seq[SessionBuf]]) =>
 
-        def close(b: SessionBuf): UserSession =
-          UserSession(userId, new Timestamp(b.start), new Timestamp(b.last), b.n, b.total)
-
-        if (state.hasTimedOut) {
-          // watermark passed last+gap: session is final, free the state
-          val out = state.getOption.map(close).toList
-          state.remove()
-          out.iterator
-        } else {
-          // fold this micro-batch's events (sorted — arrival order within a
-          // batch is not time order) into sessions, emitting any session
-          // whose gap elapsed INSIDE the batch
-          val sorted = batch.toSeq.sortBy(e => (e.event_time.getTime, e.amount))
-          var buf = state.getOption
-          val closed = List.newBuilder[UserSession]
-          sorted.foreach { e =>
-            val t = e.event_time.getTime
-            buf match {
-              case Some(b) if t - b.last <= gapMs =>
-                buf = Some(SessionBuf(b.start, math.max(b.last, t), b.n + 1, b.total + e.amount))
-              case Some(b) =>
-                closed += close(b)
-                buf = Some(SessionBuf(t, t, 1, e.amount))
-              case None =>
-                buf = Some(SessionBuf(t, t, 1, e.amount))
-            }
-          }
-          buf.foreach { b =>
-            state.update(b)
-            state.setTimeoutTimestamp(b.last + gapMs)
-          }
-          closed.result().iterator
+        var sessions = state.getOption.getOrElse(Seq.empty).toList.sortBy(_.start)
+        batch.toSeq.sortBy(e => (e.event_time.getTime, e.amount)).foreach { e =>
+          val t = e.event_time.getTime
+          val idx = sessions.indexWhere(b => t >= b.start - gapMs && t <= b.last + gapMs)
+          sessions =
+            if (idx >= 0) {
+              val b = sessions(idx)
+              sessions.updated(idx, SessionBuf(math.min(b.start, t),
+                math.max(b.last, t), b.n + 1, b.total + e.amount))
+            } else SessionBuf(t, t, 1, e.amount) :: sessions
+          sessions = mergeAdjacent(sessions.sortBy(_.start))
         }
+
+        val wm = state.getCurrentWatermarkMs()
+        val (closed, open) = sessions.partition(_.last + gapMs <= wm)
+        if (open.nonEmpty) {
+          state.update(open)
+          state.setTimeoutTimestamp(open.map(_.last + gapMs).min)   // > wm by partition
+        } else state.remove()
+        closed.sortBy(_.start).map(b =>
+          UserSession(userId, new Timestamp(b.start), new Timestamp(b.last), b.n, b.total)
+        ).iterator
       }
   }
 }

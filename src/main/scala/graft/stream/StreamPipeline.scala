@@ -49,7 +49,7 @@ object StreamPipeline {
         .option("startingOffsets", offsets)
         .load()                                  // key,value,topic,partition,offset,timestamp
     case JsonFiles(path) =>
-      spark.readStream.text(path).withColumnRenamed("text", "value")
+      spark.readStream.text(path)   // the text source's column IS `value`
     case Rate(rps) =>
       spark.readStream.format("rate").option("rowsPerSecond", rps.toLong).load()
         .select(to_json(struct(
@@ -57,7 +57,10 @@ object StreamPipeline {
           (col("value") % 5 + 1).cast("int").as("user_id"),
           (col("value") % 8 + 1).cast("int").as("product_id"),
           (rand(42) * 100).as("amount"),
-          date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("event_time"),
+          // no zone suffix: the string round-trips through to_timestamp in
+          // the SAME session timezone; a literal 'Z' would shift the
+          // instant whenever the session isn't UTC
+          date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss").as("event_time"),
           lit("US").as("country"),
           lit("MOBILE").as("device"))).as("value"))
   }
@@ -144,10 +147,13 @@ object StreamPipeline {
     sinks.map(start(df, _))
 
   /** Stream-stream interval join (beyond the reference's stream⋈static
-    * joins): events enriched with the latest profile update in the
-    * preceding `intervalSeconds`. Both sides carry watermarks, so join
-    * state is bounded — Spark drops buffered rows once the watermark
-    * passes the interval's reach. State shards by user_id.
+    * joins): each event pairs with EVERY profile update in the preceding
+    * `intervalSeconds` (a plain interval join — events duplicate when
+    * several updates fall in the window; reducing to the single latest
+    * match is a downstream dedup the caller owns, since append-mode
+    * stream-stream joins cannot self-prune). Both sides carry watermarks,
+    * so join state is bounded — Spark drops buffered rows once the
+    * watermark passes the interval's reach. State shards by user_id.
     *
     * Inputs: events(user_id, event_time, …), profiles(p_user_id,
     * update_time, …). */

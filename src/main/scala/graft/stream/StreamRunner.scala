@@ -28,9 +28,16 @@ object StreamRunner {
       StreamPipeline.ParquetSink(outDir, chkDir, Trigger.AvailableNow())).start()
     q.awaitTermination()
 
-    val written = spark.read.parquet(outDir)
-    written.orderBy("country", "event_date").show(50, truncate = false)
-    println(s"rows=${written.count()}")
+    // an empty input writes no data files (the sink leaves only
+    // _spark_metadata) — report zero rows instead of crashing on the
+    // unreadable output
+    try {
+      val written = spark.read.parquet(outDir)
+      written.orderBy("country", "event_date").show(50, truncate = false)
+      println(s"rows=${written.count()}")
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => println("rows=0")
+    }
     spark.stop()
   }
 }

@@ -54,6 +54,15 @@ object Profile {
       val agree = viaUdaf.join(cols, "doc_id")
         .filter(col("s") === col("simhash")).count()
       println(s"AGREE = $agree / " + cols.count())
+      graft.plans.GraftExtensions.register(spark)
+      println("SQL_OK = " + spark.sql("SELECT array_dot_long(array(1L,2L), array(3L,4L))").head().getLong(0))
+      try {
+        spark.sql("SELECT array_dot_long(array(1, 2), array(3, 4))").head()
+        println("TYPECHECK = MISSED (int arrays accepted)")
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          println("TYPECHECK = REJECTED: " + e.getMessage.take(100))
+      }
       spark.stop(); return
     }
     if (args.lift(1).contains("scale")) {

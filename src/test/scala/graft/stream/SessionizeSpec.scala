@@ -89,19 +89,48 @@ class SessionizeSpec extends SparkSpec {
       s"streaming $streamed != batch $batch")
   }
 
-  test("two sessions in one micro-batch emit the earlier one immediately") {
+  test("mid-batch gap closes a session only once the watermark passes its deadline") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[SessionEvent]
     val out = Sessionize(ms.toDS(), gapSeconds = 60)
     val q = StreamPipeline.start(out.toDF(),
       StreamPipeline.Memory("sessions2", trigger = Trigger.ProcessingTime(0L)))
-    // gap inside the batch: first session closes without waiting for timeout
+    // gap inside the batch: the 00:10 event advances the watermark to
+    // 00:09:30, past the first session's 00:01:00 deadline → it emits on
+    // the watermark-update trigger; the 00:10 session stays open
     ms.addData(
       ev(9, "2024-01-01 00:00:00", 1.0),
       ev(9, "2024-01-01 00:10:00", 2.0))
     q.processAllAvailable()
     val s = spark.table("sessions2").as[UserSession].collect()
     assert(s.length == 1 && s.head.total_amount == 1.0)
+    q.stop()
+  }
+
+  test("out-of-order within-watermark event bridges two pending sessions (min-start, merge)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[SessionEvent]
+    val out = Sessionize(ms.toDS(), gapSeconds = 60)
+    val q = StreamPipeline.start(out.toDF(),
+      StreamPipeline.Memory("sessions3", trigger = Trigger.ProcessingTime(0L)))
+    // batch 1: two events 70s apart → two pending sessions; watermark
+    // after the batch is 00:00:40 — neither deadline passed, nothing emits
+    ms.addData(ev(5, "2024-01-01 00:00:00", 1.0), ev(5, "2024-01-01 00:01:10", 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sessions3").count() == 0,
+      "sessions must stay pending while stragglers can still arrive")
+    // batch 2: 00:00:50 is above the watermark and within gap of BOTH
+    // pending sessions → merges them into one
+    ms.addData(ev(5, "2024-01-01 00:00:50", 4.0))
+    q.processAllAvailable()
+    // flush via a far-future event
+    ms.addData(ev(6, "2024-01-01 02:00:00", 0.0))
+    q.processAllAvailable()
+    val s = spark.table("sessions3").as[UserSession].collect().filter(_.user_id == 5)
+    assert(s.length == 1, s"expected one bridged session, got ${s.toSeq}")
+    assert(s.head.n_events == 3 && s.head.total_amount == 7.0)
+    assert(s.head.session_start == Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(s.head.session_end == Timestamp.valueOf("2024-01-01 00:01:10"))
     q.stop()
   }
 }
