@@ -19,17 +19,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
-    val enriched = etl.EventsQueries.qEnrich(spark, dir)
-    etl.RefPipeline.flatten(
-      enriched
-        .withColumnRenamed("ts", "event_time")
-        .withColumn("country", coalesce(col("nation"), lit("UNKNOWN")))
-        .groupBy(window(col("event_time"), "1 minute", "30 seconds"),
-          col("country"), col("segment"))
-        .agg(
-          sum(col("amount")).as("total_amount"),
-          approx_count_distinct(col("event_id")).as("unique_events"),
-          max(col("event_time")).as("max_event_time")))
+    val fact = etl.EventsQueries.qEnrich(spark, dir)
+      .withColumnRenamed("ts", "event_time")
+      .withColumn("country", coalesce(col("nation"), lit("UNKNOWN")))
+    // the same aggregate/flatten stages as the pipeline (watermark is a
+    // no-op on batch input) — no inline re-implementation to drift
+    etl.RefPipeline.flatten(etl.RefPipeline.aggregate(fact))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

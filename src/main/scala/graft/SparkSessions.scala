@@ -26,7 +26,8 @@ import org.apache.spark.sql.SparkSession
  */
 object SparkSessions {
 
-  private val LocalMaster = "local\\[(\\d+)\\]".r
+  private val LocalMaster = "local\\[(\\d+)(?:,\\d+)?\\]".r
+  private val LocalStar = "local(?:\\[\\*(?:,\\d+)?\\])?".r
 
   def recommended(appName: String, streaming: Boolean = false): SparkSession = {
     val master = sys.env.get("SPARK_MASTER")
@@ -34,6 +35,7 @@ object SparkSessions {
       .getOrElse("local[4]")
     val defaultParts = master match {
       case LocalMaster(n) => n
+      case LocalStar()    => Runtime.getRuntime.availableProcessors().toString
       case _              => "200"   // cluster: expect SPARK_GRAFT_CPUS or AQE
     }
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultParts)

@@ -52,13 +52,16 @@ object Schemas {
     StructField("event_date",     DateType)))
 }
 
-/** Typed view of the reference event payload, for Dataset/MemoryStream tests. */
+/** Typed view of the reference event payload (pre-parse: `event_time` is
+  * the raw ISO-8601 STRING, matching [[Schemas.eventPayload]] — parsing to
+  * timestamp is the pipeline's job, so a typed producer still exercises
+  * the to_timestamp path). */
 case class RefEvent(
     event_id:   String,
     user_id:    Option[Int],
     product_id: Option[Int],
     amount:     Option[Double],
-    event_time: java.sql.Timestamp,
+    event_time: String,
     country:    String,
     device:     String)
 
