@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")   // same workload shape as Verify on any host
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -32,8 +33,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // total sums ONLY successful queries — a -1.0 failure marker must not
+    // shrink the total and let a breaking regression read as a speedup.
+    // Failures are listed explicitly so a cross-round total compare is
+    // apples-to-apples (same query set) or visibly not.
+    val total = results.collect { case (_, s) if s >= 0 => s }.sum
+    val failed = results.collect { case (k, s) if s < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -46,6 +46,9 @@ object SparkSessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // corpus events.parquet is TIMESTAMP_NS; set at build time (never as
+      // a loader side effect — see Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
     // only set the master when spark-submit didn't already provide one

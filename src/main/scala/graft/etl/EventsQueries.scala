@@ -140,7 +140,7 @@ object EventsQueries {
         |  coalesce(lower(trim(event_type)), 'unknown') AS event_norm,
         |  upper(coalesce(event_type, 'unknown')) AS event_type_uc,
         |  coalesce(value, 0.0) AS amount,
-        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
         |  CAST(ts AS DATE) AS event_date
         |FROM events""".stripMargin,
     "q_dedup" ->

@@ -20,12 +20,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
  * Semantics are identical to the HOF form (exact BIGINT sums over
  * quantized vectors — see [[Exact.fixed]]), so the DuckDB oracles are
  * unaffected. Sum length = min(len(a), len(b)), like zip_with on equal-rank
- * inputs; nulls propagate (null array → null result).
+ * inputs; nulls propagate (null array → null result, and — like
+ * `aggregate(zip_with(a, b, _*_), 0, _+_)` — a null ELEMENT in either
+ * array makes the whole result null rather than silently reading 0).
  */
 case class ArrayDotLong(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
+
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _                          => false
+  }
+
+  /** Nullable not just when an input column is, but when either array type
+    * admits null ELEMENTS — those propagate to a null result. */
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
 
   /** Registered publicly for SQL (GraftExtensions), so malformed input must
     * fail analysis, not produce garbage: getLong over an int-array's 4-byte
@@ -46,7 +58,11 @@ case class ArrayDotLong(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     s
   }
 
@@ -55,13 +71,26 @@ case class ArrayDotLong(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      // Emit the per-element null check only when an input's type admits
+      // null elements — containsNull=false inputs keep the tight
+      // branch-free loop. (elemNullable ⇒ nullable, so ev.isNull exists
+      // whenever the check is emitted.)
+      val nullCheck =
+        if (elemNullable(left) || elemNullable(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      val assign =
+        if (elemNullable(left) || elemNullable(right))
+          s"if (!${ev.isNull}) { ${ev.value} = $s; }"
+        else s"${ev.value} = $s;"
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $s += $a.getLong($i) * $b.getLong($i);
          |}
-         |${ev.value} = $s;
+         |$assign
        """.stripMargin
     })
 

@@ -22,18 +22,21 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright. Read the raw nanos as long (legacy conf) and
-    * floor-divide to micros — the same truncation DuckDB applies when it
-    * downcasts TIMESTAMP_NS to its micro TIMESTAMP, so both engines see
-    * identical values.
+    * reader rejects outright. The session must therefore be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (every builder in this
+    * repo — SparkSessions.recommended, Verify, Bench, the test session —
+    * sets it); the raw nanos then read as long and we floor-divide to
+    * micros, the same truncation DuckDB applies when it downcasts
+    * TIMESTAMP_NS to its micro TIMESTAMP, so both engines see identical
+    * values.
     *
-    * The conf set here is session-wide and intentionally left on: it only
-    * changes how TIMESTAMP(NANOS) columns read (as raw longs), the corpus
-    * has exactly one such column, and flipping it back after load() would
-    * be unsafe because parquet scans may consult the conf again at
-    * physical-planning time. */
+    * Deliberately NOT set here: a loader mutating session-wide conf as a
+    * side effect races physical planning in concurrent use and changes
+    * what other readers of the same file see. Fail fast instead. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "session must set spark.sql.legacy.parquet.nanosAsLong=true at build " +
+        "time to read events.parquet (TIMESTAMP_NS); see graft.SparkSessions")
     load(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -78,10 +78,19 @@ object Sessionize {
         }
 
         val wm = state.getCurrentWatermarkMs()
-        val (closed, open) = sessions.partition(_.last + gapMs <= wm)
+        // Strict <, matching the documented contract ("emitted only when the
+        // watermark PASSES last+gap") and the batch gaps-and-islands twin's
+        // strictly-greater-than-gap break. Note (pinned in SessionizeSpec):
+        // Spark 4.1 drops events with event_time == watermark as late, so no
+        // admissible event (t > wm) can attach to a deadline == wm session
+        // (attach needs t <= last+gap = wm) — `<= wm` would emit the same
+        // sessions; strict < stays correct even if admission ever loosens.
+        val (closed, open) = sessions.partition(_.last + gapMs < wm)
         if (open.nonEmpty) {
           state.update(open)
-          state.setTimeoutTimestamp(open.map(_.last + gapMs).min)   // > wm by partition
+          // a deadline can now equal wm (session kept for a possible
+          // boundary straggler); the timeout must still be > wm
+          state.setTimeoutTimestamp(math.max(open.map(_.last + gapMs).min, wm + 1L))
         } else state.remove()
         closed.sortBy(_.start).map(b =>
           UserSession(userId, new Timestamp(b.start), new Timestamp(b.last), b.n, b.total)

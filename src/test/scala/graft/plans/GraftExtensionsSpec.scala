@@ -23,6 +23,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(prefix == 20L)
   }
 
+  test("array_dot_long propagates null ELEMENTS like the HOF form") {
+    GraftExtensions.register(spark)
+    // aggregate(zip_with(a,b,*),0,+) yields NULL when any element is null;
+    // the native expression must agree, not read the null slot as 0
+    val both = spark.sql(
+      """SELECT array_dot_long(a, b) AS native,
+        |  aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS hof
+        |FROM VALUES
+        |  (array(1L, CAST(NULL AS BIGINT), 3L), array(4L, 5L, 6L)),
+        |  (array(1L, 2L), array(CAST(NULL AS BIGINT), 5L)),
+        |  (array(1L, 2L), array(3L, 4L)) AS t(a, b)""".stripMargin).collect()
+    both.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1),
+        s"native/HOF null disagreement: $r")
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+    }
+    assert(both.count(_.isNullAt(0)) == 2)
+  }
+
   test("extensions class constructs and exposes the same builder") {
     assert(new GraftExtensions() != null)
     assert(GraftExtensions.arrayDotLongFn._1.funcName == "array_dot_long")

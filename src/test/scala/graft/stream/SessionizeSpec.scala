@@ -107,6 +107,57 @@ class SessionizeSpec extends SparkSpec {
     q.stop()
   }
 
+  test("gap-deadline boundary: == watermark events are late; just-above ones attach at exactly gap") {
+    implicit val sqlCtx = spark.sqlContext
+    // Part 1 — admission semantics this operator is built on (empirically
+    // pinned, Spark 4.1): an event with event_time == watermark is DROPPED
+    // by the late-event filter. Consequence: no admissible event (t > wm)
+    // can ever attach to a session whose deadline last+gap == wm (attach
+    // needs t <= last+gap = wm), so the strict `deadline < wm` flush and
+    // the old `<= wm` flush emit identical sessions — the strict form is
+    // kept because it matches the documented "watermark PASSES the
+    // deadline" contract should admission semantics ever loosen.
+    val ms = MemoryStream[SessionEvent]
+    val q = StreamPipeline.start(Sessionize(ms.toDS(), gapSeconds = 60).toDF(),
+      StreamPipeline.Memory("sessions4", trigger = Trigger.ProcessingTime(0L)))
+    ms.addData(ev(7, "2024-01-01 00:00:00", 1.0))
+    q.processAllAvailable()
+    // pushes watermark to exactly 00:01:00 = first session's gap deadline
+    ms.addData(ev(7, "2024-01-01 00:01:30", 100.0))
+    q.processAllAvailable()
+    ms.addData(ev(7, "2024-01-01 00:01:00", 5.0))   // == watermark → late, dropped
+    q.processAllAvailable()
+    ms.addData(ev(99, "2024-01-01 02:00:00"))       // watermark flush
+    q.processAllAvailable()
+    val s = spark.table("sessions4").as[UserSession].collect().filter(_.user_id == 7)
+    assert(s.length == 2, s"== watermark straggler must be dropped as late: ${s.toSeq}")
+    assert(s.map(_.total_amount).toSet == Set(1.0, 100.0), "dropped event must not attach anywhere")
+    q.stop()
+
+    // Part 2 — a straggler strictly above the watermark landing at EXACTLY
+    // last+gap of a pending session attaches and bridges two sessions.
+    val ms2 = MemoryStream[SessionEvent]
+    val q2 = StreamPipeline.start(Sessionize(ms2.toDS(), gapSeconds = 60).toDF(),
+      StreamPipeline.Memory("sessions5", trigger = Trigger.ProcessingTime(0L)))
+    ms2.addData(ev(7, "2024-01-01 00:00:00", 1.0))
+    q2.processAllAvailable()
+    // watermark → 00:00:59.999: first session (deadline 00:01:00) pending
+    ms2.addData(ev(7, "2024-01-01 00:01:29.999", 100.0))
+    q2.processAllAvailable()
+    // 00:01:00 > wm → admitted; == last+gap of session 1 AND within gap of
+    // session 2 → attaches and merges both into one
+    ms2.addData(ev(7, "2024-01-01 00:01:00", 5.0))
+    q2.processAllAvailable()
+    ms2.addData(ev(99, "2024-01-01 02:00:00"))
+    q2.processAllAvailable()
+    val s2 = spark.table("sessions5").as[UserSession].collect().filter(_.user_id == 7)
+    assert(s2.length == 1, s"exact-gap straggler must bridge, not split: ${s2.toSeq}")
+    assert(s2.head.n_events == 3 && s2.head.total_amount == 106.0)
+    assert(s2.head.session_start == Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(s2.head.session_end == Timestamp.valueOf("2024-01-01 00:01:29.999"))
+    q2.stop()
+  }
+
   test("out-of-order within-watermark event bridges two pending sessions (min-start, merge)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[SessionEvent]
