@@ -58,27 +58,42 @@ object DedupQueries {
 
   // ------------------------------------------------------------ shingles
 
-  /** Exploded distinct (doc_id, shingle) rows, built WITHOUT higher-order
-    * lambdas: posexplode the tokens (native generator), then two window
-    * `lead`s stitch consecutive tokens into 3-grams — every expression
-    * codegen'd. The direct `transform(sequence(...), …)` formulation costs
-    * ~6 ms/doc in interpreted lambda evaluation and dominated minhash AND
-    * jaccard wall-clock (≈60 s each at sf0.1 → ≈2 s this way). Docs with
-    * <3 tokens contribute their whole text, matching [[TextNorm.shingles]]
-    * and the DuckDB oracles exactly. One shuffle on doc_id. */
-  private[graft] def shingleRows(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** Exploded (doc_id, shingle) rows, built WITHOUT higher-order lambdas
+    * and WITHOUT a shuffle: three staggered `slice`s of the token array
+    * zipped (`arrays_zip` — a plain codegen'd expression, not a lambda),
+    * exploded, and stitched with `concat_ws`. The direct
+    * `transform(sequence(...), …)` formulation costs ~6 ms/doc in
+    * interpreted lambda evaluation (≈60 s/query at sf0.1); the previous
+    * posexplode+window-`lead` form was codegen'd but forced a full
+    * shuffle+sort of every token row just to see neighbors — the slices
+    * see them for free inside one narrow projection. Docs with <3 tokens
+    * contribute their whole text, matching [[TextNorm.shingles]] and the
+    * DuckDB oracles exactly.
+    *
+    * `dedup=true` (jaccard set semantics) appends the ONE shuffle;
+    * `dedup=false` skips it for consumers that are duplicate-insensitive
+    * (minhash: min over a multiset = min over its set). */
+  private[graft] def shingleRows(spark: SparkSession, dir: String,
+                                 dedup: Boolean = true): DataFrame = {
+    val docs = Tables.rebalanced(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), TextNorm.toks(col("text")).as("t"))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val grams = docs
-      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
-      .withColumn("t2", lead("tok", 1).over(w))
-      .withColumn("t3", lead("tok", 2).over(w))
-      .filter(col("t3").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2"), col("t3")).as("s"))
-    val short = docs.filter(size(col("t")) < 3)
-      .select(col("doc_id"), array_join(col("t"), " ").as("s"))
-    grams.union(short).distinct()
+    val n = size(col("t"))
+    val len = greatest(n - 2, lit(0))
+    val zipped = arrays_zip(
+      slice(col("t"), lit(1), len).as("w1"),
+      slice(col("t"), lit(2), len).as("w2"),
+      slice(col("t"), lit(3), len).as("w3"))
+    // short docs ride the SAME branch as a one-element struct array (null
+    // w2/w3 — concat_ws skips nulls), so the whole build is one projection
+    // over ONE scan of the text column, not a union of two scans
+    val shortOne = array(struct(
+      array_join(col("t"), " ").as("w1"),
+      lit(null).cast("string").as("w2"),
+      lit(null).cast("string").as("w3")))
+    val rows = docs
+      .select(col("doc_id"), explode(when(n >= 3, zipped).otherwise(shortOne)).as("z"))
+      .select(col("doc_id"), concat_ws(" ", col("z.w1"), col("z.w2"), col("z.w3")).as("s"))
+    if (dedup) rows.distinct() else rows
   }
 
   // ------------------------------------------------------------ minhash
@@ -92,9 +107,12 @@ object DedupQueries {
   val HashA: Seq[Long] = (0 until MinhashFns).map(j => (2654435761L * (j + 1)) % HashP)
   val HashB: Seq[Long] = (0 until MinhashFns).map(j => (40503L * (j + 7) + 12289L) % HashP)
 
-  /** doc_id + minhash signature array (exact ints < P). */
+  /** doc_id + minhash signature array (exact ints < P). Built on the
+    * NON-deduped shingle rows: `min` is insensitive to duplicates, so the
+    * distinct shuffle would buy nothing — the groupBy below is the
+    * signature path's only exchange. */
   private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val exploded = shingleRows(spark, dir)
+    val exploded = shingleRows(spark, dir, dedup = false)
       .withColumn("h", Exact.md5Long28(col("s")))
     val mins = (0 until MinhashFns).map { j =>
       min((lit(HashA(j)) * col("h") + lit(HashB(j))) % lit(HashP)).as(s"mh_$j")
@@ -142,7 +160,7 @@ object DedupQueries {
     * (The explode formulation generated 9.6 M intermediate rows per
     * evaluation and dominated dedup_simhash_pairs wall-clock.) */
   def qSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val tokCounts = Tables.documents(spark, dir)
+    val tokCounts = Tables.rebalanced(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), explode(TextNorm.toks(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", Exact.md5Long48(col("tok")))
@@ -182,27 +200,51 @@ object DedupQueries {
 
   // ------------------------------------------------------------ jaccard
 
-  /** Word-3-gram Jaccard near-dup pairs via the shared-shingle inverted
-    * index: explode distinct shingles, self-equi-join on shingle (every
-    * pair above any positive threshold shares ≥1), count intersections,
-    * exact integer Jaccard filter. */
-  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // join on the 60-bit hash of the shingle, not the string: 8-byte keys
-    // cut the self-join shuffle ~4× vs ~20-char strings. The oracle hashes
-    // identically, so any (vanishingly rare) collision affects both engines
-    // the same way.
-    val sh = shingleRows(spark, dir)
-      .select(col("doc_id"), Exact.md5Long(col("s")).as("s"))
-      .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+  /** Word-3-gram Jaccard near-dup pairs via a POSTING-LIST inverted index:
+    * one groupBy(shingle-hash) builds `h → set(doc_id)`; candidate pairs
+    * explode from each posting list (every pair above any positive
+    * threshold shares ≥1 shingle); set sizes derive from the same lists.
+    *
+    * Why not the classic self-equi-join on shingle: that plan instantiates
+    * the full scan→tokenize→shingle→hash→distinct pipeline once per arm
+    * (join side + sizes — exchange reuse only saves the second join side),
+    * so the text corpus was read and tokenized three times per query.
+    * Here the expensive narrow pipeline runs ONCE into a single exchange
+    * on h; everything downstream is cheap agg/explode over 8-byte keys.
+    * Candidate volume is Σ df² — identical to the self-join's output — and
+    * the df-capped variant bounds it for adversarial corpora. Posting
+    * lists go set-typed through `collect_set`, which also absorbs the
+    * (doc, shingle) distinct — one fewer exchange. */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardFromPostings(spark, dir, dfCap = None)
+
+  private def jaccardFromPostings(spark: SparkSession, dir: String,
+                                  dfCap: Option[Int]): DataFrame = {
+    // 60-bit hash of the shingle, not the string: 8-byte shuffle keys. The
+    // oracle hashes identically, so any (vanishingly rare) collision
+    // affects both engines the same way.
+    val ex = shingleRows(spark, dir, dedup = false)
+      .select(col("doc_id"), Exact.md5Long(col("s")).as("h"))
+    val allPosts = ex.groupBy(col("h")).agg(collect_set(col("doc_id")).as("docs"))
+    // df cap BEFORE pair generation: a boilerplate shingle contributes df²
+    // pairs and zero discrimination. (At 100 TB, compute df with a count
+    // aggregate + semi-join on the same exchange instead of materializing
+    // giant lists; at any df ≤ cap the list form is strictly cheaper.)
+    val posts = dfCap.map(c => allPosts.filter(size(col("docs")) <= c)).getOrElse(allPosts)
+    val sizes = posts.select(explode(col("docs")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = posts.filter(size(col("docs")) >= 2)
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    // sizes is one row per DOC (not per pair) — orders of magnitude smaller
+    // than inter; broadcast it so the pair set never sorts/shuffles for
+    // these lookups. (At extreme corpus cardinality where even one row per
+    // doc outgrows the driver, drop the hint and let AQE pick the join.)
     inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b")), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= JaccardThreshold)
@@ -223,26 +265,8 @@ object DedupQueries {
     * well-defined and the DuckDB oracle replays it exactly. At this corpus
     * the result equals the uncapped query (no shingle is that common);
     * on a boilerplate-heavy corpus they diverge by design. */
-  def qNgramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(spark, dir)
-      .select(col("doc_id"), Exact.md5Long(col("s")).as("s"))
-      .distinct()
-    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf).select(col("s"))
-    val capped = sh.join(rare, "s")
-    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = capped.as("a")
-    val b = capped.as("b")
-    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
+  def qNgramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
+    jaccardFromPostings(spark, dir, dfCap = Some(MaxShingleDf))
 
   // ------------------------------------------------------------ embedding
 

@@ -21,6 +21,24 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Decouple compute parallelism from input-split parallelism for
+    * CPU-dense narrow pipelines (tokenize/regex/md5 per row): when the
+    * source delivers fewer splits than half the cores — a single-row-group
+    * parquet file, a gzip json, a handful of small files — everything up to
+    * the first exchange runs on that few threads no matter how wide the
+    * cluster is. A round-robin repartition to default parallelism costs one
+    * cheap shuffle of the raw rows and buys full-width execution of the
+    * expensive projection above it.
+    *
+    * Deliberately adaptive: at 100 TB the scan has thousands of splits and
+    * this is an exact no-op — no shuffle is ever added to a well-split
+    * input. (The corpus files here are all one row group, which parquet
+    * cannot split further — `files.maxPartitionBytes` can't help.) */
+  def rebalanced(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
+
   /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects outright. The session must therefore be built with
     * `spark.sql.legacy.parquet.nanosAsLong=true` (every builder in this

@@ -164,6 +164,35 @@ object Profile {
       time("full pairs query")(DedupQueries.qSimhashPairs(spark, dir).count())
       spark.stop(); return
     }
+    if (args.lift(1).contains("jac")) {
+      import graft.ext.dedup.DedupQueries
+      sys.env.get("SPARK_PROFILE_COALESCE").foreach(v =>
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", v))
+      val raw = DedupQueries.shingleRows(spark, dir, dedup = false)
+      raw.count()  // warm
+      time("shingleRows nodedup")(raw.count())
+      time("md5Long no-shuffle")(
+        raw.select(Exact.md5Long(col("s")).as("h")).agg(max("h")).count())
+      time("distinct strings")(raw.distinct().count())
+      time("md5 via xxhash64")(
+        raw.select(xxhash64(col("s")).as("h")).agg(max("h")).count())
+      val sh = raw.select(col("doc_id"), Exact.md5Long(col("s")).as("s")).distinct()
+      time("hash+distinct")(sh.count())
+      val shC = sh.cache(); shC.count()
+      val a = shC.as("a"); val b = shC.as("b")
+      val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      time("selfjoin+agg (cached sh)")(inter.count())
+      shC.unpersist()
+      time("full jaccard")(DedupQueries.qNgramJaccard(spark, dir).count())
+      time("full jaccard capped")(DedupQueries.qNgramJaccardCapped(spark, dir).count())
+      time("full curate")(graft.ext.pipeline.CurateQueries.qCurate(spark, dir).count())
+      val q = graft.ext.text.TextQueries.qQuality(spark, dir)
+      time("quality")(q.count())
+      time("exact")(DedupQueries.qExact(spark, dir).count())
+      spark.stop(); return
+    }
     val docs = Tables.documents(spark, dir)
     time("norm only")(docs.select(TextNorm.norm(col("text")).as("n")).filter(length(col("n")) >= 0).count())
     time("toks only")(docs.select(size(TextNorm.toks(col("text"))).as("n")).agg(sum("n")).count())

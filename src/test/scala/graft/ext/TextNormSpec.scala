@@ -11,9 +11,14 @@ import graft.ext.text.TextNorm
 class TextNormSpec extends SparkSpec {
   import spark.implicits._
 
-  test("shingleRows (posexplode+lead) ≡ TextNorm.shingles (HOF) on the corpus") {
+  test("shingleRows (slice+arrays_zip) ≡ TextNorm.shingles (HOF) on the corpus") {
     val fast = graft.ext.dedup.DedupQueries.shingleRows(spark, sf)
       .select("doc_id", "s").as[(Long, String)].collect().toSet
+    // non-deduped rows must be the same SET (duplicates allowed) — the
+    // duplicate-insensitive consumers (minhash) rely on this
+    val multi = graft.ext.dedup.DedupQueries.shingleRows(spark, sf, dedup = false)
+      .select("doc_id", "s").as[(Long, String)].collect().toSet
+    assert(multi == fast)
     val ref = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), explode(TextNorm.shingles(TextNorm.toks(col("text")))).as("s"))
       .as[(Long, String)].collect().toSet
