@@ -135,11 +135,23 @@ object DedupQueries {
         md5(concat_ws(",", transform(
           slice(col("sig"), col("band") * RowsPerBand + 1, lit(RowsPerBand)),
           x => x.cast("string")))))
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
+    // shuffle_hash for the same reason as qSimhashPairs: identical
+    // Exchanges on (band, band_hash) under both arms → the signature
+    // pipeline computes once via ReuseExchange instead of twice
+    // Candidate pairs from PER-BUCKET posting lists instead of a self-join:
+    // a self-join's two arms each instantiate the whole signature pipeline
+    // (scan → shingle → minhash agg), whereas grouping (band, band_hash)
+    // into doc lists runs it once — one exchange, pairs explode from each
+    // bucket. Pair volume is identical (Σ bucket²). The `when` comparison
+    // HOF runs only on the few surviving candidate pairs, not per row.
+    val posts = bands
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_set(struct(col("doc_id"), col("sig"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    posts
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()
@@ -184,14 +196,20 @@ object DedupQueries {
     val chunks = sim.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(SimhashChunks - 1))).as("c"))
       .withColumn("chunk", expr("shiftright(simhash, 12 * c) & 4095"))
-    val a = chunks.as("a")
-    val b = chunks.as("b")
-    // the Hamming cut sits INSIDE the join condition: of the ~likely-many
-    // chunk-collision candidates only true near-dups survive, so the
-    // pair-dedup distinct() shuffles a handful of rows instead of the whole
-    // candidate set (measured: the post-join distinct dominated this query)
-    a.join(b, col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
-        col("a.doc_id") < col("b.doc_id") &&
+    // Candidate pairs from PER-BUCKET posting lists (same shape as the
+    // jaccard/minhash rewrites): a self-join on (c, chunk) computes the
+    // simhash pipeline (scan → tok agg → 49-column signature agg) once per
+    // arm; grouping each bucket into a doc list runs it once. The Hamming
+    // cut applies during pair explosion, so the pair-dedup distinct()
+    // shuffles only true near-dups, not the whole candidate set.
+    val posts = chunks
+      .groupBy(col("c"), col("chunk"))
+      .agg(collect_set(struct(col("doc_id"), col("simhash"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    posts
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
         expr("bit_count(a.simhash ^ b.simhash)") <= HammingMax)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
