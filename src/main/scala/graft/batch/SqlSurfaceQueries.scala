@@ -111,7 +111,56 @@ object SqlSurfaceQueries {
       .select(col("c_custkey"), col("c_mktsegment"))
   }
 
+  /** AS-OF (backward) join: each event picks up the customer's most recent
+    * order at-or-before the event time — the classic enrich-against-a-
+    * versioned-dimension operator Spark has no native join type for.
+    *
+    * Implementation: union probe and build rows on (key, time) and carry
+    * the last non-null build payload forward with one window pass — ONE
+    * shuffle on the join key, versus the O(probe × build-versions)
+    * blow-up of the naive range-join formulation. At 100 TB this is the
+    * shape that survives: both sides hash-partition by key, the per-key
+    * sort is the only extra cost, and skewed keys AQE-split like any
+    * other exchange. The build side is first collapsed to one row per
+    * (key, timestamp) — `max(struct(...))` picks the highest orderkey,
+    * exactly like the oracle's max/arg_max pair — so as-of ties are
+    * deterministic in both engines. */
+  def qAsofOrder(spark: SparkSession, dir: String): DataFrame = {
+    val oType = "struct<o_orderkey:bigint,o_totalprice:double>"
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id").as("k"), col("ts").as("t"),
+        col("event_id"), lit(1).as("is_probe"),
+        lit(null).cast(oType).as("o"))
+    val ord = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("t"))
+      .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("o"))
+      .select(col("k"), col("t"), lit(null).cast("long").as("event_id"),
+        lit(0).as("is_probe"), col("o"))
+    // order rows (is_probe=0) sort before events at the same timestamp, so
+    // an event at exactly the order date sees it (>= semantics, like ASOF)
+    val w = Window.partitionBy("k").orderBy(col("t"), col("is_probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("asof", last(col("o"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+        col("asof.o_orderkey").as("o_orderkey"),
+        col("asof.o_totalprice").as("o_totalprice"))
+  }
+
+  /** CUBE over (event_type, event_date): all four grouping combinations in
+    * one pass — completes the grouping-sets surface next to ROLLUP. */
+  def qCubeEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("event_date", col("ts").cast("date"))
+      .cube(col("event_type"), col("event_date"))
+      .agg(
+        (sum(Exact.cents(coalesce(col("value"), lit(0.0)))) / lit(100.0)).as("revenue"),
+        count(lit(1)).as("n_events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_order"       -> (qAsofOrder _),
+    "q_cube_events"      -> (qCubeEvents _),
     "q_sessionize"       -> (qSessionize _),
     "q_rollup_pricing"   -> (qRollupPricing _),
     "q_percentiles"      -> (qPercentiles _),
@@ -123,6 +172,25 @@ object SqlSurfaceQueries {
   private val centsValue = Exact.centsSql("coalesce(value, 0.0)")
 
   val oracles: Map[String, String] = Map(
+    "q_asof_order" ->
+      """WITH ord AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    max(o_orderkey) AS o_orderkey,
+        |    arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+        |FROM events e
+        |ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "q_cube_events" ->
+      s"""WITH e AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS event_date,
+         |    $centsValue AS cents
+         |  FROM events)
+         |SELECT event_type, event_date,
+         |  (CAST(sum(cents) AS DOUBLE) / 100.0) AS revenue,
+         |  count(*) AS n_events
+         |FROM e GROUP BY CUBE (event_type, event_date)""".stripMargin,
     "q_sessionize" ->
       s"""WITH marked AS (
          |  SELECT user_id, ts, event_id, $centsValue AS cents,

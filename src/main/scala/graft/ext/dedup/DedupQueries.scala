@@ -286,6 +286,48 @@ object DedupQueries {
   def qNgramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
     jaccardFromPostings(spark, dir, dfCap = Some(MaxShingleDf))
 
+  // ------------------------------------------------------------ clusters
+
+  /** Near-dup CLUSTER collapse: connected components of the jaccard pair
+    * graph, each doc labeled with the min doc_id of its component — the
+    * step that turns pairwise dedup output into "keep one per duplicate
+    * cluster" (pairs alone over-delete: {A,B},{B,C} must collapse to ONE
+    * cluster {A,B,C}, not drop both B and C independently).
+    *
+    * Algorithm: iterative min-label propagation. Each round is one
+    * join + min-aggregate over the edge list; rounds = graph diameter
+    * (near-dup clusters are shallow — a handful). The edge list is
+    * materialized once (`localCheckpoint`) so rounds don't re-run the
+    * jaccard pipeline, and each round checkpoints to keep lineage flat.
+    * At 100 TB: same loop with reliable `checkpoint` to cluster storage;
+    * for adversarial diameters switch to large-star/small-star (log n
+    * rounds) — the per-round plan (join + agg) is unchanged.
+    *
+    * Deterministic: min-propagation converges to a unique fixpoint
+    * regardless of partitioning or join order. */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("u", "v").localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("v"), col("label").as("vl")), "v")
+        .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // ------------------------------------------------------------ embedding
 
   /** Embedding vectors quantized to exact integer micro-units: dot products
@@ -327,6 +369,7 @@ object DedupQueries {
     "dedup_simhash_pairs" -> (qSimhashPairs _),
     "dedup_ngram_jaccard" -> (qNgramJaccard _),
     "dedup_ngram_capped"  -> (qNgramJaccardCapped _),
+    "dedup_clusters"      -> (qDedupClusters _),
     "dedup_embedding"     -> (qEmbeddingDups _))
 
   // ------------------------------------------------------------- oracles
@@ -374,19 +417,18 @@ object DedupQueries {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      s"""WITH $shingleCtes,
-         |exg AS (SELECT DISTINCT doc_id, ${Exact.md5LongSql("s")} AS sh FROM ex),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM exg GROUP BY 1),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |  FROM exg a JOIN exg b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b,
-         |  CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
-         |FROM inter JOIN sizes na ON doc_a = na.doc_id
-         |           JOIN sizes nb ON doc_b = nb.doc_id
-         |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= $JaccardThreshold""".stripMargin,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |$ngramJaccardSql
+         |  ) jp),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT DISTINCT u, u AS v FROM edges
+         |          UNION
+         |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u""".stripMargin,
     "dedup_ngram_capped" ->
       s"""WITH $shingleCtes,
          |exg AS (SELECT DISTINCT doc_id, ${Exact.md5LongSql("s")} AS sh FROM ex),
@@ -410,6 +452,23 @@ object DedupQueries {
          |FROM q a JOIN q b ON a.vec_id < b.vec_id
          |WHERE CAST(CAST(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) AS BIGINT) AS DOUBLE)
          |    / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= $CosineThreshold""".stripMargin)
+
+  /** Uncapped jaccard-pairs oracle — shared by dedup_ngram_jaccard, the
+    * dedup_clusters component oracle, and (via CurateQueries) the composed
+    * curation oracle. */
+  private lazy val ngramJaccardSql: String =
+    s"""WITH $shingleCtes,
+       |exg AS (SELECT DISTINCT doc_id, ${Exact.md5LongSql("s")} AS sh FROM ex),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM exg GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM exg a JOIN exg b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+       |FROM inter JOIN sizes na ON doc_a = na.doc_id
+       |           JOIN sizes nb ON doc_b = nb.doc_id
+       |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= $JaccardThreshold""".stripMargin
 
   private lazy val simhashSql: String =
     s"""WITH tokrows AS (

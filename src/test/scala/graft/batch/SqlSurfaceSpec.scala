@@ -1,0 +1,53 @@
+package graft.batch
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Semantics of the newer SQL-surface operators: as-of join and cube. */
+class SqlSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q_asof_order attaches the latest order at-or-before each event, null when none") {
+    val out = SqlSurfaceQueries.qAsofOrder(spark, sf)
+    val events = Tables.events(spark, sf).select("event_id", "user_id", "ts")
+    assert(out.count() == events.count(), "left semantics: one row per event")
+
+    // independent reference: plain range join + max_by (fine at test scale)
+    val ord = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("o"))
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("o.o_orderkey").as("ok"), col("o.o_totalprice").as("tp"))
+    val ref = events.join(ord,
+        col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
+      .groupBy(col("event_id"))
+      .agg(max(struct(col("o_orderdate"), col("ok"), col("tp"))).as("best"))
+      .select(col("event_id"), col("best.ok").as("o_orderkey"),
+        col("best.tp").as("o_totalprice"))
+    val mismatches = out.select("event_id", "o_orderkey", "o_totalprice")
+      .join(ref, "event_id")
+      .filter(!(out("o_orderkey") <=> ref("o_orderkey")) ||
+        !(out("o_totalprice") <=> ref("o_totalprice")))
+      .count()
+    assert(mismatches == 0)
+    assert(out.filter(col("o_orderkey").isNull).count() ==
+      ref.filter(col("o_orderkey").isNull).count())
+  }
+
+  test("q_cube_events emits all four grouping combinations consistently") {
+    val cube = SqlSurfaceQueries.qCubeEvents(spark, sf).cache()
+    val byBoth = cube.filter(col("event_type").isNotNull && col("event_date").isNotNull)
+    val byType = cube.filter(col("event_type").isNotNull && col("event_date").isNull)
+    val byDate = cube.filter(col("event_type").isNull && col("event_date").isNotNull)
+    val grand = cube.filter(col("event_type").isNull && col("event_date").isNull)
+    assert(grand.count() == 1)
+    val total = Tables.events(spark, sf).count()
+    assert(grand.head().getAs[Long]("n_events") == total)
+    assert(byType.agg(sum("n_events")).head().getLong(0) == total)
+    assert(byDate.agg(sum("n_events")).head().getLong(0) == total)
+    assert(byBoth.agg(sum("n_events")).head().getLong(0) == total)
+    cube.unpersist()
+  }
+}

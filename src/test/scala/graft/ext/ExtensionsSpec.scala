@@ -57,6 +57,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(overlap >= 0.3, s"only ${overlap * 100}% of simhash pairs are true near-dups")
   }
 
+  test("dedup_clusters: valid connected components of the jaccard pair graph") {
+    val pairs = DedupQueries.qNgramJaccard(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val labels = DedupQueries.qDedupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // covers exactly the docs that appear in some pair
+    assert(labels.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    // both ends of every edge share a label (so transitivity holds by
+    // induction over paths), and every label is its component's min member
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"edge ($a,$b) split across clusters")
+    }
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid is not its min member")
+      assert(labels(cid) == cid, "cluster representative must label itself")
+    }
+    // distinct labels < labeled docs (the corpus does contain dup clusters)
+    assert(labels.values.toSet.size < labels.size)
+  }
+
   test("knn_brute returns exactly K ranked neighbors per query, cosine descending") {
     val k = SimQueries.qKnnBrute(spark, sf)
     val perQuery = k.groupBy("query_id").count().select("count").as[Long].collect()
