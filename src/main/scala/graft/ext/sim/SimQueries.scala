@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.dedup.DedupQueries.{cosine, quantized}
+import graft.functions.{Exact, VectorFunctions}
 
 /**
  * Approximate-nearest-neighbor search over the `embeddings` table
@@ -96,9 +97,75 @@ object SimQueries {
         col("label"), col("rank"), col("cosine"))
   }
 
+  // ------------------------------------------------------------ LSH tier
+
+  /** 15 random hyperplanes in 5 bands of 3 bits. Band width trades recall
+    * against candidate volume; measured on this corpus: 2-bit bands → 98%
+    * recall / 89% of corpus as candidates, 3-bit → 72% / 49%, 4-bit → 46%
+    * / 23%. The synthetic embeddings are RANDOM (no cluster structure), a
+    * worst case for LSH — true neighbors are barely more similar than
+    * average — so these fractions are pessimistic; real embedding corpora
+    * widen bands much further at the same recall. NPlanes must be a
+    * multiple of PlanesPerBand or the trailing band is narrower and
+    * floods the candidate set. */
+  val NPlanes = 15
+  val PlanesPerBand = 3
+
+  /** Deterministic ±1 hyperplane components from the shared md5 primitive
+    * (seeded on "rh|plane|dim"), collected into one array per plane so the
+    * per-vector signature is NPlanes codegen'd integer dot products
+    * ([[graft.functions.ArrayDotLong]]), not a dims×planes row blow-up. */
+  private def planes(spark: SparkSession): DataFrame =
+    spark.range(NPlanes).toDF("p")
+      .crossJoin(spark.range(1, Dim + 1).toDF("d"))
+      .withColumn("sgn",
+        when(pmod(Exact.md5Long28(concat(
+          lit("rh|"), col("p").cast("string"), lit("|"), col("d").cast("string"))),
+          lit(2)) === 0, 1L).otherwise(-1L))
+      .groupBy(col("p"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("sgn")))),
+        t => t.getField("sgn")).as("pv"))
+
+  /** (vec_id, band, band-hash): sign bit of each hyperplane dot product,
+    * packed 4 bits per band. Cosine-similar vectors agree on most sign
+    * bits, so they collide in ≥1 band with high probability. */
+  private[graft] def lshBands(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir).crossJoin(broadcast(planes(spark)))
+      .withColumn("dot", VectorFunctions.arrayDotLong(col("v"), col("pv")))
+      .withColumn("bit", when(col("dot") >= 0, lit(1L)).otherwise(lit(0L)))
+      .groupBy(col("vec_id"), expr(s"CAST(p DIV $PlanesPerBand AS BIGINT)").as("band"))
+      .agg(sum(expr(s"shiftleft(bit, CAST(p % $PlanesPerBand AS INT))")).as("bh"))
+
+  /** LSH-bucketed ANN: candidates are corpus vectors sharing any signature
+    * band with the query; exact cosine top-K within the candidate set.
+    * The third tier next to brute/IVF: candidate generation is a pure
+    * equi-join on (band, band-hash) — no centroid training step, and at
+    * 100 TB the signature build is one narrow pass while the bucket join
+    * shuffles 8-byte keys. Recall tunes with NPlanes/PlanesPerBand; the
+    * oracle replays the identical plane construction, so even recall
+    * behavior hash-matches. A query with fewer than K collisions returns
+    * fewer rows — that IS the operator's semantics. */
+  def qKnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bands = lshBands(spark, dir)
+    val qBands = bands.select(col("vec_id").as("query_id"), col("band"), col("bh"))
+      .filter(col("query_id") % QueryStride === 0)
+    val cand = qBands.join(bands, Seq("band", "bh"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    cand
+      .join(queriesDf(spark, dir), "query_id")
+      .join(quantized(spark, dir).select(col("vec_id"), col("v"), col("nsq")), "vec_id")
+      .withColumn("cosine", cosine(col("qv"), col("v"), col("qn"), col("nsq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (qKnnBrute _),
-    "knn_ivf"   -> (qKnnIvf _))
+    "knn_ivf"   -> (qKnnIvf _),
+    "knn_lsh"   -> (qKnnLsh _))
 
   // ------------------------------------------------------------- oracles
 
@@ -123,6 +190,34 @@ object SimQueries {
          |    ORDER BY ${cosSql("qv", "b.v", "qn", "b.nsq")} DESC, b.vec_id) AS rank,
          |  ${cosSql("qv", "b.v", "qn", "b.nsq")} AS cosine
          |FROM qs JOIN q b ON b.vec_id <> query_id
+         |QUALIFY rank <= $K""".stripMargin,
+    "knn_lsh" ->
+      s"""WITH $baseCtes,
+         |pl AS (
+         |  SELECT p, d,
+         |    CASE WHEN CAST('0x' || substring(md5('rh|' || CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 7) AS BIGINT) % 2 = 0
+         |         THEN 1 ELSE -1 END AS sgn
+         |  FROM generate_series(0, ${NPlanes - 1}) tp(p),
+         |       generate_series(1, $Dim) td(d)),
+         |dots AS (
+         |  SELECT q.vec_id, pl.p, CAST(sum(q.v[pl.d] * pl.sgn) AS BIGINT) AS dot
+         |  FROM q, pl GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT vec_id, p // $PlanesPerBand AS band,
+         |    CAST(sum((CASE WHEN dot >= 0 THEN 1 ELSE 0 END) << (p % $PlanesPerBand)) AS BIGINT) AS bh
+         |  FROM dots GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+         |  FROM bands qb
+         |  JOIN bands cb ON cb.band = qb.band AND cb.bh = qb.bh AND cb.vec_id <> qb.vec_id
+         |  WHERE qb.vec_id % $QueryStride = 0)
+         |SELECT c.query_id, c.vec_id AS neighbor_id,
+         |  row_number() OVER (PARTITION BY c.query_id
+         |    ORDER BY ${cosSql("qs.qv", "b.v", "qs.qn", "b.nsq")} DESC, c.vec_id) AS rank,
+         |  ${cosSql("qs.qv", "b.v", "qs.qn", "b.nsq")} AS cosine
+         |FROM cand c
+         |JOIN qs ON qs.query_id = c.query_id
+         |JOIN q b ON b.vec_id = c.vec_id
          |QUALIFY rank <= $K""".stripMargin,
     "knn_ivf" ->
       s"""WITH $baseCtes,

@@ -164,6 +164,25 @@ object Profile {
       time("full pairs query")(DedupQueries.qSimhashPairs(spark, dir).count())
       spark.stop(); return
     }
+    if (args.lift(1).contains("lsh")) {
+      import graft.ext.sim.SimQueries
+      val truth = SimQueries.qKnnBrute(spark, dir)
+        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = SimQueries.qKnnLsh(spark, dir)
+        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val n = graft.ext.dedup.DedupQueries.quantized(spark, dir).count()
+      val bands = SimQueries.lshBands(spark, dir)
+      val qb = bands.select(col("vec_id").as("query_id"), col("band"), col("bh"))
+        .filter(col("query_id") % SimQueries.QueryStride === 0)
+      val nq = qb.select("query_id").distinct().count()
+      val cands = qb.join(bands, Seq("band", "bh"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "vec_id").distinct().count()
+      println(f"RECALL = ${truth.intersect(lsh).size.toDouble / truth.size}%.3f  " +
+        f"CAND_FRACTION = ${cands.toDouble / (nq * (n - 1))}%.3f  " +
+        s"(planes=${SimQueries.NPlanes} perBand=${SimQueries.PlanesPerBand})")
+      spark.stop(); return
+    }
     if (args.lift(1).contains("jac")) {
       import graft.ext.dedup.DedupQueries
       sys.env.get("SPARK_PROFILE_COALESCE").foreach(v =>

@@ -107,6 +107,23 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("knn_lsh: banded sign-hash collisions recover most true neighbors") {
+    val truth = SimQueries.qKnnBrute(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = SimQueries.qKnnLsh(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty)
+    val recall = truth.intersect(lsh).size.toDouble / truth.size
+    // 5 bands × 3 bits over a RANDOM (structureless) corpus — LSH's worst
+    // case; ~0.72 measured, must stay well above the ~0.49 candidate floor
+    assert(recall >= 0.55, s"LSH recall $recall below floor")
+    // per-query output is ranked 1..k with no gaps
+    val ranks = SimQueries.qKnnLsh(spark, sf)
+      .groupBy("query_id").agg(max("rank").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n")).count()
+    assert(ranks == 0, "rank must be dense per query")
+  }
+
   test("multimodal: feature extraction preserves ids, bytes and is deterministic") {
     val corpus = Multimodal.corpus(spark, sf)
     val feats = Multimodal.extractFeatures(corpus).collect()
