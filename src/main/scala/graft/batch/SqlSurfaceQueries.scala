@@ -148,6 +148,42 @@ object SqlSurfaceQueries {
         col("asof.o_totalprice").as("o_totalprice"))
   }
 
+  val RangeWindowSec = 30L * 86400   // ±30-day window
+
+  /** Interval (range) join, banded: for each order, how many OTHER orders
+    * the same customer placed within ±30 days. A naive theta-join on the
+    * time range is per-key nested-loop work; bucketing both sides to
+    * 30-day bands turns it into an EQUI-join on (key, band) — any order
+    * within ±30 days sits in the probe's band or an adjacent one, so each
+    * probe row expands to exactly 3 candidate bands and the residual range
+    * predicate filters the small candidate set. At 100 TB this is the
+    * canonical shape: shuffle on (key, band), candidates bounded by band
+    * occupancy, no cross product. Band width trades candidate volume
+    * against probe duplication (3× probe rows, nothing on the build
+    * side). */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    // o_orderdate is TIMESTAMP_NTZ, which won't cast straight to long —
+    // route through TIMESTAMP (UTC session ⇒ same instant) to epoch secs
+    val band = (t: org.apache.spark.sql.Column) =>
+      floor(t.cast("timestamp").cast("long").cast("double") / lit(RangeWindowSec.toDouble)).cast("long")
+    val probe = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .withColumn("ob", explode(array(
+        band(col("o_orderdate")) - 1, band(col("o_orderdate")), band(col("o_orderdate")) + 1)))
+    val build = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("b_custkey"), col("o_orderdate").as("b_date"),
+        col("o_orderkey").as("b_orderkey"))
+      .withColumn("ob", band(col("b_date")))
+    probe.join(build,
+        probe("o_custkey") === build("b_custkey") && probe("ob") === build("ob"), "left")
+      .withColumn("hit",
+        col("b_orderkey") =!= col("o_orderkey") &&
+          col("b_date") >= col("o_orderdate") - expr("INTERVAL 30 DAYS") &&
+          col("b_date") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .agg(count(when(col("hit"), lit(1))).as("n_nearby_orders"))
+  }
+
   /** CUBE over (event_type, event_date): all four grouping combinations in
     * one pass — completes the grouping-sets surface next to ROLLUP. */
   def qCubeEvents(spark: SparkSession, dir: String): DataFrame =
@@ -160,6 +196,7 @@ object SqlSurfaceQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_order"       -> (qAsofOrder _),
+    "q_range_join"       -> (qRangeJoin _),
     "q_cube_events"      -> (qCubeEvents _),
     "q_sessionize"       -> (qSessionize _),
     "q_rollup_pricing"   -> (qRollupPricing _),
@@ -182,6 +219,15 @@ object SqlSurfaceQueries {
         |FROM events e
         |ASOF LEFT JOIN ord o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "q_range_join" ->
+      """SELECT a.o_orderkey, a.o_custkey, a.o_orderdate,
+        |  count(CASE WHEN b.o_orderkey <> a.o_orderkey
+        |              AND b.o_orderdate >= a.o_orderdate - INTERVAL 30 DAY
+        |              AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+        |             THEN 1 END) AS n_nearby_orders
+        |FROM orders a
+        |LEFT JOIN orders b ON b.o_custkey = a.o_custkey
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q_cube_events" ->
       s"""WITH e AS (
          |  SELECT event_type, CAST(ts AS DATE) AS event_date,

@@ -36,6 +36,26 @@ class SqlSurfaceSpec extends SparkSpec {
       ref.filter(col("o_orderkey").isNull).count())
   }
 
+  test("q_range_join (banded equi-join) ≡ naive theta range join") {
+    val out = SqlSurfaceQueries.qRangeJoin(spark, sf)
+    val orders = Tables.orders(spark, sf)
+    assert(out.count() == orders.count(), "every order keeps a row, zero-count included")
+    val a = orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val b = orders.select(col("o_orderkey").as("bk"), col("o_custkey").as("bc"),
+      col("o_orderdate").as("bd"))
+    val naive = a.join(b,
+        col("o_custkey") === col("bc") && col("bk") =!= col("o_orderkey") &&
+          col("bd") >= col("o_orderdate") - expr("INTERVAL 30 DAYS") &&
+          col("bd") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"), "left")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("bk")).as("n_naive"))
+    val mismatch = out.join(naive, "o_orderkey")
+      .filter(col("n_nearby_orders") =!= col("n_naive")).count()
+    assert(mismatch == 0)
+    assert(out.agg(sum("n_nearby_orders")).head().getLong(0) > 0,
+      "corpus must exercise non-zero windows")
+  }
+
   test("q_cube_events emits all four grouping combinations consistently") {
     val cube = SqlSurfaceQueries.qCubeEvents(spark, sf).cache()
     val byBoth = cube.filter(col("event_type").isNotNull && col("event_date").isNotNull)
