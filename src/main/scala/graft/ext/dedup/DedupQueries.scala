@@ -316,14 +316,14 @@ object DedupQueries {
       val neighborMin = edges
         .join(labels.select(col("id").as("v"), col("label").as("vl")), "v")
         .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
+      // carry the previous label through so convergence is read off the
+      // SAME checkpointed frame — no extra compare join per round
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("id"), col("label"))
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
