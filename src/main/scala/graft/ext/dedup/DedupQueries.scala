@@ -135,15 +135,18 @@ object DedupQueries {
         md5(concat_ws(",", transform(
           slice(col("sig"), col("band") * RowsPerBand + 1, lit(RowsPerBand)),
           x => x.cast("string")))))
-    // shuffle_hash for the same reason as qSimhashPairs: identical
-    // Exchanges on (band, band_hash) under both arms → the signature
-    // pipeline computes once via ReuseExchange instead of twice
     // Candidate pairs from PER-BUCKET posting lists instead of a self-join:
     // a self-join's two arms each instantiate the whole signature pipeline
     // (scan → shingle → minhash agg), whereas grouping (band, band_hash)
     // into doc lists runs it once — one exchange, pairs explode from each
     // bucket. Pair volume is identical (Σ bucket²). The `when` comparison
     // HOF runs only on the few surviving candidate pairs, not per row.
+    // BOUND: one bucket materializes as one aggregation row (~104 B per
+    // member with the signature inlined) — fine up to ~100k-member
+    // buckets. Run exact dedup FIRST (the curation order) so identical
+    // docs collapse before banding; for corpora that still form
+    // megabuckets of near-identicals, swap the explode for a streamed
+    // self-join on (band, band_hash) — same pair set, no per-bucket row.
     val posts = bands
       .groupBy(col("band"), col("band_hash"))
       .agg(collect_set(struct(col("doc_id"), col("sig"))).as("ds"))
@@ -202,6 +205,8 @@ object DedupQueries {
     // arm; grouping each bucket into a doc list runs it once. The Hamming
     // cut applies during pair explosion, so the pair-dedup distinct()
     // shuffles only true near-dups, not the whole candidate set.
+    // Same megabucket bound as qMinhash (16 B per member here): exact
+    // dedup first; swap to a streamed self-join for adversarial corpora.
     val posts = chunks
       .groupBy(col("c"), col("chunk"))
       .agg(collect_set(struct(col("doc_id"), col("simhash"))).as("ds"))
@@ -323,6 +328,9 @@ object DedupQueries {
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint()
       changed = next.filter(col("label") =!= col("old")).count()
+      // `next` is materialized, so the superseded checkpoint's blocks can
+      // go — otherwise storage grows by one label-set copy per round
+      labels.unpersist()
       labels = next.select(col("id"), col("label"))
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))

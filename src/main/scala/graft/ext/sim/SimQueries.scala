@@ -127,8 +127,9 @@ object SimQueries {
         t => t.getField("sgn")).as("pv"))
 
   /** (vec_id, band, band-hash): sign bit of each hyperplane dot product,
-    * packed 4 bits per band. Cosine-similar vectors agree on most sign
-    * bits, so they collide in ≥1 band with high probability. */
+    * packed [[PlanesPerBand]] bits per band. Cosine-similar vectors agree
+    * on most sign bits, so they collide in ≥1 band with high
+    * probability. */
   private[graft] def lshBands(spark: SparkSession, dir: String): DataFrame =
     quantized(spark, dir).crossJoin(broadcast(planes(spark)))
       .withColumn("dot", VectorFunctions.arrayDotLong(col("v"), col("pv")))
@@ -146,12 +147,20 @@ object SimQueries {
     * behavior hash-matches. A query with fewer than K collisions returns
     * fewer rows — that IS the operator's semantics. */
   def qKnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val bands = lshBands(spark, dir)
-    val qBands = bands.select(col("vec_id").as("query_id"), col("band"), col("bh"))
+    // per-bucket posting lists (same shape as the dedup families): a
+    // query-side/corpus-side self-join would instantiate the signature
+    // pipeline once per arm; grouping each (band, bh) bucket into a doc
+    // list runs it once, and candidates explode from each bucket
+    val posts = lshBands(spark, dir)
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_set(col("vec_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val cand = posts
+      .select(explode(col("ds")).as("query_id"), col("ds"))
       .filter(col("query_id") % QueryStride === 0)
-    val cand = qBands.join(bands, Seq("band", "bh"))
+      .select(col("query_id"), explode(col("ds")).as("vec_id"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id")).distinct()
+      .distinct()
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     cand
       .join(queriesDf(spark, dir), "query_id")
@@ -195,7 +204,7 @@ object SimQueries {
       s"""WITH $baseCtes,
          |pl AS (
          |  SELECT p, d,
-         |    CASE WHEN CAST('0x' || substring(md5('rh|' || CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 7) AS BIGINT) % 2 = 0
+         |    CASE WHEN ${Exact.md5Long28Sql("'rh|' || CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)")} % 2 = 0
          |         THEN 1 ELSE -1 END AS sgn
          |  FROM generate_series(0, ${NPlanes - 1}) tp(p),
          |       generate_series(1, $Dim) td(d)),

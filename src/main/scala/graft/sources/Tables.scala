@@ -33,7 +33,14 @@ object Tables {
     * Deliberately adaptive: at 100 TB the scan has thousands of splits and
     * this is an exact no-op — no shuffle is ever added to a well-split
     * input. (The corpus files here are all one row group, which parquet
-    * cannot split further — `files.maxPartitionBytes` can't help.) */
+    * cannot split further — `files.maxPartitionBytes` can't help.)
+    *
+    * Known limit: the guard counts byte-range SPLITS, which is what the
+    * planner can see without running a job. A multi-GB single-row-group
+    * file lists as many splits of which only one yields rows, and the
+    * guard won't fire — detecting that requires reading footers
+    * (row-group count), worth wiring into the ingest layer at scale
+    * rather than per-query here. */
   def rebalanced(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df

@@ -78,18 +78,19 @@ object Sessionize {
         }
 
         val wm = state.getCurrentWatermarkMs()
-        // Strict <, matching the documented contract ("emitted only when the
-        // watermark PASSES last+gap") and the batch gaps-and-islands twin's
-        // strictly-greater-than-gap break. Note (pinned in SessionizeSpec):
-        // Spark 4.1 drops events with event_time == watermark as late, so no
-        // admissible event (t > wm) can attach to a deadline == wm session
-        // (attach needs t <= last+gap = wm) — `<= wm` would emit the same
-        // sessions; strict < stays correct even if admission ever loosens.
-        val (closed, open) = sessions.partition(_.last + gapMs < wm)
+        // Flush at deadline <= wm. Safe because (pinned in SessionizeSpec)
+        // Spark 4.1 drops events with event_time == watermark as late, so
+        // no admissible event (t > wm) can ever attach to a session whose
+        // deadline last+gap == wm (attach needs t <= last+gap = wm) — the
+        // boundary session's content is final the moment the watermark
+        // reaches it. Strict `<` would emit the identical sessions but one
+        // trigger later, and would silently WITHHOLD a session whose
+        // deadline equals the final watermark of a drained/stopped stream.
+        val (closed, open) = sessions.partition(_.last + gapMs <= wm)
         if (open.nonEmpty) {
           state.update(open)
-          // a deadline can now equal wm (session kept for a possible
-          // boundary straggler); the timeout must still be > wm
+          // open deadlines are > wm by the partition above; max() is a
+          // defensive floor since setTimeoutTimestamp rejects ts <= wm
           state.setTimeoutTimestamp(math.max(open.map(_.last + gapMs).min, wm + 1L))
         } else state.remove()
         closed.sortBy(_.start).map(b =>

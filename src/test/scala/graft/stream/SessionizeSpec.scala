@@ -112,11 +112,10 @@ class SessionizeSpec extends SparkSpec {
     // Part 1 — admission semantics this operator is built on (empirically
     // pinned, Spark 4.1): an event with event_time == watermark is DROPPED
     // by the late-event filter. Consequence: no admissible event (t > wm)
-    // can ever attach to a session whose deadline last+gap == wm (attach
-    // needs t <= last+gap = wm), so the strict `deadline < wm` flush and
-    // the old `<= wm` flush emit identical sessions — the strict form is
-    // kept because it matches the documented "watermark PASSES the
-    // deadline" contract should admission semantics ever loosen.
+    // can ever attach to a session whose deadline last+gap == wm, so
+    // flushing at `deadline <= wm` loses nothing — and unlike strict `<`
+    // it cannot withhold a boundary session when a drained stream's final
+    // watermark lands exactly on the deadline.
     val ms = MemoryStream[SessionEvent]
     val q = StreamPipeline.start(Sessionize(ms.toDS(), gapSeconds = 60).toDF(),
       StreamPipeline.Memory("sessions4", trigger = Trigger.ProcessingTime(0L)))
