@@ -194,7 +194,23 @@ object SqlSurfaceQueries {
         (sum(Exact.cents(coalesce(col("value"), lit(0.0)))) / lit(100.0)).as("revenue"),
         count(lit(1)).as("n_events"))
 
+  /** UNPIVOT (melt): wide per-flag metrics → long (flag, metric, value)
+    * rows — the inverse surface of q_pivot_pricing. All three metrics are
+    * exact BIGINTs so the single value column is type-stable. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(Exact.cents(col("l_extendedprice"))).as("price_cents"),
+        sum(Exact.cents(col("l_discount"))).as("disc_cents"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("n_lines"), col("price_cents"), col("disc_cents")),
+        "metric", "value")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot"          -> (qUnpivot _),
     "q_asof_order"       -> (qAsofOrder _),
     "q_range_join"       -> (qRangeJoin _),
     "q_cube_events"      -> (qCubeEvents _),
@@ -209,6 +225,17 @@ object SqlSurfaceQueries {
   private val centsValue = Exact.centsSql("coalesce(value, 0.0)")
 
   val oracles: Map[String, String] = Map(
+    "q_unpivot" ->
+      s"""WITH w AS (
+         |  SELECT l_returnflag, count(*) AS n_lines,
+         |    CAST(sum(${Exact.centsSql("l_extendedprice")}) AS BIGINT) AS price_cents,
+         |    CAST(sum(${Exact.centsSql("l_discount")}) AS BIGINT) AS disc_cents
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, 'n_lines' AS metric, n_lines AS value FROM w
+         |UNION ALL
+         |SELECT l_returnflag, 'price_cents' AS metric, price_cents AS value FROM w
+         |UNION ALL
+         |SELECT l_returnflag, 'disc_cents' AS metric, disc_cents AS value FROM w""".stripMargin,
     "q_asof_order" ->
       """WITH ord AS (
         |  SELECT o_custkey, o_orderdate,

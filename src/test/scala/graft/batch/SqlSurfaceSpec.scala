@@ -56,6 +56,17 @@ class SqlSurfaceSpec extends SparkSpec {
       "corpus must exercise non-zero windows")
   }
 
+  test("q_unpivot melts each wide row into one row per metric") {
+    val wide = Tables.lineitem(spark, sf).select("l_returnflag").distinct().count()
+    val long = SqlSurfaceQueries.qUnpivot(spark, sf)
+    assert(long.count() == wide * 3, "3 metric rows per flag")
+    assert(long.select("metric").distinct().count() == 3)
+    // melt preserves values: n_lines rows sum to the table's row count
+    val n = long.filter(col("metric") === "n_lines")
+      .agg(sum("value")).head().getLong(0)
+    assert(n == Tables.lineitem(spark, sf).count())
+  }
+
   test("q_cube_events emits all four grouping combinations consistently") {
     val cube = SqlSurfaceQueries.qCubeEvents(spark, sf).cache()
     val byBoth = cube.filter(col("event_type").isNotNull && col("event_date").isNotNull)
