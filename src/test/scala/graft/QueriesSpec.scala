@@ -56,4 +56,15 @@ class QueriesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("q_asof_order plan: exactly two exchanges, no join operator at all") {
+    // the as-of shape: one exchange collapses the build side per (key,
+    // time), one partitions the union for the window — there is no join
+    // node, so there is nothing that can blow up with version count
+    val plan = graft.batch.SqlSurfaceQueries.qAsofOrder(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?m)^.*Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 exchanges, plan:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+  }
 }
