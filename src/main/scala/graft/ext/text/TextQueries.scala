@@ -51,15 +51,20 @@ object TextQueries {
 
   /** Quality scoring: length / alpha-ratio / punctuation / stopword-ratio
     * signals combined into one deterministic score — the standard cheap
-    * pre-filter before expensive dedup/embedding stages. */
-  def qQuality(spark: SparkSession, dir: String): DataFrame = {
+    * pre-filter before expensive dedup/embedding stages.
+    *
+    * Exposed as a pure DataFrame→DataFrame stage (needs `doc_id`, `lang`,
+    * `text` columns): all-narrow expressions, so the SAME code runs on a
+    * batch table or a streaming source — asserted by the batch≡stream
+    * spec in StreamPipelineSpec. */
+  def quality(docs: DataFrame): DataFrame = {
     val t = col("text")
     val nChars = length(coalesce(t, lit(""))).cast("long")
     val nAlpha = length(regexp_replace(coalesce(t, lit("")), "[^A-Za-z]", "")).cast("long")
     val nPunct = length(regexp_replace(coalesce(t, lit("")), "[^.,;:!?]", "")).cast("long")
     val nToks = size(toks(t)).cast("long")
     val nStop = score(toks(t), profiles.head._2)
-    Tables.documents(spark, dir).select(
+    docs.select(
       col("doc_id"), col("lang"),
       nChars.as("n_chars"), nAlpha.as("n_alpha"), nPunct.as("n_punct"),
       nToks.as("n_tokens"), nStop.as("n_stopwords"))
@@ -71,6 +76,9 @@ object TextQueries {
         lit(0.4) * col("alpha_ratio") + lit(0.3) * col("stop_ratio") +
           lit(0.3) * when(col("n_tokens").between(20, 2000), 1.0).otherwise(0.0))
   }
+
+  def qQuality(spark: SparkSession, dir: String): DataFrame =
+    quality(Tables.documents(spark, dir))
 
   /** Token counting per language: whitespace tokens + a BPE-ish regex
     * tokenizer (words / digit runs / single symbols) — the usual

@@ -208,6 +208,35 @@ class StreamPipelineSpec extends SparkSpec {
     assert(batches.map(_._1).distinct.size == batches.size, "batch ids must be unique")
   }
 
+  test("ext quality stage runs UNCHANGED on a document stream (batch ≡ stream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the curation pre-filter is a pure narrow stage; feed the same rows
+    // as a stream and as a batch and require identical scored output
+    val docs = Seq(
+      (1L, "en", "the quick brown fox and the lazy dog, it is what it is"),
+      (2L, "de", "der hund und die katze das ist nicht ein zoo"),
+      (3L, "en", ""),
+      (4L, "fr", "le chat est sur les toits pour une nuit"))
+    val ms = MemoryStream[(Long, String, String)]
+    val streamed = graft.ext.text.TextQueries.quality(
+      ms.toDF().toDF("doc_id", "lang", "text"))
+    val q = StreamPipeline.start(streamed,
+      StreamPipeline.Memory("quality_stream", trigger = Trigger.ProcessingTime(0L)))
+    ms.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val fromStream = spark.table("quality_stream")
+      .select("doc_id", "quality_score", "n_tokens").as[(Long, Double, Long)]
+      .collect().toSet
+    val fromBatch = graft.ext.text.TextQueries.quality(
+      docs.toDF("doc_id", "lang", "text"))
+      .select("doc_id", "quality_score", "n_tokens").as[(Long, Double, Long)]
+      .collect().toSet
+    assert(fromStream == fromBatch)
+    assert(fromStream.size == docs.size)
+  }
+
   test("kafka source/sink wiring constructs (connector needed only at runtime)") {
     // no connector jar in this image: constructing the plan must still work
     val cfg = StreamPipeline.Kafka("broker:9092", "events")
