@@ -39,4 +39,16 @@ object Io {
 
   def readJsonLines(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
+
+  /** ORC round-trip — the second columnar format Spark ships natively.
+    * Same pushdown/pruning contract as parquet (predicate → ORC
+    * search-argument, column pruning via ReadSchema), asserted in IoSpec;
+    * useful when the surrounding lake is ORC-standardized (Hive
+    * heritage). Avro is NOT offered: the spark-avro connector jar isn't
+    * on this classpath, and pretending otherwise would fail at runtime. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

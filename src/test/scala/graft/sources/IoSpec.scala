@@ -53,4 +53,19 @@ class IoSpec extends SparkSpec {
     assert(Io.readCsv(spark, s"$tmp/csv").count() == df.count())
     assert(Io.readJsonLines(spark, s"$tmp/json").count() == df.count())
   }
+
+  test("orc round-trip preserves data and pushes filters into the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_io3").toString
+    val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_returnflag", "l_quantity")
+    Io.writeOrc(df, s"$tmp/orc")
+    val back = Io.readOrc(spark, s"$tmp/orc")
+    assert(back.count() == df.count())
+    val filtered = back.filter(col("l_returnflag") === "R").select("l_orderkey")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_returnflag"),
+      s"ORC predicate not pushed:\n$plan")
+    // column pruning: a 1-column projection must not read all 3
+    assert(plan.contains("ReadSchema") && !plan.contains("l_quantity"),
+      s"ORC columns not pruned:\n$plan")
+  }
 }
