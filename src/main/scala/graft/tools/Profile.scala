@@ -212,23 +212,18 @@ object Profile {
       time("exact")(DedupQueries.qExact(spark, dir).count())
       spark.stop(); return
     }
+    // Default branch: the CURRENT text-pipeline building blocks. (The
+    // old default profiled the retired HOF-shingle formulation and its
+    // numbers were routinely misread as the production path's cost.)
     val docs = Tables.documents(spark, dir)
     time("norm only")(docs.select(TextNorm.norm(col("text")).as("n")).filter(length(col("n")) >= 0).count())
     time("toks only")(docs.select(size(TextNorm.toks(col("text"))).as("n")).agg(sum("n")).count())
-    time("shingle array")(docs.select(size(TextNorm.shingles(TextNorm.toks(col("text")))).as("n")).agg(sum("n")).count())
-    val ex = docs.select(col("doc_id"), explode(TextNorm.shingles(TextNorm.toks(col("text")))).as("s"))
-    time("explode shingles")(ex.count())
-    val exB = docs.select(col("doc_id"), TextNorm.shingles(TextNorm.toks(col("text"))).as("sh"))
-      .repartition(32, col("doc_id"))
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-    time("explode w/ exchange barrier")(exB.count())
-    val exh = exB.select(col("doc_id"), Exact.md5Long(col("s")).as("h")).distinct()
-    time("explode+hash+distinct")(exh.count())
-    val exhC = exh.cache()
-    exhC.count()
-    time("self-join on hash (cached)")(
-      exhC.as("a").join(exhC.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id"), col("b.doc_id")).agg(count(lit(1))).count())
+    val raw = graft.ext.dedup.DedupQueries.shingleRows(spark, dir, dedup = false)
+    time("shingleRows (slice+zip)")(raw.count())
+    time("shingleRows + md5Long")(
+      raw.select(Exact.md5Long(col("s")).as("h")).agg(max("h")).count())
+    time("shingleRows deduped")(
+      graft.ext.dedup.DedupQueries.shingleRows(spark, dir).count())
     spark.stop()
   }
 }
