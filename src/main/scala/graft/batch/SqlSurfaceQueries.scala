@@ -63,6 +63,22 @@ object SqlSurfaceQueries {
         (expr("percentile(cents, 0.5)") / lit(100.0)).as("p50"),
         (expr("percentile(cents, 0.95)") / lit(100.0)).as("p95"))
 
+  /** Sketch percentiles (`approx_percentile`, an interpolated-histogram
+    * sketch): the percentile path that actually scales — exact percentile
+    * needs a per-group sort of ALL values, the sketch is a bounded-size
+    * mergeable summary, so partial aggregation works like any sum. No
+    * DuckDB oracle (sketch internals differ across engines, same policy as
+    * q_approx_distinct); SqlSurfaceSpec bounds its error against the exact
+    * q_percentiles on identical data. */
+  def qApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), Exact.cents(coalesce(col("value"), lit(0.0))).as("cents"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (expr("approx_percentile(cents, 0.5, 10000)") / lit(100.0)).as("p50"),
+        (expr("approx_percentile(cents, 0.95, 10000)") / lit(100.0)).as("p95"))
+
   /** Set operations: purchase cohorts by activity window — INTERSECT for
     * retained buyers, EXCEPT for churned (purchase-specific so both
     * branches carry rows at test density). */
@@ -217,6 +233,7 @@ object SqlSurfaceQueries {
     "q_sessionize"       -> (qSessionize _),
     "q_rollup_pricing"   -> (qRollupPricing _),
     "q_percentiles"      -> (qPercentiles _),
+    "q_approx_pctl"      -> (qApproxPercentiles _),
     "q_user_cohorts"     -> (qUserCohorts _),
     "q_orders_histogram" -> (qOrdersHistogram _),
     "q_top_suppliers"    -> (qTopSuppliers _),

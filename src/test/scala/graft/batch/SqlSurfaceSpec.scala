@@ -56,6 +56,25 @@ class SqlSurfaceSpec extends SparkSpec {
       "corpus must exercise non-zero windows")
   }
 
+  test("approx_percentile tracks exact percentiles within tolerance per group") {
+    val exact = SqlSurfaceQueries.qPercentiles(spark, sf)
+      .select("event_type", "p50", "p95").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = SqlSurfaceQueries.qApproxPercentiles(spark, sf)
+      .select("event_type", "p50", "p95").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, (a50, a95)) =>
+      val (e50, e95) = exact(k)
+      // 10k-accuracy sketch on sf-scale groups should be near-exact; allow
+      // 5% relative (or small absolute for near-zero percentiles)
+      assert(math.abs(a50 - e50) <= math.max(0.05 * math.abs(e50), 0.5),
+        s"$k p50: approx $a50 vs exact $e50")
+      assert(math.abs(a95 - e95) <= math.max(0.05 * math.abs(e95), 0.5),
+        s"$k p95: approx $a95 vs exact $e95")
+    }
+  }
+
   test("q_unpivot melts each wide row into one row per metric") {
     val wide = Tables.lineitem(spark, sf).select("l_returnflag").distinct().count()
     val long = SqlSurfaceQueries.qUnpivot(spark, sf)
