@@ -51,17 +51,25 @@ object SqlSurfaceQueries {
         (sum(Exact.cents(col("l_extendedprice"))) / lit(100.0)).as("revenue"),
         count(lit(1)).as("n_lines"))
 
-  /** Exact interpolated percentiles over integer cents — the interpolation
-    * arithmetic `(1-g)·v_i + g·v_{i+1}` runs on identical exact inputs in
-    * both engines, so even these doubles hash-match. */
-  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+  /** Shared scaffold for the exact/approx percentile twins: both MUST
+    * aggregate the identical cents population per event_type, or the
+    * approx-vs-exact tolerance spec compares different data. */
+  private def percentilesOver(spark: SparkSession, dir: String,
+                              p50Expr: String, p95Expr: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"), Exact.cents(coalesce(col("value"), lit(0.0))).as("cents"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        (expr("percentile(cents, 0.5)") / lit(100.0)).as("p50"),
-        (expr("percentile(cents, 0.95)") / lit(100.0)).as("p95"))
+        (expr(p50Expr) / lit(100.0)).as("p50"),
+        (expr(p95Expr) / lit(100.0)).as("p95"))
+
+  /** Exact interpolated percentiles over integer cents — the interpolation
+    * arithmetic `(1-g)·v_i + g·v_{i+1}` runs on identical exact inputs in
+    * both engines, so even these doubles hash-match. */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    percentilesOver(spark, dir,
+      "percentile(cents, 0.5)", "percentile(cents, 0.95)")
 
   /** Sketch percentiles (`approx_percentile`, an interpolated-histogram
     * sketch): the percentile path that actually scales — exact percentile
@@ -69,15 +77,16 @@ object SqlSurfaceQueries {
     * mergeable summary, so partial aggregation works like any sum. No
     * DuckDB oracle (sketch internals differ across engines, same policy as
     * q_approx_distinct); SqlSurfaceSpec bounds its error against the exact
-    * q_percentiles on identical data. */
+    * q_percentiles on identical data (same scaffold, only the aggregate
+    * expressions differ).
+    *
+    * Determinism caveat: below `accuracy` (10000) values per group the
+    * summaries stay exact; beyond it the sketch compresses and its MERGE
+    * becomes partition-order dependent — inherent to GK-style sketches,
+    * so this query is exempted from DeterminismSpec's invariant. */
   def qApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .select(col("event_type"), Exact.cents(coalesce(col("value"), lit(0.0))).as("cents"))
-      .groupBy(col("event_type"))
-      .agg(
-        count(lit(1)).as("n"),
-        (expr("approx_percentile(cents, 0.5, 10000)") / lit(100.0)).as("p50"),
-        (expr("approx_percentile(cents, 0.95, 10000)") / lit(100.0)).as("p95"))
+    percentilesOver(spark, dir,
+      "approx_percentile(cents, 0.5, 10000)", "approx_percentile(cents, 0.95, 10000)")
 
   /** Set operations: purchase cohorts by activity window — INTERSECT for
     * retained buyers, EXCEPT for churned (purchase-specific so both

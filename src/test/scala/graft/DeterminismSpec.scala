@@ -14,7 +14,17 @@ class DeterminismSpec extends SparkSpec {
     // sf0.01, not the smoke tier: more rows ⇒ more groups whose unbroken
     // ties or order-dependent floats would actually collide
     val dir = "/root/testdata/sf0.01"
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // Exempt: lossy-sketch aggregates whose MERGE is partition-order
+    // dependent by construction. approx_percentile's summaries stay exact
+    // below `accuracy` values per group (so it would pass HERE), but the
+    // invariant stops holding the moment a group crosses the sketch's
+    // compression threshold — exempting it outright keeps a future
+    // scale-factor bump from reading as a correctness regression. (HLL's
+    // q_approx_distinct stays IN: its merge is deterministic.) The
+    // exempted query's correctness gate is its tolerance spec instead.
+    val sketchExempt = Set("q_approx_pctl")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => sketchExempt(q._1)).flatMap { case (name, fn) =>
       def run(parts: String): Seq[String] = {
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         try fn(spark, dir).collect().map(_.toString).sorted.toSeq

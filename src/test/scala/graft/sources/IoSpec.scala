@@ -60,9 +60,14 @@ class IoSpec extends SparkSpec {
     Io.writeOrc(df, s"$tmp/orc")
     val back = Io.readOrc(spark, s"$tmp/orc")
     assert(back.count() == df.count())
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty,
+      "ORC round-trip must preserve content, not just cardinality")
     val filtered = back.filter(col("l_returnflag") === "R").select("l_orderkey")
     val plan = filtered.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") && plan.contains("l_returnflag"),
+    // the filter must appear INSIDE the PushedFilters bracket — the key
+    // itself prints even when nothing is pushed ("PushedFilters: []"),
+    // and the Filter node above the scan always mentions the column
+    assert("PushedFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(plan).isDefined,
       s"ORC predicate not pushed:\n$plan")
     // column pruning: a 1-column projection must not read all 3
     assert(plan.contains("ReadSchema") && !plan.contains("l_quantity"),
