@@ -296,8 +296,9 @@ object DedupQueries {
   /** Near-dup CLUSTER collapse: connected components of the jaccard pair
     * graph, each doc labeled with the min doc_id of its component — the
     * step that turns pairwise dedup output into "keep one per duplicate
-    * cluster" (pairs alone over-delete: {A,B},{B,C} must collapse to ONE
-    * cluster {A,B,C}, not drop both B and C independently).
+    * cluster". Pairwise rules alone get transitivity wrong: with pairs
+    * (A,C),(B,C) the greedy drop-doc_b rule keeps BOTH A and B though
+    * they are near-dups through C; components collapse {A,B,C} to A.
     *
     * Algorithm: iterative min-label propagation. Each round is one
     * join + min-aggregate over the edge list; rounds = graph diameter

@@ -52,6 +52,29 @@ object CurateQueries {
   def qCurate(spark: SparkSession, dir: String): DataFrame =
     survivors(spark, dir)
 
+  /** Cluster-correct curation: near-dup removal keeps exactly ONE doc per
+    * connected component (the min, via [[DedupQueries.qDedupClusters]])
+    * instead of the greedy per-pair rule above. The greedy rule UNDER-
+    * deletes on transitive duplication: pairs (A,C),(B,C) greedily drop
+    * only C and keep both A and B even though they are near-dups by
+    * transitivity — the cluster rule keeps A alone. Formally: clustered
+    * survivors ⊆ greedy survivors (a component's min is never a doc_b, so
+    * both rules always keep it), with equality only when every non-min
+    * member appears as some pair's doc_b. Same quality and exact-dedup
+    * stages; both variants fully oracled. */
+  def qCurateClustered(spark: SparkSession, dir: String): DataFrame = {
+    val quality = TextQueries.qQuality(spark, dir)
+      .filter(col("quality_score") >= QualityMin)
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+    val keepers = DedupQueries.qExact(spark, dir).select(col("keeper_doc_id").as("doc_id"))
+    val clusterLosers = DedupQueries.qDedupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    quality
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(clusterLosers, Seq("doc_id"), "left_anti")
+  }
+
   /** Deterministic train/val/test split by content-independent hash of the
     * doc id — reproducible at any scale, no RNG. Counts per (lang, split). */
   def qSampleSplit(spark: SparkSession, dir: String): DataFrame = {
@@ -85,7 +108,8 @@ object CurateQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "curate_pipeline" -> (qCurate _),
+    "curate_pipeline"  -> (qCurate _),
+    "curate_clustered" -> (qCurateClustered _),
     "sample_split"    -> (qSampleSplit _),
     "pack_shards"     -> (qPackShards _))
 
@@ -101,7 +125,24 @@ object CurateQueries {
        |${DedupQueries.oracles("dedup_ngram_jaccard")}
        |) jaccard_pairs""".stripMargin
 
+  /** The components oracle, reused verbatim so the clustered-curation
+    * oracle can never drift from dedup_clusters' own. */
+  private val clusterSql = DedupQueries.oracles("dedup_clusters")
+
   val oracles: Map[String, String] = Map(
+    "curate_clustered" ->
+      s"""WITH losers AS (
+         |  SELECT doc_id FROM (
+         |$clusterSql
+         |  ) comp WHERE doc_id <> cluster_id),
+         |keepers AS (
+         |  SELECT min(doc_id) AS doc_id
+         |  FROM documents GROUP BY md5(${TextNorm.normSql}))
+         |SELECT d.doc_id, d.lang, $qualityExpr AS quality_score
+         |FROM documents d
+         |JOIN keepers k ON d.doc_id = k.doc_id
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+         |  AND $qualityExpr >= $QualityMin""".stripMargin,
     "curate_pipeline" ->
       s"""WITH pairs AS ($jaccardPairsSql),
          |keepers AS (

@@ -26,6 +26,23 @@ class CurateSpec extends SparkSpec {
     curated.unpersist()
   }
 
+  test("clustered curation ⊆ greedy curation; exactly one survivor per dup cluster") {
+    val greedy = CurateQueries.qCurate(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val clustered = CurateQueries.qCurateClustered(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clustered.subsetOf(greedy),
+      s"cluster rule can only delete MORE: extra ${clustered -- greedy}")
+    // per component: exactly the min survives the near-dup cut (unless the
+    // quality/exact stages already removed it)
+    val comps = graft.ext.dedup.DedupQueries.qDedupClusters(spark, sf)
+      .as[(Long, Long)].collect()
+    comps.foreach { case (doc, cid) =>
+      if (doc != cid) assert(!clustered.contains(doc),
+        s"non-min member $doc of cluster $cid must not survive")
+    }
+  }
+
   test("sample split covers every doc exactly once, ~90/5/5") {
     val split = CurateQueries.qSampleSplit(spark, sf)
     val total = split.agg(sum("n_docs")).head().getLong(0)
