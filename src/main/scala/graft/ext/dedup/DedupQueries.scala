@@ -253,7 +253,18 @@ object DedupQueries {
     // pairs and zero discrimination. (At 100 TB, compute df with a count
     // aggregate + semi-join on the same exchange instead of materializing
     // giant lists; at any df ≤ cap the list form is strictly cheaper.)
+    //
+    // posts is MATERIALIZED (localCheckpoint): it feeds three plan arms —
+    // `inter` plus the two broadcast `sizes` lookups — and broadcast
+    // subtrees don't participate in exchange reuse, so without this the
+    // scan→tokenize→shingle→hash pipeline (the dominant cost) executes
+    // once per arm. Checkpointed size is one row per distinct shingle
+    // hash (8-byte key + doc-id list) — megabytes at corpus scale, and at
+    // 100 TB the same materialization is a reliable `checkpoint`/parquet
+    // snapshot of the inverted index, which downstream curation consumers
+    // share anyway (SCALING.md).
     val posts = dfCap.map(c => allPosts.filter(size(col("docs")) <= c)).getOrElse(allPosts)
+      .localCheckpoint()
     val sizes = posts.select(explode(col("docs")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = posts.filter(size(col("docs")) >= 2)
@@ -312,9 +323,15 @@ object DedupQueries {
     * Deterministic: min-propagation converges to a unique fixpoint
     * regardless of partitioning or join order. */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // both edge directions from ONE explode over the pair rows — the
+    // union-of-self form evaluated the whole jaccard query once per arm
     val pairs = qNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("u", "v").localCheckpoint()
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("u"), col("doc_b").as("v")),
+        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint()
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var changed = 1L

@@ -183,6 +183,36 @@ object Profile {
         s"(planes=${SimQueries.NPlanes} perBand=${SimQueries.PlanesPerBand})")
       spark.stop(); return
     }
+    if (args.lift(1).contains("jac2")) {
+      import graft.ext.dedup.DedupQueries
+      val ex = DedupQueries.shingleRows(spark, dir, dedup = false)
+        .select(col("doc_id"), Exact.md5Long(col("s")).as("h"))
+      ex.count() // warm
+      time("ex (shingle+hash)")(ex.count())
+      var posts: org.apache.spark.sql.DataFrame = null
+      time("posts agg+checkpoint")({
+        posts = ex.groupBy(col("h")).agg(collect_set(col("doc_id")).as("docs")).localCheckpoint()
+        posts.count()
+      })
+      val sizes = posts.select(explode(col("docs")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      time("sizes from posts")(sizes.count())
+      val inter = posts.filter(size(col("docs")) >= 2)
+        .select(explode(col("docs")).as("doc_a"), col("docs"))
+        .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      time("inter from posts")(inter.count())
+      val joined = inter
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a")), "doc_a")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b")), "doc_b")
+        .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+        .filter(col("jaccard") >= DedupQueries.JaccardThreshold)
+      time("joined (full tail)")(joined.count())
+      time("joined again")(joined.count())
+      time("full jaccard (2nd build)")(DedupQueries.qNgramJaccard(spark, dir).count())
+      spark.stop(); return
+    }
     if (args.lift(1).contains("jac")) {
       import graft.ext.dedup.DedupQueries
       sys.env.get("SPARK_PROFILE_COALESCE").foreach(v =>
@@ -207,6 +237,8 @@ object Profile {
       time("full jaccard")(DedupQueries.qNgramJaccard(spark, dir).count())
       time("full jaccard capped")(DedupQueries.qNgramJaccardCapped(spark, dir).count())
       time("full curate")(graft.ext.pipeline.CurateQueries.qCurate(spark, dir).count())
+      time("full clusters")(DedupQueries.qDedupClusters(spark, dir).count())
+      time("full curate_clustered")(graft.ext.pipeline.CurateQueries.qCurateClustered(spark, dir).count())
       val q = graft.ext.text.TextQueries.qQuality(spark, dir)
       time("quality")(q.count())
       time("exact")(DedupQueries.qExact(spark, dir).count())
