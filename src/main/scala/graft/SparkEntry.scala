@@ -30,6 +30,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     etl.EventsQueries.queries ++
       batch.AnalyticsQueries.queries ++
+      batch.TpchBreadthQueries.queries ++
       batch.SqlSurfaceQueries.queries ++
       ext.text.TextQueries.queries ++
       ext.dedup.DedupQueries.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     etl.EventsQueries.oracles ++
       batch.AnalyticsQueries.oracles ++
+      batch.TpchBreadthQueries.oracles ++
       batch.SqlSurfaceQueries.oracles ++
       ext.text.TextQueries.oracles ++
       ext.dedup.DedupQueries.oracles ++
