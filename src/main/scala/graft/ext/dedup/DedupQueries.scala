@@ -402,8 +402,10 @@ object DedupQueries {
 
   private val shSql = TextNorm.shinglesSql("t")
 
-  /** Shared CTE prefix: tokens → shingles → exploded shingle rows. */
-  private val shingleCtes =
+  /** Shared CTE prefix: tokens → shingles → exploded shingle rows. Shared
+    * with the contamination oracle in graft.ext.pipeline so both gates
+    * agree on one shingle definition. */
+  private[graft] val shingleCtes =
     s"""toks AS (SELECT doc_id, ${TextNorm.toksSql} AS t FROM documents),
        |sh AS (SELECT doc_id, $shSql AS shingles FROM toks),
        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)""".stripMargin

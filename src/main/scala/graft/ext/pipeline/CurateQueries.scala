@@ -107,11 +107,72 @@ object CurateQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
   }
 
+  /** Benchmark-contamination check: for each held-out (test-split) doc,
+    * the fraction of its distinct 3-gram shingles that appear anywhere in
+    * the train split — the standard train/test leakage audit before a
+    * corpus ships. Splits come from the same content-independent hash as
+    * [[qSampleSplit]], so the audit is reproducible at any scale.
+    *
+    * Plan shape: the shingle pipeline runs ONCE into a materialized
+    * (doc, shingle-hash, bucket) frame; train and test projections both
+    * read it. The hit test is a LEFT SEMI join of test shingles against
+    * the DISTINCT train shingle hashes — one exchange of 8-byte keys. At
+    * 100 TB the benchmark side is the small one: snapshot its distinct
+    * shingle set and bloom-prune the train scan instead (same semantics,
+    * the semi-join stays as the exact confirm). */
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(Exact.md5Long(concat(lit("split|"), col("doc_id"))), lit(100))
+    val sh = DedupQueries.shingleRows(spark, dir)
+      .select(col("doc_id"), Exact.md5Long(col("s")).as("h"), bucket.as("bucket"))
+      .localCheckpoint()
+    val trainH = sh.filter(col("bucket") < TrainPct).select(col("h")).distinct()
+    val test = sh.filter(col("bucket") >= ValPct)
+    val totals = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = test.join(trainH, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contamination",
+        col("n_hit").cast("double") / col("n_shingles"))
+      .withColumn("flagged", col("contamination") >= lit(ContaminationMax))
+  }
+
+  val ContaminationMax = 0.5
+
+  /** Per-language target sampling rates for [[qStratifiedSample]]: the
+    * usual corpus-mixing move (keep most of the high-resource language,
+    * thin the rest). Unlisted languages fall to the default. */
+  val StratRates: Seq[(String, Double)] = Seq("en" -> 0.5, "de" -> 0.3)
+  val StratDefault = 0.1
+
+  /** Deterministic stratified sampling: each doc is kept iff its
+    * content-independent hash bucket falls under its language's target
+    * rate — RNG-free, reproducible, and exactly rescalable (a rate change
+    * only adds/removes docs, never reshuffles survivors). Narrow filter +
+    * one tiny aggregate; the 100 TB plan is the same plan. */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(Exact.md5Long(concat(lit("strat|"), col("doc_id"))), lit(1000))
+    val rate = StratRates.foldRight(lit(StratDefault)) { case ((l, r), acc) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), rate.as("target_rate"),
+        (bucket < rate * lit(1000.0)).as("sampled"))
+      .groupBy(col("lang"), col("target_rate"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+      .withColumn("realized_rate",
+        col("n_sampled").cast("double") / col("n_total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_pipeline"  -> (qCurate _),
     "curate_clustered" -> (qCurateClustered _),
     "sample_split"    -> (qSampleSplit _),
-    "pack_shards"     -> (qPackShards _))
+    "pack_shards"     -> (qPackShards _),
+    "q_contamination" -> (qContamination _),
+    "q_strat_sample"  -> (qStratifiedSample _))
 
   // ------------------------------------------------------------- oracles
 
@@ -161,6 +222,41 @@ object CurateQueries {
          |       ELSE 'test' END AS split,
          |  count(*) AS n_docs
          |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_contamination" -> {
+      // distinct on shingle STRINGS before hashing (mirrors shingleRows'
+      // dedup=true exactly, even under a 60-bit hash collision)
+      val splitSql = Exact.md5LongSql("'split|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH ${DedupQueries.shingleCtes},
+         |exd AS (SELECT doc_id, ${Exact.md5LongSql("s")} AS h
+         |        FROM (SELECT DISTINCT doc_id, s FROM ex)),
+         |bucketed AS (SELECT doc_id, h, $splitSql % 100 AS bucket FROM exd),
+         |train_h AS (SELECT DISTINCT h FROM bucketed WHERE bucket < $TrainPct),
+         |test AS (SELECT doc_id, h FROM bucketed WHERE bucket >= $ValPct),
+         |totals AS (SELECT doc_id, count(*) AS n_shingles FROM test GROUP BY 1),
+         |hits AS (SELECT doc_id, count(*) AS n_hit FROM test
+         |         WHERE h IN (SELECT h FROM train_h) GROUP BY 1)
+         |SELECT t.doc_id, t.n_shingles,
+         |  coalesce(hits.n_hit, 0) AS n_hit,
+         |  CAST(coalesce(hits.n_hit, 0) AS DOUBLE) / t.n_shingles AS contamination,
+         |  (CAST(coalesce(hits.n_hit, 0) AS DOUBLE) / t.n_shingles)
+         |    >= CAST($ContaminationMax AS DOUBLE) AS flagged
+         |FROM totals t LEFT JOIN hits ON t.doc_id = hits.doc_id""".stripMargin
+    },
+    "q_strat_sample" -> {
+      val rateCase = StratRates.map { case (l, r) =>
+        s"WHEN lang = '$l' THEN CAST($r AS DOUBLE)"
+      }.mkString("CASE ", " ", s" ELSE CAST($StratDefault AS DOUBLE) END")
+      s"""WITH rated AS (
+         |  SELECT lang, $rateCase AS target_rate,
+         |    ${Exact.md5LongSql("'strat|' || CAST(doc_id AS VARCHAR)")} % 1000 AS b
+         |  FROM documents)
+         |SELECT lang, target_rate, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN CAST(b AS DOUBLE) < target_rate * 1000.0
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(CAST(sum(CASE WHEN CAST(b AS DOUBLE) < target_rate * 1000.0
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / count(*) AS realized_rate
+         |FROM rated GROUP BY 1, 2""".stripMargin
+    },
     "pack_shards" ->
       s"""WITH toks AS (
          |  SELECT doc_id, lang, CAST(len(${TextNorm.toksSql}) AS BIGINT) AS n_tokens

@@ -109,11 +109,48 @@ object TextQueries {
       size(array_distinct(t)).cast("long").as("n_distinct_tokens"))
   }
 
+  /** Corpus heavy hitters: the [[HeavyHittersK]] most frequent tokens with
+    * total occurrences and document frequency. The canonical word-count
+    * shape: explode → hash-aggregate on token (map-side partial combine
+    * does the heavy lifting — the shuffle carries one row per distinct
+    * token per partition, not per occurrence), then a total-order top-K
+    * over the bounded vocabulary aggregate. Deterministic tie-break
+    * (count desc, token asc). The production use: boilerplate detection
+    * and stopword-list induction before dedup/quality stages. */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("tok"))
+      .limit(HeavyHittersK)
+
+  val HeavyHittersK = 30
+
+  /** Pattern redaction: count and replace blocklisted terms, fingerprint
+    * the redacted text. One narrow codegen'd projection — the exact shape
+    * of PII scrubbing (emails/phones/IDs) in a production corpus; this
+    * corpus contains no PII-shaped strings by construction (TESTDATA.md
+    * synthetic word-salad), so the patterns here target real tokens and
+    * the production swap is just the regex constant. */
+  val RedactPattern = "\\b(customer|spark|vector)\\b"
+
+  def qRedact(spark: SparkSession, dir: String): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      size(regexp_extract_all(t, lit(RedactPattern), lit(0))).cast("long").as("n_redacted"),
+      md5(regexp_replace(t, RedactPattern, "<TERM>")).as("redacted_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_langid"      -> (qLangId _),
-    "text_quality"     -> (qQuality _),
-    "text_tokens"      -> (qTokens _),
-    "text_fingerprint" -> (qFingerprint _))
+    "text_langid"        -> (qLangId _),
+    "text_quality"       -> (qQuality _),
+    "text_tokens"        -> (qTokens _),
+    "text_fingerprint"   -> (qFingerprint _),
+    "text_heavy_hitters" -> (qHeavyHitters _),
+    "text_redact"        -> (qRedact _))
 
   // ------------------------------------------------------------- oracles
 
@@ -177,5 +214,20 @@ object TextQueries {
       s"""SELECT doc_id, source,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fingerprint,
          |  CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_distinct_tokens
+         |FROM documents""".stripMargin,
+    "text_heavy_hitters" ->
+      s"""SELECT tok, count(*) AS occurrences,
+         |  count(DISTINCT doc_id) AS doc_freq
+         |FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |GROUP BY 1
+         |ORDER BY occurrences DESC, tok
+         |LIMIT $HeavyHittersK""".stripMargin,
+    // note DuckDB's regexp_replace needs the explicit 'g' flag to match
+    // Spark's replace-all semantics; \b is the ASCII word boundary in both
+    // Java regex and RE2
+    "text_redact" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(len(regexp_extract_all(coalesce(text,''), '\\b(customer|spark|vector)\\b')) AS BIGINT) AS n_redacted,
+         |  md5(regexp_replace(coalesce(text,''), '\\b(customer|spark|vector)\\b', '<TERM>', 'g')) AS redacted_fp
          |FROM documents""".stripMargin)
 }

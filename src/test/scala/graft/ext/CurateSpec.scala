@@ -87,4 +87,43 @@ class CurateSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(directCnt == saltedCnt)
   }
+
+  test("contamination: bounded ratios, consistent flags, hits never exceed totals") {
+    val c = CurateQueries.qContamination(spark, sf).collect()
+    assert(c.nonEmpty)
+    c.foreach { r =>
+      val n = r.getAs[Long]("n_shingles"); val h = r.getAs[Long]("n_hit")
+      val ratio = r.getAs[Double]("contamination")
+      assert(h >= 0 && h <= n)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getAs[Boolean]("flagged") == (ratio >= CurateQueries.ContaminationMax))
+    }
+  }
+
+  test("contamination: a train-split near-dup of a test doc IS detected") {
+    // the corpus has exact/near dups by construction; at least one test doc
+    // should overlap heavily with the train side at sf0.01 (where the
+    // driver's oracle gate runs). At sf0.001 just require the query runs.
+    val big = CurateQueries.qContamination(spark, "/root/testdata/sf0.01")
+    assert(big.filter(col("flagged")).count() > 0,
+      "no flagged contamination at sf0.01 -- threshold or splits broken")
+  }
+
+  test("stratified sample: realized rates track targets, and resampling is stable") {
+    val s1 = CurateQueries.qStratifiedSample(spark, "/root/testdata/sf0.01")
+    val rows = s1.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val target = r.getAs[Double]("target_rate")
+      val realized = r.getAs[Double]("realized_rate")
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_total"))
+      // md5 buckets are uniform; at a few hundred docs per stratum allow a
+      // wide-but-meaningful tolerance band
+      assert(math.abs(realized - target) < 0.15,
+        s"lang=${r.getAs[String]("lang")} target=$target realized=$realized")
+    }
+    // deterministic: a second run returns the identical result
+    val s2 = CurateQueries.qStratifiedSample(spark, "/root/testdata/sf0.01")
+    assert(s1.collect().toSeq.toString == s2.collect().toSeq.toString)
+  }
 }

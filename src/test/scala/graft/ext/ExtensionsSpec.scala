@@ -152,4 +152,25 @@ class ExtensionsSpec extends SparkSpec {
     val q = TextQueries.qQuality(spark, sf)
     assert(q.filter($"quality_score" < 0.0 || $"quality_score" > 1.0).isEmpty)
   }
+
+  test("heavy hitters: exactly K rows, monotone counts, doc_freq <= occurrences") {
+    val hh = TextQueries.qHeavyHitters(spark, sf).collect()
+    assert(hh.length == TextQueries.HeavyHittersK)
+    val occs = hh.map(_.getAs[Long]("occurrences"))
+    assert(occs.zip(occs.tail).forall { case (a, b) => a >= b }, "not sorted desc")
+    hh.foreach(r =>
+      assert(r.getAs[Long]("doc_freq") <= r.getAs[Long]("occurrences")))
+  }
+
+  test("redaction: fingerprint changes iff terms were redacted, counts are real") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("orig_fp"))
+    val joined = TextQueries.qRedact(spark, sf).join(docs, "doc_id").collect()
+    assert(joined.exists(_.getAs[Long]("n_redacted") > 0), "blocklist never fired")
+    joined.foreach { r =>
+      val changed = r.getAs[String]("redacted_fp") != r.getAs[String]("orig_fp")
+      assert(changed == (r.getAs[Long]("n_redacted") > 0),
+        s"doc ${r.getAs[Long]("doc_id")}: changed=$changed n=${r.getAs[Long]("n_redacted")}")
+    }
+  }
 }
