@@ -81,25 +81,30 @@ object TpchBreadthQueries {
   }
 
   /** Q7-shaped bilateral trade volume: revenue shipped between two nations
-    * (either direction) per year. Supplier and customer nations resolve
-    * through broadcast dims; the only shuffle is lineitem⋈orders on
-    * orderkey. The nation-pair filter applies post-broadcast-join, before
-    * the aggregate. */
+    * (either direction) per year. Both dims are pre-filtered to the two
+    * target nations BEFORE any fact-side join — the OR pair predicate
+    * spans two relations so Catalyst can't push it below the joins itself,
+    * but its single-relation implications (supp ∈ {A,B}, cust ∈ {A,B})
+    * can be applied manually, and the inner supplier join then drops
+    * ~23/25ths of lineitem before the one orderkey shuffle. The residual
+    * pair filter removes the two same-nation combinations. */
   def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
     val natA = "NATION_3"; val natB = "NATION_7"
     val supp = Tables.supplier(spark, dir)
-      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name").isin(natA, natB))),
+        col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     val cust = Tables.customer(spark, dir)
-      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name").isin(natA, natB))),
+        col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
     val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
         col("l_extendedprice"), col("l_discount"))
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
       .filter((col("supp_nation") === natA && col("cust_nation") === natB) ||
               (col("supp_nation") === natB && col("cust_nation") === natA))
       .groupBy(col("supp_nation"), col("cust_nation"),
@@ -267,9 +272,12 @@ object TpchBreadthQueries {
 
   /** Q18-shaped large-volume orders: orders whose total quantity exceeds
     * 140 units, with their customers — IN over a grouped HAVING. The
-    * quantity aggregate runs first (one shuffle on orderkey) and its rare
-    * survivors broadcast into orders; customer resolves by broadcast.
-    * Top-100 by totalprice with orderkey tiebreak. */
+    * quantity aggregate runs first (one shuffle on orderkey) and joins
+    * orders on the same key — NO broadcast hint: the threshold sits near
+    * the order-size mean, so survivors are a constant fraction of all
+    * orders (~24% here), not a dimension; AQE picks the strategy from the
+    * aggregate's real size. Customer resolves by broadcast. Top-100 by
+    * totalprice with orderkey tiebreak. */
   def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
     val bigOrders = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
@@ -277,7 +285,7 @@ object TpchBreadthQueries {
       .filter(col("qty_cents") > 140L * 100L)
     val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
     Tables.orders(spark, dir)
-      .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"),

@@ -1,6 +1,6 @@
 package graft.ext.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -75,10 +75,17 @@ object CurateQueries {
       .join(clusterLosers, Seq("doc_id"), "left_anti")
   }
 
+  /** The split-bucket expression — THE single definition of the corpus
+    * train/val/test assignment, shared by [[qSampleSplit]] and the
+    * contamination audit (which is only meaningful if it audits the split
+    * the corpus actually ships with). */
+  private def splitBucket: Column =
+    pmod(Exact.md5Long(concat(lit("split|"), col("doc_id"))), lit(100))
+
   /** Deterministic train/val/test split by content-independent hash of the
     * doc id — reproducible at any scale, no RNG. Counts per (lang, split). */
   def qSampleSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(Exact.md5Long(concat(lit("split|"), col("doc_id"))), lit(100))
+    val bucket = splitBucket
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         when(bucket < TrainPct, "train")
@@ -121,9 +128,11 @@ object CurateQueries {
     * shingle set and bloom-prune the train scan instead (same semantics,
     * the semi-join stays as the exact confirm). */
   def qContamination(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(Exact.md5Long(concat(lit("split|"), col("doc_id"))), lit(100))
+    // val-split rows (TrainPct ≤ bucket < ValPct) are dropped BEFORE the
+    // materialization — no consumer reads them
     val sh = DedupQueries.shingleRows(spark, dir)
-      .select(col("doc_id"), Exact.md5Long(col("s")).as("h"), bucket.as("bucket"))
+      .select(col("doc_id"), Exact.md5Long(col("s")).as("h"), splitBucket.as("bucket"))
+      .filter(col("bucket") < TrainPct || col("bucket") >= ValPct)
       .localCheckpoint()
     val trainH = sh.filter(col("bucket") < TrainPct).select(col("h")).distinct()
     val test = sh.filter(col("bucket") >= ValPct)

@@ -115,12 +115,19 @@ class TpchBreadthSpec extends SparkSpec {
   test("non-vacuous at sf0.001: row-returning breadth queries return rows") {
     // q21/q22 select rare events (sole-late supplier, lapsed rich customer)
     // and only yield rows from sf0.01 up — the scale the driver's oracle
-    // gate runs at; here just exercise their plans. The rest must be
-    // non-empty even at sf0.001.
+    // gate runs at; here just exercise their plans. Global aggregates
+    // (q17/q19) always emit exactly one row, so "has rows" is vacuous for
+    // them — assert the aggregate VALUE is non-null instead (a null means
+    // the filters matched nothing). The rest must be non-empty even here.
     val rareAtTinyScale = Set("q21_sole_late", "q22_idle_custs")
-    (TpchBreadthQueries.queries.keySet -- rareAtTinyScale).foreach { name =>
+    val globalAggs = Set("q17_small_qty_loss", "q19_disjunctive")
+    (TpchBreadthQueries.queries.keySet -- rareAtTinyScale -- globalAggs).foreach { name =>
       val n = TpchBreadthQueries.queries(name)(spark, sf).count()
       assert(n > 0, s"$name returned no rows at sf0.001")
+    }
+    globalAggs.foreach { name =>
+      val row = TpchBreadthQueries.queries(name)(spark, sf).head()
+      assert(!row.isNullAt(0), s"$name aggregate is null at sf0.001 (empty match)")
     }
     rareAtTinyScale.foreach { name =>
       assert(TpchBreadthQueries.queries(name)(spark, sf).count() >= 0)

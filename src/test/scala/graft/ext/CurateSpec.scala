@@ -122,8 +122,11 @@ class CurateSpec extends SparkSpec {
       assert(math.abs(realized - target) < 0.15,
         s"lang=${r.getAs[String]("lang")} target=$target realized=$realized")
     }
-    // deterministic: a second run returns the identical result
+    // deterministic: a second run returns the identical result SET (row
+    // order of a groupBy output is not a Spark contract — compare sorted)
     val s2 = CurateQueries.qStratifiedSample(spark, "/root/testdata/sf0.01")
-    assert(s1.collect().toSeq.toString == s2.collect().toSeq.toString)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.sortBy(_.getAs[String]("lang")).toString
+    assert(sorted(s1) == sorted(s2))
   }
 }
