@@ -337,30 +337,35 @@ object TpchBreadthQueries {
   /** Q21-shaped sole-late supplier: NATION_2 suppliers that were the ONLY
     * late shipper (>60 days after order date) on a completed multi-supplier
     * order. TPC-H's EXISTS + NOT EXISTS pair over lineitem self-joins is
-    * computed as ONE per-order aggregate — distinct suppliers and distinct
-    * late suppliers — then joined to the candidate late lines: the fact
-    * table is scanned once instead of three times, and the semantics are
-    * identical (the oracle spells the EXISTS form). */
+    * folded into ONE per-order aggregate: distinct suppliers, distinct
+    * late suppliers, AND the target-nation late supplier names collected
+    * in the same pass — the fact table is scanned ONCE and shuffles ONCE
+    * (on orderkey); qualifying names explode from the filtered aggregate.
+    * After the n_late_supp == 1 cut every collected name belongs to the
+    * single late supplier, so exploding counts exactly its late lines.
+    * Semantics identical to the self-join form (spec-pinned; the oracle
+    * spells the EXISTS form). */
   def q21SoleLate(spark: SparkSession, dir: String): DataFrame = {
     val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
     val ord = Tables.orders(spark, dir)
       .filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_orderdate"))
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
-    val orderStats = li
-      .groupBy(col("l_orderkey").as("okey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"))
     val supp = Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === "NATION_2")),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"))
-    li.filter(late)
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(orderStats, col("l_orderkey") === col("okey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"),
+        collect_list(when(late && col("s_name").isNotNull, col("s_name")))
+          .as("late_names"))
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .select(explode(col("late_names")).as("s_name"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
   }

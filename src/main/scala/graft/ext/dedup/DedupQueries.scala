@@ -388,7 +388,43 @@ object DedupQueries {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  /** Intra-document repetition score: 1 − distinct/total over each doc's
+    * 3-gram shingle multiset — the "templated/looping text" quality signal
+    * (decoder loops, boilerplate stutter). Rides the same shingle pipeline
+    * as the dedup family (dedup=false: multiplicity is the signal here);
+    * one groupBy(doc_id) is the only exchange, and the distinct count is
+    * exact (countDistinct over the 60-bit shingle hash). */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    shingleRows(spark, dir, dedup = false)
+      .select(col("doc_id"), Exact.md5Long(col("s")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("h")).as("n_distinct"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"))
+
+  /** Cross-source duplication matrix: near-dup pair counts by (source,
+    * source) — "which sources copy from each other", the provenance view
+    * that decides which feeds to drop or down-weight. Pairs come from the
+    * jaccard query (posting-list path, materialized once); sources attach
+    * via two broadcast lookups against the doc→source projection; the
+    * matrix is canonicalized upper-triangular (least/greatest) so A→B and
+    * B→A collapse. Output is at most |sources|² rows regardless of corpus
+    * size. */
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val pairs = qNgramJaccard(spark, dir)
+      .join(broadcast(src.toDF("doc_a", "src_a")), "doc_a")
+      .join(broadcast(src.toDF("doc_b", "src_b")), "doc_b")
+    pairs
+      .groupBy(least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition"     -> (qRepetition _),
+    "dedup_source_matrix" -> (qSourceOverlap _),
     "dedup_exact"         -> (qExact _),
     "dedup_minhash"       -> (qMinhash _),
     "dedup_simhash"       -> (qSimhash _),
@@ -414,6 +450,30 @@ object DedupQueries {
   private val hashBSql = HashB.mkString("[", ",", "]")
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, ${TextNorm.toksSql} AS t FROM documents),
+         |shm AS (SELECT doc_id,
+         |  CASE WHEN len(t) >= 3
+         |    THEN [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]
+         |    ELSE [array_to_string(t, ' ')] END AS s
+         |  FROM toks),
+         |exm AS (SELECT doc_id, ${Exact.md5LongSql("s")} AS h
+         |        FROM (SELECT doc_id, unnest(s) AS s FROM shm))
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  count(DISTINCT h) AS n_distinct,
+         |  CAST(1.0 AS DOUBLE) - CAST(count(DISTINCT h) AS DOUBLE) / count(*) AS rep_ratio
+         |FROM exm GROUP BY 1""".stripMargin,
+    "dedup_source_matrix" ->
+      s"""WITH pairs AS (
+         |$ngramJaccardSql
+         |)
+         |SELECT least(da.source, db.source) AS source_x,
+         |  greatest(da.source, db.source) AS source_y,
+         |  count(*) AS n_dup_pairs
+         |FROM pairs p
+         |JOIN documents da ON p.doc_a = da.doc_id
+         |JOIN documents db ON p.doc_b = db.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     "dedup_exact" ->
       s"""SELECT md5(${TextNorm.normSql}) AS content_hash,
          |  min(doc_id) AS keeper_doc_id, count(*) AS n_docs

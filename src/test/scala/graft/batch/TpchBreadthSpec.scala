@@ -52,8 +52,12 @@ class TpchBreadthSpec extends SparkSpec {
   }
 
   test("q21: one-pass aggregate formulation equals the EXISTS/NOT-EXISTS self-joins") {
+    // sf0.01, not sf0.001: the tiny scale has NO sole-late suppliers, and
+    // empty == empty proves nothing about the rewrite
+    val sf = "/root/testdata/sf0.01"
     val agg = TpchBreadthQueries.q21SoleLate(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(agg.nonEmpty, "equivalence check is vacuous on an empty result")
     // the textbook form: late l1 joined against other-supplier existence and
     // other-late-supplier absence via distinct self-join projections
     val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
