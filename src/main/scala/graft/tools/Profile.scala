@@ -103,6 +103,33 @@ object Profile {
       knn(1)
       time("knn_brute @ 1x (100q x 2k)")(knn(1))
       time("knn_brute @ 10x (100q x 20k)")(knn(10))
+      // TPC-H breadth: q21-style one-pass per-order aggregate at 10x rows
+      val li10b = li.crossJoin(spark.range(10).withColumnRenamed("id", "cp"))
+        .withColumn("l_orderkey", col("l_orderkey") * 10 + col("cp")).drop("cp")
+      def q21ish(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("l_quantity") > 40, col("l_suppkey"))).as("n_hot"))
+        .filter(col("n_supp") >= 2 && col("n_hot") === 1).count()
+      q21ish(li)
+      time("q21-agg @ 1x (600k)")(q21ish(li))
+      time("q21-agg @ 10x (6M)")(q21ish(li10b))
+      // contamination-style semi-join of hashed keys at 10x
+      import graft.ext.dedup.DedupQueries
+      val sh0 = DedupQueries.shingleRows(spark, dir, dedup = false)
+        .select(col("doc_id"), Exact.md5Long(col("s")).as("h"))
+      def contam(mult: Int) = {
+        val sh = if (mult == 1) sh0
+          else sh0.crossJoin(spark.range(mult.toLong).withColumnRenamed("id", "cp"))
+            .withColumn("doc_id", col("doc_id") * mult + col("cp")).drop("cp")
+        val train = sh.filter(col("doc_id") % 20 =!= 0).select("h").distinct()
+        sh.filter(col("doc_id") % 20 === 0)
+          .join(train, Seq("h"), "left_semi")
+          .groupBy("doc_id").count().count()
+      }
+      contam(1)
+      time("contam-semi @ 1x (260k sh)")(contam(1))
+      time("contam-semi @ 10x (2.6M sh)")(contam(10))
       spark.stop(); return
     }
     if (args.lift(1).contains("ssjoin")) {
