@@ -422,9 +422,51 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_dup_pairs"))
   }
 
+  /** The "incoming batch" for [[qIncrementalDedup]] — one source plays the
+    * role of today's crawl against the rest of the corpus. */
+  val IncomingSource = "src5"
+
+  /** Incremental-ingest dedup: which INCOMING docs are near-dups of the
+    * EXISTING corpus — the daily operation of a production pipeline, which
+    * must never recompute corpus×corpus pairs. The plan is probe-side
+    * only: the corpus's inverted index (shingle-hash → posting list, the
+    * thing a 100 TB deployment persists between batches) is joined by the
+    * incoming docs' shingles; candidate pairs, Jaccard, and the per-doc
+    * verdict all scale with the BATCH, not the corpus. Here the index
+    * builds in-query from the same materialized (doc, hash, is_new)
+    * frame — at scale it is read back from the previous snapshot.
+    *
+    * Output: one row per contaminated incoming doc with its match count
+    * and best score — the reject/quarantine list for the batch. */
+  def qIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val tag = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("source") === IncomingSource).as("is_new"))
+    val ex = shingleRows(spark, dir)
+      .select(col("doc_id"), Exact.md5Long(col("s")).as("h"))
+      .join(broadcast(tag), "doc_id")
+      .localCheckpoint()
+    val corpusPosts = ex.filter(!col("is_new"))
+      .groupBy(col("h")).agg(collect_set(col("doc_id")).as("docs"))
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val newSh = ex.filter(col("is_new"))
+    val inter = newSh.join(corpusPosts, "h")
+      .select(col("doc_id").as("new_doc_id"), explode(col("docs")).as("old_doc_id"))
+      .groupBy(col("new_doc_id"), col("old_doc_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.toDF("new_doc_id", "n_new")), "new_doc_id")
+      .join(broadcast(sizes.toDF("old_doc_id", "n_old")), "old_doc_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_new") + col("n_old") - col("inter")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .groupBy(col("new_doc_id"))
+      .agg(count(lit(1)).as("n_dup_matches"), max(col("jaccard")).as("max_jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition"     -> (qRepetition _),
     "dedup_source_matrix" -> (qSourceOverlap _),
+    "dedup_incremental"   -> (qIncrementalDedup _),
     "dedup_exact"         -> (qExact _),
     "dedup_minhash"       -> (qMinhash _),
     "dedup_simhash"       -> (qSimhash _),
@@ -463,6 +505,24 @@ object DedupQueries {
          |  count(DISTINCT h) AS n_distinct,
          |  CAST(1.0 AS DOUBLE) - CAST(count(DISTINCT h) AS DOUBLE) / count(*) AS rep_ratio
          |FROM exm GROUP BY 1""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH $shingleCtes,
+         |exg AS (SELECT doc_id, ${Exact.md5LongSql("s")} AS h
+         |        FROM (SELECT DISTINCT doc_id, s FROM ex)),
+         |tagged AS (SELECT e.doc_id, e.h, (d.source = '$IncomingSource') AS is_new
+         |           FROM exg e JOIN documents d USING (doc_id)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM tagged GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS new_doc_id, b.doc_id AS old_doc_id, count(*) AS i
+         |  FROM tagged a JOIN tagged b ON a.h = b.h AND a.is_new AND NOT b.is_new
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT new_doc_id, old_doc_id,
+         |    CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jac
+         |  FROM inter JOIN sizes na ON new_doc_id = na.doc_id
+         |             JOIN sizes nb ON old_doc_id = nb.doc_id)
+         |SELECT new_doc_id, count(*) AS n_dup_matches, max(jac) AS max_jaccard
+         |FROM j WHERE jac >= $JaccardThreshold GROUP BY 1""".stripMargin,
     "dedup_source_matrix" ->
       s"""WITH pairs AS (
          |$ngramJaccardSql

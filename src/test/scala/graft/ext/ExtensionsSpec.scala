@@ -173,4 +173,29 @@ class ExtensionsSpec extends SparkSpec {
         s"doc ${r.getAs[Long]("doc_id")}: changed=$changed n=${r.getAs[Long]("n_redacted")}")
     }
   }
+
+  test("incremental dedup (probe-side plan) equals cross-boundary filter of the full pair set") {
+    // independent derivation: take the corpus-wide jaccard pairs and keep
+    // those with exactly one endpoint in the incoming source — per-doc
+    // match counts and best scores must agree with the probe-side plan
+    val sf01 = "/root/testdata/sf0.01"
+    val incSrc = graft.sources.Tables.documents(spark, sf01)
+      .filter(col("source") === DedupQueries.IncomingSource)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val viaPairs = DedupQueries.qNgramJaccard(spark, sf01).collect()
+      .flatMap { r =>
+        val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        (incSrc.contains(a), incSrc.contains(b)) match {
+          case (true, false) => Some(a -> j)
+          case (false, true) => Some(b -> j)
+          case _ => None
+        }
+      }
+      .groupBy(_._1).map { case (d, js) => (d, js.length.toLong, js.map(_._2).max) }
+      .toSet
+    val viaProbe = DedupQueries.qIncrementalDedup(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaProbe == viaPairs, s"probe=$viaProbe pairs=$viaPairs")
+    assert(viaProbe.nonEmpty, "equivalence is vacuous on an empty result")
+  }
 }
