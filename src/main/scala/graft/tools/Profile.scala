@@ -130,6 +130,49 @@ object Profile {
       contam(1)
       time("contam-semi @ 1x (260k sh)")(contam(1))
       time("contam-semi @ 10x (2.6M sh)")(contam(10))
+      // incremental-dedup probe tail against a PRE-MATERIALIZED corpus
+      // index (the persisted-snapshot regime of qIncrementalDedup): the
+      // batch is broadcast into a scan of the index, so probe time should
+      // track index-scan bandwidth, never candidate-pair volume. Copies
+      // get disjoint hashes (cp<<60 offset) — they enlarge the index
+      // without faking 10x duplicate matches (copy 0 keeps the original
+      // hashes so the batch still finds its true matches; rehashed copies
+      // could collide with real hashes only at the ~2^-60 birthday rate,
+      // noise for a timing probe).
+      val tagI = Tables.documents(spark, dir)
+        .select(col("doc_id"), (col("source") === DedupQueries.IncomingSource).as("is_new"))
+      val exI = DedupQueries.shingleRows(spark, dir)
+        .select(col("doc_id"), Exact.md5Long(col("s")).as("h"))
+        .join(broadcast(tagI), "doc_id").localCheckpoint()
+      val newShI = exI.filter(col("is_new")).localCheckpoint()
+      val nNew = broadcast(newShI.groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
+        .withColumnRenamed("doc_id", "new_doc_id"))
+      def incrProbe(mult: Int): () => Long = {
+        val c0 = exI.filter(!col("is_new"))
+        val corpus = if (mult == 1) c0 else c0
+          .crossJoin(spark.range(mult.toLong).withColumnRenamed("id", "cp"))
+          .withColumn("doc_id", col("doc_id") * mult + col("cp"))
+          .withColumn("h", when(col("cp") === 0, col("h"))
+            .otherwise(xxhash64(col("h"), col("cp"))))
+          .drop("cp")
+        val posts = corpus.groupBy(col("h"))
+          .agg(collect_set(col("doc_id")).as("docs")).localCheckpoint()
+        val sizes = broadcast(posts.select(explode(col("docs")).as("old_doc_id"))
+          .groupBy(col("old_doc_id")).agg(count(lit(1)).as("n_old")))
+        () => posts.join(broadcast(newShI), "h")
+          .select(col("doc_id").as("new_doc_id"), explode(col("docs")).as("old_doc_id"))
+          .groupBy(col("new_doc_id"), col("old_doc_id")).agg(count(lit(1)).as("inter"))
+          .join(nNew, "new_doc_id").join(sizes, "old_doc_id")
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("n_new") + col("n_old") - col("inter")))
+          .filter(col("jaccard") >= DedupQueries.JaccardThreshold)
+          .groupBy(col("new_doc_id"))
+          .agg(count(lit(1)).as("m"), max(col("jaccard")).as("mj")).count()
+      }
+      val p1 = incrProbe(1); p1()
+      time("incr-probe @ 1x corpus")(p1())
+      val p10 = incrProbe(10); p10()
+      time("incr-probe @ 10x corpus")(p10())
       spark.stop(); return
     }
     if (args.lift(1).contains("ssjoin")) {
