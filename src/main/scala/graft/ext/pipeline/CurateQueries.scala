@@ -175,13 +175,68 @@ object CurateQueries {
         col("n_sampled").cast("double") / col("n_total"))
   }
 
+  /** Data-mix rebalancing: thin each language's token mass toward a
+    * UNIFORM per-language token budget (total/n_langs) — the corpus-mixing
+    * step that turns a web-skewed crawl (en ≈ 41% of tokens here) into a
+    * balanced training mix. Per language this reports the observed token
+    * share, the down-sampling rate `min(1, budget/lang_tokens)`, and the
+    * realized post-sample share.
+    *
+    * Sampling is doc-level and RNG-free (content-independent hash bucket
+    * vs rate), so survivors are stable under repartitioning and rate
+    * changes only add/remove docs — same contract as
+    * [[qStratifiedSample]], but with rates COMPUTED from the data instead
+    * of configured.
+    *
+    * Scale shape: tokenize runs ONCE into a materialized per-doc frame
+    * (two consumers — the per-language totals and the sampling filter —
+    * would otherwise each recompute it, the round-2 plan-arm lesson); the
+    * rate table is one bounded-cardinality aggregate plus an unpartitioned
+    * window over language-count rows (kilobytes), broadcast back into the
+    * doc frame. Languages over budget are capped at rate 1.0 rather than
+    * re-allocating their slack (single-pass; water-filling would iterate
+    * this same dimension-sized frame on the driver if exact budget use
+    * ever matters). */
+  def qMixRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      size(TextNorm.toks(col("text"))).cast("long").as("n_tokens"),
+      pmod(Exact.md5Long(concat(lit("mix|"), col("doc_id"))), lit(1000000)).as("b"))
+      .localCheckpoint()
+    val wAll = Window.partitionBy()
+    val rates = toks.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
+      .withColumn("total_tokens", sum(col("lang_tokens")).over(wAll))
+      .withColumn("n_langs", count(lit(1)).over(wAll))
+      .withColumn("token_share",
+        col("lang_tokens").cast("double") / col("total_tokens").cast("double"))
+      .withColumn("target_rate", least(lit(1.0),
+        (col("total_tokens").cast("double") / col("n_langs").cast("double"))
+          / col("lang_tokens").cast("double")))
+      .drop("total_tokens", "n_langs")
+    val sampled = toks
+      .join(broadcast(rates.select(col("lang"), col("target_rate"))), Seq("lang"))
+      .filter(col("b").cast("double") < col("target_rate") * lit(1000000.0))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_tokens")).as("sampled_tokens"))
+    rates.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("lang_tokens"), col("token_share"),
+        col("target_rate"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
+      .withColumn("realized_share",
+        col("sampled_tokens").cast("double")
+          / sum(col("sampled_tokens")).over(wAll).cast("double"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_pipeline"  -> (qCurate _),
     "curate_clustered" -> (qCurateClustered _),
     "sample_split"    -> (qSampleSplit _),
     "pack_shards"     -> (qPackShards _),
     "q_contamination" -> (qContamination _),
-    "q_strat_sample"  -> (qStratifiedSample _))
+    "q_strat_sample"  -> (qStratifiedSample _),
+    "mix_rebalance"   -> (qMixRebalance _))
 
   // ------------------------------------------------------------- oracles
 
@@ -266,6 +321,32 @@ object CurateQueries {
          |                     THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / count(*) AS realized_rate
          |FROM rated GROUP BY 1, 2""".stripMargin
     },
+    "mix_rebalance" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, CAST(len(${TextNorm.toksSql}) AS BIGINT) AS n_tokens,
+         |    ${Exact.md5LongSql("'mix|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS b
+         |  FROM documents),
+         |lang_tot AS (
+         |  SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+         |  FROM toks GROUP BY 1),
+         |rates AS (
+         |  SELECT lang, n_docs, lang_tokens,
+         |    CAST(lang_tokens AS DOUBLE) / CAST(sum(lang_tokens) OVER () AS DOUBLE) AS token_share,
+         |    least(CAST(1.0 AS DOUBLE),
+         |      (CAST(sum(lang_tokens) OVER () AS DOUBLE) / CAST(count(*) OVER () AS DOUBLE))
+         |        / CAST(lang_tokens AS DOUBLE)) AS target_rate
+         |  FROM lang_tot),
+         |sampled AS (
+         |  SELECT t.lang, count(*) AS n_sampled, CAST(sum(t.n_tokens) AS BIGINT) AS sampled_tokens
+         |  FROM toks t JOIN rates r ON t.lang = r.lang
+         |  WHERE CAST(t.b AS DOUBLE) < r.target_rate * 1000000.0
+         |  GROUP BY 1)
+         |SELECT r.lang, r.n_docs, r.lang_tokens, r.token_share, r.target_rate,
+         |  coalesce(s.n_sampled, 0) AS n_sampled,
+         |  coalesce(s.sampled_tokens, 0) AS sampled_tokens,
+         |  CAST(coalesce(s.sampled_tokens, 0) AS DOUBLE)
+         |    / CAST(sum(coalesce(s.sampled_tokens, 0)) OVER () AS DOUBLE) AS realized_share
+         |FROM rates r LEFT JOIN sampled s ON r.lang = s.lang""".stripMargin,
     "pack_shards" ->
       s"""WITH toks AS (
          |  SELECT doc_id, lang, CAST(len(${TextNorm.toksSql}) AS BIGINT) AS n_tokens

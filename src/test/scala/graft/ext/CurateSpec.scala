@@ -129,4 +129,31 @@ class CurateSpec extends SparkSpec {
       df.collect().toSeq.sortBy(_.getAs[String]("lang")).toString
     assert(sorted(s1) == sorted(s2))
   }
+
+  test("mix rebalance: moves the token mix toward uniform, keeps under-budget langs whole") {
+    val rows = CurateQueries.qMixRebalance(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length > 1, "need a multi-language corpus for a mix to exist")
+    val n = rows.length
+    val shares = rows.map(_.getAs[Double]("token_share"))
+    val realized = rows.map(_.getAs[Double]("realized_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+    assert(math.abs(realized.sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("target_rate")
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("sampled_tokens") <= r.getAs[Long]("lang_tokens"))
+      // under-budget languages are never thinned
+      if (rate == 1.0)
+        assert(r.getAs[Long]("n_sampled") == r.getAs[Long]("n_docs"))
+    }
+    // the corpus IS skewed (en-heavy): at least one language must be thinned
+    assert(rows.exists(_.getAs[Double]("target_rate") < 1.0),
+      "no language over budget -- fixture skew assumption broken")
+    // rebalanced mix is closer to uniform than the raw mix (strictly, since
+    // thinning happened): compare max deviation from the uniform share 1/n
+    def maxDev(xs: Array[Double]) = xs.map(x => math.abs(x - 1.0 / n)).max
+    assert(maxDev(realized) < maxDev(shares),
+      s"rebalance did not move toward uniform: ${maxDev(realized)} vs ${maxDev(shares)}")
+  }
 }
