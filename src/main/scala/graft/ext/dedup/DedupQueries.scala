@@ -447,15 +447,26 @@ object DedupQueries {
       .localCheckpoint()
     val corpusPosts = ex.filter(!col("is_new"))
       .groupBy(col("h")).agg(collect_set(col("doc_id")).as("docs"))
-    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val newSh = ex.filter(col("is_new"))
     val inter = newSh.join(corpusPosts, "h")
       .select(col("doc_id").as("new_doc_id"), explode(col("docs")).as("old_doc_id"))
       .groupBy(col("new_doc_id"), col("old_doc_id"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.toDF("new_doc_id", "n_new")), "new_doc_id")
-      .join(broadcast(sizes.toDF("old_doc_id", "n_old")), "old_doc_id")
+    // Size lookups: only BATCH-bounded frames are ever broadcast. The
+    // new-side sizes and the candidate pair set both scale with the batch;
+    // the corpus-side per-doc sizes (one row per corpus doc — a persisted
+    // stat of the index snapshot at deployment) are STREAMED against the
+    // broadcast candidates, so nothing corpus-sized ever collects to the
+    // driver. (A batch with pathological candidate volume would drop the
+    // inter hint and let AQE pick — same plan as the jaccard kernel.)
+    val newSizes = ex.filter(col("is_new"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
+      .toDF("new_doc_id", "n_new")
+    val oldSizes = ex.filter(!col("is_new"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_old"))
+      .toDF("old_doc_id", "n_old")
+    oldSizes.join(broadcast(inter), "old_doc_id")
+      .join(broadcast(newSizes), "new_doc_id")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_new") + col("n_old") - col("inter")))
       .filter(col("jaccard") >= JaccardThreshold)
@@ -494,10 +505,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "text_repetition" ->
       s"""WITH toks AS (SELECT doc_id, ${TextNorm.toksSql} AS t FROM documents),
-         |shm AS (SELECT doc_id,
-         |  CASE WHEN len(t) >= 3
-         |    THEN [array_to_string(t[i:i+2], ' ') for i in generate_series(1, len(t)-2)]
-         |    ELSE [array_to_string(t, ' ')] END AS s
+         |shm AS (SELECT doc_id, ${TextNorm.shinglesMultisetSql("t")} AS s
          |  FROM toks),
          |exm AS (SELECT doc_id, ${Exact.md5LongSql("s")} AS h
          |        FROM (SELECT doc_id, unnest(s) AS s FROM shm))

@@ -198,7 +198,7 @@ object CurateQueries {
     * this same dimension-sized frame on the driver if exact budget use
     * ever matters). */
   def qMixRebalance(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir).select(
+    val toks = Tables.rebalanced(spark, Tables.documents(spark, dir)).select(
       col("doc_id"), col("lang"),
       size(TextNorm.toks(col("text"))).cast("long").as("n_tokens"),
       pmod(Exact.md5Long(concat(lit("mix|"), col("doc_id"))), lit(1000000)).as("b"))

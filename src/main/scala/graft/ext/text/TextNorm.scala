@@ -47,9 +47,21 @@ object TextNorm {
   val toksSql: String =
     "list_filter(string_split_regex(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '')"
 
+  /** The trigram comprehension both DuckDB shingle variants share — ONE
+    * definition, so a tokenizer/width change cannot desynchronize them. */
+  private def trigramsSql(t: String): String =
+    s"[array_to_string($t[i:i+2], ' ') for i in generate_series(1, len($t)-2)]"
+
   /** DuckDB shingles over a token-list column named `t`. */
   def shinglesSql(t: String): String =
     s"""CASE WHEN len($t) >= 3
-       | THEN list_distinct([array_to_string($t[i:i+2], ' ') for i in generate_series(1, len($t)-2)])
+       | THEN list_distinct(${trigramsSql(t)})
+       | ELSE [array_to_string($t, ' ')] END""".stripMargin.replace("\n", "")
+
+  /** Multiset (non-distinct) twin of [[shinglesSql]] — for operators that
+    * COUNT repeated shingles (text_repetition's denominator). */
+  def shinglesMultisetSql(t: String): String =
+    s"""CASE WHEN len($t) >= 3
+       | THEN ${trigramsSql(t)}
        | ELSE [array_to_string($t, ' ')] END""".stripMargin.replace("\n", "")
 }

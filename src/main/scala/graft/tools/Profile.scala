@@ -134,7 +134,7 @@ object Profile {
       // index (the persisted-snapshot regime of qIncrementalDedup): the
       // batch is broadcast into a scan of the index, so probe time should
       // track index-scan bandwidth, never candidate-pair volume. Copies
-      // get disjoint hashes (cp<<60 offset) — they enlarge the index
+      // get disjoint hashes (rehashed via xxhash64(h, cp)) — they enlarge the index
       // without faking 10x duplicate matches (copy 0 keeps the original
       // hashes so the batch still finds its true matches; rehashed copies
       // could collide with real hashes only at the ~2^-60 birthday rate,
