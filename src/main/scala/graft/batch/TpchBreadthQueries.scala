@@ -337,14 +337,21 @@ object TpchBreadthQueries {
   /** Q21-shaped sole-late supplier: NATION_2 suppliers that were the ONLY
     * late shipper (>60 days after order date) on a completed multi-supplier
     * order. TPC-H's EXISTS + NOT EXISTS pair over lineitem self-joins is
-    * folded into ONE per-order aggregate: distinct suppliers, distinct
-    * late suppliers, AND the target-nation late supplier names collected
-    * in the same pass — the fact table is scanned ONCE and shuffles ONCE
-    * (on orderkey); qualifying names explode from the filtered aggregate.
-    * After the n_late_supp == 1 cut every collected name belongs to the
-    * single late supplier, so exploding counts exactly its late lines.
-    * Semantics identical to the self-join form (spec-pinned; the oracle
-    * spells the EXISTS form). */
+    * folded into a TWO-LEVEL aggregate: level 1 groups the fact rows by
+    * (orderkey, suppkey) — per-supplier late-line counts and the (constant)
+    * target-nation name; level 2 groups that by orderkey — supplier count,
+    * late-supplier count, and the sole late supplier's name + late lines.
+    * The fact table is scanned ONCE, and neither level is a DISTINCT
+    * aggregate, so there is NO Expand: the orderkey-level
+    * double-countDistinct form this replaces shuffled ~3 rows per lineitem
+    * (one per distinct group + one for the plain agg), the dominant
+    * constant in the 10× scale probe (SCALING.md); the two-level form
+    * shuffles each row once per level with level 2 already collapsed to
+    * (order, supplier) grain. After the n_late_supp == 1 cut, late_name
+    * and n_late_lines are exactly the sole late supplier's — null name
+    * (supplier outside NATION_2) drops the order, matching the oracle's
+    * join on the target nation. Semantics identical to the self-join form
+    * (spec-pinned; the oracle spells the EXISTS form). */
   def q21SoleLate(spark: SparkSession, dir: String): DataFrame = {
     val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
     val ord = Tables.orders(spark, dir)
@@ -358,16 +365,21 @@ object TpchBreadthQueries {
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left")
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(
+        sum(when(late, 1L).otherwise(0L)).as("late_lines"),
+        max(col("s_name")).as("s_name"))
       .groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"),
-        collect_list(when(late && col("s_name").isNotNull, col("s_name")))
-          .as("late_names"))
-      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
-      .select(explode(col("late_names")).as("s_name"))
-      .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
+        count(lit(1)).as("n_supp"),
+        sum(when(col("late_lines") > 0, 1L).otherwise(0L)).as("n_late_supp"),
+        max(when(col("late_lines") > 0, col("s_name"))).as("late_name"),
+        sum(when(col("late_lines") > 0, col("late_lines")).otherwise(0L))
+          .as("n_late_lines"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1 &&
+        col("late_name").isNotNull)
+      .groupBy(col("late_name").as("s_name"))
+      .agg(sum(col("n_late_lines")).as("numwait"))
   }
 
   /** Q22-shaped idle customers: rich customers (balance above the

@@ -103,13 +103,17 @@ object Profile {
       knn(1)
       time("knn_brute @ 1x (100q x 2k)")(knn(1))
       time("knn_brute @ 10x (100q x 20k)")(knn(10))
-      // TPC-H breadth: q21-style one-pass per-order aggregate at 10x rows
+      // TPC-H breadth: q21-style per-order aggregate at 10x rows — the
+      // shipped TWO-LEVEL shape (no distinct aggregates, so no Expand;
+      // level 1 collapses to (order, supplier) grain, level 2 counts)
       val li10b = li.crossJoin(spark.range(10).withColumnRenamed("id", "cp"))
         .withColumn("l_orderkey", col("l_orderkey") * 10 + col("cp")).drop("cp")
       def q21ish(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(when(col("l_quantity") > 40, 1L).otherwise(0L)).as("hot_lines"))
         .groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("l_quantity") > 40, col("l_suppkey"))).as("n_hot"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("hot_lines") > 0, 1L).otherwise(0L)).as("n_hot"))
         .filter(col("n_supp") >= 2 && col("n_hot") === 1).count()
       q21ish(li)
       time("q21-agg @ 1x (600k)")(q21ish(li))
