@@ -16,8 +16,8 @@ import graft.functions.{Exact, VectorFunctions}
  *    Query set × corpus via join; at 100 TB this is the path you run for a
  *    small query batch against a broadcast-able corpus shard, not all-pairs.
  *  - [[qKnnIvf]]: IVF-style two-stage search — rank partitions (here the
- *    `label` column stands in for k-means cell ids, which at production
- *    scale come from a training job) by query→centroid similarity, probe
+ *    `label` column stands in for k-means cell ids; [[qKmeansTrain]] is
+ *    the training job that produces real ones) by query→centroid similarity, probe
  *    the top `NProbe` cells, exact-search only within them. Work per query
  *    drops from O(N) to O(N · nprobe / cells); the corpus side shuffles
  *    once on the cell id and each probe is a partition-local scan.
@@ -171,10 +171,88 @@ object SimQueries {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  // ------------------------------------------------------------- k-means
+
+  /** Cells for the k-means trainer; small enough that the oracle's
+    * unrolled iterations stay readable, large enough to be a real mix. */
+  val KmeansK = 8
+  /** Fixed Lloyd iteration count — a production trainer iterates to a
+    * movement threshold; a FIXED count keeps the result a pure function
+    * of the input, which is what the determinism/oracle gates require. */
+  val KmeansIters = 3
+
+  /** Distributed k-means (Lloyd's) over the quantized embeddings — the
+    * training job that produces [[qKnnIvf]]'s cells (the fixture `label`
+    * column stands in for them elsewhere; this is the "production cells
+    * come from k-means, same plan" path in SCALING.md).
+    *
+    * Shape per iteration: the K×dim centroid table lives as LITERALS in
+    * the assignment expression (collected on the driver — dimension-sized
+    * state, the k-means equivalent of a broadcast dim), so assignment is
+    * one narrow codegen'd pass: per centroid an integer
+    * [[graft.functions.ArrayDotLong]] against a literal array, argmin via
+    * `array_min` over (distance, cell) structs. The update is one
+    * (K·dim)-key exchange of partial integer sums with map-side combine.
+    * At 100 TB: iterations scan the corpus once each; nothing ever
+    * shuffles more than K·dim rows of aggregate state.
+    *
+    * Determinism: exact-integer distances (squared Euclidean in
+    * micro-units; the per-vector x·x term is dropped — constant within an
+    * argmin), ties broken on cell id, centroid components floor-divided
+    * the same way as [[centroids]]. Seeds are the K lowest vec_ids. A
+    * cell that loses every member drops out (standard Lloyd collapse) —
+    * deterministically in both engines. The DuckDB oracle unrolls the
+    * same [[KmeansIters]] iterations and hash-matches the final
+    * centroids, so the TRAINER itself is under the correctness gate.
+    *
+    * Output grain: one row per (cell, dimension index) with the centroid
+    * component and the member count that produced it. */
+  def qKmeansTrain(spark: SparkSession, dir: String): DataFrame = {
+    val data = quantized(spark, dir).select(col("vec_id"), col("v"))
+      .localCheckpoint() // iterations re-scan this; never re-quantize
+    var cents: Array[(Long, Array[Long])] = data
+      .orderBy(col("vec_id")).limit(KmeansK).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    var assigned: DataFrame = null
+    for (_ <- 1 to KmeansIters) {
+      val scored = array(cents.map { case (cl, c) =>
+        val cn = c.map(x => x * x).sum
+        struct(
+          (lit(cn) - lit(2L) * VectorFunctions.arrayDotLong(col("v"), lit(c)))
+            .as("dist"),
+          lit(cl).as("cl"))
+      }: _*)
+      assigned = data.withColumn("cl", array_min(scored).getField("cl"))
+      cents = assigned
+        .select(col("cl"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cl"), col("i"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .withColumn("c", floor(col("s").cast("double") / col("n")).cast("long"))
+        .groupBy(col("cl"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          t => t.getField("c")).as("c"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+    }
+    // final centroids + the member counts of the assignment that produced
+    // them, at (cell, dim-index) grain for a fine-grained hash compare
+    assigned
+      .select(col("cl").as("cluster"), posexplode(col("v")).as(Seq("i", "x")))
+      // 1-based dimension index (posexplode is 0-based, the oracle's
+      // generate_series subscripting is 1-based)
+      .groupBy(col("cluster"), (col("i") + 1).cast("long").as("i"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("i"),
+        floor(col("s").cast("double") / col("n_members")).cast("long").as("c"),
+        col("n_members"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "knn_brute" -> (qKnnBrute _),
-    "knn_ivf"   -> (qKnnIvf _),
-    "knn_lsh"   -> (qKnnLsh _))
+    "knn_brute"    -> (qKnnBrute _),
+    "knn_ivf"      -> (qKnnIvf _),
+    "knn_lsh"      -> (qKnnLsh _),
+    "kmeans_train" -> (qKmeansTrain _))
 
   // ------------------------------------------------------------- oracles
 
@@ -190,6 +268,26 @@ object SimQueries {
 
   private def cosSql(a: String, b: String, na: String, nb: String): String =
     s"CAST(${dotSql(a, b)} AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
+
+  /** One unrolled Lloyd iteration: assignment against `prevCent` (argmin
+    * of the same integer distance score the Spark side computes, ties on
+    * cell id) + the centroid update at (cell, dim) grain. Generated from
+    * ONE template so every iteration — and the Spark twin — shares a
+    * single distance/update definition. */
+  private def kmeansIterSql(n: Int, prevCent: String): String =
+    s"""a$n AS (
+       |  SELECT vec_id, v, cl FROM (
+       |    SELECT q.vec_id, q.v, s.cl,
+       |      ${dotSql("s.c", "s.c")} - 2 * ${dotSql("q.v", "s.c")} AS dist
+       |    FROM q CROSS JOIN $prevCent s)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+       |c${n}rows AS (
+       |  SELECT cl, i,
+       |    CAST(floor(CAST(CAST(sum(v[i]) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS c,
+       |    count(*) AS n
+       |  FROM a$n, generate_series(1, $Dim) t(i)
+       |  GROUP BY cl, i),
+       |cent$n AS (SELECT cl, list(c ORDER BY i) AS c FROM c${n}rows GROUP BY cl)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "knn_brute" ->
@@ -228,6 +326,15 @@ object SimQueries {
          |JOIN qs ON qs.query_id = c.query_id
          |JOIN q b ON b.vec_id = c.vec_id
          |QUALIFY rank <= $K""".stripMargin,
+    "kmeans_train" -> {
+      val iters = (1 to KmeansIters).map(n =>
+        kmeansIterSql(n, if (n == 1) "seeds" else s"cent${n - 1}")).mkString(",\n")
+      s"""WITH ${graft.ext.dedup.DedupQueries.quantizedSql},
+         |seeds AS (SELECT vec_id AS cl, v AS c FROM q ORDER BY vec_id LIMIT $KmeansK),
+         |$iters
+         |SELECT cl AS cluster, CAST(i AS BIGINT) AS i, c, n AS n_members
+         |FROM c${KmeansIters}rows""".stripMargin
+    },
     "knn_ivf" ->
       s"""WITH $baseCtes,
          |csum_rows AS (

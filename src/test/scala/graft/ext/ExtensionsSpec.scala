@@ -198,4 +198,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaProbe == viaPairs, s"probe=$viaProbe pairs=$viaPairs")
     assert(viaProbe.nonEmpty, "equivalence is vacuous on an empty result")
   }
+
+  test("kmeans_train: complete cell rows, counts partition the corpus, Lloyd beats the seeds") {
+    val rows = SimQueries.qKmeansTrain(spark, sf).collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    assert(byCluster.size > 1 && byCluster.size <= SimQueries.KmeansK)
+    byCluster.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("i")).sorted.toSeq == (1L to SimQueries.Dim.toLong),
+        "every surviving cell must carry all dimension components")
+      assert(rs.map(_.getAs[Long]("n_members")).distinct.length == 1,
+        "member count must be constant across a cell's component rows")
+    }
+    val corpus = DedupQueries.quantized(spark, sf)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    assert(byCluster.values.map(_.head.getAs[Long]("n_members")).sum == corpus.length,
+      "cell member counts must partition the corpus")
+    // Lloyd monotonicity, verified independently: total squared distance to
+    // the nearest TRAINED centroid must beat the same cost under the seed
+    // centroids (the K lowest vec_ids) the iteration started from
+    def cost(cents: Array[Array[Long]]): Long = corpus.map { case (_, v) =>
+      cents.map(c => c.zip(v).map { case (ci, vi) => val d = ci - vi; d * d }.sum).min
+    }.sum
+    val trained = byCluster.values.map(rs =>
+      rs.sortBy(_.getAs[Long]("i")).map(_.getAs[Long]("c")).toArray).toArray
+    val seeds = corpus.sortBy(_._1).take(SimQueries.KmeansK).map(_._2)
+    assert(cost(trained) < cost(seeds),
+      s"training did not reduce inertia: ${cost(trained)} vs ${cost(seeds)}")
+  }
 }
