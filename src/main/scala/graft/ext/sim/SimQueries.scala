@@ -207,22 +207,32 @@ object SimQueries {
     *
     * Output grain: one row per (cell, dimension index) with the centroid
     * component and the member count that produced it. */
-  def qKmeansTrain(spark: SparkSession, dir: String): DataFrame = {
-    val data = quantized(spark, dir).select(col("vec_id"), col("v"))
+  /** The nearest-cell expression: argmin over the (driver-held) centroid
+    * array of the exact integer distance score `c·c − 2·x·c` (the x·x term
+    * is constant within an argmin), ties on cell id — `array_min` over
+    * (dist, cell) structs, fully codegen'd against literal arrays. */
+  private def nearestCell(cents: Array[(Long, Array[Long])]): org.apache.spark.sql.Column =
+    array_min(array(cents.map { case (cl, c) =>
+      val cn = c.map(x => x * x).sum
+      struct(
+        (lit(cn) - lit(2L) * VectorFunctions.arrayDotLong(col("v"), lit(c)))
+          .as("dist"),
+        lit(cl).as("cl"))
+    }: _*)).getField("cl")
+
+  /** Runs the [[KmeansIters]] Lloyd iterations. Returns the materialized
+    * quantized corpus, the final iteration's assignment, and the final
+    * centroids (after the last update). */
+  private def lloyd(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Array[(Long, Array[Long])]) = {
+    val data = quantized(spark, dir).select(col("vec_id"), col("v"), col("nsq"))
       .localCheckpoint() // iterations re-scan this; never re-quantize
     var cents: Array[(Long, Array[Long])] = data
       .orderBy(col("vec_id")).limit(KmeansK).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     var assigned: DataFrame = null
     for (_ <- 1 to KmeansIters) {
-      val scored = array(cents.map { case (cl, c) =>
-        val cn = c.map(x => x * x).sum
-        struct(
-          (lit(cn) - lit(2L) * VectorFunctions.arrayDotLong(col("v"), lit(c)))
-            .as("dist"),
-          lit(cl).as("cl"))
-      }: _*)
-      assigned = data.withColumn("cl", array_min(scored).getField("cl"))
+      assigned = data.withColumn("cl", nearestCell(cents))
       cents = assigned
         .select(col("cl"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy(col("cl"), col("i"))
@@ -235,6 +245,11 @@ object SimQueries {
         .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
         .sortBy(_._1)
     }
+    (data, assigned, cents)
+  }
+
+  def qKmeansTrain(spark: SparkSession, dir: String): DataFrame = {
+    val (_, assigned, _) = lloyd(spark, dir)
     // final centroids + the member counts of the assignment that produced
     // them, at (cell, dim-index) grain for a fine-grained hash compare
     assigned
@@ -248,11 +263,46 @@ object SimQueries {
         col("n_members"))
   }
 
+  /** IVF search over TRAINED cells — [[qKnnIvf]]'s plan with
+    * [[qKmeansTrain]]'s output as the index: the corpus is re-assigned to
+    * the final centroids (one more narrow argmin pass — exactly what an
+    * index build does with a trained codebook), queries probe the
+    * [[NProbe]] nearest centroids by cosine, and the exact top-K runs
+    * within probed cells only. Same scale shape as qKnnIvf: the (K × dim)
+    * centroid table broadcasts, the corpus shuffles once on cell id. The
+    * oracle composes the unrolled trainer CTEs with the search — the
+    * whole train→index→probe→search pipeline hash-matches. */
+  def qKnnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val (data, _, cents) = lloyd(spark, dir)
+    val corpus = data.withColumn("cell", nearestCell(cents))
+    val centDf = broadcast(
+      spark.createDataFrame(cents.toSeq.map { case (cl, c) => (cl, c.toSeq) })
+        .toDF("cell", "csum")
+        .withColumn("cn", VectorFunctions.arrayDotLong(col("csum"), col("csum"))))
+    val probeW = Window.partitionBy("query_id").orderBy(col("cscore").desc, col("cell"))
+    val probes = queriesDf(spark, dir)
+      .join(centDf)
+      .withColumn("cscore", cosine(col("qv"), col("csum"), col("qn"), col("cn")))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= NProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    probes
+      .join(corpus, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("v"), col("qn"), col("nsq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cell"), col("rank"), col("cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "knn_brute"    -> (qKnnBrute _),
-    "knn_ivf"      -> (qKnnIvf _),
-    "knn_lsh"      -> (qKnnLsh _),
-    "kmeans_train" -> (qKmeansTrain _))
+    "knn_brute"       -> (qKnnBrute _),
+    "knn_ivf"         -> (qKnnIvf _),
+    "knn_lsh"         -> (qKnnLsh _),
+    "kmeans_train"    -> (qKmeansTrain _),
+    "knn_ivf_trained" -> (qKnnIvfTrained _))
 
   // ------------------------------------------------------------- oracles
 
@@ -269,18 +319,24 @@ object SimQueries {
   private def cosSql(a: String, b: String, na: String, nb: String): String =
     s"CAST(${dotSql(a, b)} AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
 
-  /** One unrolled Lloyd iteration: assignment against `prevCent` (argmin
-    * of the same integer distance score the Spark side computes, ties on
-    * cell id) + the centroid update at (cell, dim) grain. Generated from
-    * ONE template so every iteration — and the Spark twin — shares a
-    * single distance/update definition. */
-  private def kmeansIterSql(n: Int, prevCent: String): String =
-    s"""a$n AS (
+  /** The Lloyd assignment CTE: nearest centroid in `prevCent` by the same
+    * integer distance score the Spark side computes (argmin of
+    * `c·c − 2·x·c`, ties on cell id). ONE template shared by every
+    * unrolled iteration AND the trained-index build in knn_ivf_trained. */
+  private def kmeansAssignSql(a: String, prevCent: String): String =
+    s"""$a AS (
        |  SELECT vec_id, v, cl FROM (
        |    SELECT q.vec_id, q.v, s.cl,
        |      ${dotSql("s.c", "s.c")} - 2 * ${dotSql("q.v", "s.c")} AS dist
        |    FROM q CROSS JOIN $prevCent s)
-       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1)""".stripMargin
+
+  /** One unrolled Lloyd iteration: [[kmeansAssignSql]] + the centroid
+    * update at (cell, dim) grain. Generated from ONE template so every
+    * iteration — and the Spark twin — shares a single distance/update
+    * definition. */
+  private def kmeansIterSql(n: Int, prevCent: String): String =
+    s"""${kmeansAssignSql(s"a$n", prevCent)},
        |c${n}rows AS (
        |  SELECT cl, i,
        |    CAST(floor(CAST(CAST(sum(v[i]) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS c,
@@ -288,6 +344,15 @@ object SimQueries {
        |  FROM a$n, generate_series(1, $Dim) t(i)
        |  GROUP BY cl, i),
        |cent$n AS (SELECT cl, list(c ORDER BY i) AS c FROM c${n}rows GROUP BY cl)""".stripMargin
+
+  /** The [[KmeansIters]] unrolled iterations, seeded by the K lowest
+    * vec_ids — shared by the kmeans_train and knn_ivf_trained oracles. */
+  private def kmeansCtes: String = {
+    val iters = (1 to KmeansIters).map(n =>
+      kmeansIterSql(n, if (n == 1) "seeds" else s"cent${n - 1}")).mkString(",\n")
+    s"""seeds AS (SELECT vec_id AS cl, v AS c FROM q ORDER BY vec_id LIMIT $KmeansK),
+       |$iters""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "knn_brute" ->
@@ -326,15 +391,31 @@ object SimQueries {
          |JOIN qs ON qs.query_id = c.query_id
          |JOIN q b ON b.vec_id = c.vec_id
          |QUALIFY rank <= $K""".stripMargin,
-    "kmeans_train" -> {
-      val iters = (1 to KmeansIters).map(n =>
-        kmeansIterSql(n, if (n == 1) "seeds" else s"cent${n - 1}")).mkString(",\n")
+    "kmeans_train" ->
       s"""WITH ${graft.ext.dedup.DedupQueries.quantizedSql},
-         |seeds AS (SELECT vec_id AS cl, v AS c FROM q ORDER BY vec_id LIMIT $KmeansK),
-         |$iters
+         |$kmeansCtes
          |SELECT cl AS cluster, CAST(i AS BIGINT) AS i, c, n AS n_members
-         |FROM c${KmeansIters}rows""".stripMargin
-    },
+         |FROM c${KmeansIters}rows""".stripMargin,
+    "knn_ivf_trained" ->
+      s"""WITH $baseCtes,
+         |$kmeansCtes,
+         |${kmeansAssignSql("idx", s"cent$KmeansIters")},
+         |centn AS (
+         |  SELECT cl AS cell, c, CAST(list_sum([y * y for y in c]) AS BIGINT) AS cn
+         |  FROM cent$KmeansIters),
+         |probes AS (
+         |  SELECT query_id, qv, qn, cell
+         |  FROM qs CROSS JOIN centn
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ${cosSql("qv", "c", "qn", "cn")} DESC, cell) <= $NProbe)
+         |SELECT query_id, x.vec_id AS neighbor_id, p.cell,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ${cosSql("p.qv", "b.v", "p.qn", "b.nsq")} DESC, x.vec_id) AS rank,
+         |  ${cosSql("p.qv", "b.v", "p.qn", "b.nsq")} AS cosine
+         |FROM probes p
+         |JOIN idx x ON x.cl = p.cell AND x.vec_id <> p.query_id
+         |JOIN q b ON b.vec_id = x.vec_id
+         |QUALIFY rank <= $K""".stripMargin,
     "knn_ivf" ->
       s"""WITH $baseCtes,
          |csum_rows AS (
