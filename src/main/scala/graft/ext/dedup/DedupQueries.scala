@@ -74,8 +74,15 @@ object DedupQueries {
     * `dedup=false` skips it for consumers that are duplicate-insensitive
     * (minhash: min over a multiset = min over its set). */
   private[graft] def shingleRows(spark: SparkSession, dir: String,
-                                 dedup: Boolean = true): DataFrame = {
-    val docs = Tables.rebalanced(spark, Tables.documents(spark, dir))
+                                 dedup: Boolean = true): DataFrame =
+    shingleRowsOf(Tables.rebalanced(spark, Tables.documents(spark, dir)), dedup)
+
+  /** [[shingleRows]] over an arbitrary (doc_id, text) frame — the same
+    * single-projection build, reusable for document sets that are not a
+    * table scan (e.g. a streaming micro-batch in the incremental screen). */
+  private[graft] def shingleRowsOf(docsIn: DataFrame,
+                                   dedup: Boolean = true): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"), TextNorm.toks(col("text")).as("t"))
     val n = size(col("t"))
     val len = greatest(n - 2, lit(0))
@@ -426,45 +433,55 @@ object DedupQueries {
     * role of today's crawl against the rest of the corpus. */
   val IncomingSource = "src5"
 
-  /** Incremental-ingest dedup: which INCOMING docs are near-dups of the
-    * EXISTING corpus — the daily operation of a production pipeline, which
-    * must never recompute corpus×corpus pairs. The plan is probe-side
-    * only: the corpus's inverted index (shingle-hash → posting list, the
-    * thing a 100 TB deployment persists between batches) is joined by the
-    * incoming docs' shingles; candidate pairs, Jaccard, and the per-doc
-    * verdict all scale with the BATCH, not the corpus. Here the index
-    * builds in-query from the same materialized (doc, hash, is_new)
-    * frame — at scale it is read back from the previous snapshot.
-    *
-    * Output: one row per contaminated incoming doc with its match count
-    * and best score — the reject/quarantine list for the batch. */
-  def qIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val tag = Tables.documents(spark, dir)
-      .select(col("doc_id"), (col("source") === IncomingSource).as("is_new"))
-    val ex = shingleRows(spark, dir)
+  // --- Incremental-ingest dedup: which INCOMING docs are near-dups of the
+  // EXISTING corpus — the daily operation of a production pipeline, which
+  // must never recompute corpus×corpus pairs. Split into the two pieces a
+  // deployment actually has: [[corpusIndex]] (the snapshot artifacts) and
+  // [[screenAgainstIndex]] (the probe, batch-bounded end to end), composed
+  // by [[qIncrementalDedup]] for the oracle gate and drivable one
+  // micro-batch at a time from a stream. Output: one row per contaminated
+  // incoming doc with its match count and best score — the
+  // reject/quarantine list for the batch.
+
+  /** The persisted-index artifacts of the incremental screen: the corpus's
+    * inverted index (shingle-hash → posting list) and its per-doc distinct-
+    * shingle counts — exactly what a deployment snapshots between batches
+    * (bucketed on the hash / doc key). Built here from the non-incoming
+    * side of the documents table; the shingle pipeline materializes ONCE
+    * and feeds both artifacts. */
+  private[graft] def corpusIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ex = shingleRowsOf(Tables.rebalanced(spark,
+        Tables.documents(spark, dir).filter(col("source") =!= IncomingSource)))
       .select(col("doc_id"), Exact.md5Long(col("s")).as("h"))
-      .join(broadcast(tag), "doc_id")
       .localCheckpoint()
-    val corpusPosts = ex.filter(!col("is_new"))
-      .groupBy(col("h")).agg(collect_set(col("doc_id")).as("docs"))
-    val newSh = ex.filter(col("is_new"))
+    val posts = ex.groupBy(col("h")).agg(collect_set(col("doc_id")).as("docs"))
+    val oldSizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_old"))
+      .toDF("old_doc_id", "n_old")
+    (posts, oldSizes)
+  }
+
+  /** Probe-side screen of a BATCH of documents (doc_id, text) against a
+    * persisted corpus index — the kernel of [[qIncrementalDedup]], also
+    * drivable from a streaming foreachBatch sink (micro-batch in, reject
+    * list out; batch ≡ stream is spec-pinned). Size lookups: only
+    * batch-bounded frames are ever broadcast — the new-side sizes and the
+    * candidate pair set scale with the batch, while the corpus-side
+    * per-doc sizes (one row per corpus doc — a persisted stat of the index
+    * snapshot) are STREAMED against the broadcast candidates, so nothing
+    * corpus-sized ever collects to the driver. (A batch with pathological
+    * candidate volume would drop the inter hint and let AQE pick — same
+    * plan as the jaccard kernel.) */
+  def screenAgainstIndex(batchDocs: DataFrame, corpusPosts: DataFrame,
+                         oldSizes: DataFrame): DataFrame = {
+    val newSh = shingleRowsOf(batchDocs)
+      .select(col("doc_id"), Exact.md5Long(col("s")).as("h"))
+      .localCheckpoint()
     val inter = newSh.join(corpusPosts, "h")
       .select(col("doc_id").as("new_doc_id"), explode(col("docs")).as("old_doc_id"))
       .groupBy(col("new_doc_id"), col("old_doc_id"))
       .agg(count(lit(1)).as("inter"))
-    // Size lookups: only BATCH-bounded frames are ever broadcast. The
-    // new-side sizes and the candidate pair set both scale with the batch;
-    // the corpus-side per-doc sizes (one row per corpus doc — a persisted
-    // stat of the index snapshot at deployment) are STREAMED against the
-    // broadcast candidates, so nothing corpus-sized ever collects to the
-    // driver. (A batch with pathological candidate volume would drop the
-    // inter hint and let AQE pick — same plan as the jaccard kernel.)
-    val newSizes = ex.filter(col("is_new"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
+    val newSizes = newSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
       .toDF("new_doc_id", "n_new")
-    val oldSizes = ex.filter(!col("is_new"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_old"))
-      .toDF("old_doc_id", "n_old")
     oldSizes.join(broadcast(inter), "old_doc_id")
       .join(broadcast(newSizes), "new_doc_id")
       .withColumn("jaccard",
@@ -472,6 +489,13 @@ object DedupQueries {
       .filter(col("jaccard") >= JaccardThreshold)
       .groupBy(col("new_doc_id"))
       .agg(count(lit(1)).as("n_dup_matches"), max(col("jaccard")).as("max_jaccard"))
+  }
+
+  def qIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (posts, oldSizes) = corpusIndex(spark, dir)
+    val batch = Tables.rebalanced(spark,
+      Tables.documents(spark, dir).filter(col("source") === IncomingSource))
+    screenAgainstIndex(batch, posts, oldSizes)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -237,6 +237,39 @@ class StreamPipelineSpec extends SparkSpec {
     assert(fromStream.size == docs.size)
   }
 
+  test("incremental dedup screen runs UNCHANGED on a document stream (batch ≡ stream)") {
+    import graft.ext.dedup.DedupQueries
+    implicit val sqlCtx = spark.sqlContext
+    val sf01 = "/root/testdata/sf0.01"
+    // the index artifacts a deployment persists between batches, built once
+    val (posts, oldSizes) = DedupQueries.corpusIndex(spark, sf01)
+    val expected = DedupQueries.qIncrementalDedup(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "equivalence is vacuous on an empty reject list")
+    // stream the same incoming docs in TWO micro-batches through a
+    // foreachBatch screen against the FIXED index — per-doc verdicts are
+    // independent given the index, so the union of micro-batch reject
+    // lists must equal the one-shot batch answer exactly
+    val incoming = graft.sources.Tables.documents(spark, sf01)
+      .filter(col("source") === DedupQueries.IncomingSource)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val (half1, half2) = incoming.splitAt(incoming.length / 2)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamPipeline.start(ms.toDF().toDF("doc_id", "text"),
+      StreamPipeline.ForeachBatch((batch, _) =>
+        DedupQueries.screenAgainstIndex(batch, posts, oldSizes).collect()
+          .foreach(r => out.add((r.getLong(0), r.getLong(1), r.getDouble(2))))))
+    ms.addData(half1: _*)
+    q.processAllAvailable()
+    ms.addData(half2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = out.toArray(Array.empty[(Long, Long, Double)]).toSet
+    assert(streamed == expected,
+      s"stream=${streamed.size} rows, batch=${expected.size} rows")
+  }
+
   test("kafka source/sink wiring constructs (connector needed only at runtime)") {
     // no connector jar in this image: constructing the plan must still work
     val cfg = StreamPipeline.Kafka("broker:9092", "events")
