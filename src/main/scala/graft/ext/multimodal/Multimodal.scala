@@ -121,13 +121,60 @@ object Multimodal {
         sum(col("n_bytes")).as("total_bytes"),
         min(col("checksum")).as("min_checksum"))
 
+  /** The typed decode pipeline under the hash gate: runs the REAL
+    * [[extractFeatures]] path (case-class Dataset, mapPartitions batches,
+    * per-partition codec init) and aggregates its stub features per
+    * modality — so the oracle exercises the mapPartitions plumbing and the
+    * decode contract, not just the metadata projection. The DuckDB twin
+    * recomputes the byte histogram from hex-expanded payload bytes; a
+    * production decoder swap intentionally breaks this oracle (features
+    * would no longer be a pure function DuckDB can replay) and downgrades
+    * the query to the rows-only check. */
+  def qFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeatures(corpus(spark, dir)).toDF()
+    val hs = (0 until 8).map(k => sum(element_at(col("byte_hist"), k + 1)).as(s"h$k"))
+    feats.groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("n_bytes")).as("total_bytes") +: hs): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_meta" -> (qMeta _))
+    "mm_meta"     -> (qMeta _),
+    "mm_features" -> (qFeatures _))
 
   val oracles: Map[String, String] = Map(
     "mm_meta" ->
       """SELECT source, count(*) AS n_items,
         |  CAST(sum(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
         |  min(md5(text)) AS min_checksum
-        |FROM documents GROUP BY 1""".stripMargin)
+        |FROM documents GROUP BY 1""".stripMargin,
+    "mm_features" -> {
+      // bucket k of the stub histogram = count of payload bytes with
+      // value >> 5 == k; bytes recovered from the hex dump two chars at
+      // a time (unsigned, multi-byte UTF-8 handled byte-wise like the JVM
+      // side). Empty payloads contribute no bytes, matching the stub loop.
+      val bucketSums = (0 until 8).map(k =>
+        s"CAST(sum(CASE WHEN bk = $k THEN 1 ELSE 0 END) AS BIGINT) AS h$k").mkString(",\n  ")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    ['image','audio','video'][(doc_id % 3 + 1)] AS modality,
+         |    encode(coalesce(text, '')) AS b
+         |  FROM documents),
+         |sized AS (SELECT modality, CAST(octet_length(b) AS BIGINT) AS nb, b FROM m),
+         |per_mod AS (
+         |  SELECT modality, count(*) AS n_items, CAST(sum(nb) AS BIGINT) AS total_bytes
+         |  FROM sized GROUP BY 1),
+         |expl AS (
+         |  SELECT modality,
+         |    unnest([CAST('0x' || substr(hex(b), 2 * i - 1, 2) AS INT) >> 5
+         |            for i in generate_series(1, CAST(nb AS INT))]) AS bk
+         |  FROM sized),
+         |hist AS (
+         |  SELECT modality,
+         |  $bucketSums
+         |  FROM expl GROUP BY 1)
+         |SELECT p.modality, p.n_items, p.total_bytes,
+         |  ${(0 until 8).map(k => s"h.h$k").mkString(", ")}
+         |FROM per_mod p JOIN hist h ON p.modality = h.modality""".stripMargin
+    })
 }
