@@ -197,12 +197,19 @@ object CurateQueries {
     * re-allocating their slack (single-pass; water-filling would iterate
     * this same dimension-sized frame on the driver if exact budget use
     * ever matters). */
-  def qMixRebalance(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.rebalanced(spark, Tables.documents(spark, dir)).select(
+  /** The materialized per-doc token frame both mixing operators sample
+    * from: tokenize runs ONCE (two consumers — the per-language totals
+    * and the sampling filter — would otherwise each recompute it); the
+    * hash salt keeps the two operators' samples independent. */
+  private def docTokens(spark: SparkSession, dir: String, salt: String): DataFrame =
+    Tables.rebalanced(spark, Tables.documents(spark, dir)).select(
       col("doc_id"), col("lang"),
       size(TextNorm.toks(col("text"))).cast("long").as("n_tokens"),
-      pmod(Exact.md5Long(concat(lit("mix|"), col("doc_id"))), lit(1000000)).as("b"))
+      pmod(Exact.md5Long(concat(lit(salt), col("doc_id"))), lit(1000000)).as("b"))
       .localCheckpoint()
+
+  def qMixRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docTokens(spark, dir, "mix|")
     val wAll = Window.partitionBy()
     val rates = toks.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
@@ -229,6 +236,55 @@ object CurateQueries {
           / sum(col("sampled_tokens")).over(wAll).cast("double"))
   }
 
+  /** Token budget of the temperature-mixed corpus, as a fraction of the
+    * raw corpus — the "train on half the tokens, flatter mix" knob. */
+  val MixBudgetFrac = 0.5
+
+  /** Temperature-flattened data mix (α = 0.5): language weights
+    * ∝ lang_tokens^α, the standard multilingual move that UP-weights
+    * low-resource languages without equalizing — ranking by size is
+    * preserved (unlike [[qMixRebalance]]'s uniform budget), skew is
+    * compressed quadratically. Each language's token budget is
+    * `weight · total · MixBudgetFrac`, capped at what it has; the same
+    * RNG-free hash sample applies it.
+    *
+    * Determinism discipline: α = 0.5 is computed with `sqrt` (an IEEE
+    * basic op, bit-identical across engines — `pow` is NOT), and the
+    * weight normalization sums INTEGER-quantized sqrt values
+    * (floor(√tokens·10⁶+0.5) per language, summed exactly) — a raw
+    * double sum over languages would be summation-order-dependent and
+    * break the hash gate. Same plan shape as qMixRebalance: one
+    * materialized tokenize, a language-count-sized rate table, narrow
+    * sampling filter. */
+  def qMixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docTokens(spark, dir, "mixt|")
+    val wAll = Window.partitionBy()
+    val rates = toks.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
+      .withColumn("total_tokens", sum(col("lang_tokens")).over(wAll))
+      .withColumn("token_share",
+        col("lang_tokens").cast("double") / col("total_tokens").cast("double"))
+      .withColumn("wq", Exact.fixed(sqrt(col("lang_tokens").cast("double")), 1e6))
+      .withColumn("weight", col("wq").cast("double") / sum(col("wq")).over(wAll).cast("double"))
+      .withColumn("target_rate", least(lit(1.0),
+        col("weight") * col("total_tokens").cast("double") * lit(MixBudgetFrac)
+          / col("lang_tokens").cast("double")))
+      .drop("total_tokens", "wq")
+    val sampled = toks
+      .join(broadcast(rates.select(col("lang"), col("target_rate"))), Seq("lang"))
+      .filter(col("b").cast("double") < col("target_rate") * lit(1000000.0))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_tokens")).as("sampled_tokens"))
+    rates.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("lang_tokens"), col("token_share"),
+        col("weight"), col("target_rate"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
+      .withColumn("realized_share",
+        col("sampled_tokens").cast("double")
+          / sum(col("sampled_tokens")).over(wAll).cast("double"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_pipeline"  -> (qCurate _),
     "curate_clustered" -> (qCurateClustered _),
@@ -236,7 +292,8 @@ object CurateQueries {
     "pack_shards"     -> (qPackShards _),
     "q_contamination" -> (qContamination _),
     "q_strat_sample"  -> (qStratifiedSample _),
-    "mix_rebalance"   -> (qMixRebalance _))
+    "mix_rebalance"   -> (qMixRebalance _),
+    "mix_temperature" -> (qMixTemperature _))
 
   // ------------------------------------------------------------- oracles
 
@@ -342,6 +399,38 @@ object CurateQueries {
          |  WHERE CAST(t.b AS DOUBLE) < r.target_rate * 1000000.0
          |  GROUP BY 1)
          |SELECT r.lang, r.n_docs, r.lang_tokens, r.token_share, r.target_rate,
+         |  coalesce(s.n_sampled, 0) AS n_sampled,
+         |  coalesce(s.sampled_tokens, 0) AS sampled_tokens,
+         |  CAST(coalesce(s.sampled_tokens, 0) AS DOUBLE)
+         |    / CAST(sum(coalesce(s.sampled_tokens, 0)) OVER () AS DOUBLE) AS realized_share
+         |FROM rates r LEFT JOIN sampled s ON r.lang = s.lang""".stripMargin,
+    "mix_temperature" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, CAST(len(${TextNorm.toksSql}) AS BIGINT) AS n_tokens,
+         |    ${Exact.md5LongSql("'mixt|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS b
+         |  FROM documents),
+         |lang_tot AS (
+         |  SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+         |  FROM toks GROUP BY 1),
+         |weighted AS (
+         |  SELECT lang, n_docs, lang_tokens,
+         |    CAST(floor(sqrt(CAST(lang_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS wq
+         |  FROM lang_tot),
+         |rates AS (
+         |  SELECT lang, n_docs, lang_tokens,
+         |    CAST(lang_tokens AS DOUBLE) / CAST(sum(lang_tokens) OVER () AS DOUBLE) AS token_share,
+         |    CAST(wq AS DOUBLE) / CAST(sum(wq) OVER () AS DOUBLE) AS weight,
+         |    least(CAST(1.0 AS DOUBLE),
+         |      CAST(wq AS DOUBLE) / CAST(sum(wq) OVER () AS DOUBLE)
+         |        * CAST(sum(lang_tokens) OVER () AS DOUBLE) * CAST($MixBudgetFrac AS DOUBLE)
+         |        / CAST(lang_tokens AS DOUBLE)) AS target_rate
+         |  FROM weighted),
+         |sampled AS (
+         |  SELECT t.lang, count(*) AS n_sampled, CAST(sum(t.n_tokens) AS BIGINT) AS sampled_tokens
+         |  FROM toks t JOIN rates r ON t.lang = r.lang
+         |  WHERE CAST(t.b AS DOUBLE) < r.target_rate * 1000000.0
+         |  GROUP BY 1)
+         |SELECT r.lang, r.n_docs, r.lang_tokens, r.token_share, r.weight, r.target_rate,
          |  coalesce(s.n_sampled, 0) AS n_sampled,
          |  coalesce(s.sampled_tokens, 0) AS sampled_tokens,
          |  CAST(coalesce(s.sampled_tokens, 0) AS DOUBLE)

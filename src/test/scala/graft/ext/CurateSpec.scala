@@ -156,4 +156,37 @@ class CurateSpec extends SparkSpec {
     assert(maxDev(realized) < maxDev(shares),
       s"rebalance did not move toward uniform: ${maxDev(realized)} vs ${maxDev(shares)}")
   }
+
+  test("mix temperature: flattens skew but preserves the size ranking (unlike uniform)") {
+    val rows = CurateQueries.qMixTemperature(spark, "/root/testdata/sf0.01").collect()
+      .sortBy(-_.getAs[Long]("lang_tokens"))
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("target_rate")
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs"))
+    }
+    // the sampled corpus respects the budget: can't exceed the raw total,
+    // and lands in the neighborhood of MixBudgetFrac of it
+    val totalRaw = rows.map(_.getAs[Long]("lang_tokens")).sum
+    val totalSampled = rows.map(_.getAs[Long]("sampled_tokens")).sum
+    assert(totalSampled <= totalRaw)
+    assert(totalSampled > (totalRaw * CurateQueries.MixBudgetFrac * 0.7).toLong,
+      s"sampled far below budget: $totalSampled of $totalRaw")
+    // α = 0.5 weights are monotone in size, so the deterministic per-lang
+    // token BUDGETS (rate · tokens) must keep the raw ordering — the
+    // REALIZED shares can swap near-equal languages (whole docs are
+    // sampled, so realization noise is a few docs' tokens), which is why
+    // the assert targets the budget, not the sample ...
+    val budgets = rows.map(r =>
+      r.getAs[Double]("target_rate") * r.getAs[Long]("lang_tokens"))
+    assert(budgets.sameElements(budgets.sortBy(-(_: Double))),
+      "temperature budgets inverted the language ranking")
+    // ... while compressing the realized ratio between top and bottom
+    val realized = rows.map(_.getAs[Double]("realized_share"))
+    val shares = rows.map(_.getAs[Double]("token_share"))
+    assert(realized.head / realized.last < shares.head / shares.last,
+      "temperature did not compress the mix skew")
+  }
 }
