@@ -32,6 +32,7 @@ object SparkEntry {
       batch.AnalyticsQueries.queries ++
       batch.TpchBreadthQueries.queries ++
       batch.SqlSurfaceQueries.queries ++
+      batch.TemporalQueries.queries ++
       ext.text.TextQueries.queries ++
       ext.dedup.DedupQueries.queries ++
       ext.sim.SimQueries.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
       batch.AnalyticsQueries.oracles ++
       batch.TpchBreadthQueries.oracles ++
       batch.SqlSurfaceQueries.oracles ++
+      batch.TemporalQueries.oracles ++
       ext.text.TextQueries.oracles ++
       ext.dedup.DedupQueries.oracles ++
       ext.sim.SimQueries.oracles ++

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg (local iteration only; the driver passes two): a
+    // regex — only matching query names are dumped and oracled
+    val nameFilter: String => Boolean =
+      args.lift(2).map(p => (s: String) => s.matches(p)).getOrElse(_ => true)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +23,7 @@ object Verify {
     // only emit oracle SQL for queries whose parquet actually landed — an
     // oracle entry pointing at a missing result dir would break the
     // driver's compare loop for reasons unrelated to correctness
-    val succeeded = SparkEntry.queries.flatMap { case (name, fn) =>
+    val succeeded = SparkEntry.queries.filter(kv => nameFilter(kv._1)).flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

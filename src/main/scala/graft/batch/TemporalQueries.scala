@@ -1,0 +1,240 @@
+package graft.batch
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+import graft.sources.Tables
+
+/**
+ * Temporal / behavioral analytics surface: ordered-event funnels, cohort
+ * retention, type-2 slowly-changing-dimension history, and calendar gap
+ * fill with last-observation-carried-forward. The reference pipeline
+ * (spark/app.py) stops at windowed aggregation; these are the four shapes
+ * every events warehouse asks next, and each one here is DuckDB-oracled.
+ *
+ * Scale notes (the common thread): every operator shuffles ONCE on its
+ * entity key (user_id / n_name) and does all sequential logic with window
+ * functions inside that partition — no self-joins that re-shuffle the fact,
+ * no driver-side iteration. Chained windows over the same (key, order)
+ * spec stack on one sort with no extra exchange.
+ */
+object TemporalQueries {
+
+  /** Funnel stage ordering: a qualifying click strictly follows the first
+    * view; a qualifying purchase strictly follows the first qualifying
+    * click. Strict (`>`) so a same-timestamp pair never counts in both
+    * directions — ties are resolved by time alone, not event_id, keeping
+    * the semantics "later in real time". */
+  val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Ordered three-step funnel (view → click → purchase) over the events
+    * stream, one row per stage with the user count that reached it.
+    *
+    * Shape: ONE shuffle on user_id; the three "first qualifying time"
+    * columns are running conditional minima over the same prefix window —
+    * each references the previous stage's running value at the current
+    * row, which is exactly "the stage-k time known so far", so the chain
+    * computes the classic sequential funnel without a per-stage self-join
+    * (the textbook formulation joins events to itself once per stage —
+    * k−1 extra fact shuffles this plan does not pay). The final per-user
+    * collapse rides the same partitioning; the stage counts are a
+    * broadcast-sized single row exploded to (step, stage, n_users). */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("v_ts",
+        min(when(col("event_type") === FunnelStages(0), col("ts"))).over(prefix))
+      .withColumn("c_ts",
+        min(when(col("event_type") === FunnelStages(1) &&
+          col("v_ts").isNotNull && col("ts") > col("v_ts"), col("ts"))).over(prefix))
+      .withColumn("p_ts",
+        min(when(col("event_type") === FunnelStages(2) &&
+          col("c_ts").isNotNull && col("ts") > col("c_ts"), col("ts"))).over(prefix))
+    // running minima are monotone within the partition, so the per-user min
+    // IS the value at the user's last row — the completed-funnel times
+    val counts = staged.groupBy(col("user_id"))
+      .agg(min(col("v_ts")).as("fv"), min(col("c_ts")).as("fc"), min(col("p_ts")).as("fp"))
+      .agg(count(col("fv")).as("nv"), count(col("fc")).as("nc"), count(col("fp")).as("np"))
+    counts.select(explode(array(
+        struct(lit(1L).as("step"), lit(FunnelStages(0)).as("stage"), col("nv").as("n_users")),
+        struct(lit(2L).as("step"), lit(FunnelStages(1)).as("stage"), col("nc").as("n_users")),
+        struct(lit(3L).as("step"), lit(FunnelStages(2)).as("stage"), col("np").as("n_users"))))
+      .as("r"))
+      .select(col("r.step").as("step"), col("r.stage").as("stage"), col("r.n_users").as("n_users"))
+  }
+
+  /** Calendar epoch for week arithmetic — the corpus starts 2024-01-01, so
+    * week numbers are small non-negative ints and floor division is
+    * engine-identical. */
+  val WeekEpoch = "2024-01-01"
+
+  private def weekOf(ts: Column): Column =
+    floor(datediff(ts.cast("date"), lit(WeekEpoch).cast("date")) / lit(7.0)).cast("long")
+
+  /** Cohort retention triangle: users grouped by the week of their first
+    * event, counted in each later week they were active. Output grain
+    * (cohort_week, week_offset); offset 0 carries the cohort size.
+    *
+    * Shape: distinct (user, week) first — ONE fact shuffle that also
+    * serves the cohort min — then a user-keyed join of two already-small
+    * frames and a final bounded aggregate (weeks × weeks rows). The
+    * distinct-first order matters at 100 TB: raw events collapse to
+    * |users|×|weeks| before anything else touches them. */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), weekOf(col("ts")).as("wk"))
+      .distinct()
+    val cohorts = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    uw.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Type-2 slowly-changing-dimension build: each user's `props.k`
+    * attribute as a validity-interval history — one row per value RUN
+    * (consecutive duplicates collapsed, null-safe), `valid_from` the first
+    * event of the run, `valid_to` the start of the next run (NULL = still
+    * current). The CDC-feed → versioned-dimension operator; its output is
+    * exactly what [[SqlSurfaceQueries.qAsofOrder]]-style as-of enrichment
+    * consumes as a build side.
+    *
+    * Shape: one shuffle on user_id, three stacked window passes on the
+    * same sort (lag for change detection, running count for run numbering
+    * is not even needed — the filter keeps only run heads, and lead over
+    * the surviving heads yields the interval end). */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val vals = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("pk", lag(col("k"), 1).over(byUser))
+    val heads = vals.filter(col("rn") === 1 || !(col("k") <=> col("pk")))
+    heads
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+      .select(col("user_id"), col("k"), col("ts").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Calendar gap fill + LOCF: per-nation daily order revenue with every
+    * missing calendar day materialized (zero-filled counts, carried-forward
+    * revenue, a gap flag). The time-series regularization operator —
+    * downstream forecasting needs a dense, aligned grid, not the sparse
+    * transactional days.
+    *
+    * Shape: the fact aggregates FIRST (orders → one row per (nation, day)
+    * with both dims broadcast), then the calendar is generated from the
+    * per-nation [min, max] bounds — `sequence` + `explode` over an
+    * aggregate that has one row per nation, so the dense grid costs
+    * |nations| × |days| rows no matter how many orders fed it. The LOCF
+    * window rides the (nation, day) sort of the left join's grid. */
+  def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val nation = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val daily = Tables.orders(spark, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderdate").cast("date").as("day"))
+      .agg(sum(Exact.cents(col("o_totalprice"))).as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+    val calendar = daily.groupBy(col("n_name"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("n_name"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val locf = Window.partitionBy("n_name").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar.join(daily, Seq("n_name", "day"), "left")
+      .withColumn("locf_cents", last(col("rev_cents"), ignoreNulls = true).over(locf))
+      .select(col("n_name"), col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        (coalesce(col("rev_cents"), lit(0L)) / lit(100.0)).as("revenue"),
+        (col("locf_cents") / lit(100.0)).as("locf_revenue"),
+        col("rev_cents").isNull.as("is_gap"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel"    -> (qFunnel _),
+    "q_retention" -> (qRetention _),
+    "q_scd2"      -> (qScd2 _),
+    "q_gap_fill"  -> (qGapFill _))
+
+  /** Shared prefix-window clause for the funnel oracle's three chained
+    * conditional minima. */
+  private val prefixW =
+    "PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+
+  val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      s"""WITH s1 AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    min(CASE WHEN event_type = '${FunnelStages(0)}' THEN ts END) OVER ($prefixW) AS v_ts
+         |  FROM events),
+         |s2 AS (
+         |  SELECT *, min(CASE WHEN event_type = '${FunnelStages(1)}'
+         |      AND v_ts IS NOT NULL AND ts > v_ts THEN ts END) OVER ($prefixW) AS c_ts
+         |  FROM s1),
+         |s3 AS (
+         |  SELECT *, min(CASE WHEN event_type = '${FunnelStages(2)}'
+         |      AND c_ts IS NOT NULL AND ts > c_ts THEN ts END) OVER ($prefixW) AS p_ts
+         |  FROM s2),
+         |per_user AS (
+         |  SELECT user_id, min(v_ts) AS fv, min(c_ts) AS fc, min(p_ts) AS fp
+         |  FROM s3 GROUP BY 1)
+         |SELECT CAST(1 AS BIGINT) AS step, '${FunnelStages(0)}' AS stage, count(fv) AS n_users FROM per_user
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), '${FunnelStages(1)}', count(fc) FROM per_user
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), '${FunnelStages(2)}', count(fp) FROM per_user""".stripMargin,
+    "q_retention" ->
+      s"""WITH uw AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(date_diff('day', DATE '$WeekEpoch', CAST(ts AS DATE)) // 7 AS BIGINT) AS wk
+         |  FROM events),
+         |coh AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1)
+         |SELECT cohort_week, wk - cohort_week AS week_offset, count(*) AS n_users
+         |FROM uw JOIN coh USING (user_id)
+         |GROUP BY 1, 2""".stripMargin,
+    "q_scd2" ->
+      """WITH vals AS (
+        |  SELECT user_id, ts, event_id,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    row_number() OVER w AS rn, lag(k) OVER w AS pk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |heads AS (
+        |  SELECT user_id, ts, event_id, k FROM vals
+        |  WHERE rn = 1 OR k IS DISTINCT FROM pk)
+        |SELECT user_id, k, ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM heads
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "q_gap_fill" ->
+      s"""WITH daily AS (
+         |  SELECT n_name, CAST(o_orderdate AS DATE) AS day,
+         |    CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT) AS rev_cents,
+         |    count(*) AS n_orders
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY 1, 2),
+         |b AS (SELECT n_name, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+         |cal AS (
+         |  SELECT n_name, CAST(unnest(generate_series(
+         |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM b),
+         |j AS (
+         |  SELECT c.n_name, c.day, d.rev_cents, d.n_orders
+         |  FROM cal c LEFT JOIN daily d ON d.n_name = c.n_name AND d.day = c.day)
+         |SELECT n_name, day,
+         |  coalesce(n_orders, 0) AS n_orders,
+         |  CAST(coalesce(rev_cents, 0) AS DOUBLE) / 100.0 AS revenue,
+         |  CAST(last_value(rev_cents IGNORE NULLS) OVER (
+         |    PARTITION BY n_name ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS locf_revenue,
+         |  rev_cents IS NULL AS is_gap
+         |FROM j""".stripMargin)
+}

@@ -1,0 +1,106 @@
+package graft.batch
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Semantics of the temporal/behavioral operators — each checked against an
+  * independent (naively-joined) reference formulation at test scale. */
+class TemporalSpec extends SparkSpec {
+
+  test("q_funnel: monotone stage counts; counts match a per-stage join reference") {
+    val out = TemporalQueries.qFunnel(spark, sf)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out.keySet == Set("view", "click", "purchase"))
+    assert(out("view") >= out("click") && out("click") >= out("purchase"),
+      s"funnel must be monotone: $out")
+    assert(out("view") > 0 && out("purchase") > 0,
+      "corpus must exercise every stage at test scale")
+
+    // independent reference: explicit per-stage self-joins (the formulation
+    // the windowed plan avoids paying at scale)
+    val ev = Tables.events(spark, sf).select("user_id", "ts", "event_type")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("fv"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("fv"))
+      .groupBy("user_id").agg(min("ts").as("fc"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("fc"))
+      .groupBy("user_id").agg(min("ts").as("fp"))
+    assert(out("view") == v.count() && out("click") == c.count() &&
+      out("purchase") == p.count())
+  }
+
+  test("q_retention: offset-0 diagonal is the cohort census; no negative offsets") {
+    val out = TemporalQueries.qRetention(spark, sf)
+    assert(out.filter(col("week_offset") < 0).count() == 0)
+    val diag = out.filter(col("week_offset") === 0)
+      .agg(sum("n_users")).head().getLong(0)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(diag == users, "every user appears exactly once at offset 0")
+    // retention can never exceed its cohort size
+    val over = out.alias("o")
+      .join(out.filter(col("week_offset") === 0)
+        .select(col("cohort_week"), col("n_users").as("size")), "cohort_week")
+      .filter(col("n_users") > col("size"))
+    assert(over.count() == 0)
+  }
+
+  test("q_scd2: intervals tile each user's history; current value = last event's k") {
+    val out = TemporalQueries.qScd2(spark, sf)
+    // exactly one open (current) interval per user
+    val open = out.filter(col("is_current")).groupBy("user_id").count()
+    assert(open.filter(col("count") =!= 1).count() == 0)
+    // intervals chain: each row's valid_to equals the next row's valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("valid_from")
+    val broken = out
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(!(col("valid_to") <=> col("next_from")))
+    assert(broken.count() == 0, "validity intervals must tile with no gaps")
+    // consecutive versions always differ in value (null-safe)
+    val sameRun = out
+      .withColumn("next_k", lead(col("k"), 1).over(w))
+      .withColumn("has_next", lead(col("valid_from"), 1).over(w).isNotNull)
+      .filter(col("has_next") && (col("k") <=> col("next_k")))
+    assert(sameRun.count() == 0, "consecutive duplicates must be collapsed")
+    // the open interval's value is the user's last event value
+    val last = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("k"))).as("m"))
+      .select(col("user_id"), col("m.k").as("last_k"))
+    val cur = out.filter(col("is_current")).select(col("user_id"), col("k"))
+    assert(cur.join(last, "user_id").filter(!(col("k") <=> col("last_k"))).count() == 0)
+  }
+
+  test("q_gap_fill: dense per-nation grid, conserved totals, LOCF correctness") {
+    val out = TemporalQueries.qGapFill(spark, sf)
+    // grid is dense: rows per nation == span between its min and max day
+    val span = out.groupBy("n_name")
+      .agg(count(lit(1)).as("rows"),
+        (datediff(max("day"), min("day")) + 1).as("expect"))
+    assert(span.filter(col("rows") =!= col("expect")).count() == 0)
+    // non-gap revenue reproduces the raw aggregate total (exact cents)
+    val outTotal = out.filter(!col("is_gap"))
+      .agg(sum(round(col("revenue") * 100).cast("long"))).head().getLong(0)
+    val rawTotal = Tables.orders(spark, sf)
+      .agg(sum(graft.functions.Exact.cents(col("o_totalprice")))).head().getLong(0)
+    assert(outTotal == rawTotal)
+    // gap rows: zero orders, zero revenue, LOCF equals the previous
+    // non-gap day's revenue
+    assert(out.filter(col("is_gap") &&
+      (col("n_orders") =!= 0 || col("revenue") =!= 0.0)).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_name").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val locfRef = out
+      .withColumn("prev_locf", last(when(!col("is_gap"), col("revenue")),
+        ignoreNulls = true).over(w))
+      .filter(col("is_gap") && !(col("locf_revenue") <=> col("prev_locf")))
+    assert(locfRef.count() == 0)
+  }
+}
