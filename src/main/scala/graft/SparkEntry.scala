@@ -33,6 +33,7 @@ object SparkEntry {
       batch.TpchBreadthQueries.queries ++
       batch.SqlSurfaceQueries.queries ++
       batch.TemporalQueries.queries ++
+      batch.LayoutQueries.queries ++
       ext.text.TextQueries.queries ++
       ext.dedup.DedupQueries.queries ++
       ext.sim.SimQueries.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
       batch.TpchBreadthQueries.oracles ++
       batch.SqlSurfaceQueries.oracles ++
       batch.TemporalQueries.oracles ++
+      batch.LayoutQueries.oracles ++
       ext.text.TextQueries.oracles ++
       ext.dedup.DedupQueries.oracles ++
       ext.sim.SimQueries.oracles ++

@@ -1,0 +1,146 @@
+package graft.batch
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+import graft.sources.Tables
+
+/**
+ * Physical-layout and scan-reduction patterns: z-order (Morton) clustering
+ * for multi-dimensional data skipping, and bloom-filter semi-join
+ * pushdown. Neither changes WHAT is computed — both change how much data
+ * a 100 TB scan has to touch, which is the dominant cost there. Both are
+ * DuckDB-oracled (the z-value arithmetic is pure integer bit math; the
+ * bloom prefilter is correctness-neutral by construction).
+ */
+object LayoutQueries {
+
+  /** Interleaved bits per dimension: 10+10 → a 20-bit Morton code. */
+  val ZBits = 10
+  /** Buckets = files under a z-ordered write: top 7 bits of the code. */
+  val ZBucketShift = 13
+
+  /** Normalize a key into [0, 2^ZBits) from its data-derived [min, max] —
+    * standard practice: z-order interleaves the NORMALIZED value, so the
+    * dimensions weigh equally whatever their raw ranges (which here grow
+    * 10× per scale factor). Non-negative integer floor division — Spark's
+    * `DIV` and DuckDB's `//` agree on non-negative operands, and
+    * (max − min + 1) ≥ 1 guards the divisor. The mapping is monotone per
+    * dimension, so range predicates translate directly to envelope
+    * overlap. */
+  private def norm(x: Column, lo: Column, hi: Column): Column = {
+    val num = ((x - lo) * lit(1L << ZBits)).cast("long")
+    val den = (hi - lo + lit(1L)).cast("long")
+    // exact floor division: subtract the remainder first, so the double
+    // division is of an exactly-divisible pair → an exact small integer
+    ((num - (num % den)) / den).cast("long")
+  }
+
+  /** Morton interleave: bit b of x lands at 2b, bit b of y at 2b+1 —
+    * a fold over [[ZBits]] literal shifts, fully codegen'd (no UDF). */
+  private def morton(x: Column, y: Column): Column =
+    (0 until ZBits).foldLeft(lit(0L)) { (acc, b) =>
+      acc +
+        shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b) +
+        shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1)
+    }
+
+  /** DuckDB twin of [[morton]] — the identical unrolled bit expression. */
+  private def mortonSql(x: String, y: String): String =
+    (0 until ZBits).map(b =>
+      s"((($x >> $b) & 1) << ${2 * b}) + ((($y >> $b) & 1) << ${2 * b + 1})")
+      .mkString(" + ")
+
+  /** Z-order layout audit: assign each lineitem row its Morton bucket (the
+    * file it would land in under a z-ordered rewrite) and report per-bucket
+    * row counts and per-dimension min/max — exactly the footer statistics a
+    * format like parquet keeps per file. Tight (min, max) envelopes on BOTH
+    * dimensions are what make two-dimensional predicate skipping work; a
+    * single-column sort gives tight envelopes on one dimension and useless
+    * ones on the other (LayoutSpec quantifies the difference). At 100 TB
+    * this is the table-maintenance job that decides file boundaries:
+    * compute z, range-partition on it, write; the audit output here is its
+    * verification artifact. */
+  def qZorder(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
+    val bounds = li.agg(
+      min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+      min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+    val x = norm(col("l_partkey"), col("pmin"), col("pmax"))
+    val y = norm(col("l_suppkey").cast("long"), col("smin").cast("long"), col("smax").cast("long"))
+    li.crossJoin(broadcast(bounds))
+      .select(col("l_partkey"), col("l_suppkey"),
+        morton(x, y).as("z"))
+      .groupBy(shiftright(col("z"), ZBucketShift).as("z_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("part_min"), max(col("l_partkey")).as("part_max"),
+        min(col("l_suppkey")).as("supp_min"), max(col("l_suppkey")).as("supp_max"))
+  }
+
+  /** Build-side predicate for the bloom semi-join: urgent orders (~20% of
+    * the build table, keeping the demo honest — a 0.01% build side would
+    * make ANY prefilter look good). */
+  val BloomBuildPredicate = "o_orderpriority = '1-URGENT'"
+  val BloomFpp = 0.01
+
+  /** Bloom-filter semi-join: lineitems of urgent orders, with the probe
+    * side pre-screened by a bloom filter built over the build keys before
+    * the real join runs. The filter admits all true matches (no false
+    * negatives by construction) plus ~[[BloomFpp]] of the rest; the exact
+    * LEFT SEMI join then removes the false positives, so the RESULT is
+    * byte-identical to the plain semi-join — the oracle is exactly that —
+    * while the join exchange only carries the screened rows.
+    *
+    * At 100 TB this is the difference between shuffling the whole fact
+    * table and shuffling build-selectivity × fact: the bloom (a few MB for
+    * hundreds of millions of keys) broadcasts to every probe task and
+    * drops rows BEFORE the exchange. Spark 3.3+ can inject this
+    * automatically (spark.sql.optimizer.runtimeFilter.bloomFilter.enabled,
+    * off by default); this operator is the explicit, always-on form. The
+    * probe itself is a scalar `mightContain` call — the one deliberate
+    * UDF in this repo, a boolean gate below the codegen'd join, chosen
+    * over a collected-keys `isin` broadcast that would not cap its own
+    * size the way a bloom's bit array does. */
+  def qBloomSemijoin(spark: SparkSession, dir: String): DataFrame = {
+    val build = Tables.orders(spark, dir)
+      .filter(expr(BloomBuildPredicate))
+      .select(col("o_orderkey"))
+    val bf = build.stat.bloomFilter("o_orderkey", math.max(build.count(), 1L), BloomFpp)
+    val mightContain = udf((k: Long) => bf.mightContain(k))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      .filter(mightContain(col("l_orderkey")))
+      .join(build, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(Exact.cents(col("l_extendedprice"))) / lit(100.0)).as("revenue"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder"         -> (qZorder _),
+    "q_bloom_semijoin" -> (qBloomSemijoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q_zorder" ->
+      s"""WITH b AS (
+         |  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         |    min(l_suppkey) AS smin, max(l_suppkey) AS smax
+         |  FROM lineitem),
+         |z AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    ${mortonSql(
+              s"(((l_partkey - pmin) * ${1L << ZBits}) // (pmax - pmin + 1))",
+              s"(((l_suppkey - smin) * ${1L << ZBits}) // (smax - smin + 1))")} AS z
+         |  FROM lineitem, b)
+         |SELECT z >> $ZBucketShift AS z_bucket, count(*) AS n_rows,
+         |  min(l_partkey) AS part_min, max(l_partkey) AS part_max,
+         |  min(l_suppkey) AS supp_min, max(l_suppkey) AS supp_max
+         |FROM z GROUP BY 1""".stripMargin,
+    "q_bloom_semijoin" ->
+      s"""SELECT l_returnflag, count(*) AS n_lines,
+         |  ${Exact.centsSumAsMoneySql("l_extendedprice")} AS revenue
+         |FROM lineitem
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE $BloomBuildPredicate)
+         |GROUP BY 1""".stripMargin)
+}

@@ -1,0 +1,77 @@
+package graft.batch
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Data-skipping effectiveness of the z-order layout and correctness /
+  * selectivity of the bloom semi-join prefilter. */
+class LayoutSpec extends SparkSpec {
+
+  test("q_zorder: buckets partition the table and prune BOTH dimensions") {
+    val out = LayoutQueries.qZorder(spark, sf).cache()
+    val total = Tables.lineitem(spark, sf).count()
+    assert(out.agg(sum("n_rows")).head().getLong(0) == total)
+
+    val nBuckets = out.count()
+    assert(nBuckets > 8, "enough buckets for pruning to be meaningful")
+
+    // fraction of buckets a 10%-of-range predicate has to touch, from the
+    // per-bucket (min, max) envelopes — the parquet footer skipping model
+    def touched(lo: Long, hi: Long, minC: String, maxC: String): Double =
+      out.filter(col(maxC) >= lo && col(minC) <= hi).count().toDouble / nBuckets
+
+    // 10%-of-range predicates, derived from the data so the test is
+    // scale-factor agnostic
+    val Array(pmax, smax) = Tables.lineitem(spark, sf)
+      .agg(max("l_partkey"), max("l_suppkey")).head()
+      .toSeq.map(v => v.toString.toLong).toArray
+    val partFrac = touched(pmax / 5, pmax / 5 + pmax / 10, "part_min", "part_max")
+    val suppFrac = touched(smax / 5, smax / 5 + smax / 10, "supp_min", "supp_max")
+
+    // a suppkey-sorted layout: tight on suppkey, useless on partkey (its
+    // partkey envelope is everything)
+    val linear = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey").as("bucket"))
+      .groupBy("bucket")
+      .agg(min("l_partkey").as("part_min"), max("l_partkey").as("part_max"))
+    val nLinear = linear.count()
+    val linearPartFrac = linear
+      .filter(col("part_max") >= pmax / 5 && col("part_min") <= pmax / 5 + pmax / 10)
+      .count().toDouble / nLinear
+
+    assert(partFrac < 0.5, s"z-layout must prune partkey ranges, touched $partFrac")
+    assert(suppFrac < 0.5, s"z-layout must prune suppkey ranges, touched $suppFrac")
+    assert(linearPartFrac > 0.9,
+      s"single-column layout should NOT prune the other dimension ($linearPartFrac)")
+    assert(partFrac < linearPartFrac / 2,
+      s"z-order must beat the linear layout on the non-sort dimension: $partFrac vs $linearPartFrac")
+    out.unpersist()
+  }
+
+  test("q_bloom_semijoin: result ≡ plain semi-join; prefilter actually screens") {
+    val out = LayoutQueries.qBloomSemijoin(spark, sf)
+    val build = Tables.orders(spark, sf)
+      .filter(expr(LayoutQueries.BloomBuildPredicate)).select("o_orderkey")
+    val plain = Tables.lineitem(spark, sf)
+      .join(build, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(graft.functions.Exact.cents(col("l_extendedprice"))) / lit(100.0)).as("revenue"))
+    assert(out.collect().map(_.toString).sorted.toSeq ==
+      plain.collect().map(_.toString).sorted.toSeq)
+
+    // prefilter selectivity: ~build fraction + fpp, far below 1.0
+    val bf = build.stat.bloomFilter("o_orderkey", math.max(build.count(), 1L),
+      LayoutQueries.BloomFpp)
+    val mc = udf((k: Long) => bf.mightContain(k))
+    val li = Tables.lineitem(spark, sf).select("l_orderkey")
+    val frac = li.filter(mc(col("l_orderkey"))).count().toDouble / li.count()
+    assert(frac < 0.4, s"bloom should screen most non-matching rows, passed $frac")
+    // no false negatives: every true match passes the bloom
+    val missed = li.join(build, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .filter(!mc(col("l_orderkey"))).count()
+    assert(missed == 0)
+  }
+}
