@@ -37,6 +37,7 @@ object SparkEntry {
       ext.text.TextQueries.queries ++
       ext.dedup.DedupQueries.queries ++
       ext.sim.SimQueries.queries ++
+      ext.sim.PqQueries.queries ++
       ext.multimodal.Multimodal.queries ++
       ext.pipeline.CurateQueries.queries
 
@@ -50,6 +51,7 @@ object SparkEntry {
       ext.text.TextQueries.oracles ++
       ext.dedup.DedupQueries.oracles ++
       ext.sim.SimQueries.oracles ++
+      ext.sim.PqQueries.oracles ++
       ext.multimodal.Multimodal.oracles ++
       ext.pipeline.CurateQueries.oracles
 }

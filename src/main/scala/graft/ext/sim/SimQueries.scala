@@ -308,15 +308,15 @@ object SimQueries {
 
   /** Quantized embeddings (shared CTE from DedupQueries — one quantization
     * definition for all vector oracles) + the query subset. */
-  private val baseCtes =
+  private[sim] val baseCtes =
     s"""${graft.ext.dedup.DedupQueries.quantizedSql},
        |qs AS (SELECT vec_id AS query_id, v AS qv, nsq AS qn FROM q
        |       WHERE vec_id % $QueryStride = 0)""".stripMargin
 
-  private def dotSql(a: String, b: String): String =
+  private[sim] def dotSql(a: String, b: String): String =
     s"CAST(list_sum([$a[i] * $b[i] for i in generate_series(1, len($a))]) AS BIGINT)"
 
-  private def cosSql(a: String, b: String, na: String, nb: String): String =
+  private[sim] def cosSql(a: String, b: String, na: String, nb: String): String =
     s"CAST(${dotSql(a, b)} AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
 
   /** The Lloyd assignment CTE: nearest centroid in `prevCent` by the same
