@@ -39,6 +39,7 @@ object SparkEntry {
       ext.sim.SimQueries.queries ++
       ext.sim.PqQueries.queries ++
       ext.multimodal.Multimodal.queries ++
+      ext.graph.GraphQueries.queries ++
       ext.pipeline.CurateQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -53,5 +54,6 @@ object SparkEntry {
       ext.sim.SimQueries.oracles ++
       ext.sim.PqQueries.oracles ++
       ext.multimodal.Multimodal.oracles ++
+      ext.graph.GraphQueries.oracles ++
       ext.pipeline.CurateQueries.oracles
 }

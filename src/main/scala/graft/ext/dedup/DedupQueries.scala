@@ -636,7 +636,7 @@ object DedupQueries {
   /** Uncapped jaccard-pairs oracle — shared by dedup_ngram_jaccard, the
     * dedup_clusters component oracle, and (via CurateQueries) the composed
     * curation oracle. */
-  private lazy val ngramJaccardSql: String =
+  private[graft] lazy val ngramJaccardSql: String =
     s"""WITH $shingleCtes,
        |exg AS (SELECT DISTINCT doc_id, ${Exact.md5LongSql("s")} AS sh FROM ex),
        |sizes AS (SELECT doc_id, count(*) AS n FROM exg GROUP BY 1),
