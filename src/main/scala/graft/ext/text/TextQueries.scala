@@ -144,12 +144,48 @@ object TextQueries {
       md5(regexp_replace(t, RedactPattern, "<TERM>")).as("redacted_fp"))
   }
 
+  /** Keywords kept per document. */
+  val TfidfK = 3
+  /** Fixed-point scale for the rational tf-idf score. */
+  val TfidfScale = 1000000L
+
+  /** Per-document keyword extraction by rational tf-idf: score =
+    * ⌊tf · SCALE · N / df⌋ — the log-free variant (rank-equivalent to
+    * tf·(N/df); the standard log damping only compresses the range), kept
+    * ALL-INTEGER so every score, and therefore every top-K cut, is
+    * engine-identical. Top-[[TfidfK]] tokens per doc, ties on token.
+    *
+    * Shape: explode → (doc, token) hash aggregate (map-side combine) →
+    * vocabulary-keyed df aggregate over the ALREADY-collapsed (doc, token)
+    * grain — never the raw occurrences — then one join on token and a
+    * per-doc window over ≤|doc's vocab| rows. At 100 TB the df frame is
+    * vocabulary-sized (bounded, zipfian): broadcast when it fits, shuffle
+    * join on token otherwise; both sides of that join are aggregates, not
+    * facts. */
+  def qTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val nDocs = Tables.documents(spark, dir).count()
+    val tf = Tables.rebalanced(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_micro").desc, col("token"))
+    tf.join(df, "token")
+      .withColumn("score_micro", expr(s"(tf * $TfidfScale * $nDocs) DIV df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TfidfK)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score_micro"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid"        -> (qLangId _),
     "text_quality"       -> (qQuality _),
     "text_tokens"        -> (qTokens _),
     "text_fingerprint"   -> (qFingerprint _),
     "text_heavy_hitters" -> (qHeavyHitters _),
+    "text_tfidf"         -> (qTfidf _),
     "text_redact"        -> (qRedact _))
 
   // ------------------------------------------------------------- oracles
@@ -222,6 +258,18 @@ object TextQueries {
          |GROUP BY 1
          |ORDER BY occurrences DESC, tok
          |LIMIT $HeavyHittersK""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH tokens AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tokens GROUP BY 1, 2),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT doc_id, token, tf, df,
+         |  (tf * $TfidfScale * n.n) // df AS score_micro,
+         |  row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY (tf * $TfidfScale * n.n) // df DESC, token) AS rank
+         |FROM tf JOIN df USING (token), n
+         |QUALIFY rank <= $TfidfK""".stripMargin,
     // note DuckDB's regexp_replace needs the explicit 'g' flag to match
     // Spark's replace-all semantics; \b is the ASCII word boundary in both
     // Java regex and RE2
