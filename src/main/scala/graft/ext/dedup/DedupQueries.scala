@@ -329,14 +329,33 @@ object DedupQueries {
     *
     * Deterministic: min-propagation converges to a unique fixpoint
     * regardless of partitioning or join order. */
-  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    components(qNgramJaccard(spark, dir), "doc_a", "doc_b")
+      .toDF("doc_id", "cluster_id")
+
+  /** Connected components of an undirected pair graph by iterative
+    * min-label propagation — the shared collapse step behind
+    * [[qDedupClusters]] (text near-dup pairs) and [[qSemDedup]]
+    * (embedding near-dup pairs). Returns (id, component) for every node
+    * that appears in a pair; component = min reachable id.
+    *
+    * Each round is one join + min-aggregate over the edge list; rounds =
+    * graph diameter (near-dup clusters are shallow — a handful). The edge
+    * list materializes once (`localCheckpoint`) so rounds never re-run the
+    * upstream pair query, and each round checkpoints to keep lineage flat.
+    * At 100 TB: same loop with reliable `checkpoint` to cluster storage;
+    * for adversarial diameters switch to large-star/small-star (log n
+    * rounds) — the per-round plan (join + agg) is unchanged.
+    *
+    * Deterministic: min-propagation converges to a unique fixpoint
+    * regardless of partitioning or join order. */
+  private[graft] def components(pairs: DataFrame, a: String, b: String): DataFrame = {
     // both edge directions from ONE explode over the pair rows — the
-    // union-of-self form evaluated the whole jaccard query once per arm
-    val pairs = qNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
+    // union-of-self form evaluated the whole pair query once per arm
+    val edges = pairs.select(col(a), col(b))
       .select(explode(array(
-        struct(col("doc_a").as("u"), col("doc_b").as("v")),
-        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+        struct(col(a).as("u"), col(b).as("v")),
+        struct(col(b).as("u"), col(a).as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .localCheckpoint()
     var labels = edges.select(col("u").as("id")).distinct()
@@ -358,7 +377,7 @@ object DedupQueries {
       labels.unpersist()
       labels = next.select(col("id"), col("label"))
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    labels.select(col("id"), col("label"))
   }
 
   // ------------------------------------------------------------ embedding
@@ -393,6 +412,32 @@ object DedupQueries {
       .withColumn("cosine", cosine(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cosine") >= CosineThreshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  /** Semantic dedup (the SemDeDup shape): collapse embedding-cosine
+    * near-dup PAIRS ([[qEmbeddingDups]]) into clusters via connected
+    * [[components]], keep exactly one representative (the min vec_id) per
+    * cluster — the embedding-space analog of the text-side
+    * [[qDedupClusters]]. One row per vector: its cluster id (own id when
+    * it has no near-dup) and whether it survives the cut.
+    *
+    * Scale shape: the pair graph is the scale knob — all-pairs here
+    * (embeddings table is small), IVF/LSH candidate generation from
+    * graft.ext.sim at corpus scale (same cosine, same threshold, pairs
+    * only within ANN buckets — exactly how SemDeDup runs inside k-means
+    * cells). The components loop and the final broadcast-joined label
+    * attach are unchanged by that swap. */
+  def qSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val comp = components(qEmbeddingDups(spark, dir), "vec_a", "vec_b")
+      .toDF("vec_id", "cluster_id")
+    // comp has one row per vector THAT APPEARS IN A PAIR — orders of
+    // magnitude smaller than the corpus; broadcast it so the full table
+    // never shuffles for the label attach
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+      .join(broadcast(comp), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .withColumn("kept", col("cluster_id") === col("vec_id"))
   }
 
   /** Intra-document repetition score: 1 − distinct/total over each doc's
@@ -509,7 +554,8 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (qNgramJaccard _),
     "dedup_ngram_capped"  -> (qNgramJaccardCapped _),
     "dedup_clusters"      -> (qDedupClusters _),
-    "dedup_embedding"     -> (qEmbeddingDups _))
+    "dedup_embedding"     -> (qEmbeddingDups _),
+    "dedup_semantic"      -> (qSemDedup _))
 
   // ------------------------------------------------------------- oracles
 
@@ -624,14 +670,35 @@ object DedupQueries {
          |FROM inter JOIN sizes na ON doc_a = na.doc_id
          |           JOIN sizes nb ON doc_b = nb.doc_id
          |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= $JaccardThreshold""".stripMargin,
-    "dedup_embedding" ->
-      s"""WITH $quantizedSql
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  CAST(CAST(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) AS BIGINT) AS DOUBLE)
-         |    / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
-         |FROM q a JOIN q b ON a.vec_id < b.vec_id
-         |WHERE CAST(CAST(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) AS BIGINT) AS DOUBLE)
-         |    / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= $CosineThreshold""".stripMargin)
+    "dedup_embedding" -> embeddingDupsSql,
+    // same recursive-CTE component construction as dedup_clusters, over the
+    // embedding pair graph; vectors with no near-dup label themselves
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT vec_a, vec_b FROM (
+         |$embeddingDupsSql
+         |  ) ep),
+         |edges AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+         |          UNION SELECT vec_b, vec_a FROM pairs),
+         |reach AS (SELECT DISTINCT u, u AS v FROM edges
+         |          UNION
+         |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u)
+         |SELECT e.vec_id, e.label,
+         |  coalesce(c.cluster_id, e.vec_id) AS cluster_id,
+         |  coalesce(c.cluster_id, e.vec_id) = e.vec_id AS kept
+         |FROM embeddings e LEFT JOIN comp c USING (vec_id)""".stripMargin)
+
+  /** Embedding near-dup pairs oracle — shared by dedup_embedding and the
+    * dedup_semantic component oracle built on it. */
+  private lazy val embeddingDupsSql: String =
+    s"""WITH $quantizedSql
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  CAST(CAST(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) AS BIGINT) AS DOUBLE)
+       |    / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+       |FROM q a JOIN q b ON a.vec_id < b.vec_id
+       |WHERE CAST(CAST(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) AS BIGINT) AS DOUBLE)
+       |    / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= $CosineThreshold""".stripMargin
 
   /** Uncapped jaccard-pairs oracle — shared by dedup_ngram_jaccard, the
     * dedup_clusters component oracle, and (via CurateQueries) the composed

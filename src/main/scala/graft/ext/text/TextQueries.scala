@@ -179,6 +179,39 @@ object TextQueries {
         col("score_micro"), col("rank"))
   }
 
+  /** Context-window size (tokens) and stride for [[qChunk]]. Stride <
+    * size ⇒ consecutive chunks overlap by ChunkSize − ChunkStride tokens
+    * (the boundary-context trick every pretraining tokenizer pipeline
+    * uses so no span is only ever seen cut in half). */
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  /** Context-window chunking: split each document's token stream into
+    * [[ChunkSize]]-token windows every [[ChunkStride]] tokens — the
+    * doc→training-example explosion that feeds sequence packing
+    * ([[graft.ext.pipeline.CurateQueries.qPackShards]] packs whole docs;
+    * this splits docs that exceed the context window). One row per chunk
+    * with its token span and content fingerprint.
+    *
+    * Shape: tokenize → `sequence`-generated starts → explode → `slice` —
+    * all narrow codegen'd expressions, zero shuffles; output rows scale
+    * with total tokens / stride. The token array is carried through ONE
+    * projection (the explode) and sliced immediately, so no chunk text is
+    * duplicated upstream of the final row. */
+  def qChunk(spark: SparkSession, dir: String): DataFrame = {
+    val chunk = slice(col("t"), col("start") + 1, lit(ChunkSize))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 1, lit(ChunkStride))).as("start"))
+      .select(col("doc_id"),
+        (col("start").cast("long") / ChunkStride).cast("long").as("chunk_idx"),
+        col("start").cast("long").as("chunk_start"),
+        size(chunk).cast("long").as("n_chunk_tokens"),
+        md5(array_join(chunk, " ")).as("chunk_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid"        -> (qLangId _),
     "text_quality"       -> (qQuality _),
@@ -186,7 +219,8 @@ object TextQueries {
     "text_fingerprint"   -> (qFingerprint _),
     "text_heavy_hitters" -> (qHeavyHitters _),
     "text_tfidf"         -> (qTfidf _),
-    "text_redact"        -> (qRedact _))
+    "text_redact"        -> (qRedact _),
+    "text_chunk"         -> (qChunk _))
 
   // ------------------------------------------------------------- oracles
 
@@ -270,6 +304,19 @@ object TextQueries {
          |    ORDER BY (tf * $TfidfScale * n.n) // df DESC, token) AS rank
          |FROM tf JOIN df USING (token), n
          |QUALIFY rank <= $TfidfK""".stripMargin,
+    // range(0, n, stride) excludes n, matching sequence(0, n-1, stride)'s
+    // starts-strictly-below-n for every n ≥ 1; list_slice clamps the end
+    // bound explicitly (least) where Spark's slice length clamps implicitly
+    "text_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |st AS (SELECT doc_id, t, unnest(range(0, len(t), $ChunkStride)) AS start
+         |       FROM t WHERE len(t) > 0)
+         |SELECT doc_id,
+         |  start // $ChunkStride AS chunk_idx,
+         |  CAST(start AS BIGINT) AS chunk_start,
+         |  CAST(len(list_slice(t, start+1, least(start+$ChunkSize, len(t)))) AS BIGINT) AS n_chunk_tokens,
+         |  md5(array_to_string(list_slice(t, start+1, least(start+$ChunkSize, len(t))), ' ')) AS chunk_fp
+         |FROM st""".stripMargin,
     // note DuckDB's regexp_replace needs the explicit 'g' flag to match
     // Spark's replace-all semantics; \b is the ASCII word boundary in both
     // Java regex and RE2

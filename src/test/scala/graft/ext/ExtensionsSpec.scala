@@ -77,6 +77,48 @@ class ExtensionsSpec extends SparkSpec {
     assert(labels.values.toSet.size < labels.size)
   }
 
+  test("dedup_semantic: one kept representative per cluster, pairs never split") {
+    val rows = DedupQueries.qSemDedup(spark, sf)
+      .select($"vec_id", $"cluster_id", $"kept").as[(Long, Long, Boolean)].collect()
+    val total = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.length == total, "one row per vector, labeled or not")
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      // representative = min member, and it is the ONLY kept one
+      assert(members.map(_._1).min == cid, s"cluster $cid not labeled by its min")
+      assert(members.count(_._3) == 1 && members.find(_._3).get._1 == cid)
+    }
+    // both ends of every near-dup pair land in the same cluster
+    val label = rows.map(r => r._1 -> r._2).toMap
+    DedupQueries.qEmbeddingDups(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+      .foreach { case (a, b) =>
+        assert(label(a) == label(b), s"pair ($a,$b) split across clusters")
+      }
+    // the fixture does contain semantic dups: survivors < corpus
+    assert(rows.count(_._3) < total)
+  }
+
+  test("text_chunk: strided windows tile every doc exactly") {
+    val chunks = TextQueries.qChunk(spark, sf)
+      .select($"doc_id", $"chunk_start", $"n_chunk_tokens")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val nToks = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", size(graft.ext.text.TextNorm.toks($"text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    nToks.filter(_._2 > 0).foreach { case (doc, n) =>
+      val cs = chunks(doc).sortBy(_._2)
+      // starts are exactly the stride grid below n
+      assert(cs.map(_._2).toSeq ==
+        (0L until n by TextQueries.ChunkStride.toLong).toSeq)
+      // every chunk is full-size except possibly at the tail, which ends
+      // exactly at the last token
+      cs.init.foreach(c => assert(c._3 == math.min(TextQueries.ChunkSize.toLong, n - c._2)))
+      assert(cs.last._2 + cs.last._3 == n, s"doc $doc tail chunk misaligned")
+    }
+    assert(!chunks.contains(-1L) && chunks.nonEmpty)
+  }
+
   test("knn_brute returns exactly K ranked neighbors per query, cosine descending") {
     val k = SimQueries.qKnnBrute(spark, sf)
     val perQuery = k.groupBy("query_id").count().select("count").as[Long].collect()
