@@ -358,8 +358,12 @@ object DedupQueries {
         struct(col(b).as("u"), col(a).as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .localCheckpoint()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    // init = min(id, min neighbor): the first propagation round folded into
+    // the same single exchange that node-set construction needs anyway —
+    // one fewer join+checkpoint round of the loop below
+    var labels = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("nm"))
+      .select(col("id"), least(col("id"), col("nm")).as("label"))
+      .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges

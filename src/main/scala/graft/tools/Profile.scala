@@ -179,6 +179,57 @@ object Profile {
       time("incr-probe @ 10x corpus")(p10())
       spark.stop(); return
     }
+    if (args.lift(1).contains("pq")) {
+      import graft.ext.sim.{PqQueries, SimQueries}
+      import graft.ext.dedup.DedupQueries.quantized
+      import graft.functions.VectorFunctions
+      val M = PqQueries.M; val SubDim = PqQueries.SubDim; val PqK = PqQueries.PqK
+      val seed = quantized(spark, dir).select(col("vec_id"), col("v"))
+        .orderBy(col("vec_id")).limit(PqK).collect()
+        .map(r => r.getSeq[Long](1).toArray)
+      val cb = Array.tabulate(M)(m => seed.map(v => v.slice(m * SubDim, (m + 1) * SubDim)))
+      def distTo(v: org.apache.spark.sql.Column, m: Int,
+                 c: Array[Long]): org.apache.spark.sql.Column =
+        lit(c.map(x => x * x).sum) -
+          lit(2L) * VectorFunctions.arrayDotLong(slice(v, m * SubDim + 1, SubDim), lit(c))
+      val codes = (0 until M).foldLeft(quantized(spark, dir).select(col("vec_id"), col("v"))) {
+        (df, m) =>
+          df.withColumn(s"code_$m",
+            array_min(array(cb(m).zipWithIndex.map { case (c, j) =>
+              struct(distTo(col("v"), m, c).as("dist"), lit(j.toLong).as("j"))
+            }: _*)).getField("j"))
+      }.select(col("vec_id") +: (0 until M).map(m => col(s"code_$m")): _*)
+      time("encode only")(codes.count())
+      time("encode again")(codes.count())
+      val queries = quantized(spark, dir)
+        .filter(col("vec_id") % SimQueries.QueryStride === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nsq").as("qn"))
+      val luts = (0 until M).foldLeft(queries) { (df, m) =>
+        df.withColumn(s"lut_$m",
+          array(cb(m).map(c => distTo(col("qv"), m, c)): _*))
+      }.drop("qv")
+      time("luts only")(luts.count())
+      val codesC = codes.localCheckpoint()
+      val lutsC = luts.localCheckpoint()
+      val adc = (0 until M).map(m =>
+        element_at(col(s"lut_$m"), (col(s"code_$m") + 1).cast("int"))).reduce(_ + _) +
+        col("qn")
+      val joined = lutsC.join(codesC, col("vec_id") =!= col("query_id"))
+        .withColumn("adc", adc)
+      time("join+adc (checkpointed)")(joined.count())
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+      time("full tail (checkpointed)")(
+        joined.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= SimQueries.K).count())
+      // The un-materialized composition (luts/codes INLINE under the
+      // join+window stage) measured 43–56 s for the same tail at sf0.1 —
+      // the reason qKnnPq localCheckpoints both join inputs. Repro: swap
+      // codesC/lutsC below for codes/luts.
+      time("knn_pq full")(PqQueries.qKnnPq(spark, dir).count())
+      time("knn_pq full again")(PqQueries.qKnnPq(spark, dir).count())
+      spark.stop(); return
+    }
     if (args.lift(1).contains("ssjoin")) {
       import org.apache.spark.sql.streaming.Trigger
       import graft.stream.StreamPipeline
