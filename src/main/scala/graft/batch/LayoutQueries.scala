@@ -117,9 +117,30 @@ object LayoutQueries {
         (sum(Exact.cents(col("l_extendedprice"))) / lit(100.0)).as("revenue"))
   }
 
+  /** Sub-keys the hot key spreads over in [[qSaltedAgg]]. */
+  val Salts = 16
+
+  /** Salted two-phase aggregation under the hash gate: revenue and row
+    * count by `l_returnflag` — a 3-value key whose hottest value holds
+    * ~half of all rows, the aggregation-skew shape AQE does NOT rebalance
+    * (its skew handling covers joins). [[graft.functions.Salt]] splits
+    * each key into [[Salts]] sub-keys for the partial aggregate, so the
+    * hot key's rows land on [[Salts]] reducers instead of one; the final
+    * exchange carries one row per (key, salt). The result is EXACTLY the
+    * direct aggregation (BIGINT sums associate; the salt derives from row
+    * ids, not values) — the oracle IS the plain GROUP BY, proving the
+    * rewrite semantics-preserving the same way the bloom semi-join's
+    * oracle is the plain semi-join. */
+  def qSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.Salt.saltedSumCount(
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), Exact.cents(col("l_extendedprice")).as("cents")),
+      col("l_returnflag"), col("cents"), "revenue_cents", "n_lines", Salts)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder"         -> (qZorder _),
-    "q_bloom_semijoin" -> (qBloomSemijoin _))
+    "q_bloom_semijoin" -> (qBloomSemijoin _),
+    "q_salted_agg"     -> (qSaltedAgg _))
 
   val oracles: Map[String, String] = Map(
     "q_zorder" ->
@@ -142,5 +163,10 @@ object LayoutQueries {
          |  ${Exact.centsSumAsMoneySql("l_extendedprice")} AS revenue
          |FROM lineitem
          |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE $BloomBuildPredicate)
-         |GROUP BY 1""".stripMargin)
+         |GROUP BY 1""".stripMargin,
+    "q_salted_agg" ->
+      s"""SELECT l_returnflag,
+         |  CAST(sum(${Exact.centsSql("l_extendedprice")}) AS BIGINT) AS revenue_cents,
+         |  count(*) AS n_lines
+         |FROM lineitem GROUP BY 1""".stripMargin)
 }

@@ -43,4 +43,16 @@ object Salt {
       .agg(count(lit(1)).as("__partial"))
       .groupBy(key)
       .agg(sum(col("__partial")).as(alias))
+
+  /** Salted sum AND count per key in ONE two-phase pass — what a real
+    * skewed rollup wants (separate salted calls would each re-scan the
+    * fact table). */
+  def saltedSumCount(df: DataFrame, key: Column, value: Column,
+                     sumAlias: String, countAlias: String,
+                     salts: Int = 16): DataFrame =
+    df.withColumn("__salt", saltCol(salts))
+      .groupBy(key, col("__salt"))
+      .agg(sum(value).as("__ps"), count(lit(1)).as("__pc"))
+      .groupBy(key)
+      .agg(sum(col("__ps")).as(sumAlias), sum(col("__pc")).as(countAlias))
 }

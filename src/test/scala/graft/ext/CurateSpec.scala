@@ -86,6 +86,10 @@ class CurateSpec extends SparkSpec {
     val saltedCnt = Salt.saltedCount(li, col("k"), "n", salts = 8)
       .as[(String, Long)].collect().toMap
     assert(directCnt == saltedCnt)
+    val both = Salt.saltedSumCount(li, col("k"), col("v"), "total", "n", salts = 8)
+      .as[(String, Long, Long)].collect()
+    assert(both.map(r => r._1 -> r._2).toMap == direct)
+    assert(both.map(r => r._1 -> r._3).toMap == directCnt)
   }
 
   test("contamination: bounded ratios, consistent flags, hits never exceed totals") {
