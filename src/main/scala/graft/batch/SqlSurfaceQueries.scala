@@ -234,7 +234,41 @@ object SqlSurfaceQueries {
         Array(col("n_lines"), col("price_cents"), col("disc_cents")),
         "metric", "value")
 
+  /** Statistical profiling from exact integer moments: per-group count,
+    * mean, sample stddev and correlation assembled from (n, Σx, Σx², Σxy)
+    * — the data-profiling pass that decides units/outliers/feature pairs
+    * before a corpus ships. Spark's built-in `stddev`/`corr` aggregate
+    * FLOATS (partial-order-dependent, un-oracleable); here every moment
+    * is an exact BIGINT sum over small integer units (quantity, discount
+    * micro-units), and each statistic is ONE final float expression over
+    * identical ints — bit-identical across engines, so even `corr` sits
+    * under the hash gate. Plan shape: one scan, one bounded-key hash
+    * aggregate; moments are algebraic, so map-side partial combine does
+    * the work. At extreme row counts the Σx² terms approach BIGINT range
+    * before anything else — swap those sums to DECIMAL(38,0) (still
+    * exact, still mergeable) rather than floats. */
+  def qProfileStats(spark: SparkSession, dir: String): DataFrame = {
+    val qi = floor(col("l_quantity") + lit(0.5)).cast("long")
+    val di = Exact.fixed(col("l_discount"), 1000)
+    val n = col("n"); val sq = col("sq"); val sd = col("sd")
+    val varQ = (n * col("sqq") - sq * sq).cast("double")
+    val varD = (n * col("sdd") - sd * sd).cast("double")
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), qi.as("q"), di.as("d"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sq"), sum(col("d")).as("sd"),
+        sum(col("q") * col("q")).as("sqq"), sum(col("d") * col("d")).as("sdd"),
+        sum(col("q") * col("d")).as("sqd"))
+      .select(col("l_returnflag"), n,
+        (sq.cast("double") / n.cast("double")).as("mean_qty"),
+        sqrt(varQ / (n * (n - lit(1L))).cast("double")).as("stddev_qty"),
+        ((n * col("sqd") - sq * sd).cast("double")
+          / (sqrt(varQ) * sqrt(varD))).as("corr_qty_disc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile_stats"    -> (qProfileStats _),
     "q_unpivot"          -> (qUnpivot _),
     "q_asof_order"       -> (qAsofOrder _),
     "q_range_join"       -> (qRangeJoin _),
@@ -251,6 +285,24 @@ object SqlSurfaceQueries {
   private val centsValue = Exact.centsSql("coalesce(value, 0.0)")
 
   val oracles: Map[String, String] = Map(
+    "q_profile_stats" ->
+      s"""WITH m AS (
+         |  SELECT l_returnflag,
+         |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+         |    CAST(floor(l_discount * 1000.0 + 0.5) AS BIGINT) AS d
+         |  FROM lineitem),
+         |a AS (
+         |  SELECT l_returnflag, count(*) AS n,
+         |    CAST(sum(q) AS BIGINT) AS sq, CAST(sum(d) AS BIGINT) AS sd,
+         |    CAST(sum(q*q) AS BIGINT) AS sqq, CAST(sum(d*d) AS BIGINT) AS sdd,
+         |    CAST(sum(q*d) AS BIGINT) AS sqd
+         |  FROM m GROUP BY 1)
+         |SELECT l_returnflag, n,
+         |  CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+         |  sqrt(CAST(n*sqq - sq*sq AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) AS stddev_qty,
+         |  CAST(n*sqd - sq*sd AS DOUBLE)
+         |    / (sqrt(CAST(n*sqq - sq*sq AS DOUBLE)) * sqrt(CAST(n*sdd - sd*sd AS DOUBLE))) AS corr_qty_disc
+         |FROM a""".stripMargin,
     "q_unpivot" ->
       s"""WITH w AS (
          |  SELECT l_returnflag, count(*) AS n_lines,

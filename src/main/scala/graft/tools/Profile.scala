@@ -230,6 +230,48 @@ object Profile {
       time("knn_pq full again")(PqQueries.qKnnPq(spark, dir).count())
       spark.stop(); return
     }
+    if (args.lift(1).contains("sem")) {
+      import graft.ext.dedup.DedupQueries
+      time("embedding pairs")(DedupQueries.qEmbeddingDups(spark, dir).count())
+      val pairs = DedupQueries.qEmbeddingDups(spark, dir)
+        .select(col("vec_a"), col("vec_b")).localCheckpoint()
+      time("components (pairs cached)")(
+        DedupQueries.components(pairs, "vec_a", "vec_b").count())
+      // per-round instrumented copy of the components loop
+      val edges = pairs.select(explode(array(
+          struct(col("vec_a").as("u"), col("vec_b").as("v")),
+          struct(col("vec_b").as("u"), col("vec_a").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .localCheckpoint()
+      var labels = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("nm"))
+        .select(col("id"), least(col("id"), col("nm")).as("label"))
+        .localCheckpoint()
+      var changed = 1L; var round = 0
+      while (changed > 0) {
+        round += 1
+        val t0 = System.nanoTime()
+        val neighborMin = edges
+          .join(labels.select(col("id").as("v"), col("label").as("vl")), "v")
+          .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
+        val stepped = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"), col("label").as("old"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          .localCheckpoint()
+        val next = stepped
+          .join(stepped.select(col("id").as("lid"), col("label").as("ll")),
+            col("label") === col("lid"), "left")
+          .select(col("id"), col("old"),
+            least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+          .localCheckpoint()
+        changed = next.filter(col("label") =!= col("old")).count()
+        stepped.unpersist(); labels.unpersist()
+        labels = next.select(col("id"), col("label"))
+        println(f"round $round: changed=$changed  ${(System.nanoTime()-t0)/1e9}%.2f s")
+      }
+      time("full dedup_semantic")(DedupQueries.qSemDedup(spark, dir).count())
+      time("full again")(DedupQueries.qSemDedup(spark, dir).count())
+      spark.stop(); return
+    }
     if (args.lift(1).contains("ssjoin")) {
       import org.apache.spark.sql.streaming.Trigger
       import graft.stream.StreamPipeline

@@ -74,4 +74,30 @@ class LayoutSpec extends SparkSpec {
       .filter(!mc(col("l_orderkey"))).count()
     assert(missed == 0)
   }
+
+  test("q_salted_agg: ≡ direct aggregation, exactly two exchanges (partial on salt)") {
+    val salted = LayoutQueries.qSaltedAgg(spark, sf)
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(sum(graft.functions.Exact.cents(col("l_extendedprice"))).as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+    assert(salted.collect().map(_.toString).sorted.toSeq ==
+      direct.collect().map(_.toString).sorted.toSeq)
+    // plan shape: phase 1 shuffles on (key, salt), phase 2 on key — two
+    // exchanges total, the hot key spread over Salts reducers in phase 1
+    salted.count()
+    // the AQE string renders final + initial plans — count the final only
+    val plan = salted.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 exchanges, plan had $exchanges:\n$plan")
+    assert(plan.contains("__salt"), "partial aggregate must group on the salt")
+  }
+
+  test("text_chunk: zero exchanges — the chunk explosion is narrow") {
+    val q = graft.ext.text.TextQueries.qChunk(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
 }

@@ -100,4 +100,27 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(byBoth.agg(sum("n_events")).head().getLong(0) == total)
     cube.unpersist()
   }
+
+  test("q_profile_stats: integer-moment statistics track Spark's float built-ins") {
+    val mine = SqlSurfaceQueries.qProfileStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // reference: the float aggregates over the SAME integer-unit inputs
+    val ref = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        floor(col("l_quantity") + lit(0.5)).cast("long").as("q"),
+        graft.functions.Exact.fixed(col("l_discount"), 1000).as("d"))
+      .groupBy("l_returnflag")
+      .agg(avg("q").as("m"), stddev_samp(col("q").cast("double")).as("s"),
+        corr(col("q").cast("double"), col("d").cast("double")).as("c"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(mine.keySet == ref.keySet && mine.nonEmpty)
+    mine.foreach { case (k, r) =>
+      assert(math.abs(r.getAs[Double]("mean_qty") - ref(k).getAs[Double]("m")) < 1e-9)
+      assert(math.abs(r.getAs[Double]("stddev_qty") - ref(k).getAs[Double]("s")) < 1e-6)
+      assert(math.abs(r.getAs[Double]("corr_qty_disc") - ref(k).getAs[Double]("c")) < 1e-6)
+      // discount is independent of quantity in the generator — the corr is
+      // near zero but must still be a real, finite number
+      assert(!r.getAs[Double]("corr_qty_disc").isNaN)
+    }
+  }
 }
