@@ -3,18 +3,68 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Print the formatted physical plan of a registered query (dev tool):
-  * runMain graft.tools.Explain <queryName> [sfDir] */
+  *   runMain graft.tools.Explain <queryName> [sfDir]
+  * or regenerate the checked-in plan dossier (PLANS.md):
+  *   runMain graft.tools.Explain --audit <outFile> [sfDir] */
 object Explain {
+
+  /** The representative plans the dossier documents, with the property
+    * each one is chosen to exhibit. */
+  val audited: Seq[(String, String)] = Seq(
+    "q1_pricing" -> ("Scan→agg baseline: the shipdate predicate in " +
+      "PushedFilters, ReadSchema pruned to the 7 referenced columns of an " +
+      "11-column table; partial/final hash agg on a bounded key."),
+    "q5_nation_revenue" -> ("6-table star: every dimension joins as " +
+      "BroadcastHashJoin; lineitem⋈orders is the ONE wide exchange."),
+    "q6_forecast" -> ("Pushdown showcase: every predicate reaches the " +
+      "parquet scan; aggregate runs over the pruned scan output directly."),
+    "q_window_agg" -> ("Sliding event-time windows batch-mode: the window " +
+      "explode stays narrow; the exact distinct count runs as the standard " +
+      "two-level Expand aggregate — two bounded-key exchanges, first on " +
+      "(window, type, event_id), then on (window, type)."),
+    "dedup_ngram_jaccard" -> ("Posting-list inverted index: the " +
+      "scan→tokenize→shingle→hash pipeline feeds ONE exchange on the " +
+      "60-bit shingle hash (localCheckpoint scan); pair explosion and both " +
+      "broadcast size lookups reuse it."),
+    "knn_brute" -> ("ANN baseline: BroadcastNestedLoopJoin of the query " +
+      "sample against the corpus with the codegen'd arraydotlong kernel; " +
+      "WindowGroupLimit prunes to top-K before the final exchange."),
+    "q_salted_agg" -> ("Skew-mitigation rewrite: partial aggregate on " +
+      "(key, __salt), final on key — exactly two exchanges."),
+    "text_chunk" -> ("Narrow doc→chunk explosion: sequence→explode→slice " +
+      "with ZERO exchanges at any scale."))
+
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse("q1_pricing")
-    val dir = args.lift(1).getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
+    if (args.headOption.contains("--audit")) {
+      val out = args.lift(1).getOrElse("PLANS.md")
+      val dir = args.lift(2).getOrElse("/root/testdata/sf0.01")
+      val sb = new StringBuilder
+      sb.append("# PLANS — physical-plan dossier of representative queries\n\n")
+      sb.append("Regenerate: `sbt 'runMain graft.tools.Explain --audit PLANS.md'`.\n")
+      sb.append("Each plan is the Catalyst `explain(\"formatted\")` output at sf0.01\n")
+      sb.append("(local[4], shuffle.partitions=4); the property each query is chosen\n")
+      sb.append("to exhibit is stated above its plan. Enforced variants of these\n")
+      sb.append("assertions live in the specs (QueriesSpec/IoSpec/LayoutSpec).\n")
+      audited.foreach { case (name, why) =>
+        val df = graft.SparkEntry.queries(name)(spark, dir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        sb.append(s"\n## $name\n\n$why\n\n```\n$plan```\n")
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        sb.toString.getBytes("UTF-8"))
+      println(s"wrote $out (${audited.size} plans)")
+    } else {
+      val name = args.headOption.getOrElse("q1_pricing")
+      val dir = args.lift(1).getOrElse("/root/testdata/sf0.01")
+      graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
+    }
     spark.stop()
   }
 }
