@@ -138,11 +138,35 @@ object Multimodal {
         (sum(col("n_bytes")).as("total_bytes") +: hs): _*)
   }
 
+  /** Exact payload dedup over the typed media corpus: one group per
+    * distinct content digest, keeper = min id — byte-identical image/audio
+    * dedup, the first pass of any multimodal pipeline (cheap, catches the
+    * mirror-crawl bulk before perceptual hashing). The digest is computed
+    * over the BINARY column; `n_modalities` reports when identical bytes
+    * arrived under different modality tags (mislabeled feeds). One shuffle
+    * on the 128-bit digest, same scale shape as text `dedup_exact`. The
+    * DuckDB twin hashes the text (payloads here are UTF-8 text bytes, so
+    * the digests coincide); with real media bytes the oracle would hash
+    * the hex dump instead. */
+  def qMmDedup(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir).toDF()
+      .select(col("id"), col("modality"), md5(col("content")).as("checksum"))
+      .groupBy(col("checksum"))
+      .agg(min(col("id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("modality")).as("n_modalities"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta"     -> (qMeta _),
-    "mm_features" -> (qFeatures _))
+    "mm_features" -> (qFeatures _),
+    "mm_dedup"    -> (qMmDedup _))
 
   val oracles: Map[String, String] = Map(
+    "mm_dedup" ->
+      """SELECT md5(coalesce(text, '')) AS checksum,
+        |  min(doc_id) AS keeper_id, count(*) AS n_copies,
+        |  count(DISTINCT ['image','audio','video'][(doc_id % 3 + 1)]) AS n_modalities
+        |FROM documents GROUP BY 1""".stripMargin,
     "mm_meta" ->
       """SELECT source, count(*) AS n_items,
         |  CAST(sum(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,

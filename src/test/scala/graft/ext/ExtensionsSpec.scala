@@ -77,6 +77,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(labels.values.toSet.size < labels.size)
   }
 
+  test("mm_dedup: digest groups partition the media corpus; digest is over the bytes") {
+    val d = Multimodal.qMmDedup(spark, sf).cache()
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    assert(d.agg(sum("n_copies")).head().getLong(0) == docs)
+    // the digest column really is the payload digest: recompute from the
+    // typed corpus for a sample and compare
+    val fromCorpus = Multimodal.corpus(spark, sf).toDF()
+      .select(md5(col("content")).as("checksum")).distinct().count()
+    assert(d.count() == fromCorpus)
+    assert(d.filter($"n_modalities" < 1 || $"n_copies" < 1).count() == 0)
+    d.unpersist()
+  }
+
   test("dedup_semantic: one kept representative per cluster, pairs never split") {
     val rows = DedupQueries.qSemDedup(spark, sf)
       .select($"vec_id", $"cluster_id", $"kept").as[(Long, Long, Boolean)].collect()
