@@ -42,6 +42,27 @@ object SqlSurfaceQueries {
         (sum(col("cents")) / lit(100.0)).as("total_value"))
   }
 
+  /** The same sessionization through Spark's NATIVE `session_window`
+    * operator — one `groupBy(session_window(ts, gap))` instead of the
+    * lag/running-sum island construction of [[qSessionize]], and the form
+    * that runs UNCHANGED on a stream (state-store-backed session merge).
+    * Semantics differ from the island form only at the exact-gap boundary
+    * (native: a new session starts when delta ≥ gap, window end is
+    * last event + gap; islands: delta > gap breaks) — the oracle replays
+    * the native rule at micro precision. Batch plan: sort-based session
+    * aggregation after one exchange on user_id. */
+  def qSessionNative(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"),
+        Exact.cents(coalesce(col("value"), lit(0.0))).as("cents"))
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$SessionGapSeconds seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("cents")) / lit(100.0)).as("total_value"))
+      .select(col("user_id"),
+        col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** ROLLUP pricing subtotals: per (flag, status), per flag, grand total —
     * one pass, partial-aggregated like any hash agg. */
   def qRollupPricing(spark: SparkSession, dir: String): DataFrame =
@@ -274,6 +295,7 @@ object SqlSurfaceQueries {
     "q_range_join"       -> (qRangeJoin _),
     "q_cube_events"      -> (qCubeEvents _),
     "q_sessionize"       -> (qSessionize _),
+    "q_session_native"   -> (qSessionNative _),
     "q_rollup_pricing"   -> (qRollupPricing _),
     "q_percentiles"      -> (qPercentiles _),
     "q_approx_pctl"      -> (qApproxPercentiles _),
@@ -360,6 +382,25 @@ object SqlSurfaceQueries {
          |  count(*) AS n_events,
          |  (CAST(sum(cents) AS DOUBLE) / 100.0) AS total_value
          |FROM numbered GROUP BY 1, 2""".stripMargin,
+    "q_session_native" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, $centsValue AS cents,
+         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+         |              >= ${SessionGapSeconds * 1000000L}
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |numbered AS (
+         |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM marked)
+         |SELECT user_id,
+         |  min(ts) AS session_start,
+         |  max(ts) + INTERVAL '$SessionGapSeconds seconds' AS session_end,
+         |  count(*) AS n_events,
+         |  (CAST(sum(cents) AS DOUBLE) / 100.0) AS total_value
+         |FROM numbered GROUP BY user_id, sid""".stripMargin,
     "q_rollup_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  (CAST(sum(${Exact.centsSql("l_extendedprice")}) AS DOUBLE) / 100.0) AS revenue,

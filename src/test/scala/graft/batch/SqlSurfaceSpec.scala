@@ -101,6 +101,22 @@ class SqlSurfaceSpec extends SparkSpec {
     cube.unpersist()
   }
 
+  test("native session_window ≡ gaps-and-islands sessionization (starts, counts, values)") {
+    // identical except at the exact-gap boundary (measure-zero on
+    // micro-precision timestamps): same sessions, same membership
+    val native = SqlSurfaceQueries.qSessionNative(spark, sf)
+      .select($"user_id", $"session_start", $"n_events", $"total_value")
+      .collect().map(_.toString).sorted.toSeq
+    val islands = SqlSurfaceQueries.qSessionize(spark, sf)
+      .select($"user_id", $"session_start", $"n_events", $"total_value")
+      .collect().map(_.toString).sorted.toSeq
+    assert(native.nonEmpty && native == islands)
+    // native window end = last event + gap ⇒ strictly after start
+    val bad = SqlSurfaceQueries.qSessionNative(spark, sf)
+      .filter($"session_end" <= $"session_start").count()
+    assert(bad == 0)
+  }
+
   test("q_profile_stats: integer-moment statistics track Spark's float built-ins") {
     val mine = SqlSurfaceQueries.qProfileStats(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
