@@ -52,9 +52,17 @@ object SqlSurfaceQueries {
     * the native rule at micro precision. Batch plan: sort-based session
     * aggregation after one exchange on user_id. */
   def qSessionNative(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    sessionAgg(Tables.events(spark, dir)
       .select(col("user_id"), col("ts"),
-        Exact.cents(coalesce(col("value"), lit(0.0))).as("cents"))
+        Exact.cents(coalesce(col("value"), lit(0.0))).as("cents")))
+
+  /** The session aggregation stage itself, DataFrame-in/DataFrame-out over
+    * (user_id, ts, cents) — the SAME code runs on the batch table here and
+    * on a watermarked stream (state-store session merge, append emission
+    * once the watermark passes a session's end); StreamPipelineSpec pins
+    * the streaming behavior. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
       .groupBy(col("user_id"),
         session_window(col("ts"), s"$SessionGapSeconds seconds").as("w"))
       .agg(count(lit(1)).as("n_events"),

@@ -86,6 +86,34 @@ class StreamPipelineSpec extends SparkSpec {
     q.stop()
   }
 
+  test("native session_window stage runs unchanged on a stream (append after watermark)") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = ms.toDF().toDF("user_id", "ts", "value")
+      .withColumn("cents", graft.functions.Exact.cents(coalesce(col("value"), lit(0.0))))
+      .withWatermark("ts", "10 seconds")
+    val q = graft.batch.SqlSurfaceQueries.sessionAgg(events)
+      .writeStream.format("memory").queryName("sess_native_out")
+      .outputMode("append").start()
+    // two events 10 s apart: one open session — nothing may emit yet
+    ms.addData((1L, ts("2024-01-01T00:00:00Z"), 10.0),
+      (1L, ts("2024-01-01T00:00:10Z"), 5.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_native_out").count() == 0,
+      "open session must not emit before the watermark passes its end")
+    // 2 h later: watermark passes the session's end (last event + 1 h gap)
+    ms.addData((1L, ts("2024-01-01T02:00:00Z"), 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("sess_native_out").collect()
+    assert(rows.length == 1, s"exactly the closed session emits, got ${rows.length}")
+    assert(rows(0).getAs[Long]("n_events") == 2)
+    assert(rows(0).getAs[Double]("total_value") == 15.0)
+    assert(rows(0).getAs[java.sql.Timestamp]("session_end").toInstant
+      == java.time.Instant.parse("2024-01-01T01:00:10Z"))
+    q.stop()
+  }
+
   test("file-source → parquet sink end-to-end: country-partitioned layout, checkpointed") {
     val inDir = Files.createTempDirectory("graft_in").toString
     val outDir = Files.createTempDirectory("graft_out").toString
