@@ -378,6 +378,10 @@ object DedupQueries {
         .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
       // carry the previous label through so convergence is read off the
       // final frame — no extra compare join per round
+      // EAGER on purpose: a lazy checkpoint here would appear twice in the
+      // jump self-join's DAG and compute twice in the materializing job
+      // (measured slower) — the extra scheduler round-trip is the cheaper
+      // side of that trade
       val stepped = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))

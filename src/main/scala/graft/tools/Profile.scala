@@ -177,6 +177,41 @@ object Profile {
       time("incr-probe @ 1x corpus")(p1())
       val p10 = incrProbe(10); p10()
       time("incr-probe @ 10x corpus")(p10())
+      // context-window chunking at 10x docs (narrow explode — expect ~linear
+      // in data with the fixed overhead amortizing)
+      import graft.ext.text.{TextNorm, TextQueries}
+      def chunk(mult: Int): Long = {
+        val d0 = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        val docs = if (mult == 1) d0 else d0
+          .crossJoin(spark.range(mult.toLong).withColumnRenamed("id", "cp"))
+          .withColumn("doc_id", col("doc_id") * mult + col("cp")).drop("cp")
+        val t = TextNorm.toks(col("text"))
+        val chunkCol = slice(col("t"), col("start") + 1, lit(TextQueries.ChunkSize))
+        docs.select(col("doc_id"), t.as("t"))
+          .filter(size(col("t")) > 0)
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(0), size(col("t")) - 1, lit(TextQueries.ChunkStride))).as("start"))
+          .select(col("doc_id"), md5(concat_ws(" ", chunkCol)).as("fp"))
+          .count()
+      }
+      chunk(1)
+      time("text_chunk @ 1x (5k docs)")(chunk(1))
+      time("text_chunk @ 10x (50k docs)")(chunk(10))
+      // component loop at 10x edges (10 disjoint copies of the embedding
+      // pair graph: same diameter, 10x per-round volume — probes whether
+      // round cost is scheduling or data)
+      def comps(mult: Int): Long = {
+        val p0 = DedupQueries.qEmbeddingDups(spark, dir)
+          .select(col("vec_a"), col("vec_b")).localCheckpoint()
+        val pairs = if (mult == 1) p0 else p0
+          .crossJoin(spark.range(mult.toLong).withColumnRenamed("id", "cp"))
+          .select((col("vec_a") * mult + col("cp")).as("vec_a"),
+            (col("vec_b") * mult + col("cp")).as("vec_b"))
+        DedupQueries.components(pairs, "vec_a", "vec_b").count()
+      }
+      comps(1)
+      time("components @ 1x (920 edges)")(comps(1))
+      time("components @ 10x (9.2k edges)")(comps(10))
       spark.stop(); return
     }
     if (args.lift(1).contains("pq")) {
