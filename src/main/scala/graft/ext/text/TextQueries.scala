@@ -212,6 +212,54 @@ object TextQueries {
         md5(array_join(chunk, " ")).as("chunk_fp"))
   }
 
+  /** The fixed query of [[qBm25]] (a search capability demo needs A
+    * query; parameterizing it is a string swap). */
+  val Bm25Terms: Seq[String] = Seq("spark", "join", "window")
+  val Bm25K = 10
+
+  /** BM25 retrieval: top-[[Bm25K]] documents for a term query, scored with
+    * the k1 = 1.2, b = 0.75 length-normalized BM25 formula kept ENTIRELY
+    * in integer arithmetic — k1 and b enter as the rationals 6/5 and 3/4,
+    * the average-document-length division is cleared by multiplying
+    * through by 20·T (T = corpus token count), and the idf is the log-free
+    * rational floor(1000·(N+1)/(df+1)) (log damping only compresses the
+    * per-term range; same move as [[qTfidf]]). Every per-term score is a
+    * floored integer division of exact BIGINTs, so scores and the top-K
+    * cut are engine-identical.
+    *
+    * Shape: tokenize → filter to query terms BEFORE the (doc, term)
+    * aggregate (the exploded stream drops to query-term hits immediately,
+    * so the aggregate is hit-sized, not corpus-sized) → broadcast the
+    * term-count-sized df table → one unpartitioned top-K window over
+    * scoring docs. At 100 TB the corpus stats (N, T) come from the ingest
+    * snapshot rather than a pre-pass, and the top-K is a
+    * WindowGroupLimit — only K rows survive each partial. Integer
+    * headroom: idf ≤ 10³·N, score numerator ≤ idf·tf·44·T — at extreme
+    * N·T move the score to DECIMAL(38,0), same plan. */
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    val sized = Tables.rebalanced(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"), col("t"))
+    val totals = sized.agg(count(lit(1)), sum(col("dl"))).head()
+    val n = totals.getLong(0); val tt = totals.getLong(1)
+    val tf = sized
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTable = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25_milli").desc, col("doc_id"))
+    tf.join(broadcast(dfTable), "term")
+      .withColumn("idf_k", expr(s"(1000 * ($n + 1)) DIV (df + 1)"))
+      .withColumn("s", expr(
+        s"(idf_k * tf * 44 * $tt) DIV (20 * tf * $tt + 6 * $tt + 18 * dl * $n)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s")).as("bm25_milli"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Bm25K)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid"        -> (qLangId _),
     "text_quality"       -> (qQuality _),
@@ -220,7 +268,8 @@ object TextQueries {
     "text_heavy_hitters" -> (qHeavyHitters _),
     "text_tfidf"         -> (qTfidf _),
     "text_redact"        -> (qRedact _),
-    "text_chunk"         -> (qChunk _))
+    "text_chunk"         -> (qChunk _),
+    "text_bm25"          -> (qBm25 _))
 
   // ------------------------------------------------------------- oracles
 
@@ -304,6 +353,33 @@ object TextQueries {
          |    ORDER BY (tf * $TfidfScale * n.n) // df DESC, token) AS rank
          |FROM tf JOIN df USING (token), n
          |QUALIFY rank <= $TfidfK""".stripMargin,
+    // integer-division ORDER mirrors the Spark side exactly: idf floored
+    // first, then the one floored score division per (doc, term)
+    "text_bm25" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH sized AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl, $toksSql AS t
+         |  FROM documents),
+         |tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tt FROM sized),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM sized)
+         |  WHERE term IN ($termList) GROUP BY 1, 2, 3),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    (((1000 * (tot.n + 1)) // (dfx.df + 1)) * tf.tf * 44 * tot.tt)
+         |      // (20 * tf.tf * tot.tt + 6 * tot.tt + 18 * tf.dl * tot.n) AS s
+         |  FROM tf JOIN dfx USING (term), tot),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_milli,
+         |    count(*) AS n_terms
+         |  FROM scored GROUP BY 1)
+         |SELECT doc_id, bm25_milli, n_terms,
+         |  row_number() OVER (ORDER BY bm25_milli DESC, doc_id) AS rank
+         |FROM agg
+         |QUALIFY rank <= $Bm25K""".stripMargin
+    },
     // range(0, n, stride) excludes n, matching sequence(0, n-1, stride)'s
     // starts-strictly-below-n for every n ≥ 1; list_slice clamps the end
     // bound explicitly (least) where Spark's slice length clamps implicitly

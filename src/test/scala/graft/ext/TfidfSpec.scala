@@ -42,4 +42,29 @@ class TfidfSpec extends SparkSpec {
       out.filter(col("rank") === 1).count())
     out.unpersist()
   }
+
+  test("text_bm25: exactly K ranked hits, every hit contains a query term") {
+    import spark.implicits._
+    val out = TextQueries.qBm25(spark, sf).cache()
+    val rows = out.orderBy("rank").collect()
+    assert(rows.length == TextQueries.Bm25K)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to TextQueries.Bm25K).toSeq)
+    // ordering: score desc, doc_id asc on ties — and scores are positive
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val (sa, sb) = (a.getAs[Long]("bm25_milli"), b.getAs[Long]("bm25_milli"))
+      assert(sa > sb || (sa == sb && a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+    }
+    assert(rows.forall(_.getAs[Long]("bm25_milli") > 0))
+    assert(rows.forall { r =>
+      val nt = r.getAs[Long]("n_terms"); nt >= 1 && nt <= TextQueries.Bm25Terms.size
+    })
+    // every hit really contains at least one query term
+    val hitIds = rows.map(_.getAs[Long]("doc_id")).toSet
+    val withTerm = Tables.documents(spark, sf)
+      .select($"doc_id", graft.ext.text.TextNorm.toks($"text").as("t"))
+      .filter(TextQueries.Bm25Terms.map(t => array_contains($"t", t)).reduce(_ || _))
+      .select("doc_id").as[Long].collect().toSet
+    assert(hitIds.subsetOf(withTerm))
+    out.unpersist()
+  }
 }
