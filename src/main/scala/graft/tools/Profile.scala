@@ -265,6 +265,12 @@ object Profile {
       time("knn_pq full again")(PqQueries.qKnnPq(spark, dir).count())
       spark.stop(); return
     }
+    if (args.lift(1).contains("bm25")) {
+      import graft.ext.text.TextQueries
+      time("bm25 cold")(TextQueries.qBm25(spark, dir).count())
+      time("bm25 again")(TextQueries.qBm25(spark, dir).count())
+      spark.stop(); return
+    }
     if (args.lift(1).contains("sem")) {
       import graft.ext.dedup.DedupQueries
       time("embedding pairs")(DedupQueries.qEmbeddingDups(spark, dir).count())
