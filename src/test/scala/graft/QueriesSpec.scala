@@ -57,6 +57,20 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("knn_pq plan: both join inputs are materialized (giant-literal guard)") {
+    // the round-3 30× regression class: the codes/LUT projections (128
+    // codebook-literal arrays each) must NOT ride plan fusion into the
+    // join→top-k stage — both BNLJ inputs have to be checkpoint scans
+    val plan = graft.ext.sim.PqQueries.qKnnPq(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    val rddScans = "Scan ExistingRDD".r.findAllIn(plan).size
+    assert(rddScans >= 2,
+      s"expected both PQ join inputs checkpointed, found $rddScans RDD scans")
+    assert(!plan.contains("arraydotlong"),
+      "codebook distance expressions leaked past the materialization boundary")
+  }
+
   test("q_asof_order plan: exactly two exchanges, no join operator at all") {
     // the as-of shape: one exchange collapses the build side per (key,
     // time), one partitions the union for the window — there is no join
