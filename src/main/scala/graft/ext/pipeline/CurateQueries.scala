@@ -285,7 +285,35 @@ object CurateQueries {
           / sum(col("sampled_tokens")).over(wAll).cast("double"))
   }
 
+  /** Corpus governance report: the per-(lang, source) dashboard a curation
+    * run publishes — document and token counts, mean quality, and the
+    * fraction falling under the [[QualityMin]] cut. Mean quality follows
+    * the exact-sum discipline: each doc's (deterministic) quality double
+    * is quantized to integer micro-units FIRST, the BIGINT sum is
+    * order-independent, and one final division produces the mean — a raw
+    * double sum would be partial-order-dependent and break the hash gate.
+    * One scan (quality + tokenize fused in a single narrow projection),
+    * one bounded-key aggregate. */
+  def qCorpusReport(spark: SparkSession, dir: String): DataFrame = {
+    // quality() projects its own columns — re-attach source on doc_id
+    // (a narrow join of two projections of the SAME scan; Catalyst reuses
+    // the scan, the join side carries 2 columns)
+    val docs = Tables.rebalanced(spark, Tables.documents(spark, dir))
+    TextQueries.quality(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("lang"), col("source"), col("n_tokens"),
+        Exact.fixed(col("quality_score"), 1e6).as("q_micro"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("q_micro")).cast("double")
+          / (count(lit(1)) * lit(1000000L)).cast("double")).as("mean_quality"),
+        sum(when(col("q_micro") < lit((QualityMin * 1e6).toLong), 1L)
+          .otherwise(0L)).as("n_below_min"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_report"    -> (qCorpusReport _),
     "curate_pipeline"  -> (qCurate _),
     "curate_clustered" -> (qCurateClustered _),
     "sample_split"    -> (qSampleSplit _),
@@ -312,6 +340,19 @@ object CurateQueries {
   private val clusterSql = DedupQueries.oracles("dedup_clusters")
 
   val oracles: Map[String, String] = Map(
+    "corpus_report" ->
+      s"""WITH scored AS (
+         |  SELECT lang, source,
+         |    CAST(len(${graft.ext.text.TextNorm.toksSql}) AS BIGINT) AS n_tokens,
+         |    CAST(floor(($qualityExpr) * 1000000.0 + 0.5) AS BIGINT) AS q_micro
+         |  FROM documents)
+         |SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(CAST(sum(q_micro) AS BIGINT) AS DOUBLE)
+         |    / CAST(count(*) * 1000000 AS DOUBLE) AS mean_quality,
+         |  CAST(sum(CASE WHEN q_micro < ${(QualityMin * 1e6).toLong}
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_below_min
+         |FROM scored GROUP BY 1, 2""".stripMargin,
     "curate_clustered" ->
       s"""WITH losers AS (
          |  SELECT doc_id FROM (

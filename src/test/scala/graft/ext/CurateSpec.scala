@@ -73,6 +73,18 @@ class CurateSpec extends SparkSpec {
     shards.unpersist()
   }
 
+  test("corpus_report: groups partition the corpus; means and cut fractions bounded") {
+    val r = CurateQueries.qCorpusReport(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum == docs)
+    r.foreach { row =>
+      val m = row.getAs[Double]("mean_quality")
+      assert(m >= 0.0 && m <= 1.0, s"mean_quality out of range: $m")
+      assert(row.getAs[Long]("n_below_min") <= row.getAs[Long]("n_docs"))
+      assert(row.getAs[Long]("total_tokens") > 0)
+    }
+  }
+
   test("salted aggregation is exactly equivalent to direct aggregation") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_returnflag").as("k"),
