@@ -49,6 +49,17 @@ object TextQueries {
         .otherwise("fr"))
   }
 
+  /** Classifier evaluation in-engine: the (actual, predicted) confusion
+    * matrix of [[qLangId]] against the corpus's labeled `lang` — the
+    * eval-pass every heuristic/model-scored column needs before its
+    * output drives sampling or filtering decisions. Output is at most
+    * |langs|² rows regardless of corpus size; exact counts, so the whole
+    * eval sits under the hash gate. */
+  def qLangIdEval(spark: SparkSession, dir: String): DataFrame =
+    qLangId(spark, dir)
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Quality scoring: length / alpha-ratio / punctuation / stopword-ratio
     * signals combined into one deterministic score — the standard cheap
     * pre-filter before expensive dedup/embedding stages.
@@ -274,11 +285,26 @@ object TextQueries {
     "text_tfidf"         -> (qTfidf _),
     "text_redact"        -> (qRedact _),
     "text_chunk"         -> (qChunk _),
-    "text_bm25"          -> (qBm25 _))
+    "text_bm25"          -> (qBm25 _),
+    "text_langid_eval"   -> (qLangIdEval _))
 
   // ------------------------------------------------------------- oracles
 
   private val toksSql = TextNorm.toksSql
+
+  /** Language-ID prediction SQL — shared by the text_langid oracle and the
+    * confusion-matrix eval built on it. */
+  private lazy val langIdSql: String = {
+    val scores = profiles.map { case (l, ws) => s"${scoreSql(ws)} AS s_$l" }.mkString(",\n  ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, $scores FROM documents)
+       |SELECT *,
+       |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_es >= s_fr THEN 'es'
+       |       ELSE 'fr' END AS predicted_lang
+       |FROM scored""".stripMargin
+  }
 
   private def scoreSql(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
@@ -296,17 +322,14 @@ object TextQueries {
        |  + 0.3 * (CASE WHEN CAST(len($toksSql) AS BIGINT) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END)""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "text_langid" -> {
-      val scores = profiles.map { case (l, ws) => s"${scoreSql(ws)} AS s_$l" }.mkString(",\n  ")
-      s"""WITH scored AS (
-         |  SELECT doc_id, lang, $scores FROM documents)
-         |SELECT *,
-         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
-         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
-         |       WHEN s_es >= s_fr THEN 'es'
-         |       ELSE 'fr' END AS predicted_lang
-         |FROM scored""".stripMargin
-    },
+    "text_langid" -> langIdSql,
+    // the same prediction SQL reused verbatim, so the eval cannot drift
+    // from the classifier it audits
+    "text_langid_eval" ->
+      s"""SELECT lang, predicted_lang, count(*) AS n_docs
+         |FROM (
+         |$langIdSql
+         |) scored GROUP BY 1, 2""".stripMargin,
     "text_quality" ->
       s"""WITH m AS (
          |  SELECT doc_id, lang,
