@@ -31,6 +31,13 @@ object Explain {
       "WindowGroupLimit prunes to top-K before the final exchange."),
     "q_salted_agg" -> ("Skew-mitigation rewrite: partial aggregate on " +
       "(key, __salt), final on key — exactly two exchanges."),
+    "q_asof_order" -> ("As-of join WITHOUT a join operator: union probe+" +
+      "build on the key, one window pass carries the last build payload " +
+      "forward — two exchanges, no node that can blow up with version " +
+      "count."),
+    "q_session_native" -> ("Native session windows: sort-based session " +
+      "aggregation after one exchange on user_id — the identical stage " +
+      "runs state-store-backed on a stream."),
     "text_chunk" -> ("Narrow doc→chunk explosion: sequence→explode→slice " +
       "with ZERO exchanges at any scale."))
 
