@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.ext.pipeline.CurateQueries
+import graft.ext.pipeline.{CurateQueries, CurateRunner}
 import graft.functions.Salt
 import graft.sources.Tables
 
@@ -71,6 +71,19 @@ class CurateSpec extends SparkSpec {
       assert(n == mx + 1, s"$lang shards not contiguous: $n distinct, max $mx")
     }
     shards.unpersist()
+  }
+
+  test("CurateRunner materializes the curated corpus partitioned by (split, lang)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_curated").toString
+    val n = CurateRunner.run(spark, sf, out)
+    assert(n == CurateQueries.qCurateClustered(spark, sf).count(),
+      "written corpus must be exactly the clustered-curation survivors")
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.startsWith("split=")) && dirs.contains("split=train"))
+    // partition columns are recovered on read, payload survives the round-trip
+    val back = spark.read.parquet(out)
+    assert(back.columns.toSet.contains("split") && back.columns.toSet.contains("lang"))
+    assert(back.filter(col("text").isNull).count() == 0)
   }
 
   test("corpus_report: groups partition the corpus; means and cut fractions bounded") {
