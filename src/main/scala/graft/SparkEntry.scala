@@ -33,6 +33,8 @@ object SparkEntry {
       batch.TpchBreadthQueries.queries ++
       batch.SqlSurfaceQueries.queries ++
       batch.TemporalQueries.queries ++
+      batch.FrameQueries.queries ++
+      batch.CdcQueries.queries ++
       batch.LayoutQueries.queries ++
       ext.text.TextQueries.queries ++
       ext.dedup.DedupQueries.queries ++
@@ -48,6 +50,8 @@ object SparkEntry {
       batch.TpchBreadthQueries.oracles ++
       batch.SqlSurfaceQueries.oracles ++
       batch.TemporalQueries.oracles ++
+      batch.FrameQueries.oracles ++
+      batch.CdcQueries.oracles ++
       batch.LayoutQueries.oracles ++
       ext.text.TextQueries.oracles ++
       ext.dedup.DedupQueries.oracles ++

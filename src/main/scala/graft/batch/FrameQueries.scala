@@ -1,0 +1,143 @@
+package graft.batch
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+import graft.sources.Tables
+
+/**
+ * Analytic window FRAMES and distribution functions — the slice of the
+ * window surface the reference never touches (SURVEY §2.5: frame specs,
+ * lag/lead, ntile all absent from `airflow/dags/kafka_spark_etl.py`, whose
+ * only analytic is the rank at kafka_spark_etl.py:72–78). Two shapes:
+ *
+ *  - [[qRolling7d]]: event-time RANGE frame (trailing 7 calendar days) and
+ *    a ROWS frame (trailing 3 observations) over the same sort — the
+ *    moving-metrics query every daily dashboard runs;
+ *  - [[qNtileCusts]]: the distribution family (ntile / percent_rank /
+ *    cume_dist) over an aggregated customer grain — quantile bucketing for
+ *    cohort assignment.
+ *
+ * Both are DuckDB-oracled: frame contents are set-deterministic, the sums
+ * are exact cents, and every ORDER BY is a total order.
+ */
+object FrameQueries {
+
+  /** Epoch for day-number arithmetic: orders start 1995-01-01 (TESTDATA),
+    * so day numbers are small non-negative ints and RANGE offsets are
+    * engine-identical integers. */
+  val RollingEpoch = "1995-01-01"
+
+  /** Trailing-window daily revenue per nation: 7-calendar-day RANGE frame
+    * (gaps in the calendar shrink the window — that is the point of RANGE
+    * over ROWS) next to a 3-observation ROWS frame on the same sort.
+    *
+    * Shape: the fact collapses to (nation, day) grain FIRST — both dims
+    * broadcast, one bounded-key aggregate — then both frames ride ONE
+    * window sort of that aggregate: |nations| × |days| rows no matter how
+    * many orders fed it. Catalyst evaluates both frame specs in a single
+    * Window node (same partition + order), so the marginal frame is free;
+    * at 100 TB the expensive part is the fact aggregate, which is the
+    * already-minimal one exchange. */
+  def qRolling7d(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val nation = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val daily = Tables.orders(spark, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderdate").cast("date").as("day"))
+      .agg(sum(Exact.cents(col("o_totalprice"))).as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("day_num",
+        datediff(col("day"), lit(RollingEpoch).cast("date")).cast("long"))
+    val range7 = Window.partitionBy("n_name").orderBy(col("day_num")).rangeBetween(-6, 0)
+    val rows3 = Window.partitionBy("n_name").orderBy(col("day_num")).rowsBetween(-2, 0)
+    daily
+      .withColumn("rev7_cents", sum(col("rev_cents")).over(range7))
+      .withColumn("orders_7d", sum(col("n_orders")).over(range7))
+      .withColumn("rev3_cents", sum(col("rev_cents")).over(rows3))
+      .withColumn("n3", count(lit(1)).over(rows3))
+      .select(col("n_name"), col("day"), col("n_orders"),
+        (col("rev_cents") / lit(100.0)).as("revenue"),
+        (col("rev7_cents") / lit(100.0)).as("revenue_7d"),
+        col("orders_7d"),
+        (col("rev3_cents").cast("double") / col("n3") / lit(100.0)).as("revenue_3obs_avg"))
+  }
+
+  val NtileBuckets = 4
+
+  /** Customer revenue quartiles within market segment: ntile([[NtileBuckets]])
+    * + percent_rank + cume_dist over (revenue desc, custkey) — the full
+    * total order makes every bucket boundary deterministic, which plain
+    * revenue ordering (ties) cannot guarantee.
+    *
+    * Shape: orders collapse to customer grain (one fact exchange with
+    * map-side combine), then a customer-keyed join to the dim for the
+    * segment, then the window over the AGGREGATED grain — |customers|
+    * rows per segment, not |orders|. percent_rank/cume_dist are single
+    * IEEE divisions of small integers, identical across engines. At true
+    * 100 TB customer cardinality a per-segment total sort is still a
+    * range-partitioned sort (Spark's Window handles it); only if one
+    * segment key dominates would this need the two-pass rank
+    * (partition-offset) formulation. */
+  def qNtileCusts(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(Exact.cents(col("o_totalprice"))).as("rev_cents"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val w = Window.partitionBy("segment").orderBy(col("rev_cents").desc, col("custkey"))
+    rev.join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey").as("custkey"), col("c_mktsegment").as("segment"),
+        col("rev_cents"))
+      .withColumn("quartile", ntile(NtileBuckets).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .select(col("custkey"), col("segment"),
+        (col("rev_cents") / lit(100.0)).as("revenue"),
+        col("quartile"), col("pct_rank"), col("cume"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_7d"  -> (qRolling7d _),
+    "q_ntile_custs" -> (qNtileCusts _))
+
+  val oracles: Map[String, String] = Map(
+    "q_rolling_7d" ->
+      s"""WITH daily AS (
+         |  SELECT n_name, CAST(o_orderdate AS DATE) AS day,
+         |    CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT) AS rev_cents,
+         |    count(*) AS n_orders
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY 1, 2),
+         |d2 AS (
+         |  SELECT *, CAST(date_diff('day', DATE '$RollingEpoch', day) AS BIGINT) AS day_num
+         |  FROM daily)
+         |SELECT n_name, day, n_orders,
+         |  CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+         |  CAST(CAST(sum(rev_cents) OVER w7 AS BIGINT) AS DOUBLE) / 100.0 AS revenue_7d,
+         |  CAST(sum(n_orders) OVER w7 AS BIGINT) AS orders_7d,
+         |  CAST(CAST(sum(rev_cents) OVER w3 AS BIGINT) AS DOUBLE)
+         |    / (count(*) OVER w3) / 100.0 AS revenue_3obs_avg
+         |FROM d2
+         |WINDOW
+         |  w7 AS (PARTITION BY n_name ORDER BY day_num
+         |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+         |  w3 AS (PARTITION BY n_name ORDER BY day_num
+         |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_ntile_custs" ->
+      s"""WITH rev AS (
+         |  SELECT o_custkey AS custkey,
+         |    CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT) AS rev_cents
+         |  FROM orders GROUP BY 1)
+         |SELECT custkey, c_mktsegment AS segment,
+         |  CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+         |  CAST(ntile($NtileBuckets) OVER w AS BIGINT) AS quartile,
+         |  percent_rank() OVER w AS pct_rank,
+         |  cume_dist() OVER w AS cume
+         |FROM rev JOIN customer ON custkey = c_custkey
+         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY rev_cents DESC, custkey)""".stripMargin)
+}

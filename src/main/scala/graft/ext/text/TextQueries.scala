@@ -276,6 +276,79 @@ object TextQueries {
       .filter(col("rank") <= Bm25K)
   }
 
+  /** Pairs kept by the BPE census. */
+  val BpeK = 30
+
+  /** Tokenizer-training inner loop: the frequency-weighted census of
+    * adjacent character pairs over the corpus vocabulary — one iteration
+    * of byte-pair encoding (BPE training repeats exactly this census,
+    * merging the winner into a new symbol each round; the data shape per
+    * round is identical). Top-[[BpeK]] pairs by weighted count, ties on
+    * the pair string.
+    *
+    * Shape: the corpus collapses to its VOCABULARY first (explode →
+    * word-keyed hash aggregate with map-side combine — the same shuffle
+    * discipline as [[qHeavyHitters]]); the pair explosion then runs over
+    * distinct words only, so its cost is vocab × avg-word-length no
+    * matter how many tokens the corpus has. Zipf makes the vocabulary
+    * bounded (≪ corpus) at any scale — this is why real BPE trainers also
+    * precompute word frequencies. The final census aggregates on the
+    * pair key (≤ |alphabet|² values) and top-K cuts via one bounded
+    * sort. */
+  def qBpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.rebalanced(spark, Tables.documents(spark, dir))
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    words.filter(length(col("w")) >= 2)
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"), col("freq"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("pair_count"), count(lit(1)).as("n_contexts"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(BpeK)
+  }
+
+  /** Integer weights of the quality model, in micro-logit units: keep
+    * score = [[QmBias]] + [[QmWAlpha]]·alpha_micro + [[QmWStop]]·stop_micro
+    * + [[QmWLen]]·len_ok, where the ratio features are floored integer
+    * micro-fractions. Chosen so the corpus splits into both classes (the
+    * spec asserts it); a trained model swaps the constants. */
+  val QmBias = -1300000L
+  val QmWAlpha = 1L
+  val QmWStop = 3L
+  val QmWLen = 500000L
+
+  /** Model-based quality filtering: a linear classifier over cheap text
+    * features, evaluated ENTIRELY in integer arithmetic — the
+    * FineWeb/CCNet-style "score every document with a small model, keep
+    * above threshold" stage, with integer-quantized weights and features
+    * so the logit, and therefore the keep/drop cut, is engine-identical
+    * (a float sigmoid would only rescale the threshold; the sign of the
+    * logit IS the decision).
+    *
+    * Shape: one narrow codegen'd projection — no shuffle at any scale;
+    * the output feeds the same downstream as [[quality]]'s heuristic
+    * score. Features: alpha ratio and stopword ratio as floored
+    * micro-fractions (integer `div`), plus the length-band indicator. */
+  def qQualityModel(spark: SparkSession, dir: String): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      length(t).cast("long").as("n_chars"),
+      length(regexp_replace(t, "[^A-Za-z]", "")).cast("long").as("n_alpha"),
+      size(toks(col("text"))).cast("long").as("n_tokens"),
+      score(toks(col("text")), profiles.head._2).as("n_stopwords"))
+      .select(col("doc_id"), col("lang"),
+        expr("n_alpha * 1000000 DIV greatest(n_chars, 1)").as("alpha_micro"),
+        expr("n_stopwords * 1000000 DIV greatest(n_tokens, 1)").as("stop_micro"),
+        when(col("n_tokens").between(20, 2000), lit(1L)).otherwise(lit(0L)).as("len_ok"))
+      .withColumn("logit_micro",
+        lit(QmBias) + lit(QmWAlpha) * col("alpha_micro") +
+          lit(QmWStop) * col("stop_micro") + lit(QmWLen) * col("len_ok"))
+      .withColumn("keep", col("logit_micro") > 0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid"        -> (qLangId _),
     "text_quality"       -> (qQuality _),
@@ -286,7 +359,9 @@ object TextQueries {
     "text_redact"        -> (qRedact _),
     "text_chunk"         -> (qChunk _),
     "text_bm25"          -> (qBm25 _),
-    "text_langid_eval"   -> (qLangIdEval _))
+    "text_langid_eval"   -> (qLangIdEval _),
+    "bpe_pairs"          -> (qBpePairs _),
+    "text_quality_model" -> (qQualityModel _))
 
   // ------------------------------------------------------------- oracles
 
@@ -428,5 +503,42 @@ object TextQueries {
       s"""SELECT doc_id, lang,
          |  CAST(len(regexp_extract_all(coalesce(text,''), '\\b(customer|spark|vector)\\b')) AS BIGINT) AS n_redacted,
          |  md5(regexp_replace(coalesce(text,''), '\\b(customer|spark|vector)\\b', '<TERM>', 'g')) AS redacted_fp
-         |FROM documents""".stripMargin)
+         |FROM documents""".stripMargin,
+    // substr(w, i, 2) always yields 2 chars (i ≤ length-1); generate_series
+    // is inclusive on both ends, matching Spark's sequence(1, len-1)
+    "bpe_pairs" ->
+      s"""WITH words AS (
+         |  SELECT w, count(*) AS freq
+         |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+         |  GROUP BY 1),
+         |pairs AS (
+         |  SELECT unnest([substr(w, i, 2) for i in generate_series(1, length(w)-1)]) AS pair,
+         |    freq
+         |  FROM words WHERE length(w) >= 2)
+         |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count, count(*) AS n_contexts
+         |FROM pairs GROUP BY 1
+         |ORDER BY pair_count DESC, pair
+         |LIMIT $BpeK""".stripMargin,
+    // `//` on positive BIGINTs ≡ Spark's DIV — both floor; all terms stay
+    // integer so the logit sign (the keep decision) cannot drift
+    "text_quality_model" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, lang,
+         |    CAST(length(coalesce(text,'')) AS BIGINT) AS n_chars,
+         |    CAST(length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    ${scoreSql(profiles.head._2)} AS n_stopwords
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, lang,
+         |    n_alpha * 1000000 // greatest(n_chars, 1) AS alpha_micro,
+         |    n_stopwords * 1000000 // greatest(n_tokens, 1) AS stop_micro,
+         |    CAST(CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1 ELSE 0 END AS BIGINT) AS len_ok
+         |  FROM m)
+         |SELECT doc_id, lang, alpha_micro, stop_micro, len_ok,
+         |  $QmBias + $QmWAlpha * alpha_micro + $QmWStop * stop_micro
+         |    + $QmWLen * len_ok AS logit_micro,
+         |  ($QmBias + $QmWAlpha * alpha_micro + $QmWStop * stop_micro
+         |    + $QmWLen * len_ok) > 0 AS keep
+         |FROM f""".stripMargin)
 }

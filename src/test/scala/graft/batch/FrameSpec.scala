@@ -1,0 +1,83 @@
+package graft.batch
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.Exact
+import graft.sources.Tables
+
+/** Window-frame semantics — the RANGE frame checked against an explicit
+  * range self-join reference, the distribution functions against their
+  * defining invariants. */
+class FrameSpec extends SparkSpec {
+
+  test("q_rolling_7d: RANGE frame equals the explicit range-join reference") {
+    val out = FrameQueries.qRolling7d(spark, sf)
+      .select(col("n_name"), col("day"),
+        Exact.cents(col("revenue_7d")).as("rev7_cents"), col("orders_7d"))
+
+    // independent reference: re-aggregate daily, then an explicit banded
+    // self-join over the 7-day range (the O(n·w) formulation the frame
+    // avoids paying)
+    val cust = Tables.customer(spark, sf).select("c_custkey", "c_nationkey")
+    val nat = Tables.nation(spark, sf).select("n_nationkey", "n_name")
+    val daily = Tables.orders(spark, sf)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderdate").cast("date").as("day"))
+      .agg(sum(Exact.cents(col("o_totalprice"))).as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+    val ref = daily.alias("a")
+      .join(daily.alias("b"),
+        col("a.n_name") === col("b.n_name") &&
+          col("b.day") >= date_sub(col("a.day"), 6) &&
+          col("b.day") <= col("a.day"))
+      .groupBy(col("a.n_name").as("n_name"), col("a.day").as("day"))
+      .agg(sum(col("b.rev_cents")).as("rev7_cents"),
+        sum(col("b.n_orders")).as("orders_7d"))
+
+    assert(out.count() == daily.count(), "one output row per (nation, day)")
+    assert(out.except(ref).isEmpty && ref.except(out).isEmpty,
+      "RANGE-frame trailing sums must equal the explicit range join")
+  }
+
+  test("q_rolling_7d: ROWS frame averages at most 3 observations") {
+    val out = FrameQueries.qRolling7d(spark, sf)
+    // a trailing-3-row mean can never exceed 3× nor undercut 1/3 of the
+    // largest/smallest single day in its nation — weak but formulation-free;
+    // the strong check: first row of each nation has avg == its own revenue
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_name").orderBy("day")
+    val first = out.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val bad = first.filter(
+      abs(col("revenue_3obs_avg") - col("revenue")) > lit(1e-9))
+    assert(bad.count() == 0, "a partition's first row averages only itself")
+  }
+
+  test("q_ntile_custs: bucket sizes within 1; quartile monotone in revenue rank") {
+    val out = FrameQueries.qNtileCusts(spark, sf)
+    val sizes = out.groupBy("segment", "quartile").count()
+      .groupBy("segment").agg((max("count") - min("count")).as("spread"),
+        countDistinct("quartile").as("nq"))
+      .collect()
+    assert(sizes.nonEmpty)
+    sizes.foreach { r =>
+      assert(r.getAs[Long]("spread") <= 1, s"ntile sizes must differ by ≤1: $r")
+      assert(r.getAs[Long]("nq") == FrameQueries.NtileBuckets.toLong)
+    }
+    // quartile, pct_rank and cume are all monotone in the window order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("segment").orderBy(col("revenue").desc, col("custkey"))
+    val chk = out
+      .withColumn("pq", lag(col("quartile"), 1).over(w))
+      .withColumn("pp", lag(col("pct_rank"), 1).over(w))
+      .withColumn("pc", lag(col("cume"), 1).over(w))
+      .filter(col("pq").isNotNull &&
+        (col("quartile") < col("pq") || col("pct_rank") < col("pp") ||
+          col("cume") < col("pc")))
+    assert(chk.count() == 0)
+    // distribution bounds
+    assert(out.filter(col("pct_rank") < 0 || col("pct_rank") > 1 ||
+      col("cume") <= 0 || col("cume") > 1).count() == 0)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ext.text.TextQueries
+import graft.sources.Tables
+
+/** The tokenizer-training census against a driver-side brute force, and
+  * the integer quality model's decision invariants. */
+class TextModelSpec extends SparkSpec {
+
+  /** The suite's tokenizer, re-implemented independently in plain Scala. */
+  private def toksRef(text: String): Seq[String] =
+    Option(text).getOrElse("").toLowerCase
+      .replaceAll("[^a-z0-9 ]", " ").split(" +").filter(_.nonEmpty).toSeq
+
+  test("bpe_pairs equals a driver-side brute-force census") {
+    val docs = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    docs.flatMap(toksRef).foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L)
+    val pc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    freq.foreach { case (w, f) =>
+      if (w.length >= 2) w.sliding(2).foreach { p =>
+        val (c, n) = pc.getOrElse(p, (0L, 0L)); pc(p) = (c + f, n + 1)
+      }
+    }
+    val expected = pc.toSeq
+      .map { case (p, (c, n)) => (p, c, n) }
+      .sortBy { case (p, c, _) => (-c, p) }
+      .take(TextQueries.BpeK)
+    val got = TextQueries.qBpePairs(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("text_quality_model: keep ≡ logit>0; features bounded; both classes at sf0.01") {
+    val out = TextQueries.qQualityModel(spark, "/root/testdata/sf0.01")
+    assert(out.filter(col("keep") =!= (col("logit_micro") > 0)).count() == 0)
+    assert(out.filter(col("alpha_micro") < 0 || col("alpha_micro") > 1000000L ||
+      col("stop_micro") < 0 || col("stop_micro") > 1000000L).count() == 0)
+    val classes = out.groupBy("keep").count().count()
+    assert(classes == 2, "the model threshold must split the corpus")
+    // the logit is exactly the advertised linear form
+    val recomputed = out.filter(
+      col("logit_micro") =!= (lit(TextQueries.QmBias) +
+        lit(TextQueries.QmWAlpha) * col("alpha_micro") +
+        lit(TextQueries.QmWStop) * col("stop_micro") +
+        lit(TextQueries.QmWLen) * col("len_ok")))
+    assert(recomputed.count() == 0)
+  }
+}
