@@ -39,7 +39,14 @@ object Explain {
       "aggregation after one exchange on user_id — the identical stage " +
       "runs state-store-backed on a stream."),
     "text_chunk" -> ("Narrow doc→chunk explosion: sequence→explode→slice " +
-      "with ZERO exchanges at any scale."))
+      "with ZERO exchanges at any scale."),
+    "q_rolling_7d" -> ("Window frames: the RANGE(-6,0) and ROWS(-2,0) " +
+      "trailing frames both evaluate in ONE Window node over one " +
+      "(nation, day_num) sort of the dimension-sized daily aggregate."),
+    "q_cdc_merge" -> ("CDC merge: the change feed collapses to one row " +
+      "per key in a partial/final aggregate (the shuffle carries " +
+      "distinct keys, not the raw feed), then ONE full-outer join " +
+      "against the snapshot — two exchanges total."))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

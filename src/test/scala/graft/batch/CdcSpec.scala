@@ -51,6 +51,56 @@ class CdcSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getDouble(2) == 9.0)
   }
 
+  test("merge kernel folds a change stream batch-by-batch to the one-shot result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq((1L, 10.0, "A"), (2L, 20.0, "B"), (3L, 30.0, "C"))
+      .toDF("k", "c_acctbal", "c_mktsegment")
+    // event-time-ordered feed split into two micro-batches; covers
+    // cross-batch re-update, delete→re-insert, and insert→delete
+    val feed = Seq(
+      (2L, 100L, 1L, false, 9900L),
+      (3L, 110L, 2L, true, 0L),
+      (4L, 120L, 3L, false, 4400L),
+      (2L, 200L, 4L, false, 2222L),
+      (3L, 210L, 5L, false, 3300L),
+      (4L, 220L, 6L, true, 0L))
+    def toDf(s: Seq[(Long, Long, Long, Boolean, Long)]) =
+      s.map { case (k, t, e, d, c) => (k, ts(t), e, d, c) }
+        .toDF("k", "ts", "event_id", "is_del", "cents")
+    val (b1, b2) = feed.splitAt(3)
+
+    // the streaming deployment: foreachBatch folds each micro-batch into
+    // the snapshot with the SAME kernel the batch query uses
+    var snapshot = base
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, Timestamp, Long, Boolean, Long)]
+    val q = graft.stream.StreamPipeline.start(
+      ms.toDF().toDF("k", "ts", "event_id", "is_del", "cents"),
+      graft.stream.StreamPipeline.ForeachBatch((batch, _) => {
+        snapshot = CdcQueries.merge(snapshot, batch)
+          .select(col("cust_id").as("k"), col("balance").as("c_acctbal"),
+            col("segment").as("c_mktsegment"))
+          .localCheckpoint()
+      }))
+    ms.addData(b1.map { case (k, t, e, d, c) => (k, ts(t), e, d, c) }: _*)
+    q.processAllAvailable()
+    ms.addData(b2.map { case (k, t, e, d, c) => (k, ts(t), e, d, c) }: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // one-shot LWW merge sees only each key's final op, so presence and
+    // balance must agree with the fold (segment can differ for a
+    // delete→re-insert key: the fold forgets the deleted row's segment)
+    val folded = snapshot.select("k", "c_acctbal")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val oneShot = CdcQueries.merge(base, toDf(feed))
+      .select("cust_id", "balance")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(folded == oneShot)
+    assert(folded == Set(1L -> 10.0, 2L -> 22.22, 3L -> 33.0))
+  }
+
   test("q_cdc_merge: cardinality equation holds on the corpus") {
     val out = CdcQueries.qCdcMerge(spark, sf)
     val base = Tables.customer(spark, sf).select("c_custkey")
