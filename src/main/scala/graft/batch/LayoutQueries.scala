@@ -137,10 +137,43 @@ object LayoutQueries {
         .select(col("l_returnflag"), Exact.cents(col("l_extendedprice")).as("cents")),
       col("l_returnflag"), col("cents"), "revenue_cents", "n_lines", Salts)
 
+  /** Replicas of the build side in [[qSaltedJoin]]. */
+  val JoinSalts = 8
+
+  /** Salted JOIN under the hash gate — the join-side complement of
+    * [[qSaltedAgg]]: the probe (events, pretend user_id is hot) takes a
+    * deterministic row-id salt `event_id % JoinSalts`; the build
+    * (customer) replicates ×[[JoinSalts]] via `explode(sequence)`; the
+    * join keys on (key, salt), so one hot probe key spreads over
+    * [[JoinSalts]] reducers instead of one. The result is EXACTLY the
+    * plain inner join (every probe row meets exactly the one build
+    * replica carrying its salt) — the oracle IS the plain join.
+    *
+    * When to reach for it at 100 TB: AQE's skew-join splitting already
+    * rebalances sort-merge joins at runtime, and a broadcastable build
+    * needs none of this — the explicit form is for the gap (stream-static
+    * joins, build just over broadcast size, AQE-off deployments), priced
+    * at build × salts replication. The `merge` hint pins the exchange so
+    * the salted hashpartitioning is visible in the plan (and asserted by
+    * LayoutSpec). */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val probe = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        pmod(col("event_id"), lit(JoinSalts.toLong)).as("__salt"))
+    val build = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        explode(sequence(lit(0L), lit(JoinSalts - 1L))).as("__salt"))
+      .hint("merge")
+    probe.join(build,
+        probe("user_id") === build("c_custkey") && probe("__salt") === build("__salt"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"), col("value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder"         -> (qZorder _),
     "q_bloom_semijoin" -> (qBloomSemijoin _),
-    "q_salted_agg"     -> (qSaltedAgg _))
+    "q_salted_agg"     -> (qSaltedAgg _),
+    "q_salted_join"    -> (qSaltedJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_zorder" ->
@@ -168,5 +201,10 @@ object LayoutQueries {
       s"""SELECT l_returnflag,
          |  CAST(sum(${Exact.centsSql("l_extendedprice")}) AS BIGINT) AS revenue_cents,
          |  count(*) AS n_lines
-         |FROM lineitem GROUP BY 1""".stripMargin)
+         |FROM lineitem GROUP BY 1""".stripMargin,
+    // the oracle is the UNSALTED join — proving replica routing loses and
+    // duplicates nothing
+    "q_salted_join" ->
+      """SELECT event_id, user_id, c_mktsegment, value
+        |FROM events JOIN customer ON user_id = c_custkey""".stripMargin)
 }

@@ -94,6 +94,27 @@ class LayoutSpec extends SparkSpec {
     assert(plan.contains("__salt"), "partial aggregate must group on the salt")
   }
 
+  test("q_salted_join: ≡ plain join; exchanges key on (join key, salt)") {
+    val salted = LayoutQueries.qSaltedJoin(spark, sf)
+    val plain = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"), col("value"))
+    assert(salted.collect().map(_.toString).sorted.toSeq ==
+      plain.collect().map(_.toString).sorted.toSeq,
+      "replica routing must lose and duplicate nothing")
+    // every probe row meets exactly one build replica — no fan-out
+    assert(salted.select("event_id").distinct().count() == salted.count())
+    // the join's exchanges carry the salt: the hot key spreads JoinSalts ways
+    salted.count()
+    val plan = salted.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin"), s"merge hint must pin SMJ:\n$plan")
+    val saltedExchanges = "Exchange hashpartitioning\\([^)]*__salt".r
+      .findAllIn(plan).length
+    assert(saltedExchanges >= 2,
+      s"both join inputs must partition on (key, __salt):\n$plan")
+  }
+
   test("text_chunk: zero exchanges — the chunk explosion is narrow") {
     val q = graft.ext.text.TextQueries.qChunk(spark, sf)
     q.count()
