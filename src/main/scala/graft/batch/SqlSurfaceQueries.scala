@@ -117,6 +117,32 @@ object SqlSurfaceQueries {
     percentilesOver(spark, dir,
       "approx_percentile(cents, 0.5, 10000)", "approx_percentile(cents, 0.95, 10000)")
 
+  /** Mergeable-sketch rollup: per-DAY DataSketches HLL sketches of the
+    * user set, UNION-merged up to weekly distinct-user estimates — the
+    * materialize-once / re-aggregate-anywhere pattern that makes distinct
+    * counts cheap at 100 TB: the daily layer persists kilobyte sketch
+    * BLOBs next to its counts, and every coarser rollup (week, month,
+    * arbitrary day ranges, after late-data restatement of single days)
+    * is a sketch union over the summary table — the raw fact is never
+    * re-scanned. `approx_count_distinct` (q_approx_distinct) answers one
+    * query; a persisted sketch column answers every future containing
+    * rollup. No DuckDB oracle (sketch internals are engine-specific,
+    * same policy as the other sketch queries); SqlSurfaceSpec bounds the
+    * weekly estimates against exact distincts and pins
+    * merged-daily ≡ direct-weekly sketching. */
+  def qSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("n_events"))
+    daily
+      .groupBy(floor(datediff(col("day"), lit("2024-01-01").cast("date")) / lit(7.0))
+        .cast("long").as("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+        sum(col("n_events")).as("n_events"),
+        count(lit(1)).as("n_days"))
+  }
+
   /** Set operations: purchase cohorts by activity window — INTERSECT for
     * retained buyers, EXCEPT for churned (purchase-specific so both
     * branches carry rows at test density). */
@@ -307,6 +333,7 @@ object SqlSurfaceQueries {
     "q_rollup_pricing"   -> (qRollupPricing _),
     "q_percentiles"      -> (qPercentiles _),
     "q_approx_pctl"      -> (qApproxPercentiles _),
+    "q_sketch_rollup"    -> (qSketchRollup _),
     "q_user_cohorts"     -> (qUserCohorts _),
     "q_orders_histogram" -> (qOrdersHistogram _),
     "q_top_suppliers"    -> (qTopSuppliers _),

@@ -75,6 +75,36 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("q_sketch_rollup: merged daily sketches track exact weekly distincts") {
+    val weekCol = floor(
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) / lit(7.0))
+      .cast("long")
+    val exact = Tables.events(spark, sf)
+      .groupBy(weekCol.as("week"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val out = SqlSurfaceQueries.qSketchRollup(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == exact.keySet, "one row per week")
+    out.foreach { case (w, (approx, nEvents)) =>
+      val (e, en) = exact(w)
+      assert(nEvents == en, s"week $w: event counts are exact")
+      assert(math.abs(approx - e) <= math.max(0.05 * e, 2.0),
+        s"week $w: sketch estimate $approx vs exact $e")
+    }
+    // union of daily sketches ≡ sketching the week directly — the property
+    // that makes the persisted daily layer sufficient for ANY rollup
+    val direct = Tables.events(spark, sf)
+      .groupBy(weekCol.as("week"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (w, (merged, _)) =>
+      assert(math.abs(merged - direct(w)) <= math.max(0.01 * direct(w), 1.0),
+        s"week $w: merged $merged vs direct ${direct(w)}")
+    }
+  }
+
   test("q_unpivot melts each wide row into one row per metric") {
     val wide = Tables.lineitem(spark, sf).select("l_returnflag").distinct().count()
     val long = SqlSurfaceQueries.qUnpivot(spark, sf)
