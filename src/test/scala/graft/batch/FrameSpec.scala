@@ -54,6 +54,16 @@ class FrameSpec extends SparkSpec {
     assert(bad.count() == 0, "a partition's first row averages only itself")
   }
 
+  test("q_rolling_7d: both frames evaluate in ONE Window node (plan guard)") {
+    val q = FrameQueries.qRolling7d(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(windows == 1,
+      s"RANGE and ROWS frames share one sort — expected 1 Window node, got $windows:\n$plan")
+  }
+
   test("q_ntile_custs: bucket sizes within 1; quartile monotone in revenue rank") {
     val out = FrameQueries.qNtileCusts(spark, sf)
     val sizes = out.groupBy("segment", "quartile").count()
