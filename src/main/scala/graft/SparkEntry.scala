@@ -35,6 +35,7 @@ object SparkEntry {
       batch.TemporalQueries.queries ++
       batch.FrameQueries.queries ++
       batch.CdcQueries.queries ++
+      batch.DqQueries.queries ++
       batch.LayoutQueries.queries ++
       ext.text.TextQueries.queries ++
       ext.dedup.DedupQueries.queries ++
@@ -52,6 +53,7 @@ object SparkEntry {
       batch.TemporalQueries.oracles ++
       batch.FrameQueries.oracles ++
       batch.CdcQueries.oracles ++
+      batch.DqQueries.oracles ++
       batch.LayoutQueries.oracles ++
       ext.text.TextQueries.oracles ++
       ext.dedup.DedupQueries.oracles ++
