@@ -99,9 +99,47 @@ object FrameQueries {
         col("quartile"), col("pct_rank"), col("cume"))
   }
 
+  val ParetoDeciles = 10
+
+  /** Revenue concentration (Pareto / Lorenz deciles): customers ranked by
+    * exact-cents revenue, cut into [[ParetoDeciles]] deciles, each
+    * reporting its revenue, the cumulative revenue at its end, and the
+    * cumulative SHARE of total — "the top 10% of customers carry X% of
+    * revenue". Every quantity stays integer until the two final display
+    * divisions (one /100.0, one exact-long ratio), so the oracle
+    * hash-matches.
+    *
+    * Shape: the fact collapses to customer grain first; the ranking,
+    * running total, and grand total all ride ONE window sort of that
+    * bounded aggregate (cum is monotone along the order and deciles are
+    * contiguous, so max(cum) per decile IS the boundary value); output is
+    * [[ParetoDeciles]] rows. The unpartitioned window carries the same
+    * scale caveat as [[qNtileCusts]] — its input is an aggregate, and the
+    * two-pass partition-offset rank is the extreme-cardinality fallback. */
+  def qPareto(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(Exact.cents(col("o_totalprice"))).as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("o_custkey"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rev
+      .withColumn("decile", ntile(ParetoDeciles).over(w).cast("long"))
+      .withColumn("cum_cents", sum(col("cents")).over(run))
+      .withColumn("total_cents", sum(col("cents")).over(all))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_custs"),
+        (sum(col("cents")) / lit(100.0)).as("decile_revenue"),
+        (max(col("cum_cents")) / lit(100.0)).as("cum_revenue"),
+        (max(col("cum_cents")).cast("double") / max(col("total_cents")))
+          .as("cum_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rolling_7d"  -> (qRolling7d _),
-    "q_ntile_custs" -> (qNtileCusts _))
+    "q_ntile_custs" -> (qNtileCusts _),
+    "q_pareto"      -> (qPareto _))
 
   val oracles: Map[String, String] = Map(
     "q_rolling_7d" ->
@@ -139,5 +177,23 @@ object FrameQueries {
          |  percent_rank() OVER w AS pct_rank,
          |  cume_dist() OVER w AS cume
          |FROM rev JOIN customer ON custkey = c_custkey
-         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY rev_cents DESC, custkey)""".stripMargin)
+         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY rev_cents DESC, custkey)""".stripMargin,
+    "q_pareto" ->
+      s"""WITH rev AS (
+         |  SELECT o_custkey,
+         |    CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |r AS (
+         |  SELECT cents,
+         |    ntile($ParetoDeciles) OVER w AS decile,
+         |    CAST(sum(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS BIGINT) AS cum_cents,
+         |    CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+         |  FROM rev
+         |  WINDOW w AS (ORDER BY cents DESC, o_custkey))
+         |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_custs,
+         |  CAST(sum(cents) AS DOUBLE) / 100.0 AS decile_revenue,
+         |  CAST(max(cum_cents) AS DOUBLE) / 100.0 AS cum_revenue,
+         |  CAST(max(cum_cents) AS DOUBLE) / max(total_cents) AS cum_share
+         |FROM r GROUP BY 1""".stripMargin)
 }

@@ -64,6 +64,24 @@ class FrameSpec extends SparkSpec {
       s"RANGE and ROWS frames share one sort — expected 1 Window node, got $windows:\n$plan")
   }
 
+  test("q_pareto: deciles tile customers; cumulative share monotone to 1.0") {
+    val out = FrameQueries.qPareto(spark, sf).orderBy("decile").collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to FrameQueries.ParetoDeciles).toSeq)
+    val sizes = out.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, "ntile decile sizes differ by ≤1")
+    assert(sizes.sum == Tables.orders(spark, sf).select("o_custkey").distinct().count())
+    val shares = out.map(_.getDouble(4))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b },
+      "cumulative share is monotone")
+    assert(math.abs(shares.last - 1.0) < 1e-12, "last decile closes at 100%")
+    assert(shares.head >= 1.0 / FrameQueries.ParetoDeciles,
+      "the top decile carries at least its uniform share")
+    // decile revenues sum to the grand total the shares are measured against
+    val sumDeciles = out.map(_.getDouble(2)).sum
+    val cumLast = out.last.getDouble(3)
+    assert(math.abs(sumDeciles - cumLast) < 1e-6)
+  }
+
   test("q_ntile_custs: bucket sizes within 1; quartile monotone in revenue rank") {
     val out = FrameQueries.qNtileCusts(spark, sf)
     val sizes = out.groupBy("segment", "quartile").count()
