@@ -61,10 +61,14 @@ object GraphQueries {
     "graph_pagerank" -> (qPagerank _))
 
   /** One unrolled iteration — the same floored-integer update as the
-    * Spark side. */
+    * Spark side. DuckDB `sum(BIGINT)` widens to HUGEINT, which would
+    * otherwise propagate through `//` into `rank_micro` and break the hash
+    * gate; CAST the sum back to BIGINT per the repo-wide oracle discipline
+    * (cf. the kmeans oracle). */
   private def iterSql(n: Int): String =
     s"""r$n AS (
-       |  SELECT e.v AS u, (15 * $Scale + 85 * sum(p.r // deg.d)) // 100 AS r
+       |  SELECT e.v AS u,
+       |    CAST((15 * $Scale + 85 * CAST(sum(p.r // deg.d) AS BIGINT)) // 100 AS BIGINT) AS r
        |  FROM edges e
        |  JOIN r${n - 1} p ON p.u = e.u
        |  JOIN deg ON deg.u = e.u
