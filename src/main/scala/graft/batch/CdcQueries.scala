@@ -29,8 +29,13 @@ object CdcQueries {
   /** Apply a change feed to a base snapshot, MERGE-style.
     *
     * Inputs: `base(k, c_acctbal, c_mktsegment)`,
-    * `changes(k, ts, event_id, is_del, cents)` — event_id must be unique
-    * (the corpus guarantees it; ties in `ts` resolve on it).
+    * `changes(k, ts, event_id, is_del, cents)`. Last-writer order is the
+    * FULL struct key (ts, event_id, is_del, cents): ties in `ts` resolve
+    * on event_id (unique in the corpus — q_dq_audit measures it), and the
+    * payload fields complete the total order so the winner stays
+    * deterministic — and identical to the oracle's row_number over the
+    * same four-column ORDER BY — even on inputs that violate that
+    * uniqueness assumption.
     *
     * Shape: the feed FIRST collapses to one row per key via
     * `max(struct(ts, event_id, …))` — an ordinary hash aggregate with
@@ -89,7 +94,8 @@ object CdcQueries {
          |last AS (
          |  SELECT k, is_del, cents FROM (
          |    SELECT *, row_number() OVER (
-         |      PARTITION BY k ORDER BY ts DESC, event_id DESC) AS rn
+         |      PARTITION BY k
+         |      ORDER BY ts DESC, event_id DESC, is_del DESC, cents DESC) AS rn
          |    FROM chg)
          |  WHERE rn = 1),
          |m AS (

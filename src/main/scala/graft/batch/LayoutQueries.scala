@@ -145,7 +145,10 @@ object LayoutQueries {
     * deterministic row-id salt `event_id % JoinSalts`; the build
     * (customer) replicates ×[[JoinSalts]] via `explode(sequence)`; the
     * join keys on (key, salt), so one hot probe key spreads over
-    * [[JoinSalts]] reducers instead of one. The result is EXACTLY the
+    * [[JoinSalts]] reducers instead of one. The salt is
+    * coalesce'd to 0 on NULL event_id so the rewrite stays
+    * equivalence-preserving for any input — a NULL salt would silently
+    * drop the row relative to the plain join. The result is EXACTLY the
     * plain inner join (every probe row meets exactly the one build
     * replica carrying its salt) — the oracle IS the plain join.
     *
@@ -159,7 +162,7 @@ object LayoutQueries {
   def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val probe = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("value"),
-        pmod(col("event_id"), lit(JoinSalts.toLong)).as("__salt"))
+        coalesce(pmod(col("event_id"), lit(JoinSalts.toLong)), lit(0L)).as("__salt"))
     val build = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"),
         explode(sequence(lit(0L), lit(JoinSalts - 1L))).as("__salt"))

@@ -299,15 +299,23 @@ object SqlSurfaceQueries {
     * identical ints — bit-identical across engines, so even `corr` sits
     * under the hash gate. Plan shape: one scan, one bounded-key hash
     * aggregate; moments are algebraic, so map-side partial combine does
-    * the work. At extreme row counts the Σx² terms approach BIGINT range
-    * before anything else — swap those sums to DECIMAL(38,0) (still
-    * exact, still mergeable) rather than floats. */
+    * the work. The n·Σx² − (Σx)² variance products are computed in
+    * DECIMAL(38,0) (exact, mergeable, 38 digits of headroom) — in BIGINT
+    * they would wrap silently on large groups, producing wrong statistics
+    * instead of failing; the DuckDB twin computes the same products in
+    * HUGEINT, so both engines carry the identical exact integer into the
+    * one final double conversion. Degenerate groups (n ≤ 1, or zero
+    * variance) yield NULL stddev/corr explicitly rather than engine-shaped
+    * NaN/divide-by-zero artifacts. */
   def qProfileStats(spark: SparkSession, dir: String): DataFrame = {
     val qi = floor(col("l_quantity") + lit(0.5)).cast("long")
     val di = Exact.fixed(col("l_discount"), 1000)
     val n = col("n"); val sq = col("sq"); val sd = col("sd")
-    val varQ = (n * col("sqq") - sq * sq).cast("double")
-    val varD = (n * col("sdd") - sd * sd).cast("double")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val varQ = dec(n) * dec(col("sqq")) - dec(sq) * dec(sq)
+    val varD = dec(n) * dec(col("sdd")) - dec(sd) * dec(sd)
+    val covQD = dec(n) * dec(col("sqd")) - dec(sq) * dec(sd)
+    val nullD = lit(null).cast("double")
     Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), qi.as("q"), di.as("d"))
       .groupBy(col("l_returnflag"))
@@ -317,9 +325,13 @@ object SqlSurfaceQueries {
         sum(col("q") * col("d")).as("sqd"))
       .select(col("l_returnflag"), n,
         (sq.cast("double") / n.cast("double")).as("mean_qty"),
-        sqrt(varQ / (n * (n - lit(1L))).cast("double")).as("stddev_qty"),
-        ((n * col("sqd") - sq * sd).cast("double")
-          / (sqrt(varQ) * sqrt(varD))).as("corr_qty_disc"))
+        when(n <= lit(1L), nullD)
+          .otherwise(sqrt(varQ.cast("double")
+            / (dec(n) * dec(n - lit(1L))).cast("double"))).as("stddev_qty"),
+        when(n <= lit(1L) || varQ === lit(0) || varD === lit(0), nullD)
+          .otherwise(covQD.cast("double")
+            / (sqrt(varQ.cast("double")) * sqrt(varD.cast("double"))))
+          .as("corr_qty_disc"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -353,13 +365,22 @@ object SqlSurfaceQueries {
          |    CAST(sum(q) AS BIGINT) AS sq, CAST(sum(d) AS BIGINT) AS sd,
          |    CAST(sum(q*q) AS BIGINT) AS sqq, CAST(sum(d*d) AS BIGINT) AS sdd,
          |    CAST(sum(q*d) AS BIGINT) AS sqd
-         |  FROM m GROUP BY 1)
+         |  FROM m GROUP BY 1),
+         |v AS (
+         |  SELECT l_returnflag, n, sq, sd,
+         |    CAST(n AS HUGEINT)*sqq - CAST(sq AS HUGEINT)*sq AS vq,
+         |    CAST(n AS HUGEINT)*sdd - CAST(sd AS HUGEINT)*sd AS vd,
+         |    CAST(n AS HUGEINT)*sqd - CAST(sq AS HUGEINT)*sd AS cqd
+         |  FROM a)
          |SELECT l_returnflag, n,
          |  CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
-         |  sqrt(CAST(n*sqq - sq*sq AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) AS stddev_qty,
-         |  CAST(n*sqd - sq*sd AS DOUBLE)
-         |    / (sqrt(CAST(n*sqq - sq*sq AS DOUBLE)) * sqrt(CAST(n*sdd - sd*sd AS DOUBLE))) AS corr_qty_disc
-         |FROM a""".stripMargin,
+         |  CASE WHEN n <= 1 THEN NULL
+         |       ELSE sqrt(CAST(vq AS DOUBLE)
+         |                 / CAST(CAST(n AS HUGEINT)*(n-1) AS DOUBLE)) END AS stddev_qty,
+         |  CASE WHEN n <= 1 OR vq = 0 OR vd = 0 THEN NULL
+         |       ELSE CAST(cqd AS DOUBLE)
+         |         / (sqrt(CAST(vq AS DOUBLE)) * sqrt(CAST(vd AS DOUBLE))) END AS corr_qty_disc
+         |FROM v""".stripMargin,
     "q_unpivot" ->
       s"""WITH w AS (
          |  SELECT l_returnflag, count(*) AS n_lines,

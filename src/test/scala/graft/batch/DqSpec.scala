@@ -20,8 +20,13 @@ class DqSpec extends SparkSpec {
     val n = e.count()
     assert(out("completeness_event_id")._1 == e.filter(col("event_id").isNull).count())
     assert(out("completeness_value")._1 == e.filter(col("value").isNull).count())
+    // mirror count(*) − count(DISTINCT event_id) exactly: countDistinct
+    // excludes NULLs, while .distinct().count() would count NULL as one
+    // distinct value and spuriously shift the assertion on a null-bearing
+    // corpus
     assert(out("uniqueness_event_id")._1 ==
-      n - e.select("event_id").distinct().count())
+      n - e.filter(col("event_id").isNotNull)
+        .select("event_id").distinct().count())
     assert(out("non_negative_value")._1 == e.filter(col("value") < 0).count())
     assert(out("ts_in_window")._1 == e.filter(col("ts").isNull ||
       col("ts") < lit(DqQueries.TsMin).cast("timestamp") ||
