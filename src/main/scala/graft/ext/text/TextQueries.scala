@@ -256,8 +256,11 @@ object TextQueries {
       .select(col("doc_id"), toks(col("text")).as("t"))
       .select(col("doc_id"), size(col("t")).cast("long").as("dl"), col("t"))
       .localCheckpoint()
-    val totals = sized.agg(count(lit(1)), sum(col("dl"))).head()
-    val n = totals.getLong(0); val tt = totals.getLong(1)
+    // corpus totals stay IN the plan: a 1-row aggregate broadcast
+    // cross-joined onto every hit (not a driver .head() pre-pass, which
+    // would split the query into two jobs and bake totals in as literals)
+    val totals = sized.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks"))
     val tf = sized
       .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
       .filter(col("term").isin(Bm25Terms: _*))
@@ -267,9 +270,11 @@ object TextQueries {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("bm25_milli").desc, col("doc_id"))
     tf.join(broadcast(dfTable), "term")
-      .withColumn("idf_k", expr(s"(1000 * ($n + 1)) DIV (df + 1)"))
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_k", expr("(1000 * (n_docs + 1)) DIV (df + 1)"))
       .withColumn("s", expr(
-        s"(idf_k * tf * 44 * $tt) DIV (20 * tf * $tt + 6 * $tt + 18 * dl * $n)"))
+        "(idf_k * tf * 44 * t_toks) DIV " +
+          "(20 * tf * t_toks + 6 * t_toks + 18 * dl * n_docs)"))
       .groupBy(col("doc_id"))
       .agg(sum(col("s")).as("bm25_milli"), count(lit(1)).as("n_terms"))
       .withColumn("rank", row_number().over(w).cast("long"))
