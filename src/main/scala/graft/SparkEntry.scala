@@ -45,6 +45,16 @@ object SparkEntry {
       ext.graph.GraphQueries.queries ++
       ext.pipeline.CurateQueries.queries
 
+  /** Sketch queries whose outputs cannot hash-match a foreign engine by
+    * design (SURVEY §5.2) — registered here instead of [[queries]] so the
+    * driver's correctness file carries only oracle-gated rows. Each is
+    * tolerance-bounded in ScalaTest against an oracled exact twin at the
+    * identical grain (q_exact_distinct / q_percentiles / q_sketch_exact),
+    * and DeterminismSpec still covers the deterministic ones. */
+  def specOnly: Map[String, (SparkSession, String) => DataFrame] =
+    etl.EventsQueries.specOnly ++
+      batch.SqlSurfaceQueries.specOnly
+
   def oracleSql: Map[String, String] =
     etl.EventsQueries.oracles ++
       batch.AnalyticsQueries.oracles ++

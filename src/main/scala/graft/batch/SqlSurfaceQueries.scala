@@ -143,6 +143,23 @@ object SqlSurfaceQueries {
         count(lit(1)).as("n_days"))
   }
 
+  /** Exact twin of [[qSketchRollup]] at the identical weekly grain — the
+    * oracled reference answer the sketch rollup is tolerance-bounded
+    * against: exact `count(DISTINCT user_id)` per week straight off the
+    * fact (what the sketch union avoids re-scanning at 100 TB), plus the
+    * same n_events / n_days frame. */
+  def qSketchRollupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        floor(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) / lit(7.0))
+          .cast("long").as("week"),
+        col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("week"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("day")).as("n_days"))
+
   /** Set operations: purchase cohorts by activity window — INTERSECT for
     * retained buyers, EXCEPT for churned (purchase-specific so both
     * branches carry rows at test density). */
@@ -344,12 +361,20 @@ object SqlSurfaceQueries {
     "q_session_native"   -> (qSessionNative _),
     "q_rollup_pricing"   -> (qRollupPricing _),
     "q_percentiles"      -> (qPercentiles _),
-    "q_approx_pctl"      -> (qApproxPercentiles _),
-    "q_sketch_rollup"    -> (qSketchRollup _),
+    "q_sketch_exact"     -> (qSketchRollupExact _),
     "q_user_cohorts"     -> (qUserCohorts _),
     "q_orders_histogram" -> (qOrdersHistogram _),
     "q_top_suppliers"    -> (qTopSuppliers _),
     "q_inactive_custs"   -> (qInactiveCustomers _))
+
+  /** Driver-invisible registrations (SURVEY §5.2): sketch outputs cannot
+    * hash-match a foreign engine by design — GK percentile summaries and
+    * DataSketches HLL internals are engine-specific. Each is
+    * tolerance-bounded by SqlSurfaceSpec against its oracled exact twin on
+    * identical data ([[qPercentiles]] / [[qSketchRollupExact]]). */
+  val specOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_pctl"   -> (qApproxPercentiles _),
+    "q_sketch_rollup" -> (qSketchRollup _))
 
   private val centsValue = Exact.centsSql("coalesce(value, 0.0)")
 
@@ -468,6 +493,13 @@ object SqlSurfaceQueries {
          |  (quantile_cont($centsValue, 0.5) / 100.0) AS p50,
          |  (quantile_cont($centsValue, 0.95) / 100.0) AS p95
          |FROM events GROUP BY 1""".stripMargin,
+    "q_sketch_exact" ->
+      """SELECT
+        |  CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  count(*) AS n_events,
+        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        |FROM events GROUP BY 1""".stripMargin,
     "q_orders_histogram" ->
       """WITH per_cust AS (
         |  SELECT c.c_custkey, count(o.o_custkey) AS n_orders

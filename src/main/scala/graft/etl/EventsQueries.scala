@@ -114,13 +114,28 @@ object EventsQueries {
   }
 
   /** A3 (reference app.py:171): HLL++ distinct — streaming-safe cardinality.
-    * No oracle (HLL implementations differ across engines); the driver
-    * records a rows-only check and ScalaTest asserts tolerance vs exact. */
+    * Spec-only (SparkEntry.specOnly): HLL implementations differ across
+    * engines, so no DuckDB hash gate is possible by design; QueriesSpec
+    * asserts 5% tolerance against [[qExactDistinct]] on identical data.
+    * The oracled gate for this grain is [[qExactDistinct]]. */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+
+  /** Exact twin of [[qApproxDistinct]] at the identical grain — the green
+    * oracle row the sketch stands next to: same scan, same grouping,
+    * `count(DISTINCT user_id)` instead of the HLL estimate. At 100 TB the
+    * expand-shuffle exact distinct is the expensive path and the sketch is
+    * the scale path; registering BOTH keeps the sketch's reference answer
+    * under the driver's hash gate every round. */
+  def qExactDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -130,6 +145,14 @@ object EventsQueries {
     "q_window_agg"      -> (qWindowAgg _),
     "q_daily_rank"      -> (qDailyRank _),
     "q_premium_rollup"  -> (qPremiumRollup _),
+    "q_exact_distinct"  -> (qExactDistinct _))
+
+  /** Driver-invisible registrations: sketch queries whose outputs cannot
+    * hash-match a foreign engine by design (SURVEY §5.2) live here so
+    * COVERAGE.md rows point at a real registration while the correctness
+    * file carries only oracle-gated rows. Tolerance specs pin each one
+    * against its exact twin. */
+  val specOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_distinct" -> (qApproxDistinct _))
 
   private val centsValue = Exact.centsSql("coalesce(value, 0.0)")
@@ -190,5 +213,10 @@ object EventsQueries {
          |SELECT d.event_date, m.is_major,
          |  (CAST(sum(d.revenue_cents) AS DOUBLE) / 100.0) AS total_revenue
          |FROM daily d LEFT JOIN dim m USING (event_type)
-         |GROUP BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2""".stripMargin,
+    "q_exact_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin)
 }

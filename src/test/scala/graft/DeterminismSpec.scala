@@ -23,7 +23,7 @@ class DeterminismSpec extends SparkSpec {
     // q_approx_distinct stays IN: its merge is deterministic.) The
     // exempted query's correctness gate is its tolerance spec instead.
     val sketchExempt = Set("q_approx_pctl")
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1)
+    val failures = (SparkEntry.queries ++ SparkEntry.specOnly).toSeq.sortBy(_._1)
       .filterNot(q => sketchExempt(q._1)).flatMap { case (name, fn) =>
       def run(parts: String): Seq[String] = {
         spark.conf.set("spark.sql.shuffle.partitions", parts)
