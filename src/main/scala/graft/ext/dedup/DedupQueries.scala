@@ -451,8 +451,16 @@ object DedupQueries {
     * only within ANN buckets — exactly how SemDeDup runs inside k-means
     * cells). The components loop and the final broadcast-joined label
     * attach are unchanged by that swap. */
-  def qSemDedup(spark: SparkSession, dir: String): DataFrame = {
-    val comp = components(qEmbeddingDups(spark, dir), "vec_a", "vec_b")
+  def qSemDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedupOver(qEmbeddingDups(spark, dir), spark, dir)
+
+  /** Components + representative-keep over an embedding near-dup pair
+    * graph — the SemDeDup tail shared by the all-pairs and LSH-bucketed
+    * entries, so swapping the candidate generator provably changes nothing
+    * downstream. */
+  private def semDedupOver(pairs: DataFrame, spark: SparkSession,
+                           dir: String): DataFrame = {
+    val comp = components(pairs, "vec_a", "vec_b")
       .toDF("vec_id", "cluster_id")
     // comp has one row per vector THAT APPEARS IN A PAIR — orders of
     // magnitude smaller than the corpus; broadcast it so the full table
@@ -463,6 +471,46 @@ object DedupQueries {
         coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
       .withColumn("kept", col("cluster_id") === col("vec_id"))
   }
+
+  /** LSH-bucketed embedding near-dup pairs — the 100 TB path for
+    * [[qEmbeddingDups]]: candidates are pairs sharing ANY hyperplane
+    * signature band (graft.ext.sim's posting-list construction,
+    * [[graft.ext.sim.SimQueries.lshBands]]), exact cosine + threshold only
+    * within buckets. Pair volume scales with the corpus's actual
+    * duplication (bucket occupancy), not corpus² — the same
+    * bucketed-not-all-pairs shape as the shingle families. Recall is the
+    * LSH recall at [[graft.ext.sim.SimQueries.NPlanes]]/
+    * [[graft.ext.sim.SimQueries.PlanesPerBand]]; the oracle replays the
+    * identical plane construction so recall behavior itself hash-matches. */
+  def qEmbeddingDupsLsh(spark: SparkSession, dir: String): DataFrame = {
+    // posting lists per (band, band-hash) bucket: the signature pipeline
+    // runs ONCE (a self-join would instantiate it per arm), singleton
+    // buckets die before the explode
+    val posts = graft.ext.sim.SimQueries.lshBands(spark, dir)
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_set(col("vec_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val cand = posts
+      .select(explode(col("ds")).as("vec_a"), col("ds"))
+      .select(col("vec_a"), explode(col("ds")).as("vec_b"))
+      .filter(col("vec_a") < col("vec_b"))
+      .distinct()
+    val e = quantized(spark, dir)
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nsq").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nsq").as("nb")), "vec_b")
+      .withColumn("cosine", cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cosine") >= CosineThreshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  /** Semantic dedup over the LSH-bucketed pair graph — the canonical
+    * at-scale entry ([[qSemDedup]] keeps the all-pairs graph as its
+    * correctness baseline, the way dedup_ngram_capped shadows the uncapped
+    * jaccard). Same components, same representative rule; only the
+    * candidate generator differs, and the oracle replays it exactly. */
+  def qSemDedupBucketed(spark: SparkSession, dir: String): DataFrame =
+    semDedupOver(qEmbeddingDupsLsh(spark, dir), spark, dir)
 
   /** Intra-document repetition score: 1 − distinct/total over each doc's
     * 3-gram shingle multiset — the "templated/looping text" quality signal
@@ -579,7 +627,9 @@ object DedupQueries {
     "dedup_ngram_capped"  -> (qNgramJaccardCapped _),
     "dedup_clusters"      -> (qDedupClusters _),
     "dedup_embedding"     -> (qEmbeddingDups _),
-    "dedup_semantic"      -> (qSemDedup _))
+    "dedup_embedding_lsh" -> (qEmbeddingDupsLsh _),
+    "dedup_semantic"      -> (qSemDedup _),
+    "dedup_semantic_bucketed" -> (qSemDedupBucketed _))
 
   // ------------------------------------------------------------- oracles
 
@@ -711,6 +761,25 @@ object DedupQueries {
          |SELECT e.vec_id, e.label,
          |  coalesce(c.cluster_id, e.vec_id) AS cluster_id,
          |  coalesce(c.cluster_id, e.vec_id) = e.vec_id AS kept
+         |FROM embeddings e LEFT JOIN comp c USING (vec_id)""".stripMargin,
+    "dedup_embedding_lsh" -> embeddingDupsLshSql,
+    // identical component construction over the LSH-bucketed pair graph —
+    // the oracle replays the bucketed candidate rule itself, not just the
+    // cosine, so the at-scale entry is gated end to end
+    "dedup_semantic_bucketed" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT vec_a, vec_b FROM (
+         |$embeddingDupsLshSql
+         |  ) ep),
+         |edges AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+         |          UNION SELECT vec_b, vec_a FROM pairs),
+         |reach AS (SELECT DISTINCT u, u AS v FROM edges
+         |          UNION
+         |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u)
+         |SELECT e.vec_id, e.label,
+         |  coalesce(c.cluster_id, e.vec_id) AS cluster_id,
+         |  coalesce(c.cluster_id, e.vec_id) = e.vec_id AS kept
          |FROM embeddings e LEFT JOIN comp c USING (vec_id)""".stripMargin)
 
   /** Embedding near-dup pairs oracle — shared by dedup_embedding and the
@@ -723,6 +792,25 @@ object DedupQueries {
        |FROM q a JOIN q b ON a.vec_id < b.vec_id
        |WHERE CAST(CAST(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))]) AS BIGINT) AS DOUBLE)
        |    / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) >= $CosineThreshold""".stripMargin
+
+  /** LSH-bucketed embedding near-dup pairs oracle: the shared band CTEs
+    * from graft.ext.sim (one plane/band definition across both gates)
+    * generate the candidate set, then the same exact-cosine threshold.
+    * Shared by dedup_embedding_lsh and the dedup_semantic_bucketed
+    * component oracle built on it. */
+  private lazy val embeddingDupsLshSql: String = {
+    val cos = graft.ext.sim.SimQueries.cosSql("a.v", "b.v", "a.nsq", "b.nsq")
+    s"""WITH $quantizedSql,
+       |${graft.ext.sim.SimQueries.lshBandCtes},
+       |cand AS (
+       |  SELECT DISTINCT ba.vec_id AS vec_a, bb.vec_id AS vec_b
+       |  FROM bands ba JOIN bands bb
+       |    ON bb.band = ba.band AND bb.bh = ba.bh AND ba.vec_id < bb.vec_id)
+       |SELECT c.vec_a, c.vec_b, $cos AS cosine
+       |FROM cand c JOIN q a ON a.vec_id = c.vec_a
+       |            JOIN q b ON b.vec_id = c.vec_b
+       |WHERE $cos >= $CosineThreshold""".stripMargin
+  }
 
   /** Uncapped jaccard-pairs oracle — shared by dedup_ngram_jaccard, the
     * dedup_clusters component oracle, and (via CurateQueries) the composed

@@ -316,8 +316,30 @@ object SimQueries {
   private[sim] def dotSql(a: String, b: String): String =
     s"CAST(list_sum([$a[i] * $b[i] for i in generate_series(1, len($a))]) AS BIGINT)"
 
-  private[sim] def cosSql(a: String, b: String, na: String, nb: String): String =
+  private[graft] def cosSql(a: String, b: String, na: String, nb: String): String =
     s"CAST(${dotSql(a, b)} AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
+
+  /** The [[lshBands]] construction as DuckDB CTEs (requires the `q`
+    * quantized CTE in scope) — ONE replay of the plane/band definition
+    * shared by the knn_lsh oracle and the bucketed semantic-dedup oracle
+    * in graft.ext.dedup, so both gates prove the same candidate rule.
+    * Lazy: referenced from DedupQueries' oracle map, which may force this
+    * object mid-initialization — the constants it closes over are
+    * initialized before any cross-object val. */
+  private[graft] lazy val lshBandCtes: String =
+    s"""pl AS (
+       |  SELECT p, d,
+       |    CASE WHEN ${Exact.md5Long28Sql("'rh|' || CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)")} % 2 = 0
+       |         THEN 1 ELSE -1 END AS sgn
+       |  FROM generate_series(0, ${NPlanes - 1}) tp(p),
+       |       generate_series(1, $Dim) td(d)),
+       |dots AS (
+       |  SELECT q.vec_id, pl.p, CAST(sum(q.v[pl.d] * pl.sgn) AS BIGINT) AS dot
+       |  FROM q, pl GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT vec_id, p // $PlanesPerBand AS band,
+       |    CAST(sum((CASE WHEN dot >= 0 THEN 1 ELSE 0 END) << (p % $PlanesPerBand)) AS BIGINT) AS bh
+       |  FROM dots GROUP BY 1, 2)""".stripMargin
 
   /** The Lloyd assignment CTE: nearest centroid in `prevCent` by the same
     * integer distance score the Spark side computes (argmin of
@@ -365,19 +387,7 @@ object SimQueries {
          |QUALIFY rank <= $K""".stripMargin,
     "knn_lsh" ->
       s"""WITH $baseCtes,
-         |pl AS (
-         |  SELECT p, d,
-         |    CASE WHEN ${Exact.md5Long28Sql("'rh|' || CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)")} % 2 = 0
-         |         THEN 1 ELSE -1 END AS sgn
-         |  FROM generate_series(0, ${NPlanes - 1}) tp(p),
-         |       generate_series(1, $Dim) td(d)),
-         |dots AS (
-         |  SELECT q.vec_id, pl.p, CAST(sum(q.v[pl.d] * pl.sgn) AS BIGINT) AS dot
-         |  FROM q, pl GROUP BY 1, 2),
-         |bands AS (
-         |  SELECT vec_id, p // $PlanesPerBand AS band,
-         |    CAST(sum((CASE WHEN dot >= 0 THEN 1 ELSE 0 END) << (p % $PlanesPerBand)) AS BIGINT) AS bh
-         |  FROM dots GROUP BY 1, 2),
+         |$lshBandCtes,
          |cand AS (
          |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
          |  FROM bands qb

@@ -66,6 +66,60 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.lift(1).contains("lshpairs")) {
+      // Pair-volume probe for the bucketed semantic-dedup path: candidate
+      // pairs (pre-cosine) vs corpus² across scale factors. The SCALING.md
+      // claim is that LSH candidate volume tracks bucket occupancy (i.e.
+      // the corpus's real near-dup density), not n².
+      import graft.ext.dedup.DedupQueries
+      import graft.ext.sim.SimQueries
+      val n = Tables.embeddings(spark, dir).count()
+      val posts = SimQueries.lshBands(spark, dir)
+        .groupBy(col("band"), col("bh"))
+        .agg(collect_set(col("vec_id")).as("ds"))
+        .filter(size(col("ds")) >= 2)
+      val cand = posts
+        .select(explode(col("ds")).as("vec_a"), col("ds"))
+        .select(col("vec_a"), explode(col("ds")).as("vec_b"))
+        .filter(col("vec_a") < col("vec_b"))
+        .distinct().count()
+      val kept = DedupQueries.qEmbeddingDupsLsh(spark, dir).count()
+      val allPairs = n * (n - 1) / 2
+      println(s"LSHPAIRS dir=$dir n=$n all_pairs=$allPairs " +
+        s"lsh_candidates=$cand (${"%.4f".format(cand.toDouble / allPairs)} of n2) " +
+        s"thresholded=$kept")
+      // Band-width sweep: the knob that bounds candidate volume as the
+      // corpus grows. 5 bands of `bits` planes each; expected candidate
+      // fraction on structureless vectors ≈ 1-(1-2^-bits)^5 per pair.
+      import graft.functions.VectorFunctions
+      for (bits <- Seq(3, 4, 5, 6)) {
+        val nPlanes = 5 * bits
+        val pl = spark.range(nPlanes).toDF("p")
+          .crossJoin(spark.range(1, SimQueries.Dim + 1).toDF("d"))
+          .withColumn("sgn",
+            when(pmod(Exact.md5Long28(concat(
+              lit("rh|"), col("p").cast("string"), lit("|"), col("d").cast("string"))),
+              lit(2)) === 0, 1L).otherwise(-1L))
+          .groupBy(col("p"))
+          .agg(transform(array_sort(collect_list(struct(col("d"), col("sgn")))),
+            t => t.getField("sgn")).as("pv"))
+        val bands = DedupQueries.quantized(spark, dir).crossJoin(broadcast(pl))
+          .withColumn("dot", VectorFunctions.arrayDotLong(col("v"), col("pv")))
+          .withColumn("bit", when(col("dot") >= 0, lit(1L)).otherwise(lit(0L)))
+          .groupBy(col("vec_id"), expr(s"CAST(p DIV $bits AS BIGINT)").as("band"))
+          .agg(sum(expr(s"shiftleft(bit, CAST(p % $bits AS INT))")).as("bh"))
+        val c = bands.groupBy(col("band"), col("bh"))
+          .agg(collect_set(col("vec_id")).as("ds"))
+          .filter(size(col("ds")) >= 2)
+          .select(explode(col("ds")).as("vec_a"), col("ds"))
+          .select(col("vec_a"), explode(col("ds")).as("vec_b"))
+          .filter(col("vec_a") < col("vec_b"))
+          .distinct().count()
+        println(s"LSHSWEEP dir=$dir bits=$bits candidates=$c " +
+          s"(${"%.4f".format(c.toDouble / allPairs)} of n2)")
+      }
+      spark.stop(); return
+    }
     if (args.lift(1).contains("scale")) {
       import graft.functions.Exact
       // 10x lineitem (6M rows) via copy-union: does the agg scale linearly?

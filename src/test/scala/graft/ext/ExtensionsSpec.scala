@@ -112,6 +112,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows.count(_._3) < total)
   }
 
+  test("dedup_semantic_bucketed: LSH candidates under-approximate all-pairs, never invent") {
+    // The bucketed pair graph must be a SUBSET of the all-pairs graph with
+    // identical cosines on shared pairs (same quantization, same kernel) —
+    // LSH may miss a pair (recall < 1) but can never fabricate one, and a
+    // retained pair's score must not change.
+    val all = DedupQueries.qEmbeddingDups(spark, sf)
+      .select($"vec_a", $"vec_b", $"cosine").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = DedupQueries.qEmbeddingDupsLsh(spark, sf)
+      .select($"vec_a", $"vec_b", $"cosine").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    lsh.foreach { case (pair, cos) =>
+      assert(all.contains(pair), s"LSH invented pair $pair absent from all-pairs")
+      assert(all(pair) == cos, s"pair $pair cosine drifted between generators")
+    }
+    // random embeddings are LSH's worst case; still expect usable recall
+    val recall = lsh.size.toDouble / all.size
+    assert(recall >= 0.5, s"LSH recall $recall collapsed — band config broken?")
+    // bucketed clustering has the same invariants as the all-pairs entry:
+    // min-member representative, exactly one kept per cluster, no split pair
+    val rows = DedupQueries.qSemDedupBucketed(spark, sf)
+      .select($"vec_id", $"cluster_id", $"kept").as[(Long, Long, Boolean)].collect()
+    assert(rows.length == graft.sources.Tables.embeddings(spark, sf).count())
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid && members.count(_._3) == 1)
+    }
+    val label = rows.map(r => r._1 -> r._2).toMap
+    lsh.keys.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"bucketed pair ($a,$b) split across clusters")
+    }
+  }
+
   test("text_chunk: strided windows tile every doc exactly") {
     val chunks = TextQueries.qChunk(spark, sf)
       .select($"doc_id", $"chunk_start", $"n_chunk_tokens")
