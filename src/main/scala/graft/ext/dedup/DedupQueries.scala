@@ -248,6 +248,45 @@ object DedupQueries {
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardFromPostings(spark, dir, dfCap = None)
 
+  /** Suite-scoped materialization of the uncapped jaccard pair set — the
+    * in-process analog of the pair-snapshot artifact a production
+    * deployment persists and shares across curation consumers (the shape
+    * [[graft.ext.pipeline.CurateRunner]] implies; SCALING.md "snapshot
+    * scale"). FIVE registered queries ride the same pair graph
+    * (dedup_ngram_jaccard, dedup_clusters, graph_pagerank,
+    * dedup_source_matrix, curate_clustered); without the snapshot each
+    * re-ran the scan→tokenize→shingle→posting-list pipeline — correct per
+    * query, ~5× the suite cost. First consumer builds + localCheckpoints;
+    * the rest reuse the materialized frame. Keyed by (session, dir,
+    * shuffle-partition setting) so a fresh session or a repartitioned
+    * re-run (DeterminismSpec's whole point) REBUILDS instead of reusing;
+    * entries for stopped sessions are evicted on access. At 100 TB the
+    * key is a snapshot path and the checkpoint is a parquet write — the
+    * consumers are unchanged. */
+  private val pairSnapshots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, String), DataFrame]()
+
+  private def snapshot(tag: String, spark: SparkSession, dir: String)
+                      (build: => DataFrame): DataFrame = {
+    pairSnapshots.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    pairSnapshots.computeIfAbsent(
+      (spark, dir, spark.conf.get("spark.sql.shuffle.partitions"), tag),
+      _ => build.localCheckpoint())
+  }
+
+  private[graft] def jaccardPairSnapshot(spark: SparkSession, dir: String): DataFrame =
+    snapshot("jaccard", spark, dir)(qNgramJaccard(spark, dir))
+
+  /** All-pairs embedding near-dup snapshot — shared by dedup_embedding and
+    * dedup_semantic (which collapses the same pair graph). */
+  private[graft] def embeddingPairSnapshot(spark: SparkSession, dir: String): DataFrame =
+    snapshot("emb", spark, dir)(qEmbeddingDups(spark, dir))
+
+  /** LSH-bucketed embedding near-dup snapshot — shared by
+    * dedup_embedding_lsh and dedup_semantic_bucketed. */
+  private[graft] def embeddingLshPairSnapshot(spark: SparkSession, dir: String): DataFrame =
+    snapshot("emb_lsh", spark, dir)(qEmbeddingDupsLsh(spark, dir))
+
   private def jaccardFromPostings(spark: SparkSession, dir: String,
                                   dfCap: Option[Int]): DataFrame = {
     // 60-bit hash of the shingle, not the string: 8-byte shuffle keys. The
@@ -330,7 +369,7 @@ object DedupQueries {
     * Deterministic: min-propagation converges to a unique fixpoint
     * regardless of partitioning or join order. */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
-    components(qNgramJaccard(spark, dir), "doc_a", "doc_b")
+    components(jaccardPairSnapshot(spark, dir), "doc_a", "doc_b")
       .toDF("doc_id", "cluster_id")
 
   /** Connected components of an undirected pair graph by iterative
@@ -452,7 +491,7 @@ object DedupQueries {
     * cells). The components loop and the final broadcast-joined label
     * attach are unchanged by that swap. */
   def qSemDedup(spark: SparkSession, dir: String): DataFrame =
-    semDedupOver(qEmbeddingDups(spark, dir), spark, dir)
+    semDedupOver(embeddingPairSnapshot(spark, dir), spark, dir)
 
   /** Components + representative-keep over an embedding near-dup pair
     * graph — the SemDeDup tail shared by the all-pairs and LSH-bucketed
@@ -510,7 +549,7 @@ object DedupQueries {
     * jaccard). Same components, same representative rule; only the
     * candidate generator differs, and the oracle replays it exactly. */
   def qSemDedupBucketed(spark: SparkSession, dir: String): DataFrame =
-    semDedupOver(qEmbeddingDupsLsh(spark, dir), spark, dir)
+    semDedupOver(embeddingLshPairSnapshot(spark, dir), spark, dir)
 
   /** Intra-document repetition score: 1 − distinct/total over each doc's
     * 3-gram shingle multiset — the "templated/looping text" quality signal
@@ -537,7 +576,7 @@ object DedupQueries {
     * size. */
   def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    val pairs = qNgramJaccard(spark, dir)
+    val pairs = jaccardPairSnapshot(spark, dir)
       .join(broadcast(src.toDF("doc_a", "src_a")), "doc_a")
       .join(broadcast(src.toDF("doc_b", "src_b")), "doc_b")
     pairs
@@ -623,11 +662,11 @@ object DedupQueries {
     "dedup_minhash"       -> (qMinhash _),
     "dedup_simhash"       -> (qSimhash _),
     "dedup_simhash_pairs" -> (qSimhashPairs _),
-    "dedup_ngram_jaccard" -> (qNgramJaccard _),
+    "dedup_ngram_jaccard" -> (jaccardPairSnapshot _),
     "dedup_ngram_capped"  -> (qNgramJaccardCapped _),
     "dedup_clusters"      -> (qDedupClusters _),
-    "dedup_embedding"     -> (qEmbeddingDups _),
-    "dedup_embedding_lsh" -> (qEmbeddingDupsLsh _),
+    "dedup_embedding"     -> (embeddingPairSnapshot _),
+    "dedup_embedding_lsh" -> (embeddingLshPairSnapshot _),
     "dedup_semantic"      -> (qSemDedup _),
     "dedup_semantic_bucketed" -> (qSemDedupBucketed _))
 

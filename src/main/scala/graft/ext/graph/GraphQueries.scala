@@ -36,7 +36,7 @@ object GraphQueries {
   val Iters = 3
 
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = DedupQueries.qNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = DedupQueries.jaccardPairSnapshot(spark, dir).select(col("doc_a"), col("doc_b"))
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .localCheckpoint() // iterate over the edge list, not the text pipeline

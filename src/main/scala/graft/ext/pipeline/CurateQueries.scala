@@ -41,7 +41,7 @@ object CurateQueries {
       .select(col("doc_id"), col("lang"), col("quality_score"))
     // exact dedup: keep the min doc_id of each content group
     val keepers = DedupQueries.qExact(spark, dir).select(col("keeper_doc_id").as("doc_id"))
-    val nearDupLosers = DedupQueries.qNgramJaccard(spark, dir)
+    val nearDupLosers = DedupQueries.jaccardPairSnapshot(spark, dir)
       .select(col("doc_b").as("doc_id")).distinct()
     quality
       .join(keepers, Seq("doc_id"), "left_semi")
