@@ -172,9 +172,16 @@ object TextQueries {
     * per-doc window over ≤|doc's vocab| rows. At 100 TB the df frame is
     * vocabulary-sized (bounded, zipfian): broadcast when it fits, shuffle
     * join on token otherwise; both sides of that join are aggregates, not
-    * facts. */
+    * facts.
+    *
+    * The corpus size N stays IN the plan as a 1-row aggregate broadcast
+    * cross-joined onto the scored rows (the same move as [[qBm25]]) — not
+    * a driver `count()` pre-pass, which would split the query into two
+    * jobs and bake a stale N in as a literal if the input is ever a
+    * filtered/chained frame. */
   def qTfidf(spark: SparkSession, dir: String): DataFrame = {
-    val nDocs = Tables.documents(spark, dir).count()
+    val totals = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_docs"))
     val tf = Tables.rebalanced(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), explode(toks(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
@@ -183,7 +190,8 @@ object TextQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score_micro").desc, col("token"))
     tf.join(df, "token")
-      .withColumn("score_micro", expr(s"(tf * $TfidfScale * $nDocs) DIV df"))
+      .crossJoin(broadcast(totals))
+      .withColumn("score_micro", expr(s"(tf * $TfidfScale * n_docs) DIV df"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TfidfK)
       .select(col("doc_id"), col("token"), col("tf"), col("df"),

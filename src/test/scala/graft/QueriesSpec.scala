@@ -71,6 +71,15 @@ class QueriesSpec extends SparkSpec {
       "codebook distance expressions leaked past the materialization boundary")
   }
 
+  test("text_tfidf plan: corpus N stays in-plan (broadcast totals cross-join)") {
+    // the qBm25 discipline: the 1-row n_docs aggregate must reach the
+    // scored rows as a broadcast cross-join, not a driver count() pre-pass
+    // baked in as a literal (wrong N if tfidf is chained after a filter)
+    val plan = graft.ext.text.TextQueries.qTfidf(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("q_asof_order plan: exactly two exchanges, no join operator at all") {
     // the as-of shape: one exchange collapses the build side per (key,
     // time), one partitions the union for the window — there is no join
