@@ -22,7 +22,19 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = ordered.map { case (name, fn) =>
+    // The warm pass built the suite-scoped pair snapshots; reset them and
+    // time the rebuild as ONE attributable pseudo-entry so the shared
+    // scan→shingle→posting pipeline cost is under the clock instead of
+    // landing on whichever consumer happens to run first. Consumers then
+    // measure post-snapshot work — the production shape, where the pair
+    // snapshot is a persisted artifact built once per corpus version.
+    graft.ext.dedup.DedupQueries.clearSnapshots()
+    val snapT0 = System.nanoTime()
+    val snapSecs =
+      try { graft.ext.dedup.DedupQueries.buildSnapshots(spark, sfDir)
+            (System.nanoTime() - snapT0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    val results = ("snapshot_build" -> snapSecs) +: ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query reports -1.0, not its (meaningless) elapsed time —
       // otherwise a plan-time exception would masquerade as a fast success

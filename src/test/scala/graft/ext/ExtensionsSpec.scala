@@ -13,6 +13,23 @@ import graft.ext.text.TextQueries
 class ExtensionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("pair snapshot cache: same-key reuse, clearSnapshots releases blocks and rebuilds") {
+    DedupQueries.clearSnapshots()
+    val a = DedupQueries.jaccardPairSnapshot(spark, sf)
+    val nA = a.count()
+    // second touch with the same (session, dir, partitions) key reuses
+    assert(DedupQueries.jaccardPairSnapshot(spark, sf) eq a)
+    val persistedWith = spark.sparkContext.getPersistentRDDs.size
+    DedupQueries.clearSnapshots()
+    // the checkpointed blocks behind the snapshot are actually unpersisted
+    assert(spark.sparkContext.getPersistentRDDs.size < persistedWith,
+      "clearSnapshots left the checkpointed RDD persisted")
+    // next touch REBUILDS (fresh frame, same content)
+    val b = DedupQueries.jaccardPairSnapshot(spark, sf)
+    assert(!(b eq a))
+    assert(b.count() == nA)
+  }
+
   test("exact dedup partitions the corpus (groups sum to doc count)") {
     val d = DedupQueries.qExact(spark, sf)
     val total = d.agg(sum("n_docs")).head().getLong(0)
@@ -128,6 +145,9 @@ class ExtensionsSpec extends SparkSpec {
       assert(all(pair) == cos, s"pair $pair cosine drifted between generators")
     }
     // random embeddings are LSH's worst case; still expect usable recall
+    // (guard the denominator first: an empty all-pairs graph would make
+    // recall NaN and fail with a misleading "recall collapsed" message)
+    assert(all.nonEmpty, "all-pairs graph is empty on this corpus — fixture broken?")
     val recall = lsh.size.toDouble / all.size
     assert(recall >= 0.5, s"LSH recall $recall collapsed — band config broken?")
     // bucketed clustering has the same invariants as the all-pairs entry:
