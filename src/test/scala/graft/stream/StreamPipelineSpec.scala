@@ -308,4 +308,21 @@ class StreamPipelineSpec extends SparkSpec {
       streamingDf, StreamPipeline.KafkaSink("broker:9092", "out", "/tmp/chk"))
     assert(w != null)
   }
+
+  test("kafka deploy gate: without the connector jar, source resolution fails naming kafka") {
+    // executable documentation of the deploy requirement (README "Deploying
+    // against Kafka"): the spark-sql-kafka-0-10 connector is NOT on this
+    // offline classpath, so resolving the source must fail up front with an
+    // error that names the missing data source — the first thing a user on
+    // a real cluster hits if they forget --packages. If this test ever
+    // fails because the load SUCCEEDS, the image gained the connector and
+    // S1/K4 should graduate from wiring-only to runtime-tested.
+    val err = intercept[Exception] {
+      StreamPipeline.read(spark, StreamPipeline.Kafka("broker:9092", "events"))
+    }
+    val msg = err.toString.toLowerCase
+    assert(msg.contains("kafka"), s"error does not name the missing source: $err")
+    assert(msg.contains("failed to find") || msg.contains("data_source_not_found") ||
+      msg.contains("classnotfound"), s"unexpected failure mode: $err")
+  }
 }
