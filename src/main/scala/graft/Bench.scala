@@ -52,7 +52,15 @@ object Bench {
     val total = results.collect { case (_, s) if s >= 0 => s }.sum
     val failed = results.collect { case (k, s) if s < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    // Streaming-throughput record (reference flagship plan, fixed load):
+    // its OWN field, not a queries entry — rows/s is not seconds, and the
+    // batch total must stay apples-to-apples across rounds. A small warm
+    // probe first: the batch warm pass compiles none of the streaming plan.
+    val stream =
+      try { graft.stream.StreamBench.probe(spark, 60000L, 3)
+            graft.stream.StreamBench.probe(spark).json }
+      catch { case _: Throwable => "null" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"stream":$stream,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

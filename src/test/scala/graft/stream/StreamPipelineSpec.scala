@@ -309,6 +309,18 @@ class StreamPipelineSpec extends SparkSpec {
     assert(w != null)
   }
 
+  test("stream bench probe: positive throughput, bounded state, windows emitted") {
+    val r = StreamBench.probe(spark, nEvents = 9000L, nBatches = 3)
+    assert(r.rows == 9000L)
+    assert(r.rowsPerSec > 0 && r.elapsedSec > 0)
+    assert(r.outRows > 0, "no closed windows emitted — watermark never advanced?")
+    // the whole point of the probe: state is steady-state bounded, not
+    // accumulating one row per input event (dedup evicts, windows close)
+    assert(r.stateRows > 0 && r.stateRows < r.rows,
+      s"state ${r.stateRows} not bounded below input ${r.rows}")
+    assert(r.batches >= 3)
+  }
+
   test("kafka deploy gate: without the connector jar, source resolution fails naming kafka") {
     // executable documentation of the deploy requirement (README "Deploying
     // against Kafka"): the spark-sql-kafka-0-10 connector is NOT on this
