@@ -85,38 +85,34 @@ object Profile {
         .distinct().count()
       val kept = DedupQueries.qEmbeddingDupsLsh(spark, dir).count()
       val allPairs = n * (n - 1) / 2
-      println(s"LSHPAIRS dir=$dir n=$n all_pairs=$allPairs " +
+      val truth = DedupQueries.qEmbeddingDups(spark, dir)
+        .select(col("vec_a"), col("vec_b")).localCheckpoint()
+      val nTrue = truth.count()
+      println(s"LSHPAIRS dir=$dir n=$n all_pairs=$allPairs true_pairs=$nTrue " +
         s"lsh_candidates=$cand (${"%.4f".format(cand.toDouble / allPairs)} of n2) " +
-        s"thresholded=$kept")
-      // Band-width sweep: the knob that bounds candidate volume as the
-      // corpus grows. 5 bands of `bits` planes each; expected candidate
-      // fraction on structureless vectors ≈ 1-(1-2^-bits)^5 per pair.
-      import graft.functions.VectorFunctions
-      for (bits <- Seq(3, 4, 5, 6)) {
-        val nPlanes = 5 * bits
-        val pl = spark.range(nPlanes).toDF("p")
-          .crossJoin(spark.range(1, SimQueries.Dim + 1).toDF("d"))
-          .withColumn("sgn",
-            when(pmod(Exact.md5Long28(concat(
-              lit("rh|"), col("p").cast("string"), lit("|"), col("d").cast("string"))),
-              lit(2)) === 0, 1L).otherwise(-1L))
-          .groupBy(col("p"))
-          .agg(transform(array_sort(collect_list(struct(col("d"), col("sgn")))),
-            t => t.getField("sgn")).as("pv"))
-        val bands = DedupQueries.quantized(spark, dir).crossJoin(broadcast(pl))
-          .withColumn("dot", VectorFunctions.arrayDotLong(col("v"), col("pv")))
-          .withColumn("bit", when(col("dot") >= 0, lit(1L)).otherwise(lit(0L)))
-          .groupBy(col("vec_id"), expr(s"CAST(p DIV $bits AS BIGINT)").as("band"))
-          .agg(sum(expr(s"shiftleft(bit, CAST(p % $bits AS INT))")).as("bh"))
-        val c = bands.groupBy(col("band"), col("bh"))
+        s"thresholded=$kept recall=${"%.3f".format(kept.toDouble / nTrue)}")
+      // Band config sweep over the CANONICAL construction
+      // (SimQueries.lshBands — the same code path the registered queries
+      // run, so these numbers can't diverge from production behavior).
+      // Expected candidate fraction on structureless vectors
+      // ≈ 1-(1-2^-bits)^bands per pair; recall is measured against the
+      // all-pairs truth set, semi-joined through the candidate graph.
+      for ((bits, nBands) <- Seq((3, 5), (4, 5), (5, 5), (6, 5),
+                                 (3, 8), (4, 10), (5, 14), (6, 22))) {
+        val nPlanes = bits * nBands
+        val c = SimQueries.lshBands(spark, dir, nPlanes, bits)
+          .groupBy(col("band"), col("bh"))
           .agg(collect_set(col("vec_id")).as("ds"))
           .filter(size(col("ds")) >= 2)
           .select(explode(col("ds")).as("vec_a"), col("ds"))
           .select(col("vec_a"), explode(col("ds")).as("vec_b"))
           .filter(col("vec_a") < col("vec_b"))
-          .distinct().count()
-        println(s"LSHSWEEP dir=$dir bits=$bits candidates=$c " +
-          s"(${"%.4f".format(c.toDouble / allPairs)} of n2)")
+          .distinct().localCheckpoint()
+        val nCand = c.count()
+        val hit = truth.join(c, Seq("vec_a", "vec_b"), "left_semi").count()
+        println(s"LSHSWEEP dir=$dir bits=$bits bands=$nBands planes=$nPlanes " +
+          s"candidates=$nCand (${"%.4f".format(nCand.toDouble / allPairs)} of n2) " +
+          s"recall=${"%.3f".format(hit.toDouble / nTrue)}")
       }
       spark.stop(); return
     }
@@ -365,6 +361,22 @@ object Profile {
       }
       time("full dedup_semantic")(DedupQueries.qSemDedup(spark, dir).count())
       time("full again")(DedupQueries.qSemDedup(spark, dir).count())
+      spark.stop(); return
+    }
+    if (args.lift(1).contains("sem2")) {
+      // Head-to-head: all-pairs vs LSH-bucketed semantic dedup, COLD
+      // (snapshots cleared between runs so each timing owns its full
+      // pipeline — pair generation + components + label attach).
+      import graft.ext.dedup.DedupQueries
+      for (rep <- 1 to 3) {
+        DedupQueries.clearSnapshots()
+        time(s"pairgen all-pairs #$rep")(DedupQueries.qEmbeddingDups(spark, dir).count())
+        time(s"pairgen lsh #$rep")(DedupQueries.qEmbeddingDupsLsh(spark, dir).count())
+        DedupQueries.clearSnapshots()
+        time(s"semantic all-pairs #$rep")(DedupQueries.qSemDedup(spark, dir).count())
+        DedupQueries.clearSnapshots()
+        time(s"semantic bucketed #$rep")(DedupQueries.qSemDedupBucketed(spark, dir).count())
+      }
       spark.stop(); return
     }
     if (args.lift(1).contains("ssjoin")) {
