@@ -432,8 +432,9 @@ object DedupQueries {
     * Plain propagation needs diameter rounds, and real pair graphs do go
     * deep — the sf0.1 embedding graph chains to diameter 16 through
     * cosine space; jumping contracts found paths each round (measured
-    * 16 → 10 rounds here at identical output; full large-star/small-star
-    * would guarantee O(log n) at one more join per round). The edge list
+    * 16 → 10 rounds here at identical output; [[componentsStars]] is the
+    * implemented O(log n) guarantee at one more join per round, for
+    * adversarial diameters). The edge list
     * materializes once (`localCheckpoint`) so rounds never re-run the
     * upstream pair query, and each half-step checkpoints to keep lineage
     * flat. At 100 TB: same loop with reliable `checkpoint` to cluster
@@ -490,6 +491,96 @@ object DedupQueries {
     }
     labels.select(col("id"), col("label"))
   }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR edge
+    * contraction — the O(log n)-ROUND variant of [[components]] for
+    * adversarial diameters (a duplication chain that snakes through the
+    * corpus makes propagation pay diameter rounds; star contraction
+    * halves path depth every round regardless of shape). Public algorithm
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14). Same contract as [[components]]: (id, label) for every
+    * node appearing in a pair, label = component min — the two converge
+    * to the identical unique fixpoint, which is why [[qDedupClustersStars]]
+    * can sit under dedup_clusters' own DuckDB oracle.
+    *
+    * Each round is two half-steps over the canonical (u < v) edge set:
+    * large-star links every neighbor LARGER than a node to the node's
+    * neighborhood min; small-star links the node and its SMALLER
+    * neighbors to that min. Both are one join + one min-aggregate over
+    * the edge list — the same per-round plan shape as [[components]],
+    * one extra join per round, in exchange for the O(log n) round bound
+    * (ExtensionsSpec pins a diameter-1000 chain converging in ≤ 12
+    * rounds vs ~1000 for plain propagation). Each half-step's output is
+    * edge-count-bounded by the input (contraction never adds edges), so
+    * per-round memory is monotone non-increasing. Convergence = edge set
+    * reaches its fixpoint (a star forest rooted at component minima);
+    * checked with a count compare + one except, both over checkpointed
+    * frames. */
+  private[graft] def componentsStars(pairs: DataFrame, a: String, b: String): DataFrame =
+    componentsStarsWithRounds(pairs, a, b)._1
+
+  private[graft] def componentsStarsWithRounds(pairs: DataFrame, a: String,
+                                               b: String): (DataFrame, Int) = {
+    val nodes = pairs.select(explode(array(col(a), col(b))).as("id"))
+      .distinct().localCheckpoint()
+    var edges = pairs
+      .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // both directions from ONE explode, as in [[components]]
+    def bidir(e: DataFrame): DataFrame = e.select(explode(array(
+        struct(col("u").as("s"), col("v").as("t")),
+        struct(col("v").as("s"), col("u").as("t")))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    def canon(e: DataFrame, x: String, y: String): DataFrame = e
+      .select(least(col(x), col(y)).as("u"), greatest(col(x), col(y)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // large-star(s): every larger neighbor t > s re-links to min(Γ⁺(s))
+    def largeStar(e: DataFrame): DataFrame = {
+      val nb = bidir(e)
+      val m = nb.groupBy(col("s")).agg(min(col("t")).as("mn"))
+        .select(col("s"), least(col("s"), col("mn")).as("m"))
+      canon(nb.join(m, "s").filter(col("t") > col("s")), "t", "m")
+    }
+    // small-star(s): s and every smaller neighbor re-link to min(Γ⁻(s));
+    // nodes with no smaller neighbor are roots and emit nothing
+    def smallStar(e: DataFrame): DataFrame = {
+      val nb = bidir(e).filter(col("t") < col("s"))
+      val withM = nb.join(nb.groupBy(col("s")).agg(min(col("t")).as("m")), "s")
+      canon(withM.select(explode(array(
+          struct(col("t").as("x"), col("m").as("y")),
+          struct(col("s").as("x"), col("m").as("y")))).as("e"))
+        .select(col("e.x").as("x"), col("e.y").as("y")), "x", "y")
+    }
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0) {
+      rounds += 1
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // distinct sets are equal iff counts match and one difference is empty
+      changed = if (next.count() != edges.count()) 1L
+                else next.exceptAll(edges).count()
+      releaseSnapshot(edges)
+      edges = next
+    }
+    // converged star forest: every leaf's only neighbor is its component
+    // min; every root's neighbors are all larger — one min-agg reads the
+    // labels off. The left join restores nodes whose every pair was a
+    // self-pair (none in practice — pair generators emit a < b only).
+    val labels = bidir(edges).groupBy(col("s").as("id")).agg(min(col("t")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("label"))
+    val out = nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    (out, rounds)
+  }
+
+  /** [[qDedupClusters]] computed through [[componentsStars]] instead of
+    * min-label propagation — registered as its own oracled entry so the
+    * star-contraction path is hash-gated on the real pair graph (both
+    * algorithms converge to the same per-component-min fixpoint, so it
+    * shares dedup_clusters' recursive-CTE oracle verbatim). */
+  def qDedupClustersStars(spark: SparkSession, dir: String): DataFrame =
+    componentsStars(jaccardPairSnapshot(spark, dir), "doc_a", "doc_b")
+      .toDF("doc_id", "cluster_id")
 
   // ------------------------------------------------------------ embedding
 
@@ -722,6 +813,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (jaccardPairSnapshot _),
     "dedup_ngram_capped"  -> (qNgramJaccardCapped _),
     "dedup_clusters"      -> (qDedupClusters _),
+    "dedup_clusters_stars" -> (qDedupClustersStars _),
     "dedup_embedding"     -> (embeddingPairSnapshot _),
     "dedup_embedding_lsh" -> (embeddingLshPairSnapshot _),
     "dedup_semantic"      -> (qSemDedup _),
@@ -738,6 +830,21 @@ object DedupQueries {
     s"""toks AS (SELECT doc_id, ${TextNorm.toksSql} AS t FROM documents),
        |sh AS (SELECT doc_id, $shSql AS shingles FROM toks),
        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)""".stripMargin
+
+  /** Recursive-CTE component collapse over the jaccard pair graph —
+    * shared by dedup_clusters (propagation path) and dedup_clusters_stars
+    * (star-contraction path): one truth for both algorithms. */
+  private lazy val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |$ngramJaccardSql
+       |  ) jp),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT DISTINCT u, u AS v FROM edges
+       |          UNION
+       |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u""".stripMargin
 
   private val hashASql = HashA.mkString("[", ",", "]")
   private val hashBSql = HashB.mkString("[", ",", "]")
@@ -814,17 +921,11 @@ object DedupQueries {
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (
-         |  SELECT doc_a, doc_b FROM (
-         |$ngramJaccardSql
-         |  ) jp),
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach AS (SELECT DISTINCT u, u AS v FROM edges
-         |          UNION
-         |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
-         |SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u""".stripMargin,
+    "dedup_clusters" -> dedupClustersSql,
+    // componentsStars converges to the same per-component-min fixpoint as
+    // min-label propagation, so the star entry shares the oracle verbatim
+    // — the gate proves algorithm equivalence on the real pair graph
+    "dedup_clusters_stars" -> dedupClustersSql,
     "dedup_ngram_capped" ->
       s"""WITH $shingleCtes,
          |exg AS (SELECT DISTINCT doc_id, ${Exact.md5LongSql("s")} AS sh FROM ex),

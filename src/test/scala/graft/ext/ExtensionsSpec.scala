@@ -94,6 +94,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(labels.values.toSet.size < labels.size)
   }
 
+  test("componentsStars: diameter-1000 chain converges in log rounds, labels match propagation") {
+    // A 1001-node path graph is the adversarial case the star-contraction
+    // variant exists for: plain min-label propagation pays ~diameter
+    // rounds (pointer jumping brings it to ~log via path doubling, but
+    // only along already-found paths); large-star/small-star halves path
+    // depth structurally every round, so ~log2(1000) ≈ 10 rounds.
+    val chain = spark.range(1000)
+      .select($"id".as("pa"), ($"id" + 1).as("pb"))
+    val (stars, rounds) = DedupQueries.componentsStarsWithRounds(chain, "pa", "pb")
+    assert(rounds <= 12, s"star contraction took $rounds rounds on a 1000-chain")
+    val starLabels = stars.as[(Long, Long)].collect().toMap
+    assert(starLabels.size == 1001 && starLabels.values.forall(_ == 0L),
+      "chain must collapse to a single component labeled by its min node")
+    // identical fixpoint to the propagation path on a real pair graph
+    val pairs = DedupQueries.jaccardPairSnapshot(spark, sf)
+    val prop = DedupQueries.components(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val star = DedupQueries.componentsStars(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(star == prop, "star-contraction labels diverge from propagation labels")
+  }
+
   test("mm_dedup: digest groups partition the media corpus; digest is over the bytes") {
     val d = Multimodal.qMmDedup(spark, sf).cache()
     val docs = graft.sources.Tables.documents(spark, sf).count()
