@@ -326,41 +326,57 @@ object Profile {
       time("embedding pairs")(DedupQueries.qEmbeddingDups(spark, dir).count())
       val pairs = DedupQueries.qEmbeddingDups(spark, dir)
         .select(col("vec_a"), col("vec_b")).localCheckpoint()
+      // per-round decomposition via the production loop's own hook — no
+      // instrumented copy to drift out of sync with the real plan
       time("components (pairs cached)")(
-        DedupQueries.components(pairs, "vec_a", "vec_b").count())
-      // per-round instrumented copy of the components loop
-      val edges = pairs.select(explode(array(
-          struct(col("vec_a").as("u"), col("vec_b").as("v")),
-          struct(col("vec_b").as("u"), col("vec_a").as("v")))).as("e"))
-        .select(col("e.u").as("u"), col("e.v").as("v"))
-        .localCheckpoint()
-      var labels = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("nm"))
-        .select(col("id"), least(col("id"), col("nm")).as("label"))
-        .localCheckpoint()
-      var changed = 1L; var round = 0
-      while (changed > 0) {
-        round += 1
-        val t0 = System.nanoTime()
-        val neighborMin = edges
-          .join(labels.select(col("id").as("v"), col("label").as("vl")), "v")
-          .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
-        val stepped = labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"), col("label").as("old"),
-            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-          .localCheckpoint()
-        val next = stepped
-          .join(stepped.select(col("id").as("lid"), col("label").as("ll")),
-            col("label") === col("lid"), "left")
-          .select(col("id"), col("old"),
-            least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-          .localCheckpoint()
-        changed = next.filter(col("label") =!= col("old")).count()
-        stepped.unpersist(); labels.unpersist()
-        labels = next.select(col("id"), col("label"))
-        println(f"round $round: changed=$changed  ${(System.nanoTime()-t0)/1e9}%.2f s")
-      }
+        DedupQueries.components(pairs, "vec_a", "vec_b", (r, ch, s) =>
+          println(f"round $r: changed=$ch  $s%.2f s")).count())
       time("full dedup_semantic")(DedupQueries.qSemDedup(spark, dir).count())
       time("full again")(DedupQueries.qSemDedup(spark, dir).count())
+      spark.stop(); return
+    }
+    if (args.lift(1).contains("scale10")) {
+      // 10x scale probe for the two slowest bench entries
+      // (dedup_semantic_bucketed, dedup_incremental): does the component
+      // loop's per-round cost stay scheduling-dominated as data grows?
+      import graft.ext.dedup.DedupQueries
+      val out = "/tmp/graft_scale10"
+      // embeddings: 10 ROTATED copies — rotation preserves the norm and
+      // decorrelates copies (near-orthogonal to the original for these
+      // dense vectors), so pair DENSITY stays ~flat while n grows 10x;
+      // exact copies would instead add 45 cosine-1.0 pairs per vector and
+      // measure a different (duplication-dominated) workload
+      val e = Tables.embeddings(spark, dir)
+      e.crossJoin(spark.range(10).toDF("copy"))
+        .select((col("vec_id") * 10 + col("copy")).as("vec_id"),
+          when(col("copy") === 0, col("embedding")).otherwise(
+            concat(slice(col("embedding"), col("copy").cast("int") * 6 + 1,
+                lit(graft.ext.sim.SimQueries.Dim)),
+              slice(col("embedding"), lit(1), col("copy").cast("int") * 6)))
+            .as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      // documents: 10 EXACT copies (ids remapped) — the adversarial
+      // duplicated-corpus shape for the ingest screen: posting-list df
+      // inflates 10x, so candidate pairs grow ~100x; the probe reports
+      // the measured exponent next to the wall-times
+      Tables.documents(spark, dir)
+        .crossJoin(spark.range(10).toDF("copy"))
+        .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      for (d <- Seq(dir, out)) {
+        DedupQueries.clearSnapshots()
+        time(s"lsh pairgen @ $d")(DedupQueries.qEmbeddingDupsLsh(spark, d).count())
+        val pairs = DedupQueries.qEmbeddingDupsLsh(spark, d)
+          .select(col("vec_a"), col("vec_b")).localCheckpoint()
+        time(s"components @ $d")(
+          DedupQueries.components(pairs, "vec_a", "vec_b", (r, ch, s) =>
+            println(f"  round $r: changed=$ch  $s%.2f s")).count())
+        DedupQueries.clearSnapshots()
+        time(s"dedup_semantic_bucketed @ $d")(DedupQueries.qSemDedupBucketed(spark, d).count())
+        time(s"dedup_incremental @ $d")(DedupQueries.qIncrementalDedup(spark, d).count())
+      }
       spark.stop(); return
     }
     if (args.lift(1).contains("sem2")) {
