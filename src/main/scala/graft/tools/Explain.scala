@@ -46,7 +46,23 @@ object Explain {
     "q_cdc_merge" -> ("CDC merge: the change feed collapses to one row " +
       "per key in a partial/final aggregate (the shuffle carries " +
       "distinct keys, not the raw feed), then ONE full-outer join " +
-      "against the snapshot — two exchanges total."))
+      "against the snapshot — two exchanges total."),
+    "dedup_embedding_lsh" -> ("Bucketed near-dup pair generation (round " +
+      "5 shape): ONE exchange on (band, band-hash) carries the vector " +
+      "payloads into posting lists; pair explode → cosine → threshold " +
+      "run pipelined in a single codegen span, and the cross-band pair " +
+      "dedup exchanges only the thresholded survivors — the full " +
+      "candidate mass never shuffles."))
+
+  /** Snapshot-backed registered entries serve a `localCheckpoint`, whose
+    * plan is just an RDD scan — audit the underlying BUILD pipeline
+    * instead (the plan a deployment runs to produce the persisted pair
+    * artifact). */
+  val underlying: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "dedup_ngram_jaccard" ->
+      ((s, d) => graft.ext.dedup.DedupQueries.qNgramJaccard(s, d)),
+    "dedup_embedding_lsh" ->
+      ((s, d) => graft.ext.dedup.DedupQueries.qEmbeddingDupsLsh(s, d)))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -66,7 +82,7 @@ object Explain {
       sb.append("to exhibit is stated above its plan. Enforced variants of these\n")
       sb.append("assertions live in the specs (QueriesSpec/IoSpec/LayoutSpec).\n")
       audited.foreach { case (name, why) =>
-        val df = graft.SparkEntry.queries(name)(spark, dir)
+        val df = underlying.getOrElse(name, graft.SparkEntry.queries(name))(spark, dir)
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         sb.append(s"\n## $name\n\n$why\n\n```\n$plan```\n")
