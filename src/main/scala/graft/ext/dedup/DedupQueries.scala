@@ -682,6 +682,10 @@ object DedupQueries {
     // rule, same candidates, same recall; the oracle replays the band
     // construction and dedups candidates pre-cosine — equivalent, since
     // cosine is a pure function of the pair, so dedup commutes with it.
+    // Parallelism grain is the BUCKET (one explode task does that
+    // bucket's O(occupancy²) pair work), so the SCALING.md control law —
+    // band bits ∝ log₂ n holds occupancy flat — is also what keeps task
+    // sizes uniform at corpus scale; QueriesSpec pins the plan shape.
     val e = quantized(spark, dir)
     val posts = graft.ext.sim.SimQueries.lshBands(spark, dir)
       .join(e.select(col("vec_id"), col("v"), col("nsq")), "vec_id")

@@ -80,6 +80,27 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("dedup_embedding_lsh plan: candidate mass never shuffles, survivors-only distinct") {
+    // the round-5 shape: signature groupBy + bucket posting lists + the
+    // final survivors-only distinct are the ONLY exchanges; pair explode →
+    // cosine → threshold must stay pipelined (no exchange between the
+    // posting-list aggregate and the distinct), the vector attach must
+    // broadcast, and no pre-threshold distinct may reappear upstream of
+    // the cosine filter (that formulation shuffled ~0.5·n² candidate rows)
+    val plan = graft.ext.dedup.DedupQueries.qEmbeddingDupsLsh(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?m)^.*Exchange hashpartitioning".r.findAllIn(plan).size
+    // the four: plane-array construction (constant-sized, inside the
+    // broadcast subtree), per-vector signature groupBy, bucket posting
+    // lists, survivor distinct — nothing candidate-sized
+    assert(exchanges <= 4,
+      s"expected <= 4 exchanges (planes, signature, buckets, survivor distinct):\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vector attach must broadcast, not shuffle:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no shuffle join anywhere in the bucketed path:\n${plan.take(2000)}")
+  }
+
   test("q_asof_order plan: exactly two exchanges, no join operator at all") {
     // the as-of shape: one exchange collapses the build side per (key,
     // time), one partitions the union for the window — there is no join
