@@ -479,13 +479,17 @@ object DedupQueries {
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint()
       // jump: label ← label(label). `stepped` is materialized, so both
-      // self-join arms read the checkpoint instead of re-running the step
+      // self-join arms read the checkpoint instead of re-running the step.
+      // `next` checkpoints LAZILY: unlike `stepped` it has exactly one
+      // consumer before the next round — the changed-count below — so that
+      // count doubles as the materializing action and each round runs one
+      // scheduler job fewer (the next round's joins then read the blocks)
       val next = stepped
         .join(stepped.select(col("id").as("lid"), col("label").as("ll")),
           col("label") === col("lid"), "left")
         .select(col("id"), col("old"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.filter(col("label") =!= col("old")).count()
       // `next` is materialized, so the superseded checkpoints' blocks can
       // go — otherwise storage grows by two label-set copies per round
