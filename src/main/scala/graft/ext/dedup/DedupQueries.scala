@@ -566,7 +566,9 @@ object DedupQueries {
     var changed = 1L
     while (changed > 0) {
       rounds += 1
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // lazy: the count below is the materializing action (same trade as
+      // the jump checkpoint in [[components]])
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       // distinct sets are equal iff counts match and one difference is empty
       changed = if (next.count() != edges.count()) 1L
                 else next.exceptAll(edges).count()
