@@ -716,6 +716,50 @@ object DedupQueries {
   def qSemDedupBucketed(spark: SparkSession, dir: String): DataFrame =
     semDedupOver(embeddingLshPairSnapshot(spark, dir), spark, dir)
 
+  /** Every [[IncomingVecStride]]-th vector plays the incoming batch in the
+    * incremental semantic screen (the embedding analog of the documents
+    * table's src5 ingest source). */
+  val IncomingVecStride = 10
+
+  /** Incremental SEMANTIC-dedup screen — the embedding analog of
+    * [[qIncrementalDedup]], closing the ingest story for the semantic
+    * family: an incoming batch of vectors is screened against the corpus
+    * through the LSH band index, per-vector verdict = how many corpus
+    * near-dups it has and the best cosine. One row per flagged incoming
+    * vector (vectors with no banded corpus near-dup pass the screen and
+    * emit nothing — the accept path).
+    *
+    * Scale shape: the corpus side of the band join is the PERSISTED
+    * signature index a deployment maintains (same artifact the bucketed
+    * batch dedup builds); the batch side recomputes signatures for its
+    * own vectors only and BROADCASTS — bounded by the batch, so the join
+    * streams the corpus index with no shuffle of it, and candidates are
+    * batch × bucket-occupancy, never corpus². Payloads ride the band
+    * rows, so candidate → cosine → threshold is pipelined exactly like
+    * [[qEmbeddingDupsLsh]], and the cross-band dedup exchanges survivors
+    * only. The two `lshBands` computations (one per arm) mirror
+    * production — batch signatures are computed fresh, corpus signatures
+    * come from the index — rather than an artifact to share. */
+  def qEmbeddingIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+    def arm(incoming: Boolean): DataFrame =
+      graft.ext.sim.SimQueries.lshBands(spark, dir)
+        .filter(if (incoming) col("vec_id") % IncomingVecStride === 0
+                else col("vec_id") % IncomingVecStride =!= 0)
+        .join(e.select(col("vec_id"), col("v"), col("nsq")), "vec_id")
+    val batch = arm(incoming = true).select(col("band"), col("bh"),
+      col("vec_id").as("new_vec_id"), col("v").as("bv"), col("nsq").as("bn"))
+    val corpus = arm(incoming = false).select(col("band"), col("bh"),
+      col("vec_id").as("corpus_vec_id"), col("v").as("cv"), col("nsq").as("cn"))
+    corpus.join(broadcast(batch), Seq("band", "bh"))
+      .withColumn("cosine", cosine(col("bv"), col("cv"), col("bn"), col("cn")))
+      .filter(col("cosine") >= CosineThreshold)
+      .select(col("new_vec_id"), col("corpus_vec_id"), col("cosine"))
+      .distinct()
+      .groupBy(col("new_vec_id"))
+      .agg(count(lit(1)).as("n_near_dups"), max(col("cosine")).as("best_cosine"))
+  }
+
   /** Intra-document repetition score: 1 − distinct/total over each doc's
     * 3-gram shingle multiset — the "templated/looping text" quality signal
     * (decoder loops, boilerplate stutter). Rides the same shingle pipeline
@@ -834,7 +878,8 @@ object DedupQueries {
     "dedup_embedding"     -> (embeddingPairSnapshot _),
     "dedup_embedding_lsh" -> (embeddingLshPairSnapshot _),
     "dedup_semantic"      -> (qSemDedup _),
-    "dedup_semantic_bucketed" -> (qSemDedupBucketed _))
+    "dedup_semantic_bucketed" -> (qSemDedupBucketed _),
+    "dedup_embedding_incremental" -> (qEmbeddingIncremental _))
 
   // ------------------------------------------------------------- oracles
 
@@ -994,7 +1039,26 @@ object DedupQueries {
          |SELECT e.vec_id, e.label,
          |  coalesce(c.cluster_id, e.vec_id) AS cluster_id,
          |  coalesce(c.cluster_id, e.vec_id) = e.vec_id AS kept
-         |FROM embeddings e LEFT JOIN comp c USING (vec_id)""".stripMargin)
+         |FROM embeddings e LEFT JOIN comp c USING (vec_id)""".stripMargin,
+    // the incremental screen: same band CTEs, batch/corpus split on the
+    // vec_id stride, banded candidates, exact cosine, per-incoming-vector
+    // verdict — the candidate RULE and the verdict both gated
+    "dedup_embedding_incremental" -> {
+      val cos = graft.ext.sim.SimQueries.cosSql("a.v", "b.v", "a.nsq", "b.nsq")
+      s"""WITH $quantizedSql,
+         |${graft.ext.sim.SimQueries.lshBandCtes},
+         |cand AS (
+         |  SELECT DISTINCT bb.vec_id AS new_vec_id, cb.vec_id AS corpus_vec_id
+         |  FROM bands bb JOIN bands cb ON cb.band = bb.band AND cb.bh = bb.bh
+         |  WHERE bb.vec_id % $IncomingVecStride = 0
+         |    AND cb.vec_id % $IncomingVecStride <> 0)
+         |SELECT c.new_vec_id, CAST(count(*) AS BIGINT) AS n_near_dups,
+         |  max($cos) AS best_cosine
+         |FROM cand c JOIN q a ON a.vec_id = c.new_vec_id
+         |            JOIN q b ON b.vec_id = c.corpus_vec_id
+         |WHERE $cos >= $CosineThreshold
+         |GROUP BY c.new_vec_id""".stripMargin
+    })
 
   /** Embedding near-dup pairs oracle — shared by dedup_embedding and the
     * dedup_semantic component oracle built on it. */

@@ -94,6 +94,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(labels.values.toSet.size < labels.size)
   }
 
+  test("incremental semantic screen equals cross-boundary filter of the bucketed pair graph") {
+    // the batch-vs-corpus screen must see exactly the pairs the full
+    // bucketed dedup sees across the ingest boundary — same bands, same
+    // cosine — with per-incoming-vector verdicts aggregated from them
+    val all = DedupQueries.qEmbeddingDupsLsh(spark, sf)
+      .select($"vec_a", $"vec_b", $"cosine").as[(Long, Long, Double)].collect()
+    val s = DedupQueries.IncomingVecStride
+    val expected = all
+      .flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+      .filter { case (n, o, _) => n % s == 0 && o % s != 0 }
+      .groupBy(_._1)
+      .map { case (n, xs) => n -> ((xs.size.toLong, xs.map(_._3).max)) }
+    val screen = DedupQueries.qEmbeddingIncremental(spark, sf)
+    val got = screen.as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expected,
+      s"screen verdicts diverge from the pair graph: got ${got.size}, expected ${expected.size}")
+    // the scale contract: the batch side broadcasts into the corpus index
+    val plan = screen.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"batch side must broadcast, not shuffle the corpus:\n${plan.take(2000)}")
+  }
+
   test("componentsStars: diameter-1000 chain converges in log rounds, labels match propagation") {
     // A 1001-node path graph is the adversarial case the star-contraction
     // variant exists for: plain min-label propagation pays ~diameter
