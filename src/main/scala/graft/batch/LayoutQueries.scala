@@ -85,13 +85,26 @@ object LayoutQueries {
   val BloomFpp = 0.01
 
   /** Expected build-side cardinality for sizing the bloom's bit array — a
-    * deployment constant (in production: the ingest snapshot's key-count
-    * stat), NOT a `count()` pre-pass, which would scan the build side an
-    * extra time before `stat.bloomFilter` scans it again. Sized for the
-    * ~20% urgent slice of orders at sf1 (1.5M × 0.2); overshooting only
-    * lowers the false-positive rate (more bits per actual key), it never
-    * loses a true match, so the result is sizing-independent. */
-  val BloomExpectedKeys = 300000L
+    * deployment CONFIG (`spark.graft.bloom.expectedKeys` on the session,
+    * set from the ingest snapshot's key-count stat at deploy time), NOT a
+    * `count()` pre-pass, which would scan the build side an extra time
+    * before `stat.bloomFilter` scans it again. The default sizes the ~20%
+    * urgent slice of orders at sf1 (1.5M × 0.2); overshooting only lowers
+    * the false-positive rate (more bits per actual key) and undershooting
+    * only raises it toward pass-through — it never loses a true match, so
+    * the RESULT is sizing-independent either way. What sizing drift does
+    * cost is the pre-exchange screening this operator exists for, which is
+    * why [[qBloomSemijoin]] also publishes the observed probe/pass counts
+    * ([[BloomProbedAcc]]/[[BloomPassedAcc]]): a pass-through fraction
+    * creeping toward 1.0 is the at-scale signal the config is stale. */
+  val BloomExpectedKeysConf = "spark.graft.bloom.expectedKeys"
+  val BloomExpectedKeysDefault = 300000L
+
+  /** Named accumulators behind the bloom gate (visible per-stage in the
+    * Spark UI; re-registered per call). Task retries can overcount — they
+    * are an observability signal, not an exact statistic. */
+  val BloomProbedAcc = "graft.bloom.probed"
+  val BloomPassedAcc = "graft.bloom.passed"
 
   /** Bloom-filter semi-join: lineitems of urgent orders, with the probe
     * side pre-screened by a bloom filter built over the build keys before

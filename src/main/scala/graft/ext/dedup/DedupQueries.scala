@@ -492,14 +492,20 @@ object DedupQueries {
         .localCheckpoint(false)
       changed = next.filter(col("label") =!= col("old")).count()
       // `next` is materialized, so the superseded checkpoints' blocks can
-      // go — otherwise storage grows by two label-set copies per round
-      stepped.unpersist()
-      labels.unpersist()
+      // go — through releaseSnapshot: these frames are localCheckpoint-
+      // backed, so Dataset.unpersist would be a CacheManager no-op and
+      // storage would grow by two label-set copies per round until the
+      // ContextCleaner got around to them after GC
+      releaseSnapshot(stepped)
+      releaseSnapshot(labels)
       labels = next.select(col("id"), col("label"))
       // per-round observability hook (rounds × cost decomposition for the
       // SCALING.md probes) — a no-op by default
       onRound(round, changed, (System.nanoTime() - t0) / 1e9)
     }
+    // the returned frame reads only the final round's checkpoint — the
+    // edge list's blocks are dead weight from here
+    releaseSnapshot(edges)
     labels.select(col("id"), col("label"))
   }
 
@@ -581,8 +587,14 @@ object DedupQueries {
     // self-pair (none in practice — pair generators emit a < b only).
     val labels = bidir(edges).groupBy(col("s").as("id")).agg(min(col("t")).as("mn"))
       .select(col("id"), least(col("id"), col("mn")).as("label"))
+    // materialize the label read-off, then free the star forest and node
+    // set it was read from — the caller's frame must not depend on
+    // checkpoint blocks we are about to drop
     val out = nodes.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+      .localCheckpoint()
+    releaseSnapshot(nodes)
+    releaseSnapshot(edges)
     (out, rounds)
   }
 

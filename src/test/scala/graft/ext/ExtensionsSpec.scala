@@ -139,6 +139,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(star == prop, "star-contraction labels diverge from propagation labels")
   }
 
+  test("components loops free superseded checkpoints (no per-round storage growth)") {
+    // Each propagation round checkpoints two label frames; each star round
+    // checkpoints one edge set. Without routing the frees through
+    // releaseSnapshot (Dataset.unpersist is a CacheManager no-op for
+    // localCheckpoint blocks) a deep chain leaks ~2 blocks per round and
+    // only the ContextCleaner ever reclaims them. Only the RETURNED
+    // frame's checkpoint may remain after each call.
+    val chain = spark.range(300).select($"id".as("pa"), ($"id" + 1).as("pb"))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    DedupQueries.components(chain, "pa", "pb").count()
+    val afterProp = spark.sparkContext.getPersistentRDDs.size
+    assert(afterProp - before <= 1,
+      s"components leaked ${afterProp - before - 1} checkpoint(s) beyond its result")
+    DedupQueries.componentsStars(chain, "pa", "pb").count()
+    val afterStars = spark.sparkContext.getPersistentRDDs.size
+    assert(afterStars - afterProp <= 1,
+      s"componentsStars leaked ${afterStars - afterProp - 1} checkpoint(s) beyond its result")
+  }
+
   test("mm_dedup: digest groups partition the media corpus; digest is over the bytes") {
     val d = Multimodal.qMmDedup(spark, sf).cache()
     val docs = graft.sources.Tables.documents(spark, sf).count()
