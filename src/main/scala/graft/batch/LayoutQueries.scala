@@ -106,6 +106,14 @@ object LayoutQueries {
   val BloomProbedAcc = "graft.bloom.probed"
   val BloomPassedAcc = "graft.bloom.passed"
 
+  /** The (probed, passed) accumulators registered by the most recent
+    * [[qBloomSemijoin]] call in this JVM — read AFTER an action on its
+    * result. Driver-side handle for tests and monitoring; on a cluster the
+    * same counters appear per-stage in the Spark UI under their names. */
+  @volatile var lastBloomAccs
+      : Option[(org.apache.spark.util.LongAccumulator,
+                org.apache.spark.util.LongAccumulator)] = None
+
   /** Bloom-filter semi-join: lineitems of urgent orders, with the probe
     * side pre-screened by a bloom filter built over the build keys before
     * the real join runs. The filter admits all true matches (no false
@@ -128,8 +136,18 @@ object LayoutQueries {
     val build = Tables.orders(spark, dir)
       .filter(expr(BloomBuildPredicate))
       .select(col("o_orderkey"))
-    val bf = build.stat.bloomFilter("o_orderkey", BloomExpectedKeys, BloomFpp)
-    val mightContain = udf((k: Long) => bf.mightContain(k))
+    val expected =
+      spark.conf.get(BloomExpectedKeysConf, BloomExpectedKeysDefault.toString).toLong
+    val bf = build.stat.bloomFilter("o_orderkey", expected, BloomFpp)
+    val probed = spark.sparkContext.longAccumulator(BloomProbedAcc)
+    val passed = spark.sparkContext.longAccumulator(BloomPassedAcc)
+    lastBloomAccs = Some((probed, passed))
+    val mightContain = udf { (k: Long) =>
+      probed.add(1L)
+      val hit = bf.mightContain(k)
+      if (hit) passed.add(1L)
+      hit
+    }
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
       .filter(mightContain(col("l_orderkey")))

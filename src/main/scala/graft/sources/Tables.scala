@@ -46,24 +46,35 @@ object Tables {
     if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright. The session must therefore be built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (every builder in this
-    * repo — SparkSessions.recommended, Verify, Bench, the test session —
-    * sets it); the raw nanos then read as long and we floor-divide to
-    * micros, the same truncation DuckDB applies when it downcasts
-    * TIMESTAMP_NS to its micro TIMESTAMP, so both engines see identical
-    * values.
+  /** events.parquet's `ts` physical type has varied across corpus
+    * generations — TIMESTAMP(NANOS) in early drops, TIMESTAMP(MICROS)
+    * (read as TIMESTAMP_NTZ) in current ones — so normalize from whatever
+    * the footer declares to a session-UTC `timestamp`, the one downstream
+    * type every window/watermark/unix_timestamp consumer assumes:
     *
-    * Deliberately NOT set here: a loader mutating session-wide conf as a
-    * side effect races physical planning in concurrent use and changes
-    * what other readers of the same file see. Fail fast instead. */
+    *  - NANOS: readable only under `spark.sql.legacy.parquet.nanosAsLong=
+    *    true` (every builder in this repo sets it — SparkSessions
+    *    .recommended, Verify, Bench, the test session); the raw nanos read
+    *    as long and we floor-divide to micros, the same truncation DuckDB
+    *    applies downcasting TIMESTAMP_NS, so both engines see identical
+    *    values. Without the flag the load itself fails fast with
+    *    PARQUET_TYPE_ILLEGAL naming the column.
+    *  - MICROS / TIMESTAMP_NTZ: a plain cast — with the session timezone
+    *    pinned to UTC (all builders) the NTZ wall-clock reinterprets as
+    *    the identical instant, matching DuckDB's timezone-free micro
+    *    TIMESTAMP read of the same file.
+    *
+    * Deliberately NOT setting conf here: a loader mutating session-wide
+    * conf as a side effect races physical planning in concurrent use and
+    * changes what other readers of the same file see. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "session must set spark.sql.legacy.parquet.nanosAsLong=true at build " +
-        "time to read events.parquet (TIMESTAMP_NS); see graft.SparkSessions")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")

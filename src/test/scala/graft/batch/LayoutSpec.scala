@@ -73,6 +73,21 @@ class LayoutSpec extends SparkSpec {
     val missed = li.join(build, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .filter(!mc(col("l_orderkey"))).count()
     assert(missed == 0)
+
+    // observability contract: the accumulators registered by the call saw
+    // every probe-side row, and the pass count brackets the true matches
+    // (passed = matches + false positives; probed ≥ passed always). The
+    // action that populated them is the collect() above.
+    val (probedAcc, passedAcc) = LayoutQueries.lastBloomAccs
+      .getOrElse(fail("qBloomSemijoin must register its accumulators"))
+    val liTotal = li.count()
+    val trueMatches = li
+      .join(build, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(probedAcc.value >= liTotal,
+      s"probed ${probedAcc.value} must cover all $liTotal probe rows")
+    assert(passedAcc.value <= probedAcc.value)
+    assert(passedAcc.value >= trueMatches,
+      s"passed ${passedAcc.value} must include all $trueMatches true matches")
   }
 
   test("q_salted_agg: ≡ direct aggregation, exactly two exchanges (partial on salt)") {

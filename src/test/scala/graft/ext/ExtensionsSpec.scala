@@ -146,16 +146,20 @@ class ExtensionsSpec extends SparkSpec {
     // localCheckpoint blocks) a deep chain leaks ~2 blocks per round and
     // only the ContextCleaner ever reclaims them. Only the RETURNED
     // frame's checkpoint may remain after each call.
+    // Diff RDD *ids*, not global counts: another suite unpersisting its own
+    // blocks mid-call would make a count-based assert pass or fail for the
+    // wrong reason. Only ids CREATED by the call under test are charged to it.
     val chain = spark.range(300).select($"id".as("pa"), ($"id" + 1).as("pb"))
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     DedupQueries.components(chain, "pa", "pb").count()
-    val afterProp = spark.sparkContext.getPersistentRDDs.size
-    assert(afterProp - before <= 1,
-      s"components leaked ${afterProp - before - 1} checkpoint(s) beyond its result")
+    val propNew = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(propNew.size <= 1,
+      s"components leaked ${propNew.size - 1} checkpoint(s) beyond its result: $propNew")
+    val beforeStars = spark.sparkContext.getPersistentRDDs.keySet
     DedupQueries.componentsStars(chain, "pa", "pb").count()
-    val afterStars = spark.sparkContext.getPersistentRDDs.size
-    assert(afterStars - afterProp <= 1,
-      s"componentsStars leaked ${afterStars - afterProp - 1} checkpoint(s) beyond its result")
+    val starsNew = spark.sparkContext.getPersistentRDDs.keySet.diff(beforeStars)
+    assert(starsNew.size <= 1,
+      s"componentsStars leaked ${starsNew.size - 1} checkpoint(s) beyond its result: $starsNew")
   }
 
   test("mm_dedup: digest groups partition the media corpus; digest is over the bytes") {
