@@ -432,9 +432,11 @@ object DedupQueries {
     * Plain propagation needs diameter rounds, and real pair graphs do go
     * deep — the sf0.1 embedding graph chains to diameter 16 through
     * cosine space; jumping contracts found paths each round (measured
-    * 16 → 10 rounds here at identical output; [[componentsStars]] is the
-    * implemented O(log n) guarantee at one more join per round, for
-    * adversarial diameters). The edge list
+    * 16 → 10 rounds here at identical output; a SECOND jump per round
+    * was measured useless — convergence is neighbor-step-bound, the min
+    * label physically traverses one edge per round — so
+    * [[componentsStars]] remains the implemented O(log n) guarantee at
+    * one more join per round, for adversarial diameters). The edge list
     * materializes once (`localCheckpoint`) so rounds never re-run the
     * upstream pair query, and each half-step checkpoints to keep lineage
     * flat. At 100 TB: same loop with reliable `checkpoint` to cluster
@@ -483,7 +485,12 @@ object DedupQueries {
       // `next` checkpoints LAZILY: unlike `stepped` it has exactly one
       // consumer before the next round — the changed-count below — so that
       // count doubles as the materializing action and each round runs one
-      // scheduler job fewer (the next round's joins then read the blocks)
+      // scheduler job fewer (the next round's joins then read the blocks).
+      // (A second jump per round was tried and reverted: convergence on
+      // real pair graphs is NEIGHBOR-step-bound — the min label has to
+      // physically traverse graph edges, one hop per edge join — so extra
+      // pointer doubling left the round count unchanged, measured on the
+      // sf0.1 embedding chain graph: same 10 rounds, identical labels.)
       val next = stepped
         .join(stepped.select(col("id").as("lid"), col("label").as("ll")),
           col("label") === col("lid"), "left")

@@ -21,6 +21,22 @@ object Profile {
       println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     spark.range(100).count()
+    if (args.lift(1).contains("q")) {
+      // steady-state timing of named registered queries:
+      //   runMain graft.tools.Profile <sfDir> q <name> [<name> ...]
+      // one untimed warm run, then 5 timed runs; prints min/median so a GC
+      // or compilation hiccup in one sample can't masquerade as a plan cost
+      args.drop(2).foreach { name =>
+        val fn = graft.SparkEntry.queries(name)
+        fn(spark, dir).count()
+        val samples = (1 to 5).map { _ =>
+          val t0 = System.nanoTime(); fn(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        println(f"$name%-30s min=${samples.head}%6.2f s  med=${samples(2)}%6.2f s")
+      }
+      spark.stop(); return
+    }
     if (args.lift(1).contains("salt")) {
       import graft.functions.{Exact, Salt}
       val li = Tables.lineitem(spark, dir)
