@@ -396,6 +396,92 @@ object DedupQueries {
   def qNgramJaccardCapped(spark: SparkSession, dir: String): DataFrame =
     jaccardFromPostings(spark, dir, dfCap = Some(MaxShingleDf))
 
+  // ------------------------------------------------------------ spans
+
+  /** Token width of a span window — the unit of exact-substring matching.
+    * Real deployments use ~50 (the published exact-substring dedup
+    * threshold); 5 keeps the synthetic corpus's shorter docs in scope
+    * while exercising the identical plan. */
+  val SpanWindow = 5
+  /** Minimum CONSECUTIVE shared windows for a run to count as a span:
+    * a qualifying span shares ≥ SpanWindow + MinSpanWindows − 1 = 8
+    * contiguous tokens. */
+  val MinSpanWindows = 4
+  /** Occurrence cap per window hash — same role as [[MaxShingleDf]]:
+    * a boilerplate window appearing everywhere contributes df² pair rows
+    * and no dedup signal, so it is dropped from the span universe
+    * (both engines replay the cap, so the oracle is exact). */
+  val MaxWindowDf = 50
+
+  /** Cross-document EXACT-SUBSTRING spans — the suffix-array dedup shape
+    * of "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al., ACL'22), re-expressed relationally: instead of one
+    * global suffix array (inherently sequential to build), hash every
+    * [[SpanWindow]]-token window WITH its position, join occurrences of
+    * the same window across documents, and recover maximal shared runs as
+    * gaps-and-islands over the match diagonal — two windows at (posA,
+    * posB) and (posA+1, posB+1) belong to one run iff posA − posB is
+    * constant, so grouping matches by (pair, diagonal) and subtracting a
+    * row_number from posA makes each maximal run one island. Output: one
+    * row per document pair sharing ≥ 1 run of ≥ [[MinSpanWindows]]
+    * consecutive windows — span count and longest span in tokens.
+    *
+    * Relation to the jaccard family: jaccard measures BAG overlap (are
+    * these documents near-copies?); spans find contiguous VERBATIM
+    * overlap (do they share a quoted passage / boilerplate block?) — a
+    * pair can score high on one and zero on the other, and the span
+    * output is what substring-level scrubbing consumes.
+    *
+    * Scale shape: one narrow projection builds (doc, pos, hash) rows —
+    * same staggered-slice construction as [[shingleRows]], no lambda, no
+    * shuffle; ONE exchange on the 60-bit window hash builds df-capped
+    * posting lists (the [[MaxWindowDf]] cap bounds the per-hash pair
+    * fan-out exactly as in [[qNgramJaccardCapped]]); pair explode runs
+    * pipelined inside the posting-list explode; the only downstream
+    * exchange partitions by (doc_a, doc_b) for the diagonal window —
+    * sized by actual cross-doc duplication, never corpus². */
+  def qSharedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.rebalanced(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), TextNorm.toks(col("text")).as("t"))
+    val n = size(col("t"))
+    val len = n - (SpanWindow - 1)
+    // W staggered slices zipped = all W-token windows, one codegen'd
+    // projection (the shingleRows build generalized to width W, keeping
+    // the window's 1-based start position via posexplode)
+    val zipped = arrays_zip(
+      (1 to SpanWindow).map(k => slice(col("t"), lit(k), len).as(s"w$k")): _*)
+    val win = docs.filter(n >= SpanWindow)
+      .select(col("doc_id"), posexplode(zipped))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        Exact.md5Long(concat_ws(" ",
+          (1 to SpanWindow).map(k => col(s"col.w$k")): _*)).as("h"))
+    // posting lists per window hash, df-capped; pair generation explodes
+    // in-place (no shuffle between candidates and the diagonal grouping
+    // other than the (doc_a, doc_b) partition the window function needs)
+    val posts = win
+      .groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ds"))
+      .filter(size(col("ds")).between(2, MaxWindowDf))
+    val matches = posts
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
+    // gaps-and-islands on the diagonal: pa is unique within (pair, diag),
+    // so pa − row_number is constant exactly along each maximal run
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    matches
+      .withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+      .agg(count(lit(1)).as("run_w"))
+      .filter(col("run_w") >= MinSpanWindows)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("run_w") + lit(SpanWindow - 1)).as("max_span_tokens"))
+  }
+
   // ------------------------------------------------------------ clusters
 
   /** Near-dup CLUSTER collapse: connected components of the jaccard pair
@@ -892,6 +978,7 @@ object DedupQueries {
     "dedup_simhash_pairs" -> (qSimhashPairs _),
     "dedup_ngram_jaccard" -> (jaccardPairSnapshot _),
     "dedup_ngram_capped"  -> (qNgramJaccardCapped _),
+    "dedup_spans"         -> (qSharedSpans _),
     "dedup_clusters"      -> (qDedupClusters _),
     "dedup_clusters_stars" -> (qDedupClustersStars _),
     "dedup_embedding"     -> (embeddingPairSnapshot _),
@@ -1007,6 +1094,36 @@ object DedupQueries {
     // min-label propagation, so the star entry shares the oracle verbatim
     // — the gate proves algorithm equivalence on the real pair graph
     "dedup_clusters_stars" -> dedupClustersSql,
+    // replays the identical window/position construction: DuckDB's
+    // 1-based inclusive list slice t[i:i+W-1] is the W-token window at i,
+    // generate_series(1, len-W+1) the same position universe, and the
+    // row_number-diagonal island arithmetic is engine-neutral integer math
+    "dedup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, ${TextNorm.toksSql} AS t FROM documents),
+         |win AS (SELECT doc_id, t,
+         |    unnest(generate_series(1, len(t) - ${SpanWindow - 1})) AS pos
+         |  FROM toks WHERE len(t) >= $SpanWindow),
+         |wh AS (SELECT doc_id, pos,
+         |    ${Exact.md5LongSql(s"array_to_string(t[pos:pos+${SpanWindow - 1}], ' ')")} AS h
+         |  FROM win),
+         |ok AS (SELECT h FROM wh GROUP BY h
+         |       HAVING count(*) BETWEEN 2 AND $MaxWindowDf),
+         |m AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+         |    a.pos - b.pos AS diag
+         |  FROM wh a JOIN wh b USING (h) JOIN ok USING (h)
+         |  WHERE a.doc_id < b.doc_id),
+         |runs AS (
+         |  SELECT doc_a, doc_b, diag,
+         |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+         |  FROM m),
+         |rl AS (
+         |  SELECT doc_a, doc_b, count(*) AS run_w
+         |  FROM runs GROUP BY doc_a, doc_b, diag, isl
+         |  HAVING count(*) >= $MinSpanWindows)
+         |SELECT doc_a, doc_b, count(*) AS n_spans,
+         |  max(run_w + ${SpanWindow - 1}) AS max_span_tokens
+         |FROM rl GROUP BY 1, 2""".stripMargin,
     "dedup_ngram_capped" ->
       s"""WITH $shingleCtes,
          |exg AS (SELECT DISTINCT doc_id, ${Exact.md5LongSql("s")} AS sh FROM ex),

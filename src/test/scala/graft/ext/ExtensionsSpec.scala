@@ -74,6 +74,57 @@ class ExtensionsSpec extends SparkSpec {
     assert(overlap >= 0.3, s"only ${overlap * 100}% of simhash pairs are true near-dups")
   }
 
+  test("dedup_spans: matches an independent reimplementation; bounded exchanges") {
+    // full independent derivation in Scala collections, keyed by the
+    // window STRING (not its md5) — an md5-truncation collision in the
+    // engine path would surface here as a real difference
+    val W = DedupQueries.SpanWindow
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def toks(s: String): Array[String] =
+      Option(s).getOrElse("").toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .split(" +").filter(_.nonEmpty)
+    val wins = for {
+      (id, text) <- docs.toSeq
+      t = toks(text)
+      if t.length >= W
+      i <- 0 to (t.length - W)
+    } yield (t.slice(i, i + W).mkString(" "), id, (i + 1).toLong)
+    def runLengths(pas: Seq[Long]): Seq[Long] = pas.sorted
+      .foldLeft(List.empty[(Long, Long)]) { case (acc, p) =>
+        acc match {
+          case (start, cnt) :: rest if start + cnt == p => (start, cnt + 1) :: rest
+          case _ => (p, 1L) :: acc
+        }
+      }.map(_._2)
+    val expected = wins.groupBy(_._1).values
+      .filter(os => os.size >= 2 && os.size <= DedupQueries.MaxWindowDf)
+      .flatMap(os => for { a <- os; b <- os; if a._2 < b._2 }
+        yield ((a._2, b._2), a._3 - b._3, a._3))
+      .groupBy(m => (m._1, m._2))
+      .flatMap { case ((pair, _), ms) =>
+        runLengths(ms.map(_._3).toSeq)
+          .filter(_ >= DedupQueries.MinSpanWindows).map(pair -> _)
+      }
+      .groupBy(_._1)
+      .map { case (pair, rs) =>
+        (pair._1, pair._2, rs.size.toLong, rs.map(_._2).max + W - 1)
+      }.toSet
+    assert(expected.nonEmpty, "fixture should contain shared spans")
+    val spans = DedupQueries.qSharedSpans(spark, sf)
+    val got = spans.select($"doc_a", $"doc_b", $"n_spans", $"max_span_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"span sets diverge: got ${got.size}, expected ${expected.size}")
+    // scale contract: exchanges are window-hash, pair-diagonal (for the
+    // island window), and final pair rollup — nothing candidate²-sized
+    spans.count()
+    val plan = spans.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"expected <= 3 exchanges:\n${plan.take(3000)}")
+  }
+
   test("dedup_clusters: valid connected components of the jaccard pair graph") {
     val pairs = DedupQueries.qNgramJaccard(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
