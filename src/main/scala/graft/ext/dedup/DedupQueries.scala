@@ -440,9 +440,25 @@ object DedupQueries {
     * pipelined inside the posting-list explode; the only downstream
     * exchange partitions by (doc_a, doc_b) for the diagonal window —
     * sized by actual cross-doc duplication, never corpus². */
-  def qSharedSpans(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.rebalanced(spark, Tables.documents(spark, dir))
+  def qSharedSpans(spark: SparkSession, dir: String): DataFrame =
+    spanIslands(spark, dir)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("run_w") + lit(SpanWindow - 1)).as("max_span_tokens"))
+
+  /** Normalized token stream per document — ALL documents, including those
+    * too short to window (the scrub must hand them back unchanged). */
+  private def spanTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.rebalanced(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), TextNorm.toks(col("text")).as("t"))
+
+  /** Maximal qualifying runs on the span match diagonal — the shared core
+    * of the span family: one row per run with its width in windows and its
+    * first window position `pa0` in doc_a (`pa0 − diag` is the twin
+    * position in doc_b). [[qSharedSpans]] rolls these up per pair;
+    * [[qSpanScrub]] explodes them into covered token positions. */
+  private def spanIslands(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spanTokens(spark, dir)
     val n = size(col("t"))
     val len = n - (SpanWindow - 1)
     // W staggered slices zipped = all W-token windows, one codegen'd
@@ -475,11 +491,44 @@ object DedupQueries {
     matches
       .withColumn("isl", col("pa") - row_number().over(w))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
-      .agg(count(lit(1)).as("run_w"))
+      .agg(count(lit(1)).as("run_w"), min(col("pa")).as("pa0"))
       .filter(col("run_w") >= MinSpanWindows)
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_spans"),
-        max(col("run_w") + lit(SpanWindow - 1)).as("max_span_tokens"))
+  }
+
+  /** Substring-level SCRUB — the consuming side of [[qSharedSpans]] and
+    * the second half of the Lee et al. recipe: every shared span is kept
+    * in exactly one document and REMOVED from the others. Keep-first
+    * policy (the same deterministic rule as `curate_pipeline`'s greedy
+    * drop-doc_b): in each pair the higher doc_id loses the span's token
+    * range. Output is the full corpus, one row per document — token count,
+    * number of tokens removed, and the scrubbed text — so the result is
+    * directly writable as the cleaned training table.
+    *
+    * Scale shape: [[spanIslands]] bounds everything upstream; covered
+    * ranges explode to one row per REMOVED token (∝ actual duplication,
+    * never corpus size), collapse to a per-doc position set in one
+    * doc_id-keyed exchange, and join the token table on doc_id — the only
+    * corpus-sized exchange. The token drop itself is an array `filter`
+    * against the per-doc covered set: clean documents skip it via the
+    * empty-set guard, affected documents pay tokens × covered — bounded by
+    * doc length², in practice covered is a handful of spans. */
+  def qSpanScrub(spark: SparkSession, dir: String): DataFrame = {
+    val cov = spanIslands(spark, dir)
+      .select(col("doc_b").as("doc_id"),
+        explode(sequence(
+          (col("pa0") - col("diag")),
+          (col("pa0") - col("diag")) + col("run_w").cast("int") + lit(SpanWindow - 2)))
+          .as("pos"))
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("cov"))
+    val covc = coalesce(col("cov"), array().cast("array<int>"))
+    val kept = filter(col("t"), (x, i) => !array_contains(covc, i + lit(1)))
+    spanTokens(spark, dir)
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(covc).cast("long").as("n_removed"),
+        concat_ws(" ",
+          when(size(covc) === 0, col("t")).otherwise(kept)).as("text_clean"))
   }
 
   // ------------------------------------------------------------ clusters
@@ -979,6 +1028,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (jaccardPairSnapshot _),
     "dedup_ngram_capped"  -> (qNgramJaccardCapped _),
     "dedup_spans"         -> (qSharedSpans _),
+    "dedup_spans_scrub"   -> (qSpanScrub _),
     "dedup_clusters"      -> (qDedupClusters _),
     "dedup_clusters_stars" -> (qDedupClustersStars _),
     "dedup_embedding"     -> (embeddingPairSnapshot _),
@@ -1016,6 +1066,34 @@ object DedupQueries {
 
   private val hashASql = HashA.mkString("[", ",", "]")
   private val hashBSql = HashB.mkString("[", ",", "]")
+
+  /** Shared CTE prefix of the span family: tokens → positioned window
+    * hashes → df-capped match universe → diagonal islands. Replays the
+    * identical window/position construction as [[spanIslands]]: DuckDB's
+    * 1-based inclusive list slice `t[i:i+W-1]` is the W-token window at i,
+    * `generate_series(1, len-W+1)` the same position universe, and the
+    * row_number-diagonal island arithmetic is engine-neutral integer math.
+    * `runs` carries `pa` so the scrub oracle can recover each island's
+    * start; the pair oracle simply ignores it. */
+  private val spanRunsCtes =
+    s"""toks AS (SELECT doc_id, ${TextNorm.toksSql} AS t FROM documents),
+       |win AS (SELECT doc_id, t,
+       |    unnest(generate_series(1, len(t) - ${SpanWindow - 1})) AS pos
+       |  FROM toks WHERE len(t) >= $SpanWindow),
+       |wh AS (SELECT doc_id, pos,
+       |    ${Exact.md5LongSql(s"array_to_string(t[pos:pos+${SpanWindow - 1}], ' ')")} AS h
+       |  FROM win),
+       |ok AS (SELECT h FROM wh GROUP BY h
+       |       HAVING count(*) BETWEEN 2 AND $MaxWindowDf),
+       |m AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+       |    a.pos - b.pos AS diag
+       |  FROM wh a JOIN wh b USING (h) JOIN ok USING (h)
+       |  WHERE a.doc_id < b.doc_id),
+       |runs AS (
+       |  SELECT doc_a, doc_b, diag, pa,
+       |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+       |  FROM m)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_repetition" ->
@@ -1094,29 +1172,8 @@ object DedupQueries {
     // min-label propagation, so the star entry shares the oracle verbatim
     // — the gate proves algorithm equivalence on the real pair graph
     "dedup_clusters_stars" -> dedupClustersSql,
-    // replays the identical window/position construction: DuckDB's
-    // 1-based inclusive list slice t[i:i+W-1] is the W-token window at i,
-    // generate_series(1, len-W+1) the same position universe, and the
-    // row_number-diagonal island arithmetic is engine-neutral integer math
     "dedup_spans" ->
-      s"""WITH toks AS (SELECT doc_id, ${TextNorm.toksSql} AS t FROM documents),
-         |win AS (SELECT doc_id, t,
-         |    unnest(generate_series(1, len(t) - ${SpanWindow - 1})) AS pos
-         |  FROM toks WHERE len(t) >= $SpanWindow),
-         |wh AS (SELECT doc_id, pos,
-         |    ${Exact.md5LongSql(s"array_to_string(t[pos:pos+${SpanWindow - 1}], ' ')")} AS h
-         |  FROM win),
-         |ok AS (SELECT h FROM wh GROUP BY h
-         |       HAVING count(*) BETWEEN 2 AND $MaxWindowDf),
-         |m AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
-         |    a.pos - b.pos AS diag
-         |  FROM wh a JOIN wh b USING (h) JOIN ok USING (h)
-         |  WHERE a.doc_id < b.doc_id),
-         |runs AS (
-         |  SELECT doc_a, doc_b, diag,
-         |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
-         |  FROM m),
+      s"""WITH $spanRunsCtes,
          |rl AS (
          |  SELECT doc_a, doc_b, count(*) AS run_w
          |  FROM runs GROUP BY doc_a, doc_b, diag, isl
@@ -1124,6 +1181,33 @@ object DedupQueries {
          |SELECT doc_a, doc_b, count(*) AS n_spans,
          |  max(run_w + ${SpanWindow - 1}) AS max_span_tokens
          |FROM rl GROUP BY 1, 2""".stripMargin,
+    // islands → covered token ranges in the LOSING (higher-id) doc →
+    // per-position anti-join against the token universe → re-assembled
+    // text; coalesce('') matches Spark's concat_ws over an empty array
+    // for fully-scrubbed documents
+    "dedup_spans_scrub" ->
+      s"""WITH $spanRunsCtes,
+         |isl AS (
+         |  SELECT doc_b, min(pa - diag) AS sb, count(*) AS run_w
+         |  FROM runs GROUP BY doc_a, doc_b, diag, isl
+         |  HAVING count(*) >= $MinSpanWindows),
+         |cov AS (SELECT DISTINCT doc_id, pos FROM (
+         |  SELECT doc_b AS doc_id,
+         |    unnest(generate_series(sb, sb + run_w + ${SpanWindow - 2})) AS pos
+         |  FROM isl)),
+         |tp AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos
+         |       FROM toks),
+         |kept AS (
+         |  SELECT tp.doc_id, tp.pos, tp.t[tp.pos] AS tok
+         |  FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos
+         |  WHERE cov.pos IS NULL),
+         |rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY 1),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+         |        FROM kept GROUP BY 1)
+         |SELECT toks.doc_id, len(toks.t) AS n_tokens,
+         |  coalesce(rem.n_removed, 0) AS n_removed,
+         |  coalesce(agg.text_clean, '') AS text_clean
+         |FROM toks LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
     "dedup_ngram_capped" ->
       s"""WITH $shingleCtes,
          |exg AS (SELECT DISTINCT doc_id, ${Exact.md5LongSql("s")} AS sh FROM ex),

@@ -125,6 +125,63 @@ class ExtensionsSpec extends SparkSpec {
     assert(exchanges <= 3, s"expected <= 3 exchanges:\n${plan.take(3000)}")
   }
 
+  test("dedup_spans_scrub: keep-first scrub matches a string-keyed reimplementation") {
+    // same independent derivation as the spans test, carried through to
+    // token coverage: every qualifying run's token range is removed from
+    // the HIGHER doc of its pair; untouched docs must round-trip verbatim
+    val W = DedupQueries.SpanWindow
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def toks(s: String): Array[String] =
+      Option(s).getOrElse("").toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .split(" +").filter(_.nonEmpty)
+    val wins = for {
+      (id, text) <- docs.toSeq
+      t = toks(text)
+      if t.length >= W
+      i <- 0 to (t.length - W)
+    } yield (t.slice(i, i + W).mkString(" "), id, (i + 1).toLong)
+    def runsWithStart(pas: Seq[Long]): Seq[(Long, Long)] = pas.sorted
+      .foldLeft(List.empty[(Long, Long)]) { case (acc, p) =>
+        acc match {
+          case (start, cnt) :: rest if start + cnt == p => (start, cnt + 1) :: rest
+          case _ => (p, 1L) :: acc
+        }
+      }
+    val covered: Map[Long, Set[Long]] = wins.groupBy(_._1).values
+      .filter(os => os.size >= 2 && os.size <= DedupQueries.MaxWindowDf)
+      .flatMap(os => for { a <- os; b <- os; if a._2 < b._2 }
+        yield ((a._2, b._2), a._3 - b._3, a._3))
+      .groupBy(m => (m._1, m._2))
+      .toSeq
+      .flatMap { case (((_, db), diag), ms) =>
+        runsWithStart(ms.map(_._3).toSeq)
+          .filter(_._2 >= DedupQueries.MinSpanWindows)
+          .flatMap { case (startA, wdt) =>
+            val sb = startA - diag
+            (sb until (sb + wdt + W - 1)).map(p => db -> p)
+          }
+      }
+      .groupBy(_._1).map { case (d, ps) => d -> ps.map(_._2).toSet }
+    val expected = docs.map { case (id, text) =>
+      val t = toks(text)
+      val cov = covered.getOrElse(id, Set.empty[Long])
+      val keptToks = t.zipWithIndex.collect { case (tok, i) if !cov(i + 1L) => tok }
+      (id, t.length.toLong, cov.size.toLong, keptToks.mkString(" "))
+    }.toSet
+    assert(expected.exists(_._3 > 0), "fixture should scrub something")
+    val got = DedupQueries.qSpanScrub(spark, sf)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == expected,
+      s"scrub diverges: got ${got.size} rows, expected ${expected.size}")
+    // scale contract: window-hash build, pair-diagonal window, coverage
+    // rollup, and the doc_id join — nothing beyond
+    val plan = DedupQueries.qSpanScrub(spark, sf)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 6, s"expected <= 6 exchanges:\n${plan.take(3000)}")
+  }
+
   test("dedup_clusters: valid connected components of the jaccard pair graph") {
     val pairs = DedupQueries.qNgramJaccard(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
