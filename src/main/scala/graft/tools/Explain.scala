@@ -52,7 +52,18 @@ object Explain {
       "payloads into posting lists; pair explode → cosine → threshold " +
       "run pipelined in a single codegen span, and the cross-band pair " +
       "dedup exchanges only the thresholded survivors — the full " +
-      "candidate mass never shuffles."))
+      "candidate mass never shuffles."),
+    "dedup_spans" -> ("Exact-substring spans without a suffix array: the " +
+      "staggered-slice window build stays narrow; ONE exchange on the " +
+      "window hash forms df-capped posting lists; pair explode runs " +
+      "pipelined, and the diagonal gaps-and-islands window needs only a " +
+      "(doc_a, doc_b, diag)-keyed exchange sized by actual cross-doc " +
+      "duplication."),
+    "dedup_spans_scrub" -> ("The scrub tail over the same islands: " +
+      "covered ranges explode one row per REMOVED token, collapse to " +
+      "per-doc position sets in one doc_id exchange, and the token drop " +
+      "is an array filter inside the doc_id-keyed join projection — the " +
+      "only corpus-sized exchange in the plan."))
 
   /** Snapshot-backed registered entries serve a `localCheckpoint`, whose
     * plan is just an RDD scan — audit the underlying BUILD pipeline
