@@ -302,6 +302,7 @@ object DedupQueries {
     jaccardPairSnapshot(spark, dir)
     embeddingPairSnapshot(spark, dir)
     embeddingLshPairSnapshot(spark, dir)
+    spanIslandsSnapshot(spark, dir)
   }
 
   private def snapshot(tag: String, spark: SparkSession, dir: String)
@@ -439,12 +440,27 @@ object DedupQueries {
     * fan-out exactly as in [[qNgramJaccardCapped]]); pair explode runs
     * pipelined inside the posting-list explode; the only downstream
     * exchange partitions by (doc_a, doc_b) for the diagonal window —
-    * sized by actual cross-doc duplication, never corpus². */
+    * sized by actual cross-doc duplication, never corpus².
+    *
+    * Registered entries consume [[spanIslandsSnapshot]] — the island set
+    * is the natural persisted artifact (it IS the duplication inventory),
+    * and both the pair report and the scrub ride it; the `Raw` twins keep
+    * the full build pipeline visible for the dossier and plan specs. */
   def qSharedSpans(spark: SparkSession, dir: String): DataFrame =
-    spanIslands(spark, dir)
-      .groupBy(col("doc_a"), col("doc_b"))
+    spansRollup(spanIslandsSnapshot(spark, dir))
+
+  private[graft] def qSharedSpansRaw(spark: SparkSession, dir: String): DataFrame =
+    spansRollup(spanIslands(spark, dir))
+
+  private def spansRollup(isl: DataFrame): DataFrame =
+    isl.groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_spans"),
         max(col("run_w") + lit(SpanWindow - 1)).as("max_span_tokens"))
+
+  /** Suite-scoped materialization of [[spanIslands]] (tag "spans") —
+    * shared by dedup_spans and dedup_spans_scrub. */
+  private[graft] def spanIslandsSnapshot(spark: SparkSession, dir: String): DataFrame =
+    snapshot("spans", spark, dir)(spanIslands(spark, dir))
 
   /** Normalized token stream per document — ALL documents, including those
     * too short to window (the scrub must hand them back unchanged). */
@@ -512,8 +528,14 @@ object DedupQueries {
     * against the per-doc covered set: clean documents skip it via the
     * empty-set guard, affected documents pay tokens × covered — bounded by
     * doc length², in practice covered is a handful of spans. */
-  def qSpanScrub(spark: SparkSession, dir: String): DataFrame = {
-    val cov = spanIslands(spark, dir)
+  def qSpanScrub(spark: SparkSession, dir: String): DataFrame =
+    scrubTail(spark, dir, spanIslandsSnapshot(spark, dir))
+
+  private[graft] def qSpanScrubRaw(spark: SparkSession, dir: String): DataFrame =
+    scrubTail(spark, dir, spanIslands(spark, dir))
+
+  private def scrubTail(spark: SparkSession, dir: String, isl: DataFrame): DataFrame = {
+    val cov = isl
       .select(col("doc_b").as("doc_id"),
         explode(sequence(
           (col("pa0") - col("diag")),

@@ -73,7 +73,11 @@ object Explain {
     "dedup_ngram_jaccard" ->
       ((s, d) => graft.ext.dedup.DedupQueries.qNgramJaccard(s, d)),
     "dedup_embedding_lsh" ->
-      ((s, d) => graft.ext.dedup.DedupQueries.qEmbeddingDupsLsh(s, d)))
+      ((s, d) => graft.ext.dedup.DedupQueries.qEmbeddingDupsLsh(s, d)),
+    "dedup_spans" ->
+      ((s, d) => graft.ext.dedup.DedupQueries.qSharedSpansRaw(s, d)),
+    "dedup_spans_scrub" ->
+      ((s, d) => graft.ext.dedup.DedupQueries.qSpanScrubRaw(s, d)))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

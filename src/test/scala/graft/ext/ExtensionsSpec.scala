@@ -111,7 +111,10 @@ class ExtensionsSpec extends SparkSpec {
         (pair._1, pair._2, rs.size.toLong, rs.map(_._2).max + W - 1)
       }.toSet
     assert(expected.nonEmpty, "fixture should contain shared spans")
-    val spans = DedupQueries.qSharedSpans(spark, sf)
+    // the Raw twin: full build pipeline, not the suite snapshot — this
+    // test pins the BUILD plan shape (the oracle gate covers the
+    // snapshot-backed registered entry end-to-end)
+    val spans = DedupQueries.qSharedSpansRaw(spark, sf)
     val got = spans.select($"doc_a", $"doc_b", $"n_spans", $"max_span_tokens")
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == expected,
@@ -170,13 +173,18 @@ class ExtensionsSpec extends SparkSpec {
       (id, t.length.toLong, cov.size.toLong, keptToks.mkString(" "))
     }.toSet
     assert(expected.exists(_._3 > 0), "fixture should scrub something")
-    val got = DedupQueries.qSpanScrub(spark, sf)
+    val got = DedupQueries.qSpanScrubRaw(spark, sf)
       .as[(Long, Long, Long, String)].collect().toSet
     assert(got == expected,
       s"scrub diverges: got ${got.size} rows, expected ${expected.size}")
+    // the snapshot-backed registered entry must agree with the raw build
+    // (same islands, just materialized)
+    val snap = DedupQueries.qSpanScrub(spark, sf)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(snap == got, "snapshot-backed scrub diverges from raw build")
     // scale contract: window-hash build, pair-diagonal window, coverage
     // rollup, and the doc_id join — nothing beyond
-    val plan = DedupQueries.qSpanScrub(spark, sf)
+    val plan = DedupQueries.qSpanScrubRaw(spark, sf)
       .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges <= 6, s"expected <= 6 exchanges:\n${plan.take(3000)}")
