@@ -464,9 +464,39 @@ object DedupQueries {
 
   /** Normalized token stream per document — ALL documents, including those
     * too short to window (the scrub must hand them back unchanged). */
-  private def spanTokens(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def spanTokens(spark: SparkSession, dir: String): DataFrame =
     Tables.rebalanced(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), TextNorm.toks(col("text")).as("t"))
+
+  /** Positioned window hashes (doc_id, pos, h) over a (doc_id, t) frame —
+    * W staggered slices zipped = all W-token windows, one codegen'd
+    * projection (the shingleRows build generalized to width W, keeping
+    * the window's 1-based start position via posexplode). */
+  private[graft] def windowRows(docs: DataFrame): DataFrame = {
+    val n = size(col("t"))
+    val len = n - (SpanWindow - 1)
+    val zipped = arrays_zip(
+      (1 to SpanWindow).map(k => slice(col("t"), lit(k), len).as(s"w$k")): _*)
+    docs.filter(n >= SpanWindow)
+      .select(col("doc_id"), posexplode(zipped))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        Exact.md5Long(concat_ws(" ",
+          (1 to SpanWindow).map(k => col(s"col.w$k")): _*)).as("h"))
+  }
+
+  /** Maximal runs on the match diagonal of a (doc_a, doc_b, pa, diag)
+    * match frame: gaps-and-islands — pa is unique within (pair, diag), so
+    * pa − row_number is constant exactly along each maximal run. One row
+    * per qualifying run: (doc_a, doc_b, diag, run_w, pa0). */
+  private[graft] def diagonalIslands(matches: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    matches
+      .withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+      .agg(count(lit(1)).as("run_w"), min(col("pa")).as("pa0"))
+      .filter(col("run_w") >= MinSpanWindows)
+  }
 
   /** Maximal qualifying runs on the span match diagonal — the shared core
     * of the span family: one row per run with its width in windows and its
@@ -474,19 +504,7 @@ object DedupQueries {
     * position in doc_b). [[qSharedSpans]] rolls these up per pair;
     * [[qSpanScrub]] explodes them into covered token positions. */
   private def spanIslands(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spanTokens(spark, dir)
-    val n = size(col("t"))
-    val len = n - (SpanWindow - 1)
-    // W staggered slices zipped = all W-token windows, one codegen'd
-    // projection (the shingleRows build generalized to width W, keeping
-    // the window's 1-based start position via posexplode)
-    val zipped = arrays_zip(
-      (1 to SpanWindow).map(k => slice(col("t"), lit(k), len).as(s"w$k")): _*)
-    val win = docs.filter(n >= SpanWindow)
-      .select(col("doc_id"), posexplode(zipped))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"),
-        Exact.md5Long(concat_ws(" ",
-          (1 to SpanWindow).map(k => col(s"col.w$k")): _*)).as("h"))
+    val win = windowRows(spanTokens(spark, dir))
     // posting lists per window hash, df-capped; pair generation explodes
     // in-place (no shuffle between candidates and the diagonal grouping
     // other than the (doc_a, doc_b) partition the window function needs)
@@ -500,15 +518,7 @@ object DedupQueries {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
-    // gaps-and-islands on the diagonal: pa is unique within (pair, diag),
-    // so pa − row_number is constant exactly along each maximal run
-    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
-      .orderBy(col("pa"))
-    matches
-      .withColumn("isl", col("pa") - row_number().over(w))
-      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
-      .agg(count(lit(1)).as("run_w"), min(col("pa")).as("pa0"))
-      .filter(col("run_w") >= MinSpanWindows)
+    diagonalIslands(matches)
   }
 
   /** Substring-level SCRUB — the consuming side of [[qSharedSpans]] and
@@ -534,17 +544,27 @@ object DedupQueries {
   private[graft] def qSpanScrubRaw(spark: SparkSession, dir: String): DataFrame =
     scrubTail(spark, dir, spanIslands(spark, dir))
 
-  private def scrubTail(spark: SparkSession, dir: String, isl: DataFrame): DataFrame = {
+  private def scrubTail(spark: SparkSession, dir: String, isl: DataFrame): DataFrame =
+    scrubTailOver(spanTokens(spark, dir), isl, losingSide = "doc_b")
+
+  /** The generic scrub tail: islands → covered token positions on the
+    * LOSING side → per-doc position sets → array-filter the token stream.
+    * `losingSide` names which island column pays ("doc_b" for keep-first
+    * same-corpus dedup, "doc_a" when the match frame put the losing doc
+    * first, as the decontamination scrub does). */
+  private[graft] def scrubTailOver(docs: DataFrame, isl: DataFrame,
+                                   losingSide: String): DataFrame = {
+    val start =
+      if (losingSide == "doc_a") col("pa0") else col("pa0") - col("diag")
     val cov = isl
-      .select(col("doc_b").as("doc_id"),
+      .select(col(losingSide).as("doc_id"),
         explode(sequence(
-          (col("pa0") - col("diag")),
-          (col("pa0") - col("diag")) + col("run_w").cast("int") + lit(SpanWindow - 2)))
+          start, start + col("run_w").cast("int") + lit(SpanWindow - 2)))
           .as("pos"))
       .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("cov"))
     val covc = coalesce(col("cov"), array().cast("array<int>"))
     val kept = filter(col("t"), (x, i) => !array_contains(covc, i + lit(1)))
-    spanTokens(spark, dir)
+    docs
       .join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
@@ -1097,14 +1117,17 @@ object DedupQueries {
     * row_number-diagonal island arithmetic is engine-neutral integer math.
     * `runs` carries `pa` so the scrub oracle can recover each island's
     * start; the pair oracle simply ignores it. */
-  private val spanRunsCtes =
+  private[graft] val spanWindowCtes =
     s"""toks AS (SELECT doc_id, ${TextNorm.toksSql} AS t FROM documents),
        |win AS (SELECT doc_id, t,
        |    unnest(generate_series(1, len(t) - ${SpanWindow - 1})) AS pos
        |  FROM toks WHERE len(t) >= $SpanWindow),
        |wh AS (SELECT doc_id, pos,
        |    ${Exact.md5LongSql(s"array_to_string(t[pos:pos+${SpanWindow - 1}], ' ')")} AS h
-       |  FROM win),
+       |  FROM win)""".stripMargin
+
+  private val spanRunsCtes =
+    s"""$spanWindowCtes,
        |ok AS (SELECT h FROM wh GROUP BY h
        |       HAVING count(*) BETWEEN 2 AND $MaxWindowDf),
        |m AS (

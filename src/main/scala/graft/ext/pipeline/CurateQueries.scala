@@ -149,6 +149,47 @@ object CurateQueries {
 
   val ContaminationMax = 0.5
 
+  /** SPAN-LEVEL decontamination — the scrubbing complement of
+    * [[qContamination]]: that audit *flags* held-out leakage; this one
+    * *removes* it. For every TRAIN-split document, every token range that
+    * forms a qualifying verbatim span (the same window/run rule as
+    * `dedup_spans`) with ANY TEST-split document is cut from the training
+    * text; the test set is the protected side and never changes. Output:
+    * the full train split, one row per doc — token count, removed count,
+    * scrubbed text — the table that actually ships after the audit fires.
+    *
+    * Plan shape: the positioned-window build runs ONCE over the
+    * val-filtered corpus ([[DedupQueries.windowRows]] — narrow); posting
+    * lists are df-capped on that combined universe; ONLY train×test
+    * matches explode (train is doc_a, the losing side), so candidate mass
+    * is train-window × test-occupancy, bounded by the cap — never
+    * train × train; islands and the scrub tail are the shared span-family
+    * kernels. At 100 TB the test split is the small side by construction
+    * (5% stride here, a fixed benchmark set in production), which keeps
+    * posting lists dominated by train entries that pair only against
+    * test rows. */
+  def qDecontamScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = DedupQueries.spanTokens(spark, dir)
+      .withColumn("bucket", splitBucket)
+      .filter(col("bucket") < TrainPct || col("bucket") >= ValPct)
+    val tagged = DedupQueries.windowRows(docs.select(col("doc_id"), col("t")))
+      .withColumn("is_test", splitBucket >= lit(ValPct))
+    val posts = tagged
+      .groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("pos"), col("is_test"))).as("ds"))
+      .filter(size(col("ds")).between(2, DedupQueries.MaxWindowDf))
+    val matches = posts
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(!col("a.is_test") && col("b.is_test"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
+    val trainDocs = docs.filter(col("bucket") < TrainPct)
+      .select(col("doc_id"), col("t"))
+    DedupQueries.scrubTailOver(trainDocs,
+      DedupQueries.diagonalIslands(matches), losingSide = "doc_a")
+  }
+
   /** Per-language target sampling rates for [[qStratifiedSample]]: the
     * usual corpus-mixing move (keep most of the high-resource language,
     * thin the rest). Unlisted languages fall to the default. */
@@ -319,6 +360,7 @@ object CurateQueries {
     "sample_split"    -> (qSampleSplit _),
     "pack_shards"     -> (qPackShards _),
     "q_contamination" -> (qContamination _),
+    "q_decontam_scrub" -> (qDecontamScrub _),
     "q_strat_sample"  -> (qStratifiedSample _),
     "mix_rebalance"   -> (qMixRebalance _),
     "mix_temperature" -> (qMixTemperature _))
@@ -403,6 +445,52 @@ object CurateQueries {
          |  (CAST(coalesce(hits.n_hit, 0) AS DOUBLE) / t.n_shingles)
          |    >= CAST($ContaminationMax AS DOUBLE) AS flagged
          |FROM totals t LEFT JOIN hits ON t.doc_id = hits.doc_id""".stripMargin
+    },
+    // span-family window CTEs shared with the dedup_spans oracles; the
+    // split rule is the same md5 bucket as sample_split; islands → train
+    // coverage → anti-join → reassembly mirror dedup_spans_scrub with the
+    // TRAIN doc as the losing side
+    "q_decontam_scrub" -> {
+      val splitSql = Exact.md5LongSql("'split|' || CAST(doc_id AS VARCHAR)")
+      val W = DedupQueries.SpanWindow
+      s"""WITH ${DedupQueries.spanWindowCtes},
+         |tagged AS (
+         |  SELECT doc_id, pos, h, ($splitSql % 100 >= $ValPct) AS is_test
+         |  FROM wh
+         |  WHERE $splitSql % 100 < $TrainPct OR $splitSql % 100 >= $ValPct),
+         |ok AS (SELECT h FROM tagged GROUP BY h
+         |       HAVING count(*) BETWEEN 2 AND ${DedupQueries.MaxWindowDf}),
+         |m AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+         |    a.pos - b.pos AS diag
+         |  FROM tagged a JOIN tagged b USING (h) JOIN ok USING (h)
+         |  WHERE NOT a.is_test AND b.is_test),
+         |runs AS (
+         |  SELECT doc_a, doc_b, diag, pa,
+         |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+         |  FROM m),
+         |spans AS (
+         |  SELECT doc_a AS doc_id, min(pa) AS sa, count(*) AS run_w
+         |  FROM runs GROUP BY doc_a, doc_b, diag, isl
+         |  HAVING count(*) >= ${DedupQueries.MinSpanWindows}),
+         |cov AS (SELECT DISTINCT doc_id, pos FROM (
+         |  SELECT doc_id, unnest(generate_series(sa, sa + run_w + ${W - 2})) AS pos
+         |  FROM spans)),
+         |train_docs AS (SELECT doc_id, t FROM toks
+         |               WHERE $splitSql % 100 < $TrainPct),
+         |tp AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos
+         |       FROM train_docs),
+         |kept AS (
+         |  SELECT tp.doc_id, tp.pos, tp.t[tp.pos] AS tok
+         |  FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos
+         |  WHERE cov.pos IS NULL),
+         |rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY 1),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+         |        FROM kept GROUP BY 1)
+         |SELECT d.doc_id, len(d.t) AS n_tokens,
+         |  coalesce(rem.n_removed, 0) AS n_removed,
+         |  coalesce(agg.text_clean, '') AS text_clean
+         |FROM train_docs d LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin
     },
     "q_strat_sample" -> {
       val rateCase = StratRates.map { case (l, r) =>

@@ -138,6 +138,67 @@ class CurateSpec extends SparkSpec {
       "no flagged contamination at sf0.01 -- threshold or splits broken")
   }
 
+  test("q_decontam_scrub: train docs lose exactly the spans they share with test docs") {
+    import graft.ext.dedup.DedupQueries
+    val W = DedupQueries.SpanWindow
+    // the split rule is oracle-pinned by sample_split; reusing it here
+    // only fixes WHICH docs are train/test, not the scrub logic under test
+    val buckets = Tables.documents(spark, sf)
+      .select($"doc_id",
+        pmod(graft.functions.Exact.md5Long(concat(lit("split|"), $"doc_id")), lit(100))
+          .as("b"))
+      .as[(Long, Long)].collect().toMap
+    val trainP = CurateQueries.TrainPct
+    val valP = CurateQueries.ValPct
+    def isTrain(id: Long) = buckets(id) < trainP
+    def isTest(id: Long) = buckets(id) >= valP
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def toks(s: String): Array[String] =
+      Option(s).getOrElse("").toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .split(" +").filter(_.nonEmpty)
+    // windows over the val-filtered universe, STRING-keyed
+    val wins = for {
+      (id, text) <- docs.toSeq
+      if isTrain(id) || isTest(id)
+      t = toks(text)
+      if t.length >= W
+      i <- 0 to (t.length - W)
+    } yield (t.slice(i, i + W).mkString(" "), id, (i + 1).toLong)
+    def runsWithStart(pas: Seq[Long]): Seq[(Long, Long)] = pas.sorted
+      .foldLeft(List.empty[(Long, Long)]) { case (acc, p) =>
+        acc match {
+          case (start, cnt) :: rest if start + cnt == p => (start, cnt + 1) :: rest
+          case _ => (p, 1L) :: acc
+        }
+      }
+    val covered: Map[Long, Set[Long]] = wins.groupBy(_._1).values
+      .filter(os => os.size >= 2 && os.size <= DedupQueries.MaxWindowDf)
+      .flatMap(os => for { a <- os; b <- os; if isTrain(a._2) && isTest(b._2) }
+        yield ((a._2, b._2), a._3 - b._3, a._3))
+      .groupBy(m => (m._1, m._2))
+      .toSeq
+      .flatMap { case (((da, _), _), ms) =>
+        runsWithStart(ms.map(_._3).toSeq)
+          .filter(_._2 >= DedupQueries.MinSpanWindows)
+          .flatMap { case (sa, wdt) => (sa until (sa + wdt + W - 1)).map(p => da -> p) }
+      }
+      .groupBy(_._1).map { case (d, ps) => d -> ps.map(_._2).toSet }
+    val expected = docs.collect { case (id, text) if isTrain(id) =>
+      val t = toks(text)
+      val cov = covered.getOrElse(id, Set.empty[Long])
+      val keptToks = t.zipWithIndex.collect { case (tok, i) if !cov(i + 1L) => tok }
+      (id, t.length.toLong, cov.size.toLong, keptToks.mkString(" "))
+    }.toSet
+    assert(expected.exists(_._3 > 0), "fixture should contain train/test leakage")
+    val got = CurateQueries.qDecontamScrub(spark, sf)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == expected,
+      s"decontam diverges: got ${got.size} rows, expected ${expected.size}")
+    // the output IS the train split — every train doc once, nothing else
+    assert(got.map(_._1) == docs.collect { case (id, _) if isTrain(id) => id }.toSet)
+  }
+
   test("stratified sample: realized rates track targets, and resampling is stable") {
     val s1 = CurateQueries.qStratifiedSample(spark, "/root/testdata/sf0.01")
     val rows = s1.collect()
