@@ -547,6 +547,45 @@ object DedupQueries {
   private def scrubTail(spark: SparkSession, dir: String, isl: DataFrame): DataFrame =
     scrubTailOver(spanTokens(spark, dir), isl, losingSide = "doc_b")
 
+  /** Incremental-ingest SPAN screen — the span-family analog of
+    * [[qIncrementalDedup]] / [[qEmbeddingIncremental]], completing the
+    * ingest story for all three dedup families: which INCOMING documents
+    * share a qualifying verbatim span with the EXISTING corpus, without
+    * ever recomputing corpus×corpus matches. The corpus side is the
+    * persisted positioned-window index (h → (doc, pos) posting list,
+    * df-capped — the snapshot artifact); the batch side builds its own
+    * windows and BROADCASTS them into the index join, so the corpus never
+    * reshuffles and everything downstream (matches, islands, verdicts)
+    * scales with the batch. One row per flagged incoming doc: span count,
+    * distinct corpus sources matched, and the longest shared span —
+    * the quarantine list that feeds span-level scrubbing or rejection.
+    *
+    * Unlike the same-corpus [[spanIslands]], a posting list of ONE corpus
+    * occurrence is a valid match target (the pair is completed by the
+    * incoming window), so only the upper df cap applies. */
+  def qSpanIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.rebalanced(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), TextNorm.toks(col("text")).as("t"))
+    val posts = windowRows(
+        all.filter(col("source") =!= IncomingSource).select(col("doc_id"), col("t")))
+      .groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ds"))
+      .filter(size(col("ds")) <= MaxWindowDf)
+    val newWin = windowRows(
+        all.filter(col("source") === IncomingSource).select(col("doc_id"), col("t")))
+      .withColumnRenamed("doc_id", "doc_a").withColumnRenamed("pos", "pa")
+    val matches = posts.join(broadcast(newWin), "h")
+      .select(col("doc_a"), col("pa"), explode(col("ds")).as("c"))
+      .select(col("doc_a"), col("c.doc_id").as("doc_b"), col("pa"),
+        (col("pa") - col("c.pos")).as("diag"))
+    diagonalIslands(matches)
+      .groupBy(col("doc_a"))
+      .agg(count(lit(1)).as("n_spans"),
+        countDistinct(col("doc_b")).as("n_src_docs"),
+        max(col("run_w") + lit(SpanWindow - 1)).as("max_span_tokens"))
+      .withColumnRenamed("doc_a", "new_doc_id")
+  }
+
   /** The generic scrub tail: islands → covered token positions on the
     * LOSING side → per-doc position sets → array-filter the token stream.
     * `losingSide` names which island column pays ("doc_b" for keep-first
@@ -1071,6 +1110,7 @@ object DedupQueries {
     "dedup_ngram_capped"  -> (qNgramJaccardCapped _),
     "dedup_spans"         -> (qSharedSpans _),
     "dedup_spans_scrub"   -> (qSpanScrub _),
+    "dedup_spans_incremental" -> (qSpanIncremental _),
     "dedup_clusters"      -> (qDedupClusters _),
     "dedup_clusters_stars" -> (qDedupClustersStars _),
     "dedup_embedding"     -> (embeddingPairSnapshot _),
@@ -1253,6 +1293,37 @@ object DedupQueries {
          |  coalesce(rem.n_removed, 0) AS n_removed,
          |  coalesce(agg.text_clean, '') AS text_clean
          |FROM toks LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // batch-vs-corpus replay: corpus windows exclude the incoming source,
+    // the df cap applies to CORPUS occurrences only (a single corpus
+    // occurrence is a valid target — the incoming window completes the
+    // pair), and islands/verdicts mirror the span-family arithmetic
+    "dedup_spans_incremental" ->
+      s"""WITH toksrc AS (SELECT doc_id, source, ${TextNorm.toksSql} AS t FROM documents),
+         |wins AS (SELECT doc_id, source, t,
+         |    unnest(generate_series(1, len(t) - ${SpanWindow - 1})) AS pos
+         |  FROM toksrc WHERE len(t) >= $SpanWindow),
+         |whs AS (SELECT doc_id, source, pos,
+         |    ${Exact.md5LongSql(s"array_to_string(t[pos:pos+${SpanWindow - 1}], ' ')")} AS h
+         |  FROM wins),
+         |corpus AS (SELECT doc_id, pos, h FROM whs WHERE source <> '$IncomingSource'),
+         |ok AS (SELECT h FROM corpus GROUP BY h HAVING count(*) <= $MaxWindowDf),
+         |newb AS (SELECT doc_id, pos, h FROM whs WHERE source = '$IncomingSource'),
+         |m AS (
+         |  SELECT n.doc_id AS doc_a, c.doc_id AS doc_b, n.pos AS pa,
+         |    n.pos - c.pos AS diag
+         |  FROM newb n JOIN corpus c USING (h) JOIN ok USING (h)),
+         |runs AS (
+         |  SELECT doc_a, doc_b, diag, pa,
+         |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+         |  FROM m),
+         |spans AS (
+         |  SELECT doc_a, doc_b, count(*) AS run_w
+         |  FROM runs GROUP BY doc_a, doc_b, diag, isl
+         |  HAVING count(*) >= $MinSpanWindows)
+         |SELECT doc_a AS new_doc_id, count(*) AS n_spans,
+         |  count(DISTINCT doc_b) AS n_src_docs,
+         |  max(run_w + ${SpanWindow - 1}) AS max_span_tokens
+         |FROM spans GROUP BY 1""".stripMargin,
     "dedup_ngram_capped" ->
       s"""WITH $shingleCtes,
          |exg AS (SELECT DISTINCT doc_id, ${Exact.md5LongSql("s")} AS sh FROM ex),

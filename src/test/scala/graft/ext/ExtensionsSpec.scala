@@ -190,6 +190,54 @@ class ExtensionsSpec extends SparkSpec {
     assert(exchanges <= 6, s"expected <= 6 exchanges:\n${plan.take(3000)}")
   }
 
+  test("dedup_spans_incremental: batch screen matches a string-keyed reimplementation; batch broadcasts") {
+    val W = DedupQueries.SpanWindow
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
+    def toks(s: String): Array[String] =
+      Option(s).getOrElse("").toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .split(" +").filter(_.nonEmpty)
+    def wins(side: Boolean) = for {
+      (id, src, text) <- docs.toSeq
+      if (src == DedupQueries.IncomingSource) == side
+      t = toks(text)
+      if t.length >= W
+      i <- 0 to (t.length - W)
+    } yield (t.slice(i, i + W).mkString(" "), id, (i + 1).toLong)
+    val corpus = wins(side = false).groupBy(_._1)
+      .filter(_._2.size <= DedupQueries.MaxWindowDf)
+    def runLengths(pas: Seq[Long]): Seq[Long] = pas.sorted
+      .foldLeft(List.empty[(Long, Long)]) { case (acc, p) =>
+        acc match {
+          case (start, cnt) :: rest if start + cnt == p => (start, cnt + 1) :: rest
+          case _ => (p, 1L) :: acc
+        }
+      }.map(_._2)
+    val spans = wins(side = true)
+      .flatMap { case (w, newId, pa) =>
+        corpus.getOrElse(w, Nil).map { case (_, oldId, po) => ((newId, oldId), pa - po, pa) }
+      }
+      .groupBy(m => (m._1, m._2))
+      .toSeq
+      .flatMap { case ((pair, _), ms) =>
+        runLengths(ms.map(_._3).toSeq)
+          .filter(_ >= DedupQueries.MinSpanWindows).map(pair -> _)
+      }
+    val expected = spans.groupBy(_._1._1).map { case (newId, rs) =>
+      (newId, rs.size.toLong, rs.map(_._1._2).distinct.size.toLong,
+        rs.map(_._2).max + W - 1)
+    }.toSet
+    assert(expected.nonEmpty, "fixture should contain incoming-vs-corpus spans")
+    val screen = DedupQueries.qSpanIncremental(spark, sf)
+    val got = screen.as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"incremental span screen diverges: got ${got.size}, expected ${expected.size}")
+    // the scale contract: the batch side broadcasts into the corpus index
+    val plan = screen.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"batch windows must broadcast, not shuffle the corpus:\n${plan.take(2000)}")
+  }
+
   test("dedup_clusters: valid connected components of the jaccard pair graph") {
     val pairs = DedupQueries.qNgramJaccard(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
