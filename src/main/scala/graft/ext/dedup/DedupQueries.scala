@@ -564,15 +564,34 @@ object DedupQueries {
     * occurrence is a valid match target (the pair is completed by the
     * incoming window), so only the upper df cap applies. */
   def qSpanIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val all = Tables.rebalanced(spark, Tables.documents(spark, dir))
-      .select(col("doc_id"), col("source"), TextNorm.toks(col("text")).as("t"))
-    val posts = windowRows(
-        all.filter(col("source") =!= IncomingSource).select(col("doc_id"), col("t")))
+    val batch = Tables.rebalanced(spark,
+        Tables.documents(spark, dir).filter(col("source") === IncomingSource))
+      .select(col("doc_id"), col("text"))
+    screenAgainstSpanIndex(batch, spanCorpusIndex(spark, dir))
+  }
+
+  /** The persisted-index artifact of the span screen: the corpus's
+    * positioned-window posting lists (h → [(doc, pos)]), df-capped —
+    * what a deployment snapshots between batches. Materialized like
+    * [[corpusIndex]] so repeated probes don't rebuild it. */
+  private[graft] def spanCorpusIndex(spark: SparkSession, dir: String): DataFrame =
+    windowRows(
+        Tables.rebalanced(spark,
+          Tables.documents(spark, dir).filter(col("source") =!= IncomingSource))
+        .select(col("doc_id"), TextNorm.toks(col("text")).as("t")))
       .groupBy(col("h"))
       .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ds"))
       .filter(size(col("ds")) <= MaxWindowDf)
+      .localCheckpoint()
+
+  /** Probe-side span screen of a BATCH of (doc_id, text) documents
+    * against a persisted window index — the kernel of
+    * [[qSpanIncremental]], also drivable from a streaming foreachBatch
+    * sink one micro-batch at a time (batch ≡ stream is spec-pinned:
+    * per-doc verdicts are independent given the index). */
+  def screenAgainstSpanIndex(batchDocs: DataFrame, posts: DataFrame): DataFrame = {
     val newWin = windowRows(
-        all.filter(col("source") === IncomingSource).select(col("doc_id"), col("t")))
+        batchDocs.select(col("doc_id"), TextNorm.toks(col("text")).as("t")))
       .withColumnRenamed("doc_id", "doc_a").withColumnRenamed("pos", "pa")
     val matches = posts.join(broadcast(newWin), "h")
       .select(col("doc_a"), col("pa"), explode(col("ds")).as("c"))

@@ -298,6 +298,37 @@ class StreamPipelineSpec extends SparkSpec {
       s"stream=${streamed.size} rows, batch=${expected.size} rows")
   }
 
+  test("incremental SPAN screen runs UNCHANGED on a document stream (batch ≡ stream)") {
+    import graft.ext.dedup.DedupQueries
+    implicit val sqlCtx = spark.sqlContext
+    val sf01 = "/root/testdata/sf0.01"
+    val posts = DedupQueries.spanCorpusIndex(spark, sf01)
+    val expected = DedupQueries.qSpanIncremental(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(expected.nonEmpty, "equivalence is vacuous on an empty quarantine list")
+    // same two-micro-batch drive as the jaccard screen: span verdicts are
+    // per incoming doc given the fixed index, so the union of micro-batch
+    // outputs must equal the one-shot batch answer exactly
+    val incoming = graft.sources.Tables.documents(spark, sf01)
+      .filter(col("source") === DedupQueries.IncomingSource)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val (half1, half2) = incoming.splitAt(incoming.length / 2)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamPipeline.start(ms.toDF().toDF("doc_id", "text"),
+      StreamPipeline.ForeachBatch((batch, _) =>
+        DedupQueries.screenAgainstSpanIndex(batch, posts).collect()
+          .foreach(r => out.add((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))))
+    ms.addData(half1: _*)
+    q.processAllAvailable()
+    ms.addData(half2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = out.toArray(Array.empty[(Long, Long, Long, Long)]).toSet
+    assert(streamed == expected,
+      s"stream=${streamed.size} rows, batch=${expected.size} rows")
+  }
+
   test("kafka source/sink wiring constructs (connector needed only at runtime)") {
     // no connector jar in this image: constructing the plan must still work
     val cfg = StreamPipeline.Kafka("broker:9092", "events")
