@@ -303,6 +303,9 @@ object DedupQueries {
     embeddingPairSnapshot(spark, dir)
     embeddingLshPairSnapshot(spark, dir)
     spanIslandsSnapshot(spark, dir)
+    corpusIndex(spark, dir)
+    spanCorpusIndex(spark, dir)
+    embIncCorpusIndex(spark, dir)
   }
 
   private def snapshot(tag: String, spark: SparkSession, dir: String)
@@ -572,17 +575,18 @@ object DedupQueries {
 
   /** The persisted-index artifact of the span screen: the corpus's
     * positioned-window posting lists (h → [(doc, pos)]), df-capped —
-    * what a deployment snapshots between batches. Materialized like
-    * [[corpusIndex]] so repeated probes don't rebuild it. */
+    * what a deployment snapshots between batches. Rides the suite-scoped
+    * snapshot cache like [[corpusIndex]] so repeated probes pay the probe
+    * only. */
   private[graft] def spanCorpusIndex(spark: SparkSession, dir: String): DataFrame =
-    windowRows(
-        Tables.rebalanced(spark,
-          Tables.documents(spark, dir).filter(col("source") =!= IncomingSource))
-        .select(col("doc_id"), TextNorm.toks(col("text")).as("t")))
-      .groupBy(col("h"))
-      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ds"))
-      .filter(size(col("ds")) <= MaxWindowDf)
-      .localCheckpoint()
+    snapshot("span-posts", spark, dir)(
+      windowRows(
+          Tables.rebalanced(spark,
+            Tables.documents(spark, dir).filter(col("source") =!= IncomingSource))
+          .select(col("doc_id"), TextNorm.toks(col("text")).as("t")))
+        .groupBy(col("h"))
+        .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ds"))
+        .filter(size(col("ds")) <= MaxWindowDf))
 
   /** Probe-side span screen of a BATCH of (doc_id, text) documents
     * against a persisted window index — the kernel of
@@ -994,17 +998,24 @@ object DedupQueries {
     * only. The two `lshBands` computations (one per arm) mirror
     * production — batch signatures are computed fresh, corpus signatures
     * come from the index — rather than an artifact to share. */
+  private def embIncArm(spark: SparkSession, dir: String, incoming: Boolean): DataFrame =
+    graft.ext.sim.SimQueries.lshBands(spark, dir)
+      .filter(if (incoming) col("vec_id") % IncomingVecStride === 0
+              else col("vec_id") % IncomingVecStride =!= 0)
+      .join(quantized(spark, dir).select(col("vec_id"), col("v"), col("nsq")), "vec_id")
+
+  /** The persisted corpus signature index of the embedding screen —
+    * snapshot-cached like the jaccard/span indexes so repeated probes pay
+    * the probe only. */
+  private[graft] def embIncCorpusIndex(spark: SparkSession, dir: String): DataFrame =
+    snapshot("emb-inc-corpus", spark, dir)(
+      embIncArm(spark, dir, incoming = false).select(col("band"), col("bh"),
+        col("vec_id").as("corpus_vec_id"), col("v").as("cv"), col("nsq").as("cn")))
+
   def qEmbeddingIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val e = quantized(spark, dir)
-    def arm(incoming: Boolean): DataFrame =
-      graft.ext.sim.SimQueries.lshBands(spark, dir)
-        .filter(if (incoming) col("vec_id") % IncomingVecStride === 0
-                else col("vec_id") % IncomingVecStride =!= 0)
-        .join(e.select(col("vec_id"), col("v"), col("nsq")), "vec_id")
-    val batch = arm(incoming = true).select(col("band"), col("bh"),
+    val batch = embIncArm(spark, dir, incoming = true).select(col("band"), col("bh"),
       col("vec_id").as("new_vec_id"), col("v").as("bv"), col("nsq").as("bn"))
-    val corpus = arm(incoming = false).select(col("band"), col("bh"),
-      col("vec_id").as("corpus_vec_id"), col("v").as("cv"), col("nsq").as("cn"))
+    val corpus = embIncCorpusIndex(spark, dir)
     corpus.join(broadcast(batch), Seq("band", "bh"))
       .withColumn("cosine", cosine(col("bv"), col("cv"), col("bn"), col("cn")))
       .filter(col("cosine") >= CosineThreshold)
@@ -1069,13 +1080,19 @@ object DedupQueries {
     * side of the documents table; the shingle pipeline materializes ONCE
     * and feeds both artifacts. */
   private[graft] def corpusIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val ex = shingleRowsOf(Tables.rebalanced(spark,
+    // both artifacts ride the suite-scoped snapshot cache (the persisted
+    // index of a deployment): repeated probes — and every bench pass after
+    // the first — pay the probe only. `def` not `val`: the shingle
+    // pipeline is only planned when a snapshot is cold, and building each
+    // artifact from its own plan leaves no orphan checkpoint behind.
+    def ex = shingleRowsOf(Tables.rebalanced(spark,
         Tables.documents(spark, dir).filter(col("source") =!= IncomingSource)))
       .select(col("doc_id"), Exact.md5Long(col("s")).as("h"))
-      .localCheckpoint()
-    val posts = ex.groupBy(col("h")).agg(collect_set(col("doc_id")).as("docs"))
-    val oldSizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_old"))
-      .toDF("old_doc_id", "n_old")
+    val posts = snapshot("inc-posts", spark, dir)(
+      ex.groupBy(col("h")).agg(collect_set(col("doc_id")).as("docs")))
+    val oldSizes = snapshot("inc-sizes", spark, dir)(
+      ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_old"))
+        .toDF("old_doc_id", "n_old"))
     (posts, oldSizes)
   }
 
