@@ -149,6 +149,35 @@ object CurateQueries {
 
   val ContaminationMax = 0.5
 
+  /** EXACT per-language token-length quantiles (p50/p90/p99) — the
+    * length-distribution report a curation run reads before choosing
+    * truncation and packing budgets. Exact by construction: the quantile
+    * is the element at rank ⌈p·n⌉ of the per-language sort, with the rank
+    * computed in INTEGER arithmetic (⌈a/b⌉ = (a+b−1) div b) — no
+    * float-interpolation or sketch error, so the DuckDB twin matches to
+    * the bit (`percentile_approx` could not be oracled this way). Ties
+    * are harmless: any tie order yields the same VALUE at a given rank.
+    *
+    * Scale shape: one exchange partitions by lang; the per-language sort
+    * is the cost (this is the exact-quantile price — the sketch
+    * alternative trades it for error). Languages are few and the window
+    * carries only (lang, n_tokens), so the sort input is narrow; a
+    * pathologically hot language is the same skew the salted-agg family
+    * handles. */
+  def qLenQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir).select(col("lang"),
+      size(TextNorm.toks(col("text"))).cast("long").as("n"))
+    val byLang = Window.partitionBy("lang")
+    val ranked = toks
+      .withColumn("rn", row_number().over(byLang.orderBy("n")))
+      .withColumn("cnt", count(lit(1)).over(byLang))
+    ranked.groupBy(col("lang"))
+      .agg(max(col("cnt")).as("n_docs"),
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("n"))).as("p50_tokens"),
+        max(when(col("rn") === expr("(9 * cnt + 9) div 10"), col("n"))).as("p90_tokens"),
+        max(when(col("rn") === expr("(99 * cnt + 99) div 100"), col("n"))).as("p99_tokens"))
+  }
+
   /** SPAN-LEVEL decontamination — the scrubbing complement of
     * [[qContamination]]: that audit *flags* held-out leakage; this one
     * *removes* it. For every TRAIN-split document, every token range that
@@ -361,6 +390,7 @@ object CurateQueries {
     "pack_shards"     -> (qPackShards _),
     "q_contamination" -> (qContamination _),
     "q_decontam_scrub" -> (qDecontamScrub _),
+    "q_len_quantiles" -> (qLenQuantiles _),
     "q_strat_sample"  -> (qStratifiedSample _),
     "mix_rebalance"   -> (qMixRebalance _),
     "mix_temperature" -> (qMixTemperature _))
@@ -492,6 +522,19 @@ object CurateQueries {
          |  coalesce(agg.text_clean, '') AS text_clean
          |FROM train_docs d LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin
     },
+    // rank arithmetic replayed verbatim: DuckDB's // is the same floor
+    // division as Spark's div on the same non-negative integers
+    "q_len_quantiles" ->
+      s"""WITH t AS (SELECT lang, len(${TextNorm.toksSql}) AS n FROM documents),
+         |r AS (SELECT lang, n,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS cnt
+         |  FROM t)
+         |SELECT lang, max(cnt) AS n_docs,
+         |  max(CASE WHEN rn = (cnt + 1) // 2 THEN n END) AS p50_tokens,
+         |  max(CASE WHEN rn = (9 * cnt + 9) // 10 THEN n END) AS p90_tokens,
+         |  max(CASE WHEN rn = (99 * cnt + 99) // 100 THEN n END) AS p99_tokens
+         |FROM r GROUP BY lang""".stripMargin,
     "q_strat_sample" -> {
       val rateCase = StratRates.map { case (l, r) =>
         s"WHEN lang = '$l' THEN CAST($r AS DOUBLE)"

@@ -199,6 +199,26 @@ class CurateSpec extends SparkSpec {
     assert(got.map(_._1) == docs.collect { case (id, _) if isTrain(id) => id }.toSet)
   }
 
+  test("q_len_quantiles: rank-exact per-language quantiles match a driver sort") {
+    val docs = Tables.documents(spark, sf)
+      .select($"lang", $"text").as[(String, String)].collect()
+    def nToks(s: String): Long =
+      Option(s).getOrElse("").toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .split(" +").count(_.nonEmpty).toLong
+    val expected = docs.groupBy(_._1).map { case (lang, ds) =>
+      val ns = ds.map(d => nToks(d._2)).sorted
+      val cnt = ns.length.toLong
+      def at(num: Long, den: Long) = ns(((num * cnt + den - 1) / den - 1).toInt)
+      (lang, cnt, at(1, 2), at(9, 10), at(99, 100))
+    }.toSet
+    val got = CurateQueries.qLenQuantiles(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected, s"quantiles diverge: $got vs $expected")
+    got.foreach { case (lang, _, p50, p90, p99) =>
+      assert(p50 <= p90 && p90 <= p99, s"$lang quantiles not monotone")
+    }
+  }
+
   test("stratified sample: realized rates track targets, and resampling is stable") {
     val s1 = CurateQueries.qStratifiedSample(spark, "/root/testdata/sf0.01")
     val rows = s1.collect()
