@@ -57,6 +57,34 @@ object SimQueries {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Metadata-FILTERED exact top-K: each query's neighbors restricted to
+    * corpus vectors sharing its label — the "filtered ANN" operation every
+    * production vector store needs (search within a category / tenant /
+    * language). The predicate is pushed INTO candidate generation as an
+    * equi-join key, never applied after the top-K cut: post-filtering a
+    * global top-K silently returns fewer than K (possibly zero) neighbors
+    * whenever the filter is selective — the classic filtered-ANN
+    * correctness bug, and the spec pins exactly-K-per-query to prove this
+    * shape doesn't have it. Pushing the filter also improves the plan at
+    * scale: the candidate product shrinks from corpus² to per-label
+    * blocks (and at real scale, per-label IVF/LSH posting lists — the
+    * same composition as [[qKnnIvf]] with label added to the cell key). */
+  def qKnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(spark, dir)
+      .select(col("label"), col("vec_id"), col("v"), col("nsq"))
+    val qs = quantized(spark, dir).filter(col("vec_id") % QueryStride === 0)
+      .select(col("label"), col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nsq").as("qn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    qs.join(corpus, "label")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("v"), col("qn"), col("nsq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("cosine"))
+  }
+
   /** Integer centroids: per-cell component means in micro-units, derived
     * from exact integer sums via an explicit floor division (computed
     * identically in DuckDB — neither engine's native integer division is
@@ -305,6 +333,7 @@ object SimQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute"       -> (qKnnBrute _),
+    "knn_filtered"    -> (qKnnFiltered _),
     "knn_ivf"         -> (qKnnIvf _),
     "knn_lsh"         -> (qKnnLsh _),
     "kmeans_train"    -> (qKmeansTrain _),
@@ -395,6 +424,18 @@ object SimQueries {
          |    ORDER BY ${cosSql("qv", "b.v", "qn", "b.nsq")} DESC, b.vec_id) AS rank,
          |  ${cosSql("qv", "b.v", "qn", "b.nsq")} AS cosine
          |FROM qs JOIN q b ON b.vec_id <> query_id
+         |QUALIFY rank <= $K""".stripMargin,
+    // label-carrying query CTE; the filter is the equi-join predicate,
+    // exactly as in the Spark plan
+    "knn_filtered" ->
+      s"""WITH ${graft.ext.dedup.DedupQueries.quantizedSql},
+         |qsl AS (SELECT vec_id AS query_id, label, v AS qv, nsq AS qn FROM q
+         |        WHERE vec_id % $QueryStride = 0)
+         |SELECT query_id, qsl.label, b.vec_id AS neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ${cosSql("qv", "b.v", "qn", "b.nsq")} DESC, b.vec_id) AS rank,
+         |  ${cosSql("qv", "b.v", "qn", "b.nsq")} AS cosine
+         |FROM qsl JOIN q b ON b.label = qsl.label AND b.vec_id <> query_id
          |QUALIFY rank <= $K""".stripMargin,
     "knn_lsh" ->
       s"""WITH $baseCtes,

@@ -425,6 +425,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(bad.isEmpty, "cosine must be non-increasing in rank")
   }
 
+  test("knn_filtered: exactly K same-label neighbors per query == label-restricted brute force") {
+    val f = SimQueries.qKnnFiltered(spark, sf)
+    // every query still gets its full K — the pushed filter cannot starve
+    // the result set the way post-filtering a global top-K does
+    val perQuery = f.groupBy("query_id").count().select("count").as[Long].collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_ == SimQueries.K))
+    // equivalence: filtered result == brute force recomputed within the
+    // query's label block (driver-side, straight from the fixture)
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val got = f.select("query_id", "label", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+    got.foreach { case (q, l, n) =>
+      assert(labels(q) == l && labels(n) == l,
+        s"neighbor $n of query $q crosses the label filter")
+    }
+    // ranks within each query must be exactly 1..K with cosine descending
+    val bad = f.as("x").join(f.as("y"),
+      $"x.query_id" === $"y.query_id" && $"x.rank" < $"y.rank" && $"x.cosine" < $"y.cosine")
+    assert(bad.isEmpty, "cosine must be non-increasing in rank")
+  }
+
   test("knn_ivf beats the random-partition recall floor while probing 2/10 cells") {
     val brute = SimQueries.qKnnBrute(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
