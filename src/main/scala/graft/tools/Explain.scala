@@ -63,7 +63,19 @@ object Explain {
       "covered ranges explode one row per REMOVED token, collapse to " +
       "per-doc position sets in one doc_id exchange, and the token drop " +
       "is an array filter inside the doc_id-keyed join projection — the " +
-      "only corpus-sized exchange in the plan."))
+      "only corpus-sized exchange in the plan."),
+    "knn_filtered" -> ("Filtered ANN done right: the label predicate is " +
+      "the JOIN KEY of candidate generation — the query sample " +
+      "broadcasts on label into the corpus scan, so the candidate " +
+      "product is per-label blocks and every query keeps its full K; no " +
+      "post-filter of a global top-K anywhere in the plan, and the " +
+      "partial-then-final WindowGroupLimit pair prunes to K before the " +
+      "one rank exchange."),
+    "q_len_quantiles" -> ("Exact distributed quantiles without a sketch: " +
+      "one exchange partitions by lang, ONE Window node computes " +
+      "row_number and count over the same sort, and the rank arithmetic " +
+      "is integer-only — the aggregate picks ranked elements, no " +
+      "second pass over the data."))
 
   /** Snapshot-backed registered entries serve a `localCheckpoint`, whose
     * plan is just an RDD scan — audit the underlying BUILD pipeline
