@@ -22,6 +22,14 @@ import graft.sources.Tables
  * reads test/ alone. Payload text is re-attached by doc_id join AFTER
  * curation so the dedup/quality plan never carries document bodies
  * through its shuffles.
+ *
+ * Train rows additionally carry `decontam_removed` — the span-level
+ * test-leakage token count from [[CurateQueries.qDecontamScrub]] (0 when
+ * clean, null for val/test rows). The ORIGINAL text ships unchanged: the
+ * scrub's `text_clean` is a normalized-token reconstruction (lowercased,
+ * punctuation collapsed), and silently mixing that representation with
+ * raw text in one corpus would be worse than flagging — downstream
+ * consumers drop or re-scrub flagged docs against the original bytes.
  */
 object CurateRunner {
 
@@ -30,12 +38,18 @@ object CurateRunner {
       .select(col("doc_id"), col("quality_score"))
     val bucket = pmod(graft.functions.Exact.md5Long(
       concat(lit("split|"), col("doc_id"))), lit(100))
+    val leakage = CurateQueries.qDecontamScrub(spark, dir)
+      .select(col("doc_id"), col("n_removed"))
     val curated = Tables.documents(spark, dir)
       .join(survivors, "doc_id")
       .withColumn("split",
         when(bucket < CurateQueries.TrainPct, "train")
           .when(bucket < CurateQueries.ValPct, "val")
           .otherwise("test"))
+      .join(leakage, Seq("doc_id"), "left")
+      .withColumn("decontam_removed",
+        when(col("split") === "train", coalesce(col("n_removed"), lit(0L))))
+      .drop("n_removed")
     curated
       .repartition(col("split"), col("lang")) // file layout aligned with partitioning
       .write.mode(SaveMode.Overwrite)

@@ -84,6 +84,17 @@ class CurateSpec extends SparkSpec {
     val back = spark.read.parquet(out)
     assert(back.columns.toSet.contains("split") && back.columns.toSet.contains("lang"))
     assert(back.filter(col("text").isNull).count() == 0)
+    // the decontamination flag: present and non-null on every train row,
+    // null elsewhere, and consistent with the scrub query for survivors
+    assert(back.filter(col("split") === "train" && col("decontam_removed").isNull).count() == 0)
+    assert(back.filter(col("split") =!= "train" && col("decontam_removed").isNotNull).count() == 0)
+    val flagged = CurateQueries.qDecontamScrub(spark, sf)
+      .filter(col("n_removed") > 0).select("doc_id").as[Long].collect().toSet
+    val backFlagged = back.filter(col("decontam_removed") > 0)
+      .select("doc_id").as[Long].collect().toSet
+    val survivorIds = back.select("doc_id").as[Long].collect().toSet
+    assert(backFlagged == flagged.intersect(survivorIds),
+      "written leakage flags must match the scrub query restricted to survivors")
   }
 
   test("corpus_report: groups partition the corpus; means and cut fractions bounded") {
