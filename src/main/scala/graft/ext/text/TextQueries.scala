@@ -235,6 +235,46 @@ object TextQueries {
     * query; parameterizing it is a string swap). */
   val Bm25Terms: Seq[String] = Seq("spark", "join", "window")
   val Bm25K = 10
+  /** Reference vector for [[qHybridSearch]]: retrieval is "term matches,
+    * re-ranked by semantic similarity to THIS document's embedding" —
+    * vec_id aligns with doc_id in the fixture corpus. */
+  val HybridQueryVec = 0L
+  /** The standard reciprocal-rank-fusion constant (k = 60 throughout the
+    * RRF literature and production search engines). */
+  val RrfK = 60
+
+  /** HYBRID retrieval — the RAG-serving pattern: lexical recall (BM25
+    * top-[[Bm25K]]) re-ranked by embedding cosine against
+    * [[HybridQueryVec]], the two rank lists fused with reciprocal-rank
+    * fusion. RRF is kept in INTEGER micro-units — ⌊10⁶/(k+r)⌋ per arm —
+    * so fusion scores, ties, and the final order are engine-identical
+    * (float RRF would hinge on addition rounding).
+    *
+    * Scale shape: the expensive arms are both already bounded — BM25's
+    * explode drops to query-term hits immediately, and the cosine arm
+    * scores ONLY the candidate list (a broadcast-joined K-row frame), the
+    * way a production reranker touches only retrieved candidates. The
+    * fusion windows run over K rows. */
+  def qHybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.ext.dedup.DedupQueries.quantized(spark, dir)
+    val qv = broadcast(e.filter(col("vec_id") === HybridQueryVec)
+      .select(col("v").as("qv"), col("nsq").as("qn")))
+    val wc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cosine").desc, col("doc_id"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    qBm25(spark, dir).select(col("doc_id"), col("rank").as("bm25_rank"))
+      .join(e.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      .crossJoin(qv)
+      .withColumn("cosine", graft.ext.dedup.DedupQueries.cosine(
+        col("qv"), col("v"), col("qn"), col("nsq")))
+      .withColumn("cos_rank", row_number().over(wc).cast("long"))
+      .withColumn("rrf_micro",
+        expr(s"1000000 DIV ($RrfK + bm25_rank) + 1000000 DIV ($RrfK + cos_rank)"))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .select(col("doc_id"), col("bm25_rank"), col("cos_rank"),
+        col("rrf_micro"), col("rank"))
+  }
 
   /** BM25 retrieval: top-[[Bm25K]] documents for a term query, scored with
     * the k1 = 1.2, b = 0.75 length-normalized BM25 formula kept ENTIRELY
@@ -372,6 +412,7 @@ object TextQueries {
     "text_redact"        -> (qRedact _),
     "text_chunk"         -> (qChunk _),
     "text_bm25"          -> (qBm25 _),
+    "text_hybrid"        -> (qHybridSearch _),
     "text_langid_eval"   -> (qLangIdEval _),
     "bpe_pairs"          -> (qBpePairs _),
     "text_quality_model" -> (qQualityModel _))
@@ -408,6 +449,35 @@ object TextQueries {
        |  + 0.3 * (CAST(${scoreSql(profiles.head._2)} AS DOUBLE)
        |        / greatest(CAST(len($toksSql) AS BIGINT), 1))
        |  + 0.3 * (CASE WHEN CAST(len($toksSql) AS BIGINT) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END)""".stripMargin
+
+  /** The BM25 oracle — a standalone statement, shared verbatim by
+    * text_bm25 and (as an embedded CTE) text_hybrid, so lexical recall
+    * has exactly one definition. */
+  private lazy val bm25Sql: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH sized AS (
+       |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl, $toksSql AS t
+       |  FROM documents),
+       |tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tt FROM sized),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM sized)
+       |  WHERE term IN ($termList) GROUP BY 1, 2, 3),
+       |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    (((1000 * (tot.n + 1)) // (dfx.df + 1)) * tf.tf * 44 * tot.tt)
+       |      // (20 * tf.tf * tot.tt + 6 * tot.tt + 18 * tf.dl * tot.n) AS s
+       |  FROM tf JOIN dfx USING (term), tot),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_milli,
+       |    count(*) AS n_terms
+       |  FROM scored GROUP BY 1)
+       |SELECT doc_id, bm25_milli, n_terms,
+       |  row_number() OVER (ORDER BY bm25_milli DESC, doc_id) AS rank
+       |FROM agg
+       |QUALIFY rank <= $Bm25K""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "text_langid" -> langIdSql,
@@ -471,31 +541,27 @@ object TextQueries {
          |QUALIFY rank <= $TfidfK""".stripMargin,
     // integer-division ORDER mirrors the Spark side exactly: idf floored
     // first, then the one floored score division per (doc, term)
-    "text_bm25" -> {
-      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      s"""WITH sized AS (
-         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl, $toksSql AS t
-         |  FROM documents),
-         |tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tt FROM sized),
-         |tf AS (
-         |  SELECT doc_id, dl, term, count(*) AS tf
-         |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM sized)
-         |  WHERE term IN ($termList) GROUP BY 1, 2, 3),
-         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |scored AS (
-         |  SELECT tf.doc_id,
-         |    (((1000 * (tot.n + 1)) // (dfx.df + 1)) * tf.tf * 44 * tot.tt)
-         |      // (20 * tf.tf * tot.tt + 6 * tot.tt + 18 * tf.dl * tot.n) AS s
-         |  FROM tf JOIN dfx USING (term), tot),
-         |agg AS (
-         |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_milli,
-         |    count(*) AS n_terms
-         |  FROM scored GROUP BY 1)
-         |SELECT doc_id, bm25_milli, n_terms,
-         |  row_number() OVER (ORDER BY bm25_milli DESC, doc_id) AS rank
-         |FROM agg
-         |QUALIFY rank <= $Bm25K""".stripMargin
-    },
+    "text_bm25" -> bm25Sql,
+    // BM25 recall + cosine re-rank + integer RRF; the bm25 oracle embeds
+    // verbatim as the candidate CTE, so recall and fusion share one truth
+    "text_hybrid" ->
+      s"""WITH ${graft.ext.dedup.DedupQueries.quantizedSql},
+         |bm AS (
+         |$bm25Sql),
+         |qv AS (SELECT v AS qv, nsq AS qn FROM q WHERE vec_id = $HybridQueryVec),
+         |cand AS (
+         |  SELECT bm.doc_id, bm.rank AS bm25_rank,
+         |    ${graft.ext.sim.SimQueries.cosSql("qv.qv", "e.v", "qv.qn", "e.nsq")} AS cosine
+         |  FROM bm JOIN q e ON e.vec_id = bm.doc_id CROSS JOIN qv),
+         |cr AS (SELECT doc_id, bm25_rank,
+         |    row_number() OVER (ORDER BY cosine DESC, doc_id) AS cos_rank
+         |  FROM cand),
+         |fused AS (SELECT doc_id, bm25_rank, cos_rank,
+         |    1000000 // ($RrfK + bm25_rank) + 1000000 // ($RrfK + cos_rank) AS rrf_micro
+         |  FROM cr)
+         |SELECT doc_id, bm25_rank, cos_rank, rrf_micro,
+         |  row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
+         |FROM fused""".stripMargin,
     // range(0, n, stride) excludes n, matching sequence(0, n-1, stride)'s
     // starts-strictly-below-n for every n ≥ 1; list_slice clamps the end
     // bound explicitly (least) where Spark's slice length clamps implicitly

@@ -425,6 +425,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(bad.isEmpty, "cosine must be non-increasing in rank")
   }
 
+  test("text_hybrid: integer RRF fuses the bm25 and candidate-cosine rank lists") {
+    import graft.ext.text.TextQueries
+    val rows = TextQueries.qHybridSearch(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val n = rows.length
+    assert(n > 0 && n <= TextQueries.Bm25K)
+    // candidates ARE the bm25 top-n, so both rank columns are 1..n
+    assert(rows.map(_._2).sorted.toSeq == (1L to n), "bm25 ranks not a permutation")
+    assert(rows.map(_._3).sorted.toSeq == (1L to n), "cosine ranks not a permutation")
+    // the fusion arithmetic, recomputed: floor(1e6/(k+r)) per arm
+    val k = TextQueries.RrfK
+    rows.foreach { case (id, br, cr, rrf, _) =>
+      assert(rrf == 1000000L / (k + br) + 1000000L / (k + cr), s"doc $id rrf mismatch")
+    }
+    // final order: rrf desc, doc_id asc
+    val expectOrder = rows.sortBy(r => (-r._4, r._1)).map(_._1).toSeq
+    assert(rows.sortBy(_._5).map(_._1).toSeq == expectOrder, "fusion order wrong")
+    // the re-rank must actually use the cosine arm: unless the two rank
+    // lists coincide, some doc moves relative to pure bm25 order
+    if (rows.exists(r => r._2 != r._3))
+      assert(rows.sortBy(_._5).map(_._1).toSeq != rows.sortBy(_._2).map(_._1).toSeq ||
+             rows.forall(r => r._2 == r._5),
+        "fusion identical to bm25 despite divergent cosine ranks")
+  }
+
   test("knn_filtered: exactly K same-label neighbors per query == label-restricted brute force") {
     val f = SimQueries.qKnnFiltered(spark, sf)
     // every query still gets its full K — the pushed filter cannot starve
