@@ -75,7 +75,12 @@ object Explain {
       "one exchange partitions by lang, ONE Window node computes " +
       "row_number and count over the same sort, and the rank arithmetic " +
       "is integer-only — the aggregate picks ranked elements, no " +
-      "second pass over the data."))
+      "second pass over the data."),
+    "text_hybrid" -> ("Candidate-bounded re-ranking: the BM25 arm drops " +
+      "to query-term hits before any aggregate, the cosine arm scores " +
+      "only the K-row candidate frame (broadcast joins on both the " +
+      "vector attach and the 1-row reference vector), and every fusion " +
+      "window runs over K rows — no corpus-sized work after recall."))
 
   /** Snapshot-backed registered entries serve a `localCheckpoint`, whose
     * plan is just an RDD scan — audit the underlying BUILD pipeline
