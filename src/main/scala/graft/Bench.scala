@@ -22,26 +22,43 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // The warm pass built the suite-scoped pair snapshots; reset them and
-    // time the rebuild as ONE attributable pseudo-entry so the shared
+    // Each timed pass: reset the suite-scoped pair snapshots and time the
+    // rebuild as ONE attributable pseudo-entry so the shared
     // scan→shingle→posting pipeline cost is under the clock instead of
     // landing on whichever consumer happens to run first. Consumers then
     // measure post-snapshot work — the production shape, where the pair
     // snapshot is a persisted artifact built once per corpus version.
-    graft.ext.dedup.DedupQueries.clearSnapshots()
-    val snapT0 = System.nanoTime()
-    val snapSecs =
-      try { graft.ext.dedup.DedupQueries.buildSnapshots(spark, sfDir)
-            (System.nanoTime() - snapT0) / 1e9 }
-      catch { case _: Throwable => -1.0 }
-    val results = ("snapshot_build" -> snapSecs) +: ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failed query reports -1.0, not its (meaningless) elapsed time —
-      // otherwise a plan-time exception would masquerade as a fast success
-      val secs =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+    def timedPass(): Seq[(String, Double)] = {
+      graft.ext.dedup.DedupQueries.clearSnapshots()
+      val snapT0 = System.nanoTime()
+      val snapSecs =
+        try { graft.ext.dedup.DedupQueries.buildSnapshots(spark, sfDir)
+              (System.nanoTime() - snapT0) / 1e9 }
         catch { case _: Throwable => -1.0 }
-      name -> secs
+      ("snapshot_build" -> snapSecs) +: ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // a failed query reports -1.0, not its (meaningless) elapsed time —
+        // otherwise a plan-time exception would masquerade as a fast success
+        val secs =
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
+        name -> secs
+      }
+    }
+    // TWO timed passes, per-query minimum (the round-2 best-of-two
+    // methodology): run-to-run noise on this machine is ±15% with rare
+    // multi-× GC spikes on individual queries — one spiked sample must not
+    // masquerade as a plan regression. A query failing BOTH passes reports
+    // -1.0; a single-pass failure keeps the successful sample (the repeat
+    // exists precisely to absorb transients).
+    val p1 = timedPass()
+    val p2 = timedPass().toMap
+    val results = p1.map { case (name, s1) =>
+      val s2 = p2.getOrElse(name, -1.0)
+      val merged =
+        if (s1 >= 0 && s2 >= 0) math.min(s1, s2)
+        else math.max(s1, s2) // at most one succeeded; -1.0 only if both failed
+      name -> merged
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
