@@ -63,7 +63,7 @@ object PqQueries {
     (0 until M).foldLeft(quantized(spark, dir).select(col("vec_id"), col("v"))) {
       (df, m) =>
         df.withColumn(s"code_$m",
-          array_min(array(cb(m).zipWithIndex.map { case (c, j) =>
+          array_min(array(cb(m).zipWithIndex.toIndexedSeq.map { case (c, j) =>
             struct(distTo(col("v"), m, c).as("dist"), lit(j.toLong).as("j"))
           }: _*)).getField("j"))
     }.select(col("vec_id") +: (0 until M).map(m => col(s"code_$m")): _*)
@@ -96,7 +96,7 @@ object PqQueries {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nsq").as("qn"))
     val luts = (0 until M).foldLeft(queries) { (df, m) =>
       df.withColumn(s"lut_$m",
-        array(cb(m).map(c => distTo(col("qv"), m, c)): _*))
+        array(cb(m).toIndexedSeq.map(c => distTo(col("qv"), m, c)): _*))
     }.drop("qv").localCheckpoint()
     val adc = (0 until M).map(m =>
       element_at(col(s"lut_$m"), (col(s"code_$m") + 1).cast("int"))).reduce(_ + _) +

@@ -246,7 +246,7 @@ object SimQueries {
     * is constant within an argmin), ties on cell id — `array_min` over
     * (dist, cell) structs, fully codegen'd against literal arrays. */
   private def nearestCell(cents: Array[(Long, Array[Long])]): org.apache.spark.sql.Column =
-    array_min(array(cents.map { case (cl, c) =>
+    array_min(array(cents.toIndexedSeq.map { case (cl, c) =>
       val cn = c.map(x => x * x).sum
       struct(
         (lit(cn) - lit(2L) * VectorFunctions.arrayDotLong(col("v"), lit(c)))
