@@ -8,15 +8,34 @@
 #
 # Usage:  tools/preflight.sh          # compile gate only (~30 s warm)
 #         tools/preflight.sh --test   # compile gate + full ScalaTest suite
+#         tools/preflight.sh --full   # + Verify/oracle @ sf0.01 + one Bench
+#                                     #   pass @ sf0.01 (the driver's t2/t3
+#                                     #   surfaces, ~5 min total)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 echo "[preflight] sbt Test/compile ..."
 sbt -batch Test/compile
 
-if [[ "${1:-}" == "--test" ]]; then
+if [[ "${1:-}" == "--test" || "${1:-}" == "--full" ]]; then
   echo "[preflight] sbt test ..."
   sbt -batch test
+fi
+
+if [[ "${1:-}" == "--full" ]]; then
+  out=$(mktemp -d /tmp/preflight_verify.XXXXXX)
+  echo "[preflight] graft.Verify + DuckDB oracle @ sf0.01 ..."
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $out"
+  python3 tools/oracle_check.py /root/testdata/sf0.01 "$out" | tail -1
+  python3 tools/oracle_check.py /root/testdata/sf0.01 "$out" \
+    | tail -1 | grep -q " oracle-matched" || { echo "[preflight] ORACLE RED"; exit 1; }
+  python3 tools/oracle_check.py /root/testdata/sf0.01 "$out" \
+    | grep -q "FAIL" && { echo "[preflight] ORACLE RED"; exit 1; }
+  echo "[preflight] graft.Bench @ sf0.01 ..."
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 sbt -batch 'runMain graft.Bench' \
+    | grep '"metric"' | grep -q '"failed":\[\]' \
+    || { echo "[preflight] BENCH RED (rc!=0 or failed queries)"; exit 1; }
+  rm -rf "$out"
 fi
 
 echo "[preflight] OK — safe to snapshot."
