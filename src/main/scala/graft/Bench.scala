@@ -28,14 +28,16 @@ object Bench {
     // landing on whichever consumer happens to run first. Consumers then
     // measure post-snapshot work — the production shape, where the pair
     // snapshot is a persisted artifact built once per corpus version.
-    def timedPass(): Seq[(String, Double)] = {
+    // buildSnapshots also returns per-artifact seconds so a regression in
+    // one index is attributable without bisecting the aggregate.
+    def timedPass(): (Seq[(String, Double)], Seq[(String, Double)]) = {
       graft.ext.dedup.DedupQueries.clearSnapshots()
       val snapT0 = System.nanoTime()
-      val snapSecs =
-        try { graft.ext.dedup.DedupQueries.buildSnapshots(spark, sfDir)
-              (System.nanoTime() - snapT0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
-      ("snapshot_build" -> snapSecs) +: ordered.map { case (name, fn) =>
+      val (snapSecs, snapDetail) =
+        try { val d = graft.ext.dedup.DedupQueries.buildSnapshots(spark, sfDir)
+              ((System.nanoTime() - snapT0) / 1e9, d) }
+        catch { case _: Throwable => (-1.0, Seq.empty[(String, Double)]) }
+      val entries = ("snapshot_build" -> snapSecs) +: ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // a failed query reports -1.0, not its (meaningless) elapsed time —
         // otherwise a plan-time exception would masquerade as a fast success
@@ -44,15 +46,18 @@ object Bench {
           catch { case _: Throwable => -1.0 }
         name -> secs
       }
+      (entries, snapDetail)
     }
     // TWO timed passes, per-query minimum (the round-2 best-of-two
     // methodology): run-to-run noise on this machine is ±15% with rare
     // multi-× GC spikes on individual queries — one spiked sample must not
     // masquerade as a plan regression. A query failing BOTH passes reports
-    // -1.0; a single-pass failure keeps the successful sample (the repeat
-    // exists precisely to absorb transients).
-    val p1 = timedPass()
-    val p2 = timedPass().toMap
+    // -1.0; a single-pass failure keeps the successful sample but is listed
+    // in "flaky" so an intermittent failure is observable across rounds
+    // instead of silently absorbed (ADVICE r8).
+    val (p1, d1) = timedPass()
+    val (p2raw, d2) = timedPass()
+    val p2 = p2raw.toMap
     val results = p1.map { case (name, s1) =>
       val s2 = p2.getOrElse(name, -1.0)
       val merged =
@@ -60,6 +65,14 @@ object Bench {
         else math.max(s1, s2) // at most one succeeded; -1.0 only if both failed
       name -> merged
     }
+    val flaky = p1.collect {
+      case (name, s1) if (s1 < 0) != (p2.getOrElse(name, -1.0) < 0) => "\"" + name + "\""
+    }.mkString("[", ",", "]")
+    // per-artifact snapshot_build attribution: min over the two cold builds
+    val d2m = d2.toMap
+    val snapDetail = d1.map { case (name, s1) =>
+      s"\"" + name + "\":" + math.min(s1, d2m.getOrElse(name, s1))
+    }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total sums ONLY successful queries — a -1.0 failure marker must not
@@ -71,13 +84,30 @@ object Bench {
       .mkString("[", ",", "]")
     // Streaming-throughput record (reference flagship plan, fixed load):
     // its OWN field, not a queries entry — rows/s is not seconds, and the
-    // batch total must stay apples-to-apples across rounds. A small warm
-    // probe first: the batch warm pass compiles none of the streaming plan.
+    // batch total must stay apples-to-apples across rounds. Release the
+    // seven persisted snapshot artifacts FIRST: the probe must measure the
+    // streaming plan, not the streaming plan competing with ~GBs of
+    // checkpointed batch state for executor memory (VERDICT r8: the 2.3×
+    // probe regression appeared exactly when the artifact count grew 3→7).
+    // A small warm probe next: the batch warm pass compiles none of the
+    // streaming plan.
     val stream =
-      try { graft.stream.StreamBench.probe(spark, 60000L, 3)
+      try { graft.ext.dedup.DedupQueries.clearSnapshots()
+            spark.sqlContext.clearCache()
+            graft.stream.StreamBench.probe(spark, 60000L, 3)
             graft.stream.StreamBench.probe(spark).json }
       catch { case _: Throwable => "null" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"stream":$stream,"queries":$qs,"sf":"$sfDir"}""")
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"flaky":$flaky,"stream":$stream,"snapshot_detail":$snapDetail,"queries":$qs,"sf":"$sfDir"}"""
+    // The driver parses the LAST line matching "metric" — but sbt prefixes
+    // runMain stdout with [info] and appends a [success] trailer, which has
+    // defeated that parse (BENCH_r08.json parsed:null). Belt and braces:
+    // ALSO write the record to a stable repo-root file the driver (and
+    // BASELINE.md bookkeeping) can read directly.
+    try {
+      val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
+      java.nio.file.Files.write(p, (record + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(record)
     spark.stop()
   }
 }

@@ -101,15 +101,26 @@ object LayoutQueries {
   val BloomExpectedKeysDefault = 300000L
 
   /** Named accumulators behind the bloom gate (visible per-stage in the
-    * Spark UI; re-registered per call). Task retries can overcount — they
-    * are an observability signal, not an exact statistic. */
+    * Spark UI; re-registered per call). These update inside a UDF in a
+    * TRANSFORMATION, where Spark guarantees only at-least-once semantics:
+    * task retries, speculative duplicates, and plan re-evaluation (a
+    * second action on the same frame) all overcount. Treat the values as
+    * UPPER BOUNDS / an observability signal — never an exact statistic;
+    * the test asserts inequalities only, and the derived pass-through
+    * fraction (passed/probed) stays meaningful because both counters
+    * inflate together under a retry. Exact counts would need per-stage
+    * SQL metrics via a QueryExecutionListener instead. */
   val BloomProbedAcc = "graft.bloom.probed"
   val BloomPassedAcc = "graft.bloom.passed"
 
   /** The (probed, passed) accumulators registered by the most recent
     * [[qBloomSemijoin]] call in this JVM — read AFTER an action on its
     * result. Driver-side handle for tests and monitoring; on a cluster the
-    * same counters appear per-stage in the Spark UI under their names. */
+    * same counters appear per-stage in the Spark UI under their names.
+    * LAST-WRITER-WINS: concurrent qBloomSemijoin callers overwrite each
+    * other's handle, so this is a single-threaded test/debug convenience
+    * only — concurrent monitoring must read the named per-stage metrics
+    * from the UI/listener bus, not this global. */
   @volatile var lastBloomAccs
       : Option[(org.apache.spark.util.LongAccumulator,
                 org.apache.spark.util.LongAccumulator)] = None

@@ -402,6 +402,68 @@ object TextQueries {
       .withColumn("keep", col("logit_micro") > 0)
   }
 
+  /** Minimum distinct documents a shingle must appear in to count as
+    * boilerplate, and the size of the reported census. */
+  val BoilerplateMinDocs = 3
+  val BoilerplateK = 50
+
+  /** Boilerplate detection: the 3-word shingles repeated across at least
+    * [[BoilerplateMinDocs]] distinct documents, with how many documents
+    * and how many distinct sources each appears in — the C4/MassiveText
+    * "remove text repeated verbatim across pages" pre-pass, at shingle
+    * grain because this corpus has no line structure (TESTDATA.md). A
+    * shingle spanning many sources is template/chrome boilerplate; one
+    * confined to a single source is a mirror or a near-dup cluster —
+    * downstream scrubbing treats them differently, which is why
+    * `n_sources` rides along.
+    *
+    * Shape: the shared single-projection shingle build
+    * ([[graft.ext.dedup.DedupQueries.shingleRowsOf]], `source` carried)
+    * → ONE shingle-keyed hash aggregate (map-side combine collapses each
+    * partition's repeats before the exchange) → bounded top-K sort.
+    * `count(*)` IS the document frequency because the build already
+    * dedups shingles within a document. At 100 TB the aggregate output is
+    * vocabulary-sized (zipfian, ≪ corpus) and the top-K is a
+    * TakeOrderedAndProject — only K rows survive each partial. */
+  def qBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.dedup.DedupQueries.shingleRowsOf(
+        Tables.rebalanced(spark, Tables.documents(spark, dir)),
+        dedup = true, carry = Seq("source"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("doc_freq"),
+        countDistinct(col("source")).as("n_sources"))
+      .filter(col("doc_freq") >= BoilerplateMinDocs)
+      .orderBy(col("doc_freq").desc, col("s"))
+      .limit(BoilerplateK)
+      .select(col("s").as("shingle"), col("doc_freq"), col("n_sources"))
+
+  /** Per-document n-gram novelty — the log-free perplexity proxy: what
+    * fraction of a document's distinct shingles appear NOWHERE else in
+    * the corpus. Freshly-written text scores near 1000 (all shingles
+    * corpus-unique); templated, boilerplate-heavy, or duplicated text
+    * scores near 0 (a near-dup's shingles all have df ≥ 2) — the same
+    * rarity axis CCNet's LM perplexity buckets capture, kept ALL-INTEGER
+    * (`⌊1000·n_unique/n_shingles⌋`) so the score and any threshold cut on
+    * it are engine-identical.
+    *
+    * Shape: shingle rows → shingle-keyed df aggregate → join back on the
+    * shingle key → doc-keyed aggregate. The df frame is vocabulary-sized;
+    * both exchanges key on real data grain (shingle, then doc). A
+    * corpus-hot shingle fans out df-value rows in the join, but the join
+    * output per shingle equals its own document frequency — skew is
+    * bounded by actual repetition, the thing being measured, and the
+    * downstream agg combines map-side. */
+  def qNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.ext.dedup.DedupQueries.shingleRowsOf(
+      Tables.rebalanced(spark, Tables.documents(spark, dir)), dedup = true)
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    sh.join(df, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_milli", expr("(1000 * n_unique) DIV n_shingles"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid"        -> (qLangId _),
     "text_quality"       -> (qQuality _),
@@ -415,7 +477,9 @@ object TextQueries {
     "text_hybrid"        -> (qHybridSearch _),
     "text_langid_eval"   -> (qLangIdEval _),
     "bpe_pairs"          -> (qBpePairs _),
-    "text_quality_model" -> (qQualityModel _))
+    "text_quality_model" -> (qQualityModel _),
+    "text_boilerplate"   -> (qBoilerplate _),
+    "text_novelty"       -> (qNovelty _))
 
   // ------------------------------------------------------------- oracles
 
@@ -619,5 +683,28 @@ object TextQueries {
          |    + $QmWLen * len_ok AS logit_micro,
          |  ($QmBias + $QmWAlpha * alpha_micro + $QmWStop * stop_micro
          |    + $QmWLen * len_ok) > 0 AS keep
-         |FROM f""".stripMargin)
+         |FROM f""".stripMargin,
+    // shingles are already distinct within a document (shinglesSql), so
+    // count(*) over the exploded rows IS document frequency
+    "text_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, source, ${TextNorm.shinglesSql("t")} AS shingles FROM toks),
+         |ex AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh)
+         |SELECT s AS shingle, count(*) AS doc_freq,
+         |  count(DISTINCT source) AS n_sources
+         |FROM ex GROUP BY 1
+         |HAVING count(*) >= $BoilerplateMinDocs
+         |ORDER BY doc_freq DESC, shingle
+         |LIMIT $BoilerplateK""".stripMargin,
+    // df = 1 means the shingle exists in exactly this document; the
+    // shared shingle CTE keeps the token/shingle definition identical to
+    // every dedup oracle
+    "text_novelty" ->
+      s"""WITH ${graft.ext.dedup.DedupQueries.shingleCtes},
+         |d AS (SELECT s, count(*) AS df FROM ex GROUP BY 1)
+         |SELECT ex.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  (1000 * CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT))
+         |    // count(*) AS novelty_milli
+         |FROM ex JOIN d USING (s) GROUP BY 1""".stripMargin)
 }

@@ -73,6 +73,14 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ =>
+        // the NTZ wall-clock → instant reinterpretation is identity ONLY
+        // under a UTC session zone; enforce rather than document (ADVICE
+        // r8) — any other zone would silently shift every event instant,
+        // unlike the NANOS branch which fails fast without its flag.
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events(): TIMESTAMP_NTZ/MICROS normalization requires spark.sql.session.timeZone=UTC (got '$tz') — " +
+            "the NTZ cast reinterprets wall-clock in the session zone and would shift instants")
         raw.withColumn("ts", col("ts").cast("timestamp"))
     }
   }

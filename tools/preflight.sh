@@ -25,12 +25,13 @@ fi
 if [[ "${1:-}" == "--full" ]]; then
   out=$(mktemp -d /tmp/preflight_verify.XXXXXX)
   echo "[preflight] graft.Verify + DuckDB oracle @ sf0.01 ..."
-  sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $out"
-  python3 tools/oracle_check.py /root/testdata/sf0.01 "$out" | tail -1
-  python3 tools/oracle_check.py /root/testdata/sf0.01 "$out" \
-    | tail -1 | grep -q " oracle-matched" || { echo "[preflight] ORACLE RED"; exit 1; }
-  python3 tools/oracle_check.py /root/testdata/sf0.01 "$out" \
-    | grep -q "FAIL" && { echo "[preflight] ORACLE RED"; exit 1; }
+  # one oracle run, its output inspected twice — re-invoking would re-execute
+  # the full DuckDB suite per check for no extra signal (ADVICE r8)
+  oracle_out=$(python3 tools/oracle_check.py /root/testdata/sf0.01 "$out")
+  echo "$oracle_out" | tail -1
+  echo "$oracle_out" | tail -1 | grep -q " oracle-matched" \
+    || { echo "[preflight] ORACLE RED"; exit 1; }
+  echo "$oracle_out" | grep -q "FAIL" && { echo "[preflight] ORACLE RED"; exit 1; }
   echo "[preflight] graft.Bench @ sf0.01 ..."
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 sbt -batch 'runMain graft.Bench' \
     | grep '"metric"' | grep -q '"failed":\[\]' \
