@@ -341,7 +341,12 @@ class StreamPipelineSpec extends SparkSpec {
   }
 
   test("stream bench probe: positive throughput, bounded state, windows emitted") {
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
     val r = StreamBench.probe(spark, nEvents = 9000L, nBatches = 3)
+    // the probe pins its own shuffle-partition count (constant-config
+    // cross-round series) and must restore the session's setting
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == partsBefore,
+      "probe leaked its pinned shuffle-partition conf into the session")
     assert(r.rows == 9000L)
     assert(r.rowsPerSec > 0 && r.elapsedSec > 0)
     assert(r.outRows > 0, "no closed windows emitted — watermark never advanced?")
