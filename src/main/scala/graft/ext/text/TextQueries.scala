@@ -446,21 +446,38 @@ object TextQueries {
     * (`⌊1000·n_unique/n_shingles⌋`) so the score and any threshold cut on
     * it are engine-identical.
     *
-    * Shape: shingle rows → shingle-keyed df aggregate → join back on the
-    * shingle key → doc-keyed aggregate. The df frame is vocabulary-sized;
-    * both exchanges key on real data grain (shingle, then doc). A
-    * corpus-hot shingle fans out df-value rows in the join, but the join
-    * output per shingle equals its own document frequency — skew is
-    * bounded by actual repetition, the thing being measured, and the
-    * downstream agg combines map-side. */
-  def qNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val sh = graft.ext.dedup.DedupQueries.shingleRowsOf(
+    * Shape: NO join back on the shingle key. Only df = 1 shingles
+    * contribute to the numerator, and a df = 1 shingle's posting list IS
+    * its one document — so the shingle-keyed aggregate carries
+    * `min(doc_id)` along with the count, filters to df = 1, and
+    * re-aggregates per doc. The denominator is a doc-keyed count over the
+    * same shingle rows. That removes the classic fan-out (joining every
+    * shingle row against its df would replicate a corpus-hot shingle df
+    * times); what remains is two map-side-combinable aggregates keyed on
+    * real data grain (shingle, then doc) plus one doc-keyed join of two
+    * per-doc frames. The shingle rows materialize ONCE (the tokenize is
+    * the dominant cost — same move and rationale as [[qBm25]]'s `sized`);
+    * at 100 TB the checkpoint becomes the shingle-index snapshot the
+    * dedup family already persists. Docs whose every shingle recurs
+    * elsewhere simply have no df = 1 row — the left join + coalesce(0)
+    * keeps them at novelty 0, not dropped. */
+  def qNovelty(spark: SparkSession, dir: String): DataFrame =
+    noveltyFrom(graft.ext.dedup.DedupQueries.shingleRowsOf(
       Tables.rebalanced(spark, Tables.documents(spark, dir)), dedup = true)
-    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    sh.join(df, "s")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .localCheckpoint())
+
+  /** The novelty aggregates over an already-materialized (doc_id, s)
+    * shingle frame — split out so the plan dossier can audit the full
+    * un-checkpointed pipeline ([[graft.tools.Explain]]). */
+  private[graft] def noveltyFrom(sh: DataFrame): DataFrame = {
+    val nSh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val uniq = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+      .filter(col("df") === 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_unique"))
+    nSh.join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
       .withColumn("novelty_milli", expr("(1000 * n_unique) DIV n_shingles"))
   }
 

@@ -80,7 +80,19 @@ object Explain {
       "to query-term hits before any aggregate, the cosine arm scores " +
       "only the K-row candidate frame (broadcast joins on both the " +
       "vector attach and the 1-row reference vector), and every fusion " +
-      "window runs over K rows — no corpus-sized work after recall."))
+      "window runs over K rows — no corpus-sized work after recall."),
+    "text_boilerplate" -> ("Boilerplate census: the staggered-slice " +
+      "shingle build stays narrow (source carried through the one " +
+      "projection), ONE exchange on the shingle key with map-side " +
+      "partial aggregation, and the top-K cut is TakeOrderedAndProject " +
+      "— only K rows survive each partial, vocabulary-sized aggregate " +
+      "output at any corpus size."),
+    "text_novelty" -> ("Per-doc novelty WITHOUT the fan-out join: only " +
+      "df=1 shingles matter for the numerator, and a df=1 shingle's " +
+      "posting list IS its one document — min(doc_id) rides the " +
+      "shingle-keyed aggregate, so no shingle row ever joins against " +
+      "its own frequency. Two map-side-combinable aggregates (shingle " +
+      "key, then doc key) plus one left join of two per-doc frames."))
 
   /** Snapshot-backed registered entries serve a `localCheckpoint`, whose
     * plan is just an RDD scan — audit the underlying BUILD pipeline
@@ -94,7 +106,11 @@ object Explain {
     "dedup_spans" ->
       ((s, d) => graft.ext.dedup.DedupQueries.qSharedSpansRaw(s, d)),
     "dedup_spans_scrub" ->
-      ((s, d) => graft.ext.dedup.DedupQueries.qSpanScrubRaw(s, d)))
+      ((s, d) => graft.ext.dedup.DedupQueries.qSpanScrubRaw(s, d)),
+    "text_novelty" ->
+      ((s, d) => graft.ext.text.TextQueries.noveltyFrom(
+        graft.ext.dedup.DedupQueries.shingleRowsOf(
+          graft.sources.Tables.rebalanced(s, graft.sources.Tables.documents(s, d))))))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

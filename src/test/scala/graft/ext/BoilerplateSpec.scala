@@ -44,6 +44,30 @@ class BoilerplateSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("text_boilerplate plan: top-K via TakeOrdered, no join, no cartesian") {
+    val plan = TextQueries.qBoilerplate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must prune at each partial, not sort globally:\n${plan.take(1500)}")
+    assert(!plan.contains("Join"), "census is one aggregate — a join means the shape regressed")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("text_novelty plan: no shingle-keyed fan-out join (both join inputs per-doc aggregates)") {
+    // the numerator rides min(doc_id) on the df aggregate; joining shingle
+    // rows against their own frequency would replicate corpus-hot shingles
+    // df times — the shape this spec pins out
+    val plan = TextQueries.qNovelty(spark, sf)
+      .queryExecution.executedPlan.toString
+    val joins = "Join".r.findAllIn(plan).size
+    assert(joins >= 1, s"expected the per-doc left join:\n${plan.take(1500)}")
+    assert(plan.contains("LeftOuter"), plan.take(1500))
+    // exactly one join, and it's doc-keyed: both sides are HashAggregates
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(plan).size == 1,
+      s"expected exactly one (doc-keyed) join:\n${plan.take(1500)}")
+  }
+
   test("text_novelty: brute-force parity, bounds, and dup-docs-score-zero") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
