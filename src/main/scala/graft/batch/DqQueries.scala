@@ -74,8 +74,49 @@ object DqQueries {
         col("c.violations").as("violations"), col("c.passed").as("passed"))
   }
 
+  /** Sigma multiple for [[qOutliers]] (flag |z| > 3). */
+  val OutlierSigma = 3L
+
+  /** Per-type outlier gate: what fraction of each event type's `value`s
+    * sit more than [[OutlierSigma]]σ from that type's mean — the
+    * Deequ-style anomaly metric a pipeline watches per partition/day, as
+    * a bounded per-type report.
+    *
+    * The z-score never becomes a float: |x − μ| > 3σ squares to
+    * `(n·x − S)² > 9·(n·Q − S²)` over the exact integer moments
+    * (S = Σ cents, Q = Σ cents², both from [[graft.functions.Exact]]'s
+    * fixed-point cents), evaluated in decimal(38,0) so the comparison is
+    * overflow-proof and engine-identical — a float σ would make the flag
+    * of every near-threshold row rounding-dependent. Zero-variance groups
+    * flag nothing: all x equal ⇒ n·x − S = 0.
+    *
+    * Shape: one scan builds the per-type moments (map-side combinable,
+    * |types| rows), which broadcast back onto the fact for the flag pass,
+    * and the output aggregate is per-type again — two scans, zero wide
+    * exchanges, |types| output rows at any scale. The same two-pass
+    * broadcast-stats shape handles any "flag rows vs their group
+    * statistic" rule. */
+  def qOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val e = Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), Exact.cents(col("value")).as("x"))
+    val stats = e.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("q"))
+    val lhs = d(col("n")) * d(col("x")) - d(col("s"))
+    val rhs = lit(OutlierSigma * OutlierSigma).cast("decimal(38,0)") *
+      (d(col("n")) * d(col("q")) - d(col("s")) * d(col("s")))
+    e.join(broadcast(stats), "event_type")
+      .withColumn("f", when(lhs * lhs > rhs, 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("f")).as("n_outliers"))
+      .withColumn("outlier_milli", expr("(1000 * n_outliers) DIV n_events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_dq_audit" -> (qDqAudit _))
+    "q_dq_audit" -> (qDqAudit _),
+    "q_outliers" -> (qOutliers _))
 
   val oracles: Map[String, String] = Map(
     "q_dq_audit" ->
@@ -101,5 +142,28 @@ object DqQueries {
          |UNION ALL SELECT 'domain_event_type',
          |  CAST(v_bad_type AS BIGINT), v_bad_type = 0 FROM m
          |UNION ALL SELECT 'ts_in_window',
-         |  CAST(v_ts_range AS BIGINT), v_ts_range = 0 FROM m""".stripMargin)
+         |  CAST(v_ts_range AS BIGINT), v_ts_range = 0 FROM m""".stripMargin,
+    // HUGEINT (128-bit) is DuckDB's twin of Spark's decimal(38,0) here:
+    // both evaluate (n·x−S)² > 9(nQ−S²) exactly, so the flag of every
+    // near-threshold row is engine-identical
+    "q_outliers" ->
+      s"""WITH e AS (
+         |  SELECT event_type, ${graft.functions.Exact.centsSql("value")} AS x
+         |  FROM events WHERE value IS NOT NULL),
+         |st AS (
+         |  SELECT event_type, count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS s, CAST(sum(x*x) AS BIGINT) AS q
+         |  FROM e GROUP BY 1),
+         |fl AS (
+         |  SELECT e.event_type,
+         |    CASE WHEN (CAST(st.n AS HUGEINT)*e.x - st.s)
+         |           * (CAST(st.n AS HUGEINT)*e.x - st.s)
+         |         > ${OutlierSigma * OutlierSigma}
+         |           * (CAST(st.n AS HUGEINT)*st.q - CAST(st.s AS HUGEINT)*st.s)
+         |      THEN 1 ELSE 0 END AS f
+         |  FROM e JOIN st USING (event_type))
+         |SELECT event_type, count(*) AS n_events,
+         |  CAST(sum(f) AS BIGINT) AS n_outliers,
+         |  (1000 * CAST(sum(f) AS BIGINT)) // count(*) AS outlier_milli
+         |FROM fl GROUP BY 1""".stripMargin)
 }

@@ -43,4 +43,25 @@ class DqSpec extends SparkSpec {
     // the audit's job is to PROVE that, not assume it
     assert(out.values.forall(_._2), s"clean corpus must pass all checks: $out")
   }
+
+  test("q_outliers equals a driver-side BigInt z-gate; counts bounded") {
+    val rows = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        graft.functions.Exact.cents(col("value")).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = rows.groupBy(_._1).filter(_._1 != null).map { case (t, xs) =>
+      val n = BigInt(xs.length); val s = xs.map(x => BigInt(x._2)).sum
+      val q = xs.map(x => BigInt(x._2) * x._2).sum
+      val k = BigInt(DqQueries.OutlierSigma * DqQueries.OutlierSigma)
+      val out = xs.count { case (_, x) =>
+        val lhs = n * x - s; lhs * lhs > k * (n * q - s * s) }
+      (t, xs.length.toLong, out.toLong, 1000L * out / xs.length)
+    }.toSeq.sortBy(_._1)
+    val got = DqQueries.qOutliers(spark, sf).orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // a 3σ gate on any plausible distribution flags a small minority
+    got.foreach { case (t, n, o, _) =>
+      assert(o * 5 <= n, s"$t flagged $o of $n — gate inverted?") }
+  }
 }
