@@ -673,6 +673,43 @@ object DedupQueries {
     components(jaccardPairSnapshot(spark, dir), "doc_a", "doc_b")
       .toDF("doc_id", "cluster_id")
 
+  /** Survivor election: which document each near-dup cluster KEEPS —
+    * the step that turns detection into an actionable kept-corpus, and
+    * where the policy lives. Canonical-min-id election
+    * ([[graft.ext.pipeline.CurateQueries.qCurateClustered]]'s rule) keeps
+    * whichever dup happened to be crawled first; this elects by QUALITY —
+    * the highest [[graft.ext.text.TextQueries.quality]] score in the
+    * cluster (ties by doc_id), the policy production dedup actually wants
+    * (keep the cleanest copy, drop the boilerplate-wrapped mirrors). One
+    * row per cluster: the survivor, its score, and the cluster size (=
+    * how many dups the election retires).
+    *
+    * Determinism across engines: quality_score is a single IEEE
+    * expression over integer counts (the [[graft.functions.Exact]]
+    * discipline), so the same doubles — and therefore the same argmax —
+    * come out of Spark and the oracle; ties break on doc_id.
+    *
+    * Shape: the cluster frame (pair-graph nodes only — ≪ corpus) joins
+    * the narrow quality projection on doc_id, then ONE window pass per
+    * cluster key elects rank-1 and counts members. Clusters are
+    * dup-group-sized, so the window partitions are small by construction;
+    * output is one row per cluster. */
+  def qSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = qDedupClusters(spark, dir)
+    val quality = graft.ext.text.TextQueries
+      .quality(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("quality_score"))
+    val wElect = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("rk", row_number().over(wElect))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("survivor_doc_id"),
+        col("n_members"), col("quality_score").as("survivor_quality"))
+  }
+
   /** Connected components of an undirected pair graph by iterative
     * min-label propagation with POINTER JUMPING — the shared collapse step
     * behind [[qDedupClusters]] (text near-dup pairs) and [[qSemDedup]]
@@ -1176,6 +1213,7 @@ object DedupQueries {
     "dedup_spans_incremental" -> (qSpanIncremental _),
     "dedup_clusters"      -> (qDedupClusters _),
     "dedup_clusters_stars" -> (qDedupClustersStars _),
+    "dedup_survivors"     -> (qSurvivors _),
     "dedup_embedding"     -> (embeddingPairSnapshot _),
     "dedup_embedding_lsh" -> (embeddingLshPairSnapshot _),
     "dedup_semantic"      -> (qSemDedup _),
@@ -1320,6 +1358,26 @@ object DedupQueries {
     // min-label propagation, so the star entry shares the oracle verbatim
     // — the gate proves algorithm equivalence on the real pair graph
     "dedup_clusters_stars" -> dedupClustersSql,
+    // the cluster statement nests verbatim as a derived CTE (one truth
+    // with the dedup_clusters gate); the quality expression is the shared
+    // qualityScoreSql, so election reuses the text_quality oracle's exact
+    // doubles and the argmax cannot drift between gates
+    "dedup_survivors" ->
+      s"""WITH c AS (
+         |$dedupClustersSql
+         |),
+         |q AS (SELECT doc_id,
+         |  ${graft.ext.text.TextQueries.qualityScoreSql} AS quality_score
+         |  FROM documents)
+         |SELECT cluster_id, doc_id AS survivor_doc_id,
+         |  n_members, quality_score AS survivor_quality
+         |FROM (
+         |  SELECT c.cluster_id, c.doc_id, q.quality_score,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY q.quality_score DESC, c.doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+         |  FROM c JOIN q USING (doc_id)) ranked
+         |WHERE rk = 1""".stripMargin,
     "dedup_spans" ->
       s"""WITH $spanRunsCtes,
          |rl AS (

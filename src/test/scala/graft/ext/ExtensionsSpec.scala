@@ -633,4 +633,28 @@ class ExtensionsSpec extends SparkSpec {
       s"trained cells should beat label cells: $trainedRecall vs $labelRecall")
     assert(trainedRecall > 0.45, s"trained recall regressed: $trainedRecall")
   }
+
+  test("dedup_survivors: quality argmax per cluster, one survivor each, sizes match") {
+    val clusters = DedupQueries.qDedupClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val quality = TextQueries.quality(
+        graft.sources.Tables.documents(spark, sf))
+      .select(col("doc_id"), col("quality_score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = clusters.groupBy(_._2).map { case (cid, members) =>
+      val elect = members.map(_._1)
+        .minBy(d => (-quality(d), d)) // max score, ties by min doc_id
+      (cid, elect, members.length.toLong, quality(elect))
+    }.toSeq.sortBy(_._1)
+    val got = DedupQueries.qSurvivors(spark, sf).orderBy("cluster_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // every cluster in a PAIR graph has >= 2 members, and the survivor
+    // must be a member of its own cluster
+    assert(got.forall(_._3 >= 2L))
+    val membership = clusters.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    assert(got.forall { case (cid, s, _, _) => membership(cid)(s) })
+  }
 }
