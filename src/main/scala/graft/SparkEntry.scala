@@ -43,6 +43,7 @@ object SparkEntry {
       ext.sim.PqQueries.queries ++
       ext.multimodal.Multimodal.queries ++
       ext.graph.GraphQueries.queries ++
+      ext.er.ErQueries.queries ++
       ext.pipeline.CurateQueries.queries
 
   /** Sketch queries whose outputs cannot hash-match a foreign engine by
@@ -71,5 +72,6 @@ object SparkEntry {
       ext.sim.PqQueries.oracles ++
       ext.multimodal.Multimodal.oracles ++
       ext.graph.GraphQueries.oracles ++
+      ext.er.ErQueries.oracles ++
       ext.pipeline.CurateQueries.oracles
 }

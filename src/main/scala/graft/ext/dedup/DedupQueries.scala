@@ -1235,7 +1235,7 @@ object DedupQueries {
   /** Recursive-CTE component collapse over the jaccard pair graph —
     * shared by dedup_clusters (propagation path) and dedup_clusters_stars
     * (star-contraction path): one truth for both algorithms. */
-  private lazy val dedupClustersSql: String =
+  private[graft] lazy val dedupClustersSql: String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT doc_a, doc_b FROM (
        |$ngramJaccardSql

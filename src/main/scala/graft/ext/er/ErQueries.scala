@@ -1,0 +1,140 @@
+package graft.ext.er
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.dedup.DedupQueries
+import graft.sources.Tables
+
+/**
+ * Entity resolution over a dirty dimension: blocked fuzzy matching
+ * (levenshtein) plus canonicalization of the match graph — the "merge
+ * near-identical entity names" step every large-scale pipeline runs over
+ * scraped product/author/site catalogs before joining facts against them.
+ * The reference's dimension enrichment (kafka_spark_etl.py:100-120 joins a
+ * clean in-memory dim) assumes exact keys; this family is what produces
+ * those clean keys from dirty input.
+ *
+ * Scale shape — the standard two-phase ER plan:
+ *
+ *  1. VOCABULARY CONTRACTION: entities dedupe to their distinct surface
+ *     forms first (`groupBy(p_name)`), so everything downstream runs on a
+ *     vocabulary-sized frame, never the fact table. At 100 TB the fact
+ *     side may be billions of rows; distinct entity names are millions —
+ *     the aggregate is the only full-data pass.
+ *  2. BLOCKED SELF-JOIN: candidate pairs come from an equi-join on a
+ *     cheap blocking key (here: first character; production uses several
+ *     redundant keys — prefix, phonetic code, length band — unioned so a
+ *     true match must only survive in ONE block). The expensive edit
+ *     distance evaluates exclusively on blocked candidates, inside one
+ *     whole-stage-codegen'd filter over the join — never all-pairs. The
+ *     vocabulary-sized build side broadcasts; with an entity vocabulary
+ *     too large for one executor, drop the hint and the same plan
+ *     shuffle-joins on the block key (block sizes, not vocab², bound the
+ *     work either way).
+ *
+ * Canonicalization reuses the dedup family's connected-components kernel
+ * ([[DedupQueries.components]]) directly on the string-keyed match graph —
+ * min-label propagation is type-agnostic — so fuzzy-match clusters
+ * collapse with the same O(rounds × one join + one aggregate) loop,
+ * checkpoint discipline included, as the document near-dup graph.
+ */
+object ErQueries {
+
+  /** Maximum levenshtein distance for a candidate pair to count as a
+    * fuzzy match. 3 absorbs one short-word substitution in a two-word
+    * name; the threshold is a constant of the gate, not tuned per run. */
+  val ErMaxDist = 3
+
+  /** The entity vocabulary: one row per distinct surface form with its
+    * occurrence count and a stable representative key (min part key —
+    * deterministic, so every engine elects the same representative). */
+  private def nameStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("rep_key"))
+
+  /** Fuzzy-match candidate pairs: blocked levenshtein self-join over the
+    * entity vocabulary. Output is one row per matched (name_a < name_b)
+    * pair with the edit distance and both occurrence counts — the edge
+    * list of the match graph. The vocabulary materializes ONCE
+    * (localCheckpoint) and feeds both join arms; without it the fact-table
+    * aggregate (the dominant cost at scale) would run once per arm. */
+  def qErFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val names = nameStats(spark, dir)
+      .withColumn("blk", substring(col("p_name"), 1, 1))
+      .localCheckpoint()
+    val lhs = names.select(col("blk"), col("p_name").as("name_a"),
+      col("n_parts").as("n_parts_a"))
+    val rhs = names.select(col("blk"), col("p_name").as("name_b"),
+      col("n_parts").as("n_parts_b"))
+    lhs.join(broadcast(rhs), Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      // levenshtein runs on blocked candidates only, pipelined inside the
+      // join's output — cast to long so the schema matches DuckDB's BIGINT
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= ErMaxDist)
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("n_parts_a"), col("n_parts_b"))
+  }
+
+  /** Canonical entity assignment: collapse the fuzzy-match graph to
+    * connected components (min-label propagation — transitive closure, so
+    * a↔b and b↔c merge even when a↔c misses the distance cut) and map
+    * every surface form to its component's lexicographic-min name.
+    * Unmatched names are their own canonical form. One row per distinct
+    * name: the lookup table that rewrites the dirty dimension. */
+  def qErCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qErFuzzy(spark, dir).select(col("name_a"), col("name_b"))
+    // component labels ARE names here: min-label propagation is
+    // type-agnostic (least() on strings), so the kernel reuses verbatim
+    val comp = DedupQueries.components(pairs, "name_a", "name_b")
+      .select(col("id").as("p_name"), col("label").as("canon"))
+    nameStats(spark, dir)
+      .join(comp, Seq("p_name"), "left")
+      .select(col("p_name"),
+        coalesce(col("canon"), col("p_name")).as("canonical_name"),
+        col("n_parts"), col("rep_key"))
+      .withColumn("is_canonical", col("p_name") === col("canonical_name"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_fuzzy"     -> (qErFuzzy _),
+    "er_canonical" -> (qErCanonical _))
+
+  // ------------------------------------------------------------- oracles
+
+  /** Shared vocabulary + blocked-pair CTEs — one truth for both gates. */
+  private val fuzzyCtes: String =
+    s"""names AS (
+       |  SELECT p_name, count(*) AS n_parts, min(p_partkey) AS rep_key
+       |  FROM part GROUP BY 1),
+       |fpairs AS (
+       |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+       |    levenshtein(a.p_name, b.p_name) AS dist,
+       |    a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+       |  FROM names a JOIN names b
+       |    ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+       |   AND a.p_name < b.p_name
+       |  WHERE levenshtein(a.p_name, b.p_name) <= $ErMaxDist)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "er_fuzzy" ->
+      s"""WITH $fuzzyCtes
+         |SELECT name_a, name_b, dist, n_parts_a, n_parts_b FROM fpairs""".stripMargin,
+    // same recursive min-label closure as the dedup_clusters oracle, on
+    // string node ids — min(VARCHAR) is the lexicographic component min
+    "er_canonical" ->
+      s"""WITH RECURSIVE $fuzzyCtes,
+         |edges AS (SELECT name_a AS u, name_b AS v FROM fpairs
+         |          UNION SELECT name_b, name_a FROM fpairs),
+         |reach AS (SELECT DISTINCT u, u AS v FROM edges
+         |          UNION
+         |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS p_name, min(v) AS canon FROM reach GROUP BY u)
+         |SELECT n.p_name,
+         |  coalesce(c.canon, n.p_name) AS canonical_name,
+         |  n.n_parts, n.rep_key,
+         |  n.p_name = coalesce(c.canon, n.p_name) AS is_canonical
+         |FROM names n LEFT JOIN comp c ON n.p_name = c.p_name""".stripMargin)
+}

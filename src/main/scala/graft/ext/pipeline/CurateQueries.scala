@@ -355,6 +355,33 @@ object CurateQueries {
           / sum(col("sampled_tokens")).over(wAll).cast("double"))
   }
 
+  /** Duplication-aware sampling weights — SOFT dedup: instead of dropping
+    * near-duplicates (dedup_survivors), down-weight every member of a
+    * near-dup cluster by its cluster size, so k copies of a text
+    * contribute the sampling mass of one. The standard alternative when
+    * duplication frequency itself carries signal (popular text IS more
+    * important, just not k× more): weight_milli = ⌊1000/k⌋ keeps the
+    * score integer and the threshold engine-exact, same discipline as
+    * novelty_milli. Docs outside any cluster keep weight 1000.
+    *
+    * Scale shape: clusters come from the shared jaccard pair snapshot →
+    * component collapse (pair-graph-sized, ≪ corpus); cluster sizes are
+    * one aggregate over that frame; the corpus-sized side is ONE
+    * broadcast left join of the doc list against the (small) membership
+    * frame plus a narrow projection. Nothing corpus-sized shuffles. */
+  def qDupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = DedupQueries.qDedupClusters(spark, dir)
+    val sizes = clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_dups"))
+    val membership = clusters.join(broadcast(sizes), "cluster_id")
+    Tables.rebalanced(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"))
+      .join(broadcast(membership), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("n_dups"), lit(1L)).as("n_dups"))
+      .withColumn("weight_milli", expr("1000 DIV n_dups"))
+  }
+
   /** Corpus governance report: the per-(lang, source) dashboard a curation
     * run publishes — document and token counts, mean quality, and the
     * fraction falling under the [[QualityMin]] cut. Mean quality follows
@@ -393,7 +420,8 @@ object CurateQueries {
     "q_len_quantiles" -> (qLenQuantiles _),
     "q_strat_sample"  -> (qStratifiedSample _),
     "mix_rebalance"   -> (qMixRebalance _),
-    "mix_temperature" -> (qMixTemperature _))
+    "mix_temperature" -> (qMixTemperature _),
+    "mix_dupweight"   -> (qDupWeights _))
 
   // ------------------------------------------------------------- oracles
 
@@ -620,5 +648,20 @@ object CurateQueries {
          |  FROM toks)
          |SELECT lang, shard, count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
-         |FROM packed GROUP BY 1, 2""".stripMargin)
+         |FROM packed GROUP BY 1, 2""".stripMargin,
+    // the cluster statement nests verbatim (one truth with the
+    // dedup_clusters gate); 1000 // n is DuckDB integer division, the
+    // twin of Spark's 1000 DIV n_dups on BIGINT operands
+    "mix_dupweight" ->
+      s"""WITH c AS (
+         |${DedupQueries.dedupClustersSql}
+         |),
+         |s AS (SELECT cluster_id, count(*) AS n FROM c GROUP BY 1),
+         |m AS (SELECT c.doc_id, c.cluster_id, s.n
+         |      FROM c JOIN s ON c.cluster_id = s.cluster_id)
+         |SELECT d.doc_id,
+         |  coalesce(m.cluster_id, d.doc_id) AS cluster_id,
+         |  coalesce(m.n, 1) AS n_dups,
+         |  1000 // coalesce(m.n, 1) AS weight_milli
+         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin)
 }

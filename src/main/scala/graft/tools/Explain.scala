@@ -92,7 +92,16 @@ object Explain {
       "posting list IS its one document — min(doc_id) rides the " +
       "shingle-keyed aggregate, so no shingle row ever joins against " +
       "its own frequency. Two map-side-combinable aggregates (shingle " +
-      "key, then doc key) plus one left join of two per-doc frames."))
+      "key, then doc key) plus one left join of two per-doc frames."),
+    "er_fuzzy" -> ("Blocked entity resolution: one vocabulary-contracting " +
+      "aggregate over the fact table, then candidate pairs from an EQUI " +
+      "join on the blocking key (BroadcastHashJoin, never a nested loop) " +
+      "with levenshtein evaluated only on blocked candidates inside the " +
+      "codegen'd post-join filter."),
+    "mix_dupweight" -> ("Soft dedup: the cluster membership frame (pair-" +
+      "graph-sized) broadcasts into ONE left join against the corpus doc " +
+      "list; the weight is a narrow integer projection — nothing corpus-" +
+      "sized shuffles after the shared pair snapshot."))
 
   /** Snapshot-backed registered entries serve a `localCheckpoint`, whose
     * plan is just an RDD scan — audit the underlying BUILD pipeline

@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ext.er.ErQueries
+import graft.ext.pipeline.CurateQueries
+import graft.ext.dedup.DedupQueries
+import graft.sources.Tables
+
+/** Entity-resolution family (er_fuzzy / er_canonical) and the
+  * duplication-aware sampling weights (mix_dupweight) built on the
+  * cluster kernel. */
+class ErSpec extends SparkSpec {
+
+  /** Driver-side reference edit distance — classic DP, independent of both
+    * engines' implementations. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("er_fuzzy: blocked pairs, engine distances equal reference DP, equi-join plan") {
+    val out = ErQueries.qErFuzzy(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    // the blocking key makes candidate generation an EQUI join — a
+    // nested-loop/cartesian here would be the all-pairs anti-pattern
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+
+    val rows = out.collect()
+    assert(rows.nonEmpty, "fixture vocabulary has fuzzy matches")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("name_a"), r.getAs[String]("name_b"))
+      assert(a < b, s"canonical ordering violated: $a / $b")
+      assert(a(0) == b(0), s"pair escaped its block: $a / $b")
+      assert(r.getAs[Long]("dist") == lev(a, b).toLong,
+        s"engine distance != reference DP for ($a, $b)")
+      assert(r.getAs[Long]("dist") <= ErQueries.ErMaxDist)
+    }
+    // completeness within blocks: every distinct-name pair under the
+    // distance cut (reference DP, driver-side over the small vocabulary)
+    // must be reported
+    val vocab = Tables.part(spark, sf).select("p_name").distinct()
+      .collect().map(_.getString(0)).sorted
+    val expected = (for {
+      a <- vocab; b <- vocab
+      if a < b && a(0) == b(0) && lev(a, b) <= ErQueries.ErMaxDist
+    } yield (a, b)).toSet
+    val got = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("er_canonical: transitive closure, idempotent canonical map, total over vocabulary") {
+    val out = ErQueries.qErCanonical(spark, sf).cache()
+    val nNames = Tables.part(spark, sf).select("p_name").distinct().count()
+    assert(out.count() == nNames, "one row per distinct surface form")
+
+    val m = out.collect().map(r =>
+      r.getAs[String]("p_name") -> r.getAs[String]("canonical_name")).toMap
+    // component min: canonical is never lexicographically above the member
+    m.foreach { case (n, c) => assert(c <= n, s"$n -> $c") }
+    // idempotent: the canonical of a canonical is itself
+    m.values.foreach(c => assert(m(c) == c, s"non-fixpoint canonical $c"))
+    // transitivity through a hub: 'x bolt'~'x rod' and 'x ring'~'x rod'
+    // match (dist 3) while bolt~ring does not (dist 4) — closure must
+    // still merge all three onto the component min
+    val hubbed = m.filter { case (n, _) => n.endsWith(" rod") }
+    assert(hubbed.nonEmpty, "fixture has a rod hub")
+    hubbed.foreach { case (n, c) =>
+      val stem = n.stripSuffix(" rod")
+      assert(c == s"$stem bolt", s"$n should canonicalize through the hub to '$stem bolt', got $c")
+      assert(m.get(s"$stem ring").contains(c), s"'$stem ring' must share $n's canonical")
+    }
+    out.unpersist()
+  }
+
+  test("mix_dupweight: total over corpus, cluster-consistent, mass of a cluster ~ one doc") {
+    val out = CurateQueries.qDupWeights(spark, sf).cache()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.count() == nDocs, "one weight per document")
+
+    // docs outside any near-dup cluster keep full weight
+    val single = out.filter(col("n_dups") === 1)
+    assert(single.filter(col("weight_milli") =!= 1000).count() == 0)
+    // clustered docs agree with the cluster kernel's membership
+    val clustered = DedupQueries.qDedupClusters(spark, sf)
+      .groupBy("cluster_id").agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clustered.nonEmpty, "fixture has near-dup clusters")
+    out.filter(col("n_dups") > 1).collect().foreach { r =>
+      assert(clustered(r.getAs[Long]("cluster_id")) == r.getAs[Long]("n_dups"))
+      assert(r.getAs[Long]("weight_milli") == 1000L / r.getAs[Long]("n_dups"))
+    }
+    // soft-dedup contract: every cluster's total sampling mass collapses
+    // to at most one doc's worth (floor never exceeds the exact ratio)
+    val mass = out.groupBy("cluster_id").agg(sum("weight_milli").as("w"))
+    assert(mass.filter(col("w") > 1000).count() == 0)
+    out.unpersist()
+  }
+}
