@@ -1204,6 +1204,7 @@ object DedupQueries {
     "dedup_incremental"   -> (qIncrementalDedup _),
     "dedup_exact"         -> (qExact _),
     "dedup_minhash"       -> (qMinhash _),
+    "dedup_minhash_eval"  -> (qMinhashEval _),
     "dedup_simhash"       -> (qSimhash _),
     "dedup_simhash_pairs" -> (qSimhashPairs _),
     "dedup_ngram_jaccard" -> (jaccardPairSnapshot _),
@@ -1231,6 +1232,61 @@ object DedupQueries {
     s"""toks AS (SELECT doc_id, ${TextNorm.toksSql} AS t FROM documents),
        |sh AS (SELECT doc_id, $shSql AS shingles FROM toks),
        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)""".stripMargin
+
+  /** In-engine calibration of the MinHash/LSH screen against exact
+    * ground truth: band-collision candidates (dedup_minhash, verbatim)
+    * compared to the exact jaccard pair set (the shared snapshot) —
+    * recall (true pairs the bands caught) and precision (candidates that
+    * were real) as integer milli-ratios, one summary row. The eval any
+    * deployment runs before trusting an approximate screen at a new
+    * band/row setting — same pattern as text_langid_eval for the
+    * classifier and the recall numbers pinned in the ANN Scaladocs, here
+    * under the hash gate itself.
+    *
+    * Scale shape: both inputs are PAIR frames (dedup output, ≪ corpus);
+    * one full-outer join on the pair key and a single global aggregate —
+    * the corpus-sized work happens once inside the two shared upstream
+    * pipelines. At 100 TB the truth set is a sampled stratum (exact
+    * jaccard over the full corpus is what LSH avoids); the comparison
+    * frame itself is unchanged. */
+  def qMinhashEval(spark: SparkSession, dir: String): DataFrame = {
+    val cand = qMinhash(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("is_cand"))
+    val truth = jaccardPairSnapshot(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("is_true"))
+    cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("is_cand"), lit(0L))).as("n_candidates"),
+        sum(coalesce(col("is_true"), lit(0L))).as("n_true_pairs"),
+        sum(coalesce(col("is_cand"), lit(0L)) * coalesce(col("is_true"), lit(0L))).as("n_hits"))
+      .select(col("n_candidates"), col("n_true_pairs"), col("n_hits"),
+        expr("1000 * n_hits DIV greatest(n_true_pairs, 1)").as("recall_milli"),
+        expr("1000 * n_hits DIV greatest(n_candidates, 1)").as("precision_milli"))
+  }
+
+  /** The minhash band-collision statement — shared by the dedup_minhash
+    * gate and the recall/precision eval built on it, so the candidate
+    * definition cannot drift between the two. */
+  private[graft] lazy val minhashSql: String =
+    s"""WITH $shingleCtes,
+       |exh AS (SELECT doc_id, ${Exact.md5Long28Sql("s")} AS h FROM ex),
+       |sigrows AS (
+       |  SELECT doc_id, j, min(($hashASql[j+1] * h + $hashBSql[j+1]) % $HashP) AS mh
+       |  FROM exh, (SELECT unnest(generate_series(0, ${MinhashFns - 1})) AS j) js
+       |  GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM sigrows GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, sig, b,
+       |    md5(array_to_string(list_transform(sig[b*$RowsPerBand+1 : b*$RowsPerBand+$RowsPerBand], y -> CAST(y AS VARCHAR)), ',')) AS bh
+       |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) AS b) bs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_filter(generate_series(1, $MinhashFns), i -> sig_a[i] = sig_b[i])) AS DOUBLE)
+       |    / ${MinhashFns.toDouble} AS est_jaccard
+       |FROM cand""".stripMargin
 
   /** Recursive-CTE component collapse over the jaccard pair graph —
     * shared by dedup_clusters (propagation path) and dedup_clusters_stars
@@ -1325,26 +1381,26 @@ object DedupQueries {
       s"""SELECT md5(${TextNorm.normSql}) AS content_hash,
          |  min(doc_id) AS keeper_doc_id, count(*) AS n_docs
          |FROM documents GROUP BY 1""".stripMargin,
-    "dedup_minhash" ->
-      s"""WITH $shingleCtes,
-         |exh AS (SELECT doc_id, ${Exact.md5Long28Sql("s")} AS h FROM ex),
-         |sigrows AS (
-         |  SELECT doc_id, j, min(($hashASql[j+1] * h + $hashBSql[j+1]) % $HashP) AS mh
-         |  FROM exh, (SELECT unnest(generate_series(0, ${MinhashFns - 1})) AS j) js
-         |  GROUP BY doc_id, j),
-         |sig AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM sigrows GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, sig, b,
-         |    md5(array_to_string(list_transform(sig[b*$RowsPerBand+1 : b*$RowsPerBand+$RowsPerBand], y -> CAST(y AS VARCHAR)), ',')) AS bh
-         |  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) AS b) bs),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
-         |  FROM bands a JOIN bands b
-         |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b,
-         |  CAST(len(list_filter(generate_series(1, $MinhashFns), i -> sig_a[i] = sig_b[i])) AS DOUBLE)
-         |    / ${MinhashFns.toDouble} AS est_jaccard
-         |FROM cand""".stripMargin,
+    "dedup_minhash" -> minhashSql,
+    // candidate set = band collisions (minhashSql, verbatim); truth set =
+    // the exact pair SQL — the eval nests both shared statements, so it
+    // cannot drift from either gate it calibrates
+    "dedup_minhash_eval" ->
+      s"""WITH cand AS (SELECT doc_a, doc_b FROM (
+         |$minhashSql
+         |) m),
+         |truth AS (SELECT doc_a, doc_b FROM (
+         |$ngramJaccardSql
+         |) j),
+         |hits AS (SELECT doc_a, doc_b FROM cand INTERSECT SELECT doc_a, doc_b FROM truth)
+         |SELECT CAST(nc AS BIGINT) AS n_candidates,
+         |  CAST(nt AS BIGINT) AS n_true_pairs,
+         |  CAST(nh AS BIGINT) AS n_hits,
+         |  (1000 * CAST(nh AS BIGINT)) // greatest(CAST(nt AS BIGINT), 1) AS recall_milli,
+         |  (1000 * CAST(nh AS BIGINT)) // greatest(CAST(nc AS BIGINT), 1) AS precision_milli
+         |FROM (SELECT (SELECT count(*) FROM cand) AS nc,
+         |             (SELECT count(*) FROM truth) AS nt,
+         |             (SELECT count(*) FROM hits) AS nh)""".stripMargin,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" ->
       s"""WITH sim AS ($simhashSql)

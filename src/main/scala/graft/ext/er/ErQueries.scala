@@ -98,9 +98,65 @@ object ErQueries {
       .withColumn("is_canonical", col("p_name") === col("canonical_name"))
   }
 
+  /** The payoff step: the fact table re-aggregated by CANONICAL entity —
+    * what the whole family exists to make correct. Per canonical name:
+    * how many surface variants merged into it, total fact rows, exact
+    * revenue cents, max size. Without the merge, the 'rod'/'bolt'/'ring'
+    * variants of one entity each under-report; after it, one row per
+    * real-world entity. The canonical map (vocabulary-sized) broadcasts
+    * into the fact scan — at 100 TB this is a map-side dictionary rewrite
+    * followed by one aggregate on the (smaller) canonical key space;
+    * nothing new shuffles beyond the aggregate itself. */
+  def qErResolve(spark: SparkSession, dir: String): DataFrame = {
+    val canon = qErCanonical(spark, dir).select(col("p_name"), col("canonical_name"))
+    Tables.part(spark, dir)
+      .join(broadcast(canon), Seq("p_name"))
+      .groupBy(col("canonical_name"))
+      .agg(countDistinct(col("p_name")).as("n_variants"),
+        count(lit(1)).as("n_parts"),
+        sum(graft.functions.Exact.cents(col("p_retailprice"))).as("retail_cents"),
+        max(col("p_size")).as("max_size"))
+  }
+
+  /** In-engine calibration of the blocking key: the blocked match pairs
+    * ([[qErFuzzy]], verbatim) against ALL-PAIRS levenshtein ground truth
+    * over the vocabulary — recall (true matches whose pair survived in
+    * the block) and precision as integer milli-ratios, one summary row.
+    * A true match that differs in its FIRST character never shares a
+    * first-char block, so blocking recall < 1000‰ is exactly the number
+    * this report exists to surface before a deployment trusts the key
+    * (production unions several redundant keys until recall holds).
+    *
+    * Scale shape: truth is a vocabulary² comparison — affordable only
+    * because the vocabulary is the contracted frame (names ≪ facts); at
+    * a vocabulary too large for that, the truth side runs over a sampled
+    * stratum, same reasoning as dedup_minhash_eval. The comparison
+    * itself is one pair-keyed full-outer join + a global aggregate over
+    * two match-graph-sized frames. */
+  def qErBlockingEval(spark: SparkSession, dir: String): DataFrame = {
+    val names = nameStats(spark, dir).select(col("p_name")).localCheckpoint()
+    val truth = names.select(col("p_name").as("name_a"))
+      .join(broadcast(names.select(col("p_name").as("name_b"))),
+        col("name_a") < col("name_b"))
+      .filter(levenshtein(col("name_a"), col("name_b")) <= ErMaxDist)
+      .select(col("name_a"), col("name_b"), lit(1L).as("is_true"))
+    val blocked = qErFuzzy(spark, dir)
+      .select(col("name_a"), col("name_b"), lit(1L).as("is_blocked"))
+    truth.join(blocked, Seq("name_a", "name_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("is_true"), lit(0L))).as("n_true_pairs"),
+        sum(coalesce(col("is_blocked"), lit(0L))).as("n_blocked_pairs"),
+        sum(coalesce(col("is_true"), lit(0L)) * coalesce(col("is_blocked"), lit(0L))).as("n_hits"))
+      .select(col("n_true_pairs"), col("n_blocked_pairs"), col("n_hits"),
+        expr("1000 * n_hits DIV greatest(n_true_pairs, 1)").as("recall_milli"),
+        expr("1000 * n_hits DIV greatest(n_blocked_pairs, 1)").as("precision_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "er_fuzzy"     -> (qErFuzzy _),
-    "er_canonical" -> (qErCanonical _))
+    "er_fuzzy"         -> (qErFuzzy _),
+    "er_canonical"     -> (qErCanonical _),
+    "er_resolve"       -> (qErResolve _),
+    "er_blocking_eval" -> (qErBlockingEval _))
 
   // ------------------------------------------------------------- oracles
 
@@ -118,23 +174,60 @@ object ErQueries {
        |   AND a.p_name < b.p_name
        |  WHERE levenshtein(a.p_name, b.p_name) <= $ErMaxDist)""".stripMargin
 
+  /** Recursive min-label closure + canonical map over the fuzzy-pair
+    * graph — shared by er_canonical and er_resolve (one truth for the
+    * canonical assignment both gates depend on). Same closure shape as
+    * the dedup_clusters oracle, on string node ids — min(VARCHAR) is the
+    * lexicographic component min. */
+  private val canonicalCtes: String =
+    s"""$fuzzyCtes,
+       |edges AS (SELECT name_a AS u, name_b AS v FROM fpairs
+       |          UNION SELECT name_b, name_a FROM fpairs),
+       |reach AS (SELECT DISTINCT u, u AS v FROM edges
+       |          UNION
+       |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u AS p_name, min(v) AS canon FROM reach GROUP BY u),
+       |canon_map AS (
+       |  SELECT n.p_name, coalesce(c.canon, n.p_name) AS canonical_name,
+       |    n.n_parts, n.rep_key
+       |  FROM names n LEFT JOIN comp c ON n.p_name = c.p_name)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "er_fuzzy" ->
       s"""WITH $fuzzyCtes
          |SELECT name_a, name_b, dist, n_parts_a, n_parts_b FROM fpairs""".stripMargin,
-    // same recursive min-label closure as the dedup_clusters oracle, on
-    // string node ids — min(VARCHAR) is the lexicographic component min
     "er_canonical" ->
-      s"""WITH RECURSIVE $fuzzyCtes,
-         |edges AS (SELECT name_a AS u, name_b AS v FROM fpairs
-         |          UNION SELECT name_b, name_a FROM fpairs),
-         |reach AS (SELECT DISTINCT u, u AS v FROM edges
-         |          UNION
-         |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-         |comp AS (SELECT u AS p_name, min(v) AS canon FROM reach GROUP BY u)
-         |SELECT n.p_name,
-         |  coalesce(c.canon, n.p_name) AS canonical_name,
-         |  n.n_parts, n.rep_key,
-         |  n.p_name = coalesce(c.canon, n.p_name) AS is_canonical
-         |FROM names n LEFT JOIN comp c ON n.p_name = c.p_name""".stripMargin)
+      s"""WITH RECURSIVE $canonicalCtes
+         |SELECT p_name, canonical_name, n_parts, rep_key,
+         |  p_name = canonical_name AS is_canonical
+         |FROM canon_map""".stripMargin,
+    "er_resolve" ->
+      s"""WITH RECURSIVE $canonicalCtes
+         |SELECT m.canonical_name,
+         |  count(DISTINCT p.p_name) AS n_variants,
+         |  count(*) AS n_parts,
+         |  CAST(sum(${graft.functions.Exact.centsSql("p.p_retailprice")}) AS BIGINT) AS retail_cents,
+         |  max(p.p_size) AS max_size
+         |FROM part p JOIN canon_map m ON p.p_name = m.p_name
+         |GROUP BY 1""".stripMargin,
+    // blocked = the shared fpairs statement verbatim; truth = the same
+    // distance rule with the block predicate REMOVED — the eval nests the
+    // gate it calibrates so the two cannot drift
+    "er_blocking_eval" ->
+      s"""WITH $fuzzyCtes,
+         |truth AS (
+         |  SELECT a.p_name AS name_a, b.p_name AS name_b
+         |  FROM names a JOIN names b ON a.p_name < b.p_name
+         |  WHERE levenshtein(a.p_name, b.p_name) <= $ErMaxDist),
+         |blocked AS (SELECT name_a, name_b FROM fpairs),
+         |hits AS (SELECT name_a, name_b FROM blocked
+         |         INTERSECT SELECT name_a, name_b FROM truth)
+         |SELECT CAST(nt AS BIGINT) AS n_true_pairs,
+         |  CAST(nb AS BIGINT) AS n_blocked_pairs,
+         |  CAST(nh AS BIGINT) AS n_hits,
+         |  (1000 * CAST(nh AS BIGINT)) // greatest(CAST(nt AS BIGINT), 1) AS recall_milli,
+         |  (1000 * CAST(nh AS BIGINT)) // greatest(CAST(nb AS BIGINT), 1) AS precision_milli
+         |FROM (SELECT (SELECT count(*) FROM truth) AS nt,
+         |             (SELECT count(*) FROM blocked) AS nb,
+         |             (SELECT count(*) FROM hits) AS nh)""".stripMargin)
 }

@@ -331,11 +331,47 @@ object SimQueries {
         col("cell"), col("rank"), col("cosine"))
   }
 
+  /** In-engine calibration of the approximate ANN tiers against exact
+    * ground truth: one row per method (ivf, lsh) comparing its top-K
+    * retrieval to [[qKnnBrute]]'s exact top-K over the same query set —
+    * recall@K (exact pairs the tier returned) and precision (returned
+    * pairs that were exact) as integer milli-ratios. The report any
+    * deployment runs before trusting nprobe / band-width settings at a
+    * new corpus — the counterpart of dedup_minhash_eval for the vector
+    * family, under the same DuckDB hash gate as the tiers it calibrates.
+    *
+    * Scale shape: all three inputs are top-K frames (queries × K rows, ≪
+    * corpus); per method one pair-keyed full-outer join + one global
+    * aggregate. The corpus-sized work happens once inside the shared
+    * search pipelines — and the exact arm appears in both method branches
+    * with an identical subplan, so exchange reuse materializes it once.
+    * At 100 TB the exact side runs over a sampled query stratum (exact
+    * brute force over all queries is what ANN exists to avoid); the
+    * comparison frame itself is unchanged. */
+  def qAnnEval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = qKnnBrute(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("is_true"))
+    def tier(method: String, approx: DataFrame): DataFrame =
+      approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("is_cand"))
+        .join(exact, Seq("query_id", "neighbor_id"), "full_outer")
+        .agg(
+          sum(coalesce(col("is_cand"), lit(0L))).as("n_retrieved"),
+          sum(coalesce(col("is_true"), lit(0L))).as("n_exact"),
+          sum(coalesce(col("is_cand"), lit(0L)) * coalesce(col("is_true"), lit(0L))).as("n_hits"))
+        .select(lit(method).as("method"),
+          col("n_retrieved"), col("n_exact"), col("n_hits"),
+          expr("1000 * n_hits DIV greatest(n_exact, 1)").as("recall_milli"),
+          expr("1000 * n_hits DIV greatest(n_retrieved, 1)").as("precision_milli"))
+    tier("ivf", qKnnIvf(spark, dir))
+      .unionByName(tier("lsh", qKnnLsh(spark, dir)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute"       -> (qKnnBrute _),
     "knn_filtered"    -> (qKnnFiltered _),
     "knn_ivf"         -> (qKnnIvf _),
     "knn_lsh"         -> (qKnnLsh _),
+    "ann_eval"        -> (qAnnEval _),
     "kmeans_train"    -> (qKmeansTrain _),
     "knn_ivf_trained" -> (qKnnIvfTrained _))
 
@@ -416,15 +452,20 @@ object SimQueries {
        |$iters""".stripMargin
   }
 
+  /** The exact-search statement — shared by the knn_brute gate and the
+    * ann_eval report that uses it as ground truth, so the truth
+    * definition cannot drift from the gate. */
+  private lazy val knnBruteSql: String =
+    s"""WITH $baseCtes
+       |SELECT query_id, b.vec_id AS neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ${cosSql("qv", "b.v", "qn", "b.nsq")} DESC, b.vec_id) AS rank,
+       |  ${cosSql("qv", "b.v", "qn", "b.nsq")} AS cosine
+       |FROM qs JOIN q b ON b.vec_id <> query_id
+       |QUALIFY rank <= $K""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "knn_brute" ->
-      s"""WITH $baseCtes
-         |SELECT query_id, b.vec_id AS neighbor_id,
-         |  row_number() OVER (PARTITION BY query_id
-         |    ORDER BY ${cosSql("qv", "b.v", "qn", "b.nsq")} DESC, b.vec_id) AS rank,
-         |  ${cosSql("qv", "b.v", "qn", "b.nsq")} AS cosine
-         |FROM qs JOIN q b ON b.vec_id <> query_id
-         |QUALIFY rank <= $K""".stripMargin,
+    "knn_brute" -> knnBruteSql,
     // label-carrying query CTE; the filter is the equi-join predicate,
     // exactly as in the Spark plan
     "knn_filtered" ->
@@ -437,22 +478,34 @@ object SimQueries {
          |  ${cosSql("qv", "b.v", "qn", "b.nsq")} AS cosine
          |FROM qsl JOIN q b ON b.label = qsl.label AND b.vec_id <> query_id
          |QUALIFY rank <= $K""".stripMargin,
-    "knn_lsh" ->
-      s"""WITH $baseCtes,
-         |$lshBandCtes,
-         |cand AS (
-         |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
-         |  FROM bands qb
-         |  JOIN bands cb ON cb.band = qb.band AND cb.bh = qb.bh AND cb.vec_id <> qb.vec_id
-         |  WHERE qb.vec_id % $QueryStride = 0)
-         |SELECT c.query_id, c.vec_id AS neighbor_id,
-         |  row_number() OVER (PARTITION BY c.query_id
-         |    ORDER BY ${cosSql("qs.qv", "b.v", "qs.qn", "b.nsq")} DESC, c.vec_id) AS rank,
-         |  ${cosSql("qs.qv", "b.v", "qs.qn", "b.nsq")} AS cosine
-         |FROM cand c
-         |JOIN qs ON qs.query_id = c.query_id
-         |JOIN q b ON b.vec_id = c.vec_id
-         |QUALIFY rank <= $K""".stripMargin,
+    "knn_lsh" -> knnLshSql,
+    // exact / ivf / lsh nest the three shared search statements verbatim,
+    // so the eval cannot drift from any gate it calibrates
+    "ann_eval" ->
+      s"""WITH exact AS (SELECT query_id, neighbor_id FROM (
+         |$knnBruteSql
+         |) xb),
+         |ivf AS (SELECT query_id, neighbor_id FROM (
+         |$knnIvfSql
+         |) xi),
+         |lsh AS (SELECT query_id, neighbor_id FROM (
+         |$knnLshSql
+         |) xl),
+         |ivf_h AS (SELECT query_id, neighbor_id FROM ivf
+         |          INTERSECT SELECT query_id, neighbor_id FROM exact),
+         |lsh_h AS (SELECT query_id, neighbor_id FROM lsh
+         |          INTERSECT SELECT query_id, neighbor_id FROM exact),
+         |m AS (
+         |  SELECT 'ivf' AS method, (SELECT count(*) FROM ivf) AS nr,
+         |    (SELECT count(*) FROM exact) AS ne, (SELECT count(*) FROM ivf_h) AS nh
+         |  UNION ALL
+         |  SELECT 'lsh', (SELECT count(*) FROM lsh),
+         |    (SELECT count(*) FROM exact), (SELECT count(*) FROM lsh_h))
+         |SELECT method, CAST(nr AS BIGINT) AS n_retrieved,
+         |  CAST(ne AS BIGINT) AS n_exact, CAST(nh AS BIGINT) AS n_hits,
+         |  (1000 * CAST(nh AS BIGINT)) // greatest(CAST(ne AS BIGINT), 1) AS recall_milli,
+         |  (1000 * CAST(nh AS BIGINT)) // greatest(CAST(nr AS BIGINT), 1) AS precision_milli
+         |FROM m""".stripMargin,
     "kmeans_train" ->
       s"""WITH ${graft.ext.dedup.DedupQueries.quantizedSql},
          |$kmeansCtes
@@ -478,26 +531,47 @@ object SimQueries {
          |JOIN idx x ON x.cl = p.cell AND x.vec_id <> p.query_id
          |JOIN q b ON b.vec_id = x.vec_id
          |QUALIFY rank <= $K""".stripMargin,
-    "knn_ivf" ->
-      s"""WITH $baseCtes,
-         |csum_rows AS (
-         |  SELECT label, i,
-         |    CAST(floor(CAST(CAST(sum(v[i]) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS c
-         |  FROM q, generate_series(1, $Dim) t(i)
-         |  GROUP BY label, i),
-         |cent AS (
-         |  SELECT label, list(c ORDER BY i) AS csum FROM csum_rows GROUP BY label),
-         |cent2 AS (
-         |  SELECT label, csum, CAST(list_sum([y * y for y in csum]) AS BIGINT) AS cn FROM cent),
-         |probes AS (
-         |  SELECT query_id, qv, qn, label
-         |  FROM qs CROSS JOIN cent2
-         |  QUALIFY row_number() OVER (PARTITION BY query_id
-         |    ORDER BY ${cosSql("qv", "csum", "qn", "cn")} DESC, label) <= $NProbe)
-         |SELECT query_id, c.vec_id AS neighbor_id, p.label,
-         |  row_number() OVER (PARTITION BY query_id
-         |    ORDER BY ${cosSql("p.qv", "c.v", "p.qn", "c.nsq")} DESC, c.vec_id) AS rank,
-         |  ${cosSql("p.qv", "c.v", "p.qn", "c.nsq")} AS cosine
-         |FROM probes p JOIN q c ON c.label = p.label AND c.vec_id <> p.query_id
-         |QUALIFY rank <= $K""".stripMargin)
+    "knn_ivf" -> knnIvfSql)
+
+  /** The IVF search statement — shared by the knn_ivf gate and ann_eval. */
+  private lazy val knnIvfSql: String =
+    s"""WITH $baseCtes,
+       |csum_rows AS (
+       |  SELECT label, i,
+       |    CAST(floor(CAST(CAST(sum(v[i]) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS c
+       |  FROM q, generate_series(1, $Dim) t(i)
+       |  GROUP BY label, i),
+       |cent AS (
+       |  SELECT label, list(c ORDER BY i) AS csum FROM csum_rows GROUP BY label),
+       |cent2 AS (
+       |  SELECT label, csum, CAST(list_sum([y * y for y in csum]) AS BIGINT) AS cn FROM cent),
+       |probes AS (
+       |  SELECT query_id, qv, qn, label
+       |  FROM qs CROSS JOIN cent2
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ${cosSql("qv", "csum", "qn", "cn")} DESC, label) <= $NProbe)
+       |SELECT query_id, c.vec_id AS neighbor_id, p.label,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ${cosSql("p.qv", "c.v", "p.qn", "c.nsq")} DESC, c.vec_id) AS rank,
+       |  ${cosSql("p.qv", "c.v", "p.qn", "c.nsq")} AS cosine
+       |FROM probes p JOIN q c ON c.label = p.label AND c.vec_id <> p.query_id
+       |QUALIFY rank <= $K""".stripMargin
+
+  /** The LSH search statement — shared by the knn_lsh gate and ann_eval. */
+  private lazy val knnLshSql: String =
+    s"""WITH $baseCtes,
+       |$lshBandCtes,
+       |cand AS (
+       |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+       |  FROM bands qb
+       |  JOIN bands cb ON cb.band = qb.band AND cb.bh = qb.bh AND cb.vec_id <> qb.vec_id
+       |  WHERE qb.vec_id % $QueryStride = 0)
+       |SELECT c.query_id, c.vec_id AS neighbor_id,
+       |  row_number() OVER (PARTITION BY c.query_id
+       |    ORDER BY ${cosSql("qs.qv", "b.v", "qs.qn", "b.nsq")} DESC, c.vec_id) AS rank,
+       |  ${cosSql("qs.qv", "b.v", "qs.qn", "b.nsq")} AS cosine
+       |FROM cand c
+       |JOIN qs ON qs.query_id = c.query_id
+       |JOIN q b ON b.vec_id = c.vec_id
+       |QUALIFY rank <= $K""".stripMargin
 }

@@ -80,6 +80,48 @@ class ErSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("er_resolve: canonical rollup conserves rows and cents, variants count the merge") {
+    val out = ErQueries.qErResolve(spark, sf).cache()
+    val parts = Tables.part(spark, sf)
+      .select(col("p_name"), graft.functions.Exact.cents(col("p_retailprice")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // conservation: the rollup re-partitions the fact table, losing nothing
+    val agg = out.agg(sum("n_parts"), sum("n_variants"), sum("retail_cents")).head()
+    assert(agg.getLong(0) == parts.length, "every part row lands in exactly one canonical group")
+    assert(agg.getLong(1) == parts.map(_._1).distinct.length, "every surface form counted once")
+    assert(agg.getLong(2) == parts.map(_._2).sum, "cents conserved across the merge")
+    // every output key is a canonical fixpoint, and merged groups really merged
+    val canon = ErQueries.qErCanonical(spark, sf).collect()
+      .map(r => r.getAs[String]("p_name") -> r.getAs[String]("canonical_name")).toMap
+    out.collect().foreach { r =>
+      val c = r.getAs[String]("canonical_name")
+      assert(canon(c) == c, s"group key $c is not canonical")
+      val expectVariants = canon.count { case (_, cc) => cc == c }
+      assert(r.getAs[Long]("n_variants") == expectVariants.toLong, s"variant count wrong for $c")
+    }
+    assert(out.filter(col("n_variants") > 1).count() > 0, "fixture merges at least one group")
+    out.unpersist()
+  }
+
+  test("er_blocking_eval: counts equal driver-side arithmetic over truth and blocked pairs") {
+    val row = ErQueries.qErBlockingEval(spark, sf).collect().head
+    val vocab = Tables.part(spark, sf).select("p_name").distinct()
+      .collect().map(_.getString(0)).sorted
+    val truth = (for {
+      a <- vocab; b <- vocab
+      if a < b && lev(a, b) <= ErQueries.ErMaxDist
+    } yield (a, b)).toSet
+    val blocked = truth.filter { case (a, b) => a(0) == b(0) }
+    assert(row.getAs[Long]("n_true_pairs") == truth.size.toLong)
+    assert(row.getAs[Long]("n_blocked_pairs") == blocked.size.toLong)
+    // blocked ⊆ truth by construction, so hits = blocked and precision is
+    // exactly 1000‰ — the informative number is recall
+    assert(row.getAs[Long]("n_hits") == blocked.size.toLong)
+    assert(row.getAs[Long]("precision_milli") == 1000L)
+    assert(row.getAs[Long]("recall_milli") ==
+      1000L * blocked.size / math.max(truth.size, 1))
+  }
+
   test("mix_dupweight: total over corpus, cluster-consistent, mass of a cluster ~ one doc") {
     val out = CurateQueries.qDupWeights(spark, sf).cache()
     val nDocs = Tables.documents(spark, sf).count()

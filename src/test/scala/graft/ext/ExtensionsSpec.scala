@@ -61,6 +61,23 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_minhash_eval: counts equal driver-side set arithmetic over both pair frames") {
+    val row = DedupQueries.qMinhashEval(spark, sf).collect().head
+    val cand = DedupQueries.qMinhash(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val truth = DedupQueries.qNgramJaccard(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val hits = (cand & truth).size.toLong
+    assert(row.getAs[Long]("n_candidates") == cand.size.toLong)
+    assert(row.getAs[Long]("n_true_pairs") == truth.size.toLong)
+    assert(row.getAs[Long]("n_hits") == hits)
+    assert(row.getAs[Long]("recall_milli") == 1000L * hits / math.max(truth.size, 1))
+    assert(row.getAs[Long]("precision_milli") == 1000L * hits / math.max(cand.size, 1))
+    // this band/row setting is tuned to full recall on the fixture — the
+    // number the eval exists to certify
+    assert(row.getAs[Long]("recall_milli") == 1000L, "band setting lost a true pair")
+  }
+
   test("simhash pairs (hamming ≤ 3) overlap heavily with jaccard near-dups") {
     val sim = DedupQueries.qSimhashPairs(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
@@ -423,6 +440,29 @@ class ExtensionsSpec extends SparkSpec {
     val bad = k.as("x").join(k.as("y"),
       $"x.query_id" === $"y.query_id" && $"x.rank" < $"y.rank" && $"x.cosine" < $"y.cosine")
     assert(bad.isEmpty, "cosine must be non-increasing in rank")
+  }
+
+  test("ann_eval: per-method counts equal driver-side set arithmetic against exact top-K") {
+    val rows = SimQueries.qAnnEval(spark, sf).collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    assert(rows.keySet == Set("ivf", "lsh"))
+    val exact = SimQueries.qKnnBrute(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def check(method: String, approxDf: org.apache.spark.sql.DataFrame): Unit = {
+      val got = rows(method)
+      val approx = approxDf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val hits = (approx & exact).size.toLong
+      assert(got.getAs[Long]("n_retrieved") == approx.size.toLong, s"$method retrieved")
+      assert(got.getAs[Long]("n_exact") == exact.size.toLong, s"$method exact")
+      assert(got.getAs[Long]("n_hits") == hits, s"$method hits")
+      assert(got.getAs[Long]("recall_milli") == 1000L * hits / math.max(exact.size, 1))
+      assert(got.getAs[Long]("precision_milli") == 1000L * hits / math.max(approx.size, 1))
+    }
+    check("ivf", SimQueries.qKnnIvf(spark, sf))
+    check("lsh", SimQueries.qKnnLsh(spark, sf))
+    // the report must be able to distinguish the tiers: on the random
+    // fixture the two settings don't coincide exactly
+    assert(rows("ivf").getAs[Long]("recall_milli") > 0L)
   }
 
   test("text_hybrid: integer RRF fuses the bm25 and candidate-cosine rank lists") {
