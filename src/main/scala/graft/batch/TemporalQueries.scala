@@ -155,11 +155,41 @@ object TemporalQueries {
         col("rev_cents").isNull.as("is_gap"))
   }
 
+  /** First-order transition matrix over each user's time-ordered event
+    * sequence: for every (prev_type → next_type) step, the step count,
+    * its row-normalized probability (integer milli — exact under the hash
+    * gate), and dwell time between the two events (total + mean, integer
+    * microseconds). The Markov-chain census behind "what do users do
+    * after a click" product analytics and next-event prediction features.
+    *
+    * Shape: ONE shuffle on user_id; lag() over the same (ts, event_id)
+    * sort every sequential operator here rides, then a bounded aggregate
+    * (|types|² rows) and a window over that bounded frame for the row
+    * totals — nothing after the fact shuffle is data-sized. */
+  def qTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+    val byPrev = Window.partitionBy("prev_type")
+    steps.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_total_us"))
+      .withColumn("out_total", sum(col("n")).over(byPrev))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("1000 * n DIV out_total").as("prob_milli"),
+        col("gap_total_us"),
+        expr("gap_total_us DIV n").as("mean_gap_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_funnel"    -> (qFunnel _),
-    "q_retention" -> (qRetention _),
-    "q_scd2"      -> (qScd2 _),
-    "q_gap_fill"  -> (qGapFill _))
+    "q_funnel"      -> (qFunnel _),
+    "q_retention"   -> (qRetention _),
+    "q_scd2"        -> (qScd2 _),
+    "q_gap_fill"    -> (qGapFill _),
+    "q_transitions" -> (qTransitions _))
 
   /** Shared prefix-window clause for the funnel oracle's three chained
     * conditional minima. */
@@ -236,5 +266,23 @@ object TemporalQueries {
          |    PARTITION BY n_name ORDER BY day
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS locf_revenue,
          |  rev_cents IS NULL AS is_gap
-         |FROM j""".stripMargin)
+         |FROM j""".stripMargin,
+    // sum(BIGINT) in DuckDB widens to HUGEINT — cast the window total and
+    // gap sum back so integer division matches Spark's LONG DIV exactly
+    "q_transitions" ->
+      """WITH steps AS (
+        |  SELECT event_type AS next_type,
+        |    lag(event_type) OVER w AS prev_type,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT prev_type, next_type, count(*) AS n,
+        |    CAST(sum(gap_us) AS BIGINT) AS gap_total_us
+        |  FROM steps WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  (1000 * n) // CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS prob_milli,
+        |  gap_total_us,
+        |  gap_total_us // n AS mean_gap_us
+        |FROM c""".stripMargin)
 }

@@ -103,4 +103,39 @@ class TemporalSpec extends SparkSpec {
       .filter(col("is_gap") && !(col("locf_revenue") <=> col("prev_locf")))
     assert(locfRef.count() == 0)
   }
+
+  test("q_transitions: step conservation, row-stochastic rows, driver-checked dwell") {
+    val out = TemporalQueries.qTransitions(spark, sf).collect()
+    assert(out.nonEmpty)
+    // conservation: total steps = events minus one per multi-event user
+    val ev = Tables.events(spark, sf)
+    val users = ev.groupBy("user_id").count()
+    val expectSteps = users.agg(sum(col("count") - 1)).head().getLong(0)
+    assert(out.map(_.getAs[Long]("n")).sum == expectSteps)
+    // each prev_type row is (nearly) stochastic: milli probs sum within
+    // the floor loss of its fan-out
+    out.groupBy(_.getAs[String]("prev_type")).foreach { case (_, rows) =>
+      val s = rows.map(_.getAs[Long]("prob_milli")).sum
+      assert(s <= 1000L && s > 1000L - rows.length, s"row sum $s")
+    }
+    // dwell arithmetic, recomputed driver-side for one transition cell
+    // (micros from the full nanos field — getTime alone truncates to ms)
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val driver = ev.select("user_id", "ts", "event_id", "event_type")
+      .collect()
+      .groupBy(_.getLong(0)).values.flatMap { es =>
+        es.sortBy(r => (micros(r.getTimestamp(1)), r.getLong(2)))
+          .sliding(2).collect { case Array(a, b) =>
+            ((a.getString(3), b.getString(3)),
+              micros(b.getTimestamp(1)) - micros(a.getTimestamp(1)))
+          }
+      }.toSeq
+    val cell = out.head
+    val key = (cell.getAs[String]("prev_type"), cell.getAs[String]("next_type"))
+    val gaps = driver.filter(_._1 == key).map(_._2)
+    assert(cell.getAs[Long]("n") == gaps.length.toLong)
+    assert(cell.getAs[Long]("gap_total_us") == gaps.sum)
+    assert(cell.getAs[Long]("mean_gap_us") == gaps.sum / gaps.length)
+  }
 }
