@@ -101,7 +101,19 @@ object Explain {
     "mix_dupweight" -> ("Soft dedup: the cluster membership frame (pair-" +
       "graph-sized) broadcasts into ONE left join against the corpus doc " +
       "list; the weight is a narrow integer projection — nothing corpus-" +
-      "sized shuffles after the shared pair snapshot."))
+      "sized shuffles after the shared pair snapshot."),
+    "er_resolve" -> ("Canonical-entity fact rollup: the vocabulary-sized " +
+      "canonical map broadcasts into the fact scan (map-side dictionary " +
+      "rewrite — facts never shuffle for the rename), then ONE aggregate " +
+      "on the smaller canonical key space."),
+    "ann_eval" -> ("Approximation report card: every input is a top-K " +
+      "frame; per method one pair-keyed join and a 1-row aggregate, and " +
+      "the exact arm's identical subplan is shared across both method " +
+      "branches via exchange reuse."),
+    "q_transitions" -> ("Sequence census: lag() rides ONE user-keyed " +
+      "sort; the transition aggregate is map-side-combinable onto a " +
+      "|types|²-bounded frame, and the row-normalizing window runs over " +
+      "that bounded output — nothing data-sized after the fact shuffle."))
 
   /** Snapshot-backed registered entries serve a `localCheckpoint`, whose
     * plan is just an RDD scan — audit the underlying BUILD pipeline
