@@ -409,6 +409,46 @@ object CurateQueries {
           .otherwise(0L)).as("n_below_min"))
   }
 
+  /** Number of curriculum phases the global ordering is cut into. */
+  val NPhases = 4
+
+  /** Global curriculum ordering: every document's EXACT position in the
+    * corpus-wide (quality_score desc, doc_id) total order, plus the
+    * curriculum phase (⌊NPhases·(rank−1)/n⌋) a phased training schedule
+    * would assign. The easy-to-hard ordering pass of curriculum training,
+    * and the one operator here that needs a total order across partition
+    * boundaries.
+    *
+    * Scale shape — the two-phase distributed ranking, NOT a global
+    * window: `orderBy` range-partitions on sampled split points and sorts
+    * within partitions (each partition holds a contiguous key range);
+    * `zipWithIndex` then runs one lightweight count job over partition
+    * SIZES and adds the per-partition prefix offsets — so the exact
+    * global rank costs one range exchange plus a counts pass, and no row
+    * ever moves to a single partition. The naive
+    * `row_number().over(Window.orderBy(...))` plan would funnel the
+    * corpus through ONE task — the exact anti-pattern this operator
+    * exists to avoid (WindowExec logs that warning for a reason). The
+    * RDD hop is the documented per-partition-imperative exception: the
+    * offset add is not expressible relationally without the global
+    * window. Phase assignment rides a 1-row broadcast of the doc count —
+    * in-plan, not a driver pre-pass. */
+  def qGlobalRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ranked = TextQueries.qQuality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rdd.zipWithIndex
+      .map { case (r, i) => (r.getLong(0), r.getDouble(1), i + 1L) }
+      .toDF("doc_id", "quality_score", "global_rank")
+    // doc count via an independent narrow aggregate (quality emits one
+    // row per doc), so the ranked frame is consumed exactly once
+    val total = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    ranked.crossJoin(broadcast(total))
+      .select(col("doc_id"), col("quality_score"), col("global_rank"),
+        expr(s"($NPhases * (global_rank - 1)) DIV n_docs").as("phase"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_report"    -> (qCorpusReport _),
     "curate_pipeline"  -> (qCurate _),
@@ -417,6 +457,7 @@ object CurateQueries {
     "pack_shards"     -> (qPackShards _),
     "q_contamination" -> (qContamination _),
     "q_decontam_scrub" -> (qDecontamScrub _),
+    "q_global_rank"   -> (qGlobalRank _),
     "q_len_quantiles" -> (qLenQuantiles _),
     "q_strat_sample"  -> (qStratifiedSample _),
     "mix_rebalance"   -> (qMixRebalance _),
@@ -550,6 +591,19 @@ object CurateQueries {
          |  coalesce(agg.text_clean, '') AS text_clean
          |FROM train_docs d LEFT JOIN rem USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin
     },
+    // the quality statement nests verbatim (one truth with text_quality);
+    // row_number over the same (score desc, doc_id) total order replays
+    // the two-phase distributed rank exactly
+    "q_global_rank" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, quality_score,
+         |    row_number() OVER (ORDER BY quality_score DESC, doc_id) AS global_rank
+         |  FROM (
+         |${TextQueries.qualitySql}
+         |  ) q)
+         |SELECT doc_id, quality_score, global_rank,
+         |  ($NPhases * (global_rank - 1)) // (SELECT count(*) FROM r) AS phase
+         |FROM r""".stripMargin,
     // rank arithmetic replayed verbatim: DuckDB's // is the same floor
     // division as Spark's div on the same non-negative integers
     "q_len_quantiles" ->

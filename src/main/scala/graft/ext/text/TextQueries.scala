@@ -560,6 +560,26 @@ object TextQueries {
        |QUALIFY rank <= $Bm25K""".stripMargin
   }
 
+  /** The per-doc quality statement — shared by the text_quality gate and
+    * the curation oracles that rank on the score (q_global_rank), so the
+    * score definition cannot drift between them. */
+  private[graft] lazy val qualitySql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, lang,
+       |    CAST(length(coalesce(text,'')) AS BIGINT) AS n_chars,
+       |    CAST(length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       |    CAST(length(regexp_replace(coalesce(text,''), '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+       |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+       |    ${scoreSql(profiles.head._2)} AS n_stopwords
+       |  FROM documents)
+       |SELECT *,
+       |  CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
+       |  CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) AS stop_ratio,
+       |  0.4 * (CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1))
+       |    + 0.3 * (CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1))
+       |    + 0.3 * (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) AS quality_score
+       |FROM m""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_langid" -> langIdSql,
     // the same prediction SQL reused verbatim, so the eval cannot drift
@@ -569,22 +589,7 @@ object TextQueries {
          |FROM (
          |$langIdSql
          |) scored GROUP BY 1, 2""".stripMargin,
-    "text_quality" ->
-      s"""WITH m AS (
-         |  SELECT doc_id, lang,
-         |    CAST(length(coalesce(text,'')) AS BIGINT) AS n_chars,
-         |    CAST(length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
-         |    CAST(length(regexp_replace(coalesce(text,''), '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
-         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
-         |    ${scoreSql(profiles.head._2)} AS n_stopwords
-         |  FROM documents)
-         |SELECT *,
-         |  CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
-         |  CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) AS stop_ratio,
-         |  0.4 * (CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1))
-         |    + 0.3 * (CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1))
-         |    + 0.3 * (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) AS quality_score
-         |FROM m""".stripMargin,
+    "text_quality" -> qualitySql,
     "text_tokens" ->
       s"""WITH per_doc AS (
          |  SELECT lang,

@@ -210,6 +210,38 @@ class CurateSpec extends SparkSpec {
     assert(got.map(_._1) == docs.collect { case (id, _) if isTrain(id) => id }.toSet)
   }
 
+  test("q_global_rank: exact total order, phases balanced, no single-partition window") {
+    val out = CurateQueries.qGlobalRank(spark, sf).cache()
+    val n = Tables.documents(spark, sf).count()
+    assert(out.count() == n)
+    val rows = out.collect()
+    // ranks are the permutation 1..n
+    assert(rows.map(_.getAs[Long]("global_rank")).sorted.toSeq == (1L to n))
+    // ordering matches a driver-side sort of the oracle-pinned scores
+    val driverOrder = rows
+      .sortBy(r => (-r.getAs[Double]("quality_score"), r.getAs[Long]("doc_id")))
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(rows.sortBy(_.getAs[Long]("global_rank")).map(_.getAs[Long]("doc_id")).toSeq
+      == driverOrder)
+    // phase = floor(NPhases * (rank-1) / n): monotone in rank, sizes within 1
+    val phases = rows.map(r =>
+      r.getAs[Long]("global_rank") -> r.getAs[Long]("phase")).sortBy(_._1).map(_._2)
+    assert(phases.head == 0L && phases.last == (CurateQueries.NPhases - 1).toLong)
+    assert(phases.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+    val sizes = phases.groupBy(identity).values.map(_.length).toSeq
+    assert(sizes.max - sizes.min <= 1, s"phase sizes $sizes")
+    // scale guard: the rank comes from a RANGE exchange + offset pass —
+    // the plan must not contain a partition-less Window over the corpus
+    val sortPlan = graft.ext.text.TextQueries.qQuality(spark, sf)
+      .select(col("doc_id"), col("quality_score"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(sortPlan.toLowerCase.contains("rangepartitioning"), sortPlan)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "global rank must not be a window")
+    out.unpersist()
+  }
+
   test("q_len_quantiles: rank-exact per-language quantiles match a driver sort") {
     val docs = Tables.documents(spark, sf)
       .select($"lang", $"text").as[(String, String)].collect()
