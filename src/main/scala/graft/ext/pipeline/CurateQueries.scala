@@ -355,6 +355,45 @@ object CurateQueries {
           / sum(col("sampled_tokens")).over(wAll).cast("double"))
   }
 
+  /** Multi-epoch training budget, as a multiple of the raw corpus token
+    * count — the planning constant of a repeat-factor schedule. */
+  val EpochBudgetX = 2L
+
+  /** Epoch-planning table — the UP-sampling complement of the two mixes
+    * above (whose rates cap at 1.0, "take at most what a language has"):
+    * given the temperature weights and a multi-epoch token budget
+    * ([[EpochBudgetX]] × corpus), how many EPOCHS of each language the
+    * schedule repeats — epochs_milli over 1000 means the language is seen
+    * more than once, the standard low-resource repeat factor. One row per
+    * language: planned tokens, milli-epochs, whole epochs + remainder.
+    *
+    * ALL-integer: weights enter as the same floor(√tokens·10⁶+0.5)
+    * quantization as mix_temperature, and every division is a floor DIV
+    * of BIGINTs — the whole table replays bit-exactly in the oracle with
+    * no double anywhere. Headroom: wq·budget ≈ 10⁶·√T·X·T — overflows
+    * int64 around T ≈ 10¹⁷ tokens; past that move the product to
+    * DECIMAL(38,0), same plan (the bm25 note).
+    *
+    * Scale shape: one lang-keyed aggregate over the corpus (the only
+    * full-data pass, map-side combinable), then windows over the
+    * |langs|-row frame. */
+  def qMixEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    docTokens(spark, dir, "mixe|")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
+      .withColumn("total_tokens", sum(col("lang_tokens")).over(wAll))
+      .withColumn("wq", Exact.fixed(sqrt(col("lang_tokens").cast("double")), 1e6))
+      .withColumn("sum_wq", sum(col("wq")).over(wAll))
+      .withColumn("budget_tokens", col("total_tokens") * lit(EpochBudgetX))
+      .withColumn("planned_tokens", expr("wq * budget_tokens DIV sum_wq"))
+      .select(col("lang"), col("n_docs"), col("lang_tokens"), col("wq"),
+        col("planned_tokens"),
+        expr("1000 * planned_tokens DIV lang_tokens").as("epochs_milli"),
+        expr("planned_tokens DIV lang_tokens").as("n_full_epochs"),
+        expr("planned_tokens % lang_tokens").as("remainder_tokens"))
+  }
+
   /** Duplication-aware sampling weights — SOFT dedup: instead of dropping
     * near-duplicates (dedup_survivors), down-weight every member of a
     * near-dup cluster by its cluster size, so k copies of a text
@@ -462,6 +501,7 @@ object CurateQueries {
     "q_strat_sample"  -> (qStratifiedSample _),
     "mix_rebalance"   -> (qMixRebalance _),
     "mix_temperature" -> (qMixTemperature _),
+    "mix_epochs"      -> (qMixEpochs _),
     "mix_dupweight"   -> (qDupWeights _))
 
   // ------------------------------------------------------------- oracles
@@ -717,5 +757,26 @@ object CurateQueries {
          |  coalesce(m.cluster_id, d.doc_id) AS cluster_id,
          |  coalesce(m.n, 1) AS n_dups,
          |  1000 // coalesce(m.n, 1) AS weight_milli
-         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin)
+         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin,
+    // all-integer replay: the same √-quantization as mix_temperature's
+    // wq, then floor division end to end — sums cast back from HUGEINT
+    "mix_epochs" ->
+      s"""WITH t AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(len(${TextNorm.toksSql})) AS BIGINT) AS lang_tokens
+         |  FROM documents GROUP BY 1),
+         |w AS (
+         |  SELECT *, CAST(sum(lang_tokens) OVER () AS BIGINT) AS total_tokens,
+         |    CAST(floor(sqrt(CAST(lang_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS wq
+         |  FROM t),
+         |x AS (
+         |  SELECT *, CAST(sum(wq) OVER () AS BIGINT) AS sum_wq,
+         |    total_tokens * $EpochBudgetX AS budget_tokens
+         |  FROM w),
+         |p AS (SELECT *, (wq * budget_tokens) // sum_wq AS planned_tokens FROM x)
+         |SELECT lang, n_docs, lang_tokens, wq, planned_tokens,
+         |  (1000 * planned_tokens) // lang_tokens AS epochs_milli,
+         |  planned_tokens // lang_tokens AS n_full_epochs,
+         |  planned_tokens % lang_tokens AS remainder_tokens
+         |FROM p""".stripMargin)
 }

@@ -210,6 +210,33 @@ class CurateSpec extends SparkSpec {
     assert(got.map(_._1) == docs.collect { case (id, _) if isTrain(id) => id }.toSet)
   }
 
+  test("mix_epochs: all-integer plan conserves budget within floor loss; small langs repeat more") {
+    val out = CurateQueries.qMixEpochs(spark, sf).collect()
+    assert(out.length > 1)
+    val total = out.map(_.getAs[Long]("lang_tokens")).sum
+    val budget = total * CurateQueries.EpochBudgetX
+    val planned = out.map(_.getAs[Long]("planned_tokens")).sum
+    // each lang's floor DIV loses < 1 token of the budget
+    assert(planned <= budget && planned > budget - out.length)
+    // the integer pipeline, recomputed driver-side
+    val sumWq = out.map(_.getAs[Long]("wq")).sum
+    out.foreach { r =>
+      val lt = r.getAs[Long]("lang_tokens")
+      assert(r.getAs[Long]("wq") == math.floor(math.sqrt(lt.toDouble) * 1e6 + 0.5).toLong)
+      val p = r.getAs[Long]("wq") * budget / sumWq
+      assert(r.getAs[Long]("planned_tokens") == p)
+      assert(r.getAs[Long]("epochs_milli") == 1000L * p / lt)
+      assert(r.getAs[Long]("n_full_epochs") == p / lt)
+      assert(r.getAs[Long]("remainder_tokens") == p % lt)
+    }
+    // √-weighting repeats low-resource languages more
+    val byTok = out.sortBy(_.getAs[Long]("lang_tokens"))
+    assert(byTok.head.getAs[Long]("epochs_milli") >= byTok.last.getAs[Long]("epochs_milli"))
+    // with a 2× budget and compressed skew, the smallest language trains
+    // for more than one epoch
+    assert(byTok.head.getAs[Long]("epochs_milli") > 1000L)
+  }
+
   test("q_global_rank: exact total order, phases balanced, no single-partition window") {
     val out = CurateQueries.qGlobalRank(spark, sf).cache()
     val n = Tables.documents(spark, sf).count()
