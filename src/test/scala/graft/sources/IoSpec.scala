@@ -73,4 +73,23 @@ class IoSpec extends SparkSpec {
     assert(plan.contains("ReadSchema") && !plan.contains("l_quantity"),
       s"ORC columns not pruned:\n$plan")
   }
+
+  test("parquet schema evolution: mergeSchema unions generations; old files null-fill new columns") {
+    // the lake reality at 100 TB: ingest generations add columns, and a
+    // reader must see one union schema with old rows null-filled — not
+    // fail, not silently drop the new column because file one lacks it
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_io4").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$tmp/evo/gen=1")
+    Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v", "score")
+      .write.parquet(s"$tmp/evo/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$tmp/evo")
+    assert(merged.columns.toSet == Set("id", "v", "score", "gen"))
+    val rows = merged.select("id", "score").as[(Long, Option[Long])].collect().toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty, "old generation must null-fill")
+    assert(rows(3L).contains(30L) && rows(4L).contains(40L))
+    // and the non-merged default keeps working on the widest footer alone
+    assert(spark.read.parquet(s"$tmp/evo").count() == 4)
+  }
 }

@@ -25,6 +25,11 @@ fi
 if [[ "${1:-}" == "--full" ]]; then
   out=$(mktemp -d /tmp/preflight_verify.XXXXXX)
   echo "[preflight] graft.Verify + DuckDB oracle @ sf0.01 ..."
+  # Verify must populate $out before the oracle reads it — the r8 single-
+  # oracle-run refactor dropped this line, turning the gate into an
+  # instant FileNotFoundError (caught in round 9)
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $out" \
+    || { echo "[preflight] VERIFY RED"; exit 1; }
   # one oracle run, its output inspected twice — re-invoking would re-execute
   # the full DuckDB suite per check for no extra signal (ADVICE r8)
   oracle_out=$(python3 tools/oracle_check.py /root/testdata/sf0.01 "$out")
