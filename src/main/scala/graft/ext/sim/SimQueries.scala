@@ -341,29 +341,36 @@ object SimQueries {
     * family, under the same DuckDB hash gate as the tiers it calibrates.
     *
     * Scale shape: all three inputs are top-K frames (queries × K rows, ≪
-    * corpus); per method one pair-keyed full-outer join + one global
-    * aggregate. The corpus-sized work happens once inside the shared
-    * search pipelines — and the exact arm appears in both method branches
-    * with an identical subplan, so exchange reuse materializes it once.
-    * At 100 TB the exact side runs over a sampled query stratum (exact
-    * brute force over all queries is what ANN exists to avoid); the
-    * comparison frame itself is unchanged. */
+    * corpus), and each search pipeline appears in the plan exactly ONCE —
+    * the method-tagged approx frames union first, the exact frame
+    * replicates per method through a broadcast 2-row cross join (not by
+    * instantiating the brute-force subplan per branch and hoping
+    * exchange reuse deduplicates it), then one (method, pair)-keyed
+    * full-outer join and one |methods|-row aggregate. At 100 TB the
+    * exact side runs over a sampled query stratum (exact brute force
+    * over all queries is what ANN exists to avoid); the comparison frame
+    * itself is unchanged. */
   def qAnnEval(spark: SparkSession, dir: String): DataFrame = {
+    val approx =
+      qKnnIvf(spark, dir).select(lit("ivf").as("method"),
+          col("query_id"), col("neighbor_id"), lit(1L).as("is_cand"))
+        .unionByName(qKnnLsh(spark, dir).select(lit("lsh").as("method"),
+          col("query_id"), col("neighbor_id"), lit(1L).as("is_cand")))
+    import spark.implicits._
+    val methods = Seq("ivf", "lsh").toDF("method")
     val exact = qKnnBrute(spark, dir)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("is_true"))
-    def tier(method: String, approx: DataFrame): DataFrame =
-      approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("is_cand"))
-        .join(exact, Seq("query_id", "neighbor_id"), "full_outer")
-        .agg(
-          sum(coalesce(col("is_cand"), lit(0L))).as("n_retrieved"),
-          sum(coalesce(col("is_true"), lit(0L))).as("n_exact"),
-          sum(coalesce(col("is_cand"), lit(0L)) * coalesce(col("is_true"), lit(0L))).as("n_hits"))
-        .select(lit(method).as("method"),
-          col("n_retrieved"), col("n_exact"), col("n_hits"),
-          expr("1000 * n_hits DIV greatest(n_exact, 1)").as("recall_milli"),
-          expr("1000 * n_hits DIV greatest(n_retrieved, 1)").as("precision_milli"))
-    tier("ivf", qKnnIvf(spark, dir))
-      .unionByName(tier("lsh", qKnnLsh(spark, dir)))
+      .crossJoin(broadcast(methods))
+    approx.join(exact, Seq("method", "query_id", "neighbor_id"), "full_outer")
+      .groupBy(col("method"))
+      .agg(
+        sum(coalesce(col("is_cand"), lit(0L))).as("n_retrieved"),
+        sum(coalesce(col("is_true"), lit(0L))).as("n_exact"),
+        sum(coalesce(col("is_cand"), lit(0L)) * coalesce(col("is_true"), lit(0L))).as("n_hits"))
+      .select(col("method"),
+        col("n_retrieved"), col("n_exact"), col("n_hits"),
+        expr("1000 * n_hits DIV greatest(n_exact, 1)").as("recall_milli"),
+        expr("1000 * n_hits DIV greatest(n_retrieved, 1)").as("precision_milli"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

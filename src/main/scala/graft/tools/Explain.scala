@@ -107,9 +107,10 @@ object Explain {
       "rewrite — facts never shuffle for the rename), then ONE aggregate " +
       "on the smaller canonical key space."),
     "ann_eval" -> ("Approximation report card: every input is a top-K " +
-      "frame; per method one pair-keyed join and a 1-row aggregate, and " +
-      "the exact arm's identical subplan is shared across both method " +
-      "branches via exchange reuse."),
+      "frame and each search pipeline appears in the plan exactly ONCE " +
+      "— approx frames union method-tagged, the exact frame replicates " +
+      "per method via a broadcast 2-row cross join, then one " +
+      "(method, pair)-keyed join and a |methods|-row aggregate."),
     "q_transitions" -> ("Sequence census: lag() rides ONE user-keyed " +
       "sort; the transition aggregate is map-side-combinable onto a " +
       "|types|²-bounded frame, and the row-normalizing window runs over " +
