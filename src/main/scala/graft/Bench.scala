@@ -68,10 +68,15 @@ object Bench {
     val flaky = p1.collect {
       case (name, s1) if (s1 < 0) != (p2.getOrElse(name, -1.0) < 0) => "\"" + name + "\""
     }.mkString("[", ",", "]")
-    // per-artifact snapshot_build attribution: min over the two cold builds
+    // per-artifact snapshot_build attribution: min over the two cold
+    // builds, keyed on the UNION of both passes — keying on pass 1 alone
+    // would silently drop all attribution exactly when pass 1's build
+    // failed and pass 2's succeeded (the flaky rounds it exists to explain)
+    val d1m = d1.toMap
     val d2m = d2.toMap
-    val snapDetail = d1.map { case (name, s1) =>
-      s"\"" + name + "\":" + math.min(s1, d2m.getOrElse(name, s1))
+    val snapDetail = (d1.map(_._1) ++ d2.map(_._1)).distinct.map { name =>
+      val s = (d1m.get(name).toSeq ++ d2m.get(name).toSeq).min
+      s"\"" + name + "\":" + s
     }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -101,9 +101,12 @@ object DqQueries {
     def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val e = Tables.events(spark, dir).filter(col("value").isNotNull)
       .select(col("event_type"), Exact.cents(col("value")).as("x"))
+    // moments accumulate in decimal(38,0) from the first multiply — a
+    // LongType x·x would overflow at a single ~$30M value and a LongType
+    // Σx² at ~10¹⁰ ordinary rows per type, both plausible at 100 TB
     val stats = e.groupBy(col("event_type")).agg(
-      count(lit(1)).as("n"), sum(col("x")).as("s"),
-      sum(col("x") * col("x")).as("q"))
+      count(lit(1)).as("n"), sum(d(col("x"))).as("s"),
+      sum(d(col("x")) * d(col("x"))).as("q"))
     val lhs = d(col("n")) * d(col("x")) - d(col("s"))
     val rhs = lit(OutlierSigma * OutlierSigma).cast("decimal(38,0)") *
       (d(col("n")) * d(col("q")) - d(col("s")) * d(col("s")))
@@ -152,7 +155,7 @@ object DqQueries {
          |  FROM events WHERE value IS NOT NULL),
          |st AS (
          |  SELECT event_type, count(*) AS n,
-         |    CAST(sum(x) AS BIGINT) AS s, CAST(sum(x*x) AS BIGINT) AS q
+         |    sum(CAST(x AS HUGEINT)) AS s, sum(CAST(x AS HUGEINT) * x) AS q
          |  FROM e GROUP BY 1),
          |fl AS (
          |  SELECT e.event_type,

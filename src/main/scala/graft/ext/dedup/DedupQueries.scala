@@ -1149,15 +1149,19 @@ object DedupQueries {
           .localCheckpoint()
       shared
     }
-    val posts = snapshot("inc-posts", spark, dir)(
-      ex.groupBy(col("h")).agg(collect_set(col("doc_id")).as("docs")))
-    val oldSizes = snapshot("inc-sizes", spark, dir)(
-      ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_old"))
-        .toDF("old_doc_id", "n_old"))
-    // both artifacts are themselves eager localCheckpoints, so the shared
-    // intermediate (if a cold build forced it) can be freed immediately
-    if (shared ne null) releaseSnapshot(shared)
-    (posts, oldSizes)
+    try {
+      val posts = snapshot("inc-posts", spark, dir)(
+        ex.groupBy(col("h")).agg(collect_set(col("doc_id")).as("docs")))
+      val oldSizes = snapshot("inc-sizes", spark, dir)(
+        ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_old"))
+          .toDF("old_doc_id", "n_old"))
+      (posts, oldSizes)
+    } finally {
+      // both artifacts are themselves eager localCheckpoints, so the
+      // shared intermediate (if a cold build forced it) frees immediately
+      // — in a finally so a mid-build failure cannot orphan its blocks
+      if (shared ne null) releaseSnapshot(shared)
+    }
   }
 
   /** Probe-side screen of a BATCH of documents (doc_id, text) against a
@@ -1254,11 +1258,14 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), lit(1L).as("is_cand"))
     val truth = jaccardPairSnapshot(spark, dir)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("is_true"))
+    // outer coalesce: on a pair-free corpus (clean ingest) the global agg
+    // over an empty join emits one all-NULL row — the oracle's scalar
+    // COUNT(*) form emits zeros, and zeros are the truthful report
     cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
       .agg(
-        sum(coalesce(col("is_cand"), lit(0L))).as("n_candidates"),
-        sum(coalesce(col("is_true"), lit(0L))).as("n_true_pairs"),
-        sum(coalesce(col("is_cand"), lit(0L)) * coalesce(col("is_true"), lit(0L))).as("n_hits"))
+        coalesce(sum(coalesce(col("is_cand"), lit(0L))), lit(0L)).as("n_candidates"),
+        coalesce(sum(coalesce(col("is_true"), lit(0L))), lit(0L)).as("n_true_pairs"),
+        coalesce(sum(coalesce(col("is_cand"), lit(0L)) * coalesce(col("is_true"), lit(0L))), lit(0L)).as("n_hits"))
       .select(col("n_candidates"), col("n_true_pairs"), col("n_hits"),
         expr("1000 * n_hits DIV greatest(n_true_pairs, 1)").as("recall_milli"),
         expr("1000 * n_hits DIV greatest(n_candidates, 1)").as("precision_milli"))
@@ -1337,7 +1344,13 @@ object DedupQueries {
        |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
        |  FROM m)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  // lazy, NOT a strict val: this map embeds TextQueries.qualityScoreSql
+  // while TextQueries.oracles embeds shingleCtes/quantizedSql from here —
+  // as strict vals both sides would run inside their objects' <clinit>,
+  // and two threads first-touching opposite objects would deadlock on the
+  // crossed class-init locks. Lazy on both sides keeps each <clinit>
+  // self-contained; first access (SparkEntry composition) pays once.
+  lazy val oracles: Map[String, String] = Map(
     "text_repetition" ->
       s"""WITH toks AS (SELECT doc_id, ${TextNorm.toksSql} AS t FROM documents),
          |shm AS (SELECT doc_id, ${TextNorm.shinglesMultisetSql("t")} AS s

@@ -54,16 +54,21 @@ object ErQueries {
       .groupBy(col("p_name"))
       .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("rep_key"))
 
-  /** Fuzzy-match candidate pairs: blocked levenshtein self-join over the
-    * entity vocabulary. Output is one row per matched (name_a < name_b)
-    * pair with the edit distance and both occurrence counts — the edge
-    * list of the match graph. The vocabulary materializes ONCE
-    * (localCheckpoint) and feeds both join arms; without it the fact-table
-    * aggregate (the dominant cost at scale) would run once per arm. */
-  def qErFuzzy(spark: SparkSession, dir: String): DataFrame = {
-    val names = nameStats(spark, dir)
+  /** The vocabulary with its blocking key, contracted from the fact table
+    * ONCE and checkpointed — the fact aggregate is the dominant cost at
+    * scale, so every layer of one query invocation shares this frame
+    * rather than re-deriving it (fuzzy → canonical → resolve would
+    * otherwise each run their own full-data pass). */
+  private def namesCk(spark: SparkSession, dir: String): DataFrame =
+    nameStats(spark, dir)
       .withColumn("blk", substring(col("p_name"), 1, 1))
       .localCheckpoint()
+
+  /** Fuzzy-match candidate pairs from an already-materialized vocabulary:
+    * blocked levenshtein self-join. Output is one row per matched
+    * (name_a < name_b) pair with the edit distance and both occurrence
+    * counts — the edge list of the match graph. */
+  private def fuzzyFrom(names: DataFrame): DataFrame = {
     val lhs = names.select(col("blk"), col("p_name").as("name_a"),
       col("n_parts").as("n_parts_a"))
     val rhs = names.select(col("blk"), col("p_name").as("name_b"),
@@ -78,25 +83,31 @@ object ErQueries {
         col("n_parts_a"), col("n_parts_b"))
   }
 
+  def qErFuzzy(spark: SparkSession, dir: String): DataFrame =
+    fuzzyFrom(namesCk(spark, dir))
+
   /** Canonical entity assignment: collapse the fuzzy-match graph to
     * connected components (min-label propagation — transitive closure, so
     * a↔b and b↔c merge even when a↔c misses the distance cut) and map
     * every surface form to its component's lexicographic-min name.
     * Unmatched names are their own canonical form. One row per distinct
     * name: the lookup table that rewrites the dirty dimension. */
-  def qErCanonical(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = qErFuzzy(spark, dir).select(col("name_a"), col("name_b"))
+  private def canonicalFrom(names: DataFrame): DataFrame = {
+    val pairs = fuzzyFrom(names).select(col("name_a"), col("name_b"))
     // component labels ARE names here: min-label propagation is
     // type-agnostic (least() on strings), so the kernel reuses verbatim
     val comp = DedupQueries.components(pairs, "name_a", "name_b")
       .select(col("id").as("p_name"), col("label").as("canon"))
-    nameStats(spark, dir)
+    names
       .join(comp, Seq("p_name"), "left")
       .select(col("p_name"),
         coalesce(col("canon"), col("p_name")).as("canonical_name"),
         col("n_parts"), col("rep_key"))
       .withColumn("is_canonical", col("p_name") === col("canonical_name"))
   }
+
+  def qErCanonical(spark: SparkSession, dir: String): DataFrame =
+    canonicalFrom(namesCk(spark, dir))
 
   /** The payoff step: the fact table re-aggregated by CANONICAL entity —
     * what the whole family exists to make correct. Per canonical name:
@@ -108,7 +119,8 @@ object ErQueries {
     * followed by one aggregate on the (smaller) canonical key space;
     * nothing new shuffles beyond the aggregate itself. */
   def qErResolve(spark: SparkSession, dir: String): DataFrame = {
-    val canon = qErCanonical(spark, dir).select(col("p_name"), col("canonical_name"))
+    val canon = canonicalFrom(namesCk(spark, dir))
+      .select(col("p_name"), col("canonical_name"))
     Tables.part(spark, dir)
       .join(broadcast(canon), Seq("p_name"))
       .groupBy(col("canonical_name"))
@@ -134,19 +146,22 @@ object ErQueries {
     * itself is one pair-keyed full-outer join + a global aggregate over
     * two match-graph-sized frames. */
   def qErBlockingEval(spark: SparkSession, dir: String): DataFrame = {
-    val names = nameStats(spark, dir).select(col("p_name")).localCheckpoint()
+    val names = namesCk(spark, dir)
     val truth = names.select(col("p_name").as("name_a"))
       .join(broadcast(names.select(col("p_name").as("name_b"))),
         col("name_a") < col("name_b"))
       .filter(levenshtein(col("name_a"), col("name_b")) <= ErMaxDist)
       .select(col("name_a"), col("name_b"), lit(1L).as("is_true"))
-    val blocked = qErFuzzy(spark, dir)
+    val blocked = fuzzyFrom(names)
       .select(col("name_a"), col("name_b"), lit(1L).as("is_blocked"))
+    // outer coalesce: a vocabulary with no fuzzy matches leaves both pair
+    // frames empty, and the global agg's all-NULL row must read as zeros
+    // (the oracle's scalar COUNT(*) form does)
     truth.join(blocked, Seq("name_a", "name_b"), "full_outer")
       .agg(
-        sum(coalesce(col("is_true"), lit(0L))).as("n_true_pairs"),
-        sum(coalesce(col("is_blocked"), lit(0L))).as("n_blocked_pairs"),
-        sum(coalesce(col("is_true"), lit(0L)) * coalesce(col("is_blocked"), lit(0L))).as("n_hits"))
+        coalesce(sum(coalesce(col("is_true"), lit(0L))), lit(0L)).as("n_true_pairs"),
+        coalesce(sum(coalesce(col("is_blocked"), lit(0L))), lit(0L)).as("n_blocked_pairs"),
+        coalesce(sum(coalesce(col("is_true"), lit(0L)) * coalesce(col("is_blocked"), lit(0L))), lit(0L)).as("n_hits"))
       .select(col("n_true_pairs"), col("n_blocked_pairs"), col("n_hits"),
         expr("1000 * n_hits DIV greatest(n_true_pairs, 1)").as("recall_milli"),
         expr("1000 * n_hits DIV greatest(n_blocked_pairs, 1)").as("precision_milli"))

@@ -580,7 +580,10 @@ object TextQueries {
        |    + 0.3 * (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) AS quality_score
        |FROM m""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  // lazy for the same reason as DedupQueries.oracles: the two maps embed
+  // each other's shared SQL fragments, and strict-val initialization
+  // would cross the class-init locks (see the note there)
+  lazy val oracles: Map[String, String] = Map(
     "text_langid" -> langIdSql,
     // the same prediction SQL reused verbatim, so the eval cannot drift
     // from the classifier it audits

@@ -78,8 +78,16 @@ object Tables {
         // r8) — any other zone would silently shift every event instant,
         // unlike the NANOS branch which fails fast without its flag.
         val tz = spark.conf.get("spark.sql.session.timeZone")
-        require(tz == "UTC",
-          s"events(): TIMESTAMP_NTZ/MICROS normalization requires spark.sql.session.timeZone=UTC (got '$tz') — " +
+        // any fixed zero-offset zone is identity for the reinterpretation
+        // ('UTC', 'Etc/UTC', 'GMT', 'Z', '+00:00' all qualify); a literal
+        // string match would reject spellings the cast handles correctly
+        val zoneIsUtc =
+          try {
+            val rules = java.time.ZoneId.of(tz).getRules
+            rules.isFixedOffset && rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+          } catch { case _: java.time.DateTimeException => false }
+        require(zoneIsUtc,
+          s"events(): TIMESTAMP_NTZ/MICROS normalization requires a UTC session zone (got '$tz') — " +
             "the NTZ cast reinterprets wall-clock in the session zone and would shift instants")
         raw.withColumn("ts", col("ts").cast("timestamp"))
     }
