@@ -1,6 +1,7 @@
 package graft.ext.er
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.dedup.DedupQueries
@@ -167,11 +168,57 @@ object ErQueries {
         expr("1000 * n_hits DIV greatest(n_blocked_pairs, 1)").as("precision_milli"))
   }
 
+  /** Percent of the vocabulary playing the established base; the rest
+    * arrives as the incoming batch (deterministic hash split — the same
+    * RNG-free discipline as sample_split). */
+  val ErBasePct = 80
+
+  /** Incremental ER — the lifecycle step the dedup family already has
+    * (dedup_incremental / dedup_embedding_incremental) applied to
+    * entities: new dirty names screen against an ESTABLISHED base
+    * vocabulary and its canonical map, instead of re-running ER over
+    * everything. Per incoming name: its best base match (min distance,
+    * then lexicographic — deterministic), the distance, and the
+    * canonical entity it resolves to (base's canonical for a match, the
+    * name itself for a genuinely new entity).
+    *
+    * Scale shape: at deployment the base vocabulary + canonical map are
+    * persisted artifacts of the last full ER run (vocabulary-sized), and
+    * the incoming batch is small — the screen is one blocked equi-join
+    * of batch × base (broadcast whichever is smaller) and a per-name
+    * top-1 window over the match candidates; nothing fact-sized moves.
+    * The full closure re-runs only on the base, here, to BUILD that
+    * artifact — exactly what the corpus-index builds in the dedup
+    * incremental family do. */
+  def qErIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val names = namesCk(spark, dir)
+      .withColumn("bucket",
+        pmod(graft.functions.Exact.md5Long(concat(lit("erb|"), col("p_name"))), lit(100)))
+    val base = names.filter(col("bucket") < ErBasePct).drop("bucket")
+    val inc = names.filter(col("bucket") >= ErBasePct).drop("bucket")
+    val canon = canonicalFrom(base)
+      .select(col("p_name").as("base_name"), col("canonical_name"))
+    val w = Window.partitionBy("p_name").orderBy(col("dist"), col("base_name"))
+    val best = inc.select(col("blk"), col("p_name"))
+      .join(broadcast(base.select(col("blk"), col("p_name").as("base_name"))), Seq("blk"))
+      .withColumn("dist", levenshtein(col("p_name"), col("base_name")).cast("long"))
+      .filter(col("dist") <= ErMaxDist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_name"), col("base_name"), col("dist"))
+    inc.select(col("p_name"))
+      .join(best, Seq("p_name"), "left")
+      .join(broadcast(canon), Seq("base_name"), "left")
+      .select(col("p_name"), col("base_name").as("matched_name"), col("dist"),
+        coalesce(col("canonical_name"), col("p_name")).as("canonical_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_fuzzy"         -> (qErFuzzy _),
     "er_canonical"     -> (qErCanonical _),
     "er_resolve"       -> (qErResolve _),
-    "er_blocking_eval" -> (qErBlockingEval _))
+    "er_blocking_eval" -> (qErBlockingEval _),
+    "er_incremental"   -> (qErIncremental _))
 
   // ------------------------------------------------------------- oracles
 
@@ -244,5 +291,45 @@ object ErQueries {
          |  (1000 * CAST(nh AS BIGINT)) // greatest(CAST(nb AS BIGINT), 1) AS precision_milli
          |FROM (SELECT (SELECT count(*) FROM truth) AS nt,
          |             (SELECT count(*) FROM blocked) AS nb,
-         |             (SELECT count(*) FROM hits) AS nh)""".stripMargin)
+         |             (SELECT count(*) FROM hits) AS nh)""".stripMargin,
+    // base/incoming split by the shared md5 hash; closure over BASE pairs
+    // only (the persisted-artifact build); the screen is the same blocked
+    // join + distance rule as fpairs, asymmetric batch × base
+    "er_incremental" ->
+      s"""WITH RECURSIVE names AS (
+         |  SELECT p_name, count(*) AS n_parts FROM part GROUP BY 1),
+         |tagged AS (SELECT p_name, n_parts,
+         |  ${graft.functions.Exact.md5LongSql("'erb|' || p_name")} % 100 AS bucket FROM names),
+         |base AS (SELECT p_name, n_parts FROM tagged WHERE bucket < $ErBasePct),
+         |inc AS (SELECT p_name FROM tagged WHERE bucket >= $ErBasePct),
+         |bpairs AS (
+         |  SELECT a.p_name AS name_a, b.p_name AS name_b
+         |  FROM base a JOIN base b
+         |    ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+         |   AND a.p_name < b.p_name
+         |  WHERE levenshtein(a.p_name, b.p_name) <= $ErMaxDist),
+         |edges AS (SELECT name_a AS u, name_b AS v FROM bpairs
+         |          UNION SELECT name_b, name_a FROM bpairs),
+         |reach AS (SELECT DISTINCT u, u AS v FROM edges
+         |          UNION
+         |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS p_name, min(v) AS canon FROM reach GROUP BY u),
+         |canon AS (
+         |  SELECT b.p_name AS base_name, coalesce(c.canon, b.p_name) AS canonical_name
+         |  FROM base b LEFT JOIN comp c ON b.p_name = c.p_name),
+         |m AS (
+         |  SELECT i.p_name, b.p_name AS base_name,
+         |    levenshtein(i.p_name, b.p_name) AS dist
+         |  FROM inc i JOIN base b
+         |    ON substr(i.p_name, 1, 1) = substr(b.p_name, 1, 1)
+         |  WHERE levenshtein(i.p_name, b.p_name) <= $ErMaxDist),
+         |best AS (
+         |  SELECT p_name, base_name, CAST(dist AS BIGINT) AS dist,
+         |    row_number() OVER (PARTITION BY p_name ORDER BY dist, base_name) AS rn
+         |  FROM m)
+         |SELECT i.p_name, b.base_name AS matched_name, b.dist,
+         |  coalesce(cn.canonical_name, i.p_name) AS canonical_name
+         |FROM inc i
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.p_name = i.p_name
+         |LEFT JOIN canon cn ON cn.base_name = b.base_name""".stripMargin)
 }

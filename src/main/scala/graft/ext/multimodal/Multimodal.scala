@@ -156,12 +156,45 @@ object Multimodal {
         count(lit(1)).as("n_copies"),
         countDistinct(col("modality")).as("n_modalities"))
 
+  /** Sampling interval for the registered frame query: every 2nd block. */
+  val FrameEveryNth = 2
+
+  /** The frame-sampling plumbing under the hash gate: runs the REAL
+    * [[frameSample]] path (typed flatMap, 1 payload row → k frame rows)
+    * and emits per-frame signatures + sizes — the video-keyframe /
+    * audio-chunk extraction shape, verifiable because the stub "frames"
+    * are deterministic byte blocks. The DuckDB twin slices the text
+    * payload directly (this corpus is pure ASCII, so VARCHAR chars ≡
+    * payload bytes — same coincidence mm_dedup's oracle relies on); a
+    * real codec swap downgrades this to the rows-only check. */
+  def qFrames(spark: SparkSession, dir: String): DataFrame =
+    frameSample(spark, corpus(spark, dir), FrameEveryNth)
+      .select(col("id"), col("frame_idx"),
+        md5(col("frame_bytes")).as("frame_sig"),
+        length(col("frame_bytes")).cast("long").as("n_bytes"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta"     -> (qMeta _),
     "mm_features" -> (qFeatures _),
+    "mm_frames"   -> (qFrames _),
     "mm_dedup"    -> (qMmDedup _))
 
   val oracles: Map[String, String] = Map(
+    // BatchSize-byte blocks, 0-based index, every FrameEveryNth-th kept;
+    // char slicing ≡ byte slicing on this pure-ASCII corpus
+    "mm_frames" ->
+      s"""WITH m AS (SELECT doc_id, coalesce(text, '') AS b FROM documents),
+         |idx AS (
+         |  SELECT doc_id, b, unnest(generate_series(1,
+         |    CAST(ceil(CAST(length(b) AS DOUBLE) / $BatchSize) AS BIGINT))) AS i
+         |  FROM m),
+         |fr AS (
+         |  SELECT doc_id, i - 1 AS frame_idx,
+         |    substr(b, (i - 1) * $BatchSize + 1, $BatchSize) AS fb
+         |  FROM idx)
+         |SELECT doc_id AS id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |  md5(fb) AS frame_sig, CAST(length(fb) AS BIGINT) AS n_bytes
+         |FROM fr WHERE frame_idx % $FrameEveryNth = 0""".stripMargin,
     "mm_dedup" ->
       """SELECT md5(coalesce(text, '')) AS checksum,
         |  min(doc_id) AS keeper_id, count(*) AS n_copies,

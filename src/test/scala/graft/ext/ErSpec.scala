@@ -103,6 +103,38 @@ class ErSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("er_incremental: every incoming name resolves; best match minimal; misses are new entities") {
+    val out = ErQueries.qErIncremental(spark, sf).cache()
+    // reproduce the engine's hash split driver-side (same md5Long seed)
+    val names = Tables.part(spark, sf).select("p_name").distinct()
+      .withColumn("bucket", pmod(graft.functions.Exact.md5Long(
+        concat(lit("erb|"), col("p_name"))), lit(100)))
+    val base = names.filter(col("bucket") < ErQueries.ErBasePct)
+      .select("p_name").collect().map(_.getString(0)).sorted
+    val inc = names.filter(col("bucket") >= ErQueries.ErBasePct)
+      .select("p_name").collect().map(_.getString(0)).toSet
+    assert(base.nonEmpty && inc.nonEmpty, "hash split must produce both sides")
+    val rows = out.collect()
+    assert(rows.map(_.getAs[String]("p_name")).toSet == inc, "one row per incoming name")
+    rows.foreach { r =>
+      val n = r.getAs[String]("p_name")
+      val cands = base.filter(b => b(0) == n(0) && lev(n, b) <= ErQueries.ErMaxDist)
+      Option(r.getAs[String]("matched_name")) match {
+        case Some(m) =>
+          assert(cands.nonEmpty && r.getAs[Long]("dist") == lev(n, m).toLong)
+          // best = (min dist, then lexicographic) over the blocked candidates
+          val want = cands.minBy(b => (lev(n, b), b))
+          assert(m == want, s"$n matched $m, expected $want")
+        case None =>
+          assert(cands.isEmpty, s"$n left unmatched despite candidates $cands")
+          assert(r.getAs[String]("canonical_name") == n, "a miss is its own new entity")
+      }
+    }
+    assert(rows.exists(_.getAs[String]("matched_name") != null),
+      "fixture incoming batch matches at least one base name")
+    out.unpersist()
+  }
+
   test("er_blocking_eval: counts equal driver-side arithmetic over truth and blocked pairs") {
     val row = ErQueries.qErBlockingEval(spark, sf).collect().head
     val vocab = Tables.part(spark, sf).select("p_name").distinct()

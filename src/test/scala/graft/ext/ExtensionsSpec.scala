@@ -572,6 +572,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(frames.columns.toSeq == Seq("id", "frame_idx", "frame_bytes"))
   }
 
+  test("mm_frames: every-nth 64-byte blocks, signatures match a driver slice") {
+    val rows = Multimodal.qFrames(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("frame_idx")) ->
+        (r.getAs[String]("frame_sig"), r.getAs[Long]("n_bytes"))).toMap
+    val payloads = Multimodal.corpus(spark, sf).collect()
+      .map(m => m.id -> m.content).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = payloads.toSeq.flatMap { case (id, bytes) =>
+      bytes.grouped(Multimodal.BatchSize).zipWithIndex
+        .filter(_._2 % Multimodal.FrameEveryNth == 0)
+        .map { case (block, idx) =>
+          md.reset()
+          (id, idx.toLong) ->
+            (md.digest(block).map("%02x".format(_)).mkString, block.length.toLong)
+        }
+    }.toMap
+    assert(rows == expected, s"${rows.size} frames vs ${expected.size} expected")
+    // the sampling really skips: for multi-block docs, odd indices absent
+    assert(rows.keys.forall(_._2 % Multimodal.FrameEveryNth == 0))
+  }
+
   test("langid predicts a language for every doc; quality score in [0,1]") {
     val lang = TextQueries.qLangId(spark, sf)
     assert(lang.filter($"predicted_lang".isNull).isEmpty)
