@@ -57,8 +57,47 @@ object GraphQueries {
       .select(col("u").as("doc_id"), col("r").as("rank_micro"), col("d").as("degree"))
   }
 
+  /** Per-node triangle count + local clustering coefficient over the
+    * near-dup pair graph — the cohesion metric that separates a dense
+    * mirror-cluster (every copy pairs with every other: coefficient near
+    * 1000‰) from a hub-and-spokes template pattern (a boilerplate page
+    * pairing with many unrelated docs that don't pair with each other:
+    * near 0‰) — structure the component collapse and PageRank both miss.
+    *
+    * Algorithm: the ordered wedge join — edges are canonical (a < b), so
+    * wedges (x,y),(x,z) with y < z close into the unique ordered triple
+    * (x,y,z) iff (y,z) is an edge; each triangle is found exactly once,
+    * no post-dedup. Shape: one self-join on the wedge pivot + one
+    * edge-membership join + a node-key aggregate — all on the
+    * pair-graph-sized frame, never the corpus. At 100 TB-graph scale the
+    * refinement is pivoting wedges on the MIN-DEGREE endpoint
+    * (node-iterator++), which bounds wedge fan-out by Σ d·d_min instead
+    * of Σ d²; the id-ordered variant here keeps the oracle exactly
+    * replayable. Coefficient all-integer: ⌊1000·2T / d(d−1)⌋, 0 for
+    * degree < 2. */
+  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = DedupQueries.jaccardPairSnapshot(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val wedges = e.as("e1").join(e.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tris = wedges.join(e, col("y") === col("a") && col("z") === col("b"))
+      .select(col("x"), col("y"), col("z"))
+    val perNode = tris.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("a").as("doc_id"))
+      .unionByName(e.select(col("b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering_milli", expr(
+        "CASE WHEN degree >= 2 THEN (1000 * 2 * n_triangles) DIV (degree * (degree - 1)) ELSE 0 END"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> (qPagerank _))
+    "graph_pagerank"  -> (qPagerank _),
+    "graph_triangles" -> (qTriangles _))
 
   /** One unrolled iteration — the same floored-integer update as the
     * Spark side. DuckDB `sum(BIGINT)` widens to HUGEINT, which would
@@ -86,5 +125,30 @@ object GraphQueries {
          |r0 AS (SELECT u, CAST($Scale AS BIGINT) AS r FROM deg),
          |${(1 to Iters).map(iterSql).mkString(",\n")}
          |SELECT r$Iters.u AS doc_id, r$Iters.r AS rank_micro, deg.d AS degree
-         |FROM r$Iters JOIN deg ON deg.u = r$Iters.u""".stripMargin)
+         |FROM r$Iters JOIN deg ON deg.u = r$Iters.u""".stripMargin,
+    // the same ordered wedge join over the shared canonical (a < b) pair
+    // statement — each triangle closes exactly once as (x, y, z)
+    "graph_triangles" ->
+      s"""WITH pairs AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM (
+         |${DedupQueries.ngramJaccardSql}
+         |  ) jp),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM pairs e1
+         |  JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |per_node AS (
+         |  SELECT n AS doc_id, count(*) AS n_triangles
+         |  FROM (SELECT unnest([x, y, z]) AS n FROM tri) GROUP BY 1),
+         |deg AS (
+         |  SELECT n AS doc_id, count(*) AS degree
+         |  FROM (SELECT a AS n FROM pairs UNION ALL SELECT b FROM pairs) GROUP BY 1)
+         |SELECT d.doc_id, d.degree,
+         |  CAST(coalesce(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+         |  CASE WHEN d.degree >= 2
+         |    THEN (1000 * 2 * CAST(coalesce(p.n_triangles, 0) AS BIGINT))
+         |           // (d.degree * (d.degree - 1))
+         |    ELSE 0 END AS clustering_milli
+         |FROM deg d LEFT JOIN per_node p ON p.doc_id = d.doc_id""".stripMargin)
 }

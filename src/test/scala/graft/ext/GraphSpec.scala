@@ -6,8 +6,9 @@ import graft.SparkSpec
 import graft.ext.dedup.DedupQueries
 import graft.ext.graph.GraphQueries
 
-/** PageRank invariants over the near-dup pair graph. */
+/** PageRank and triangle invariants over the near-dup pair graph. */
 class GraphSpec extends SparkSpec {
+  import spark.implicits._
 
   test("graph_pagerank: mass conservation, node coverage, hub signal") {
     val out = GraphQueries.qPagerank(spark, sf).cache()
@@ -38,5 +39,36 @@ class GraphSpec extends SparkSpec {
       .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("rank_micro")).toMap
     assert(got == r, "distributed ranks must equal the in-memory simulation")
     out.unpersist()
+  }
+
+  test("graph_triangles: counts equal a driver brute force; coefficient arithmetic exact") {
+    val out = GraphQueries.qTriangles(spark, sf).collect()
+    val edges = DedupQueries.qNgramJaccard(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    assert(out.length == nodes.size, "one row per node")
+    // brute force: every unordered triple with all three edges present
+    def adj(u: Long, v: Long) = edges((u min v, u max v))
+    val sorted = nodes.toSeq.sorted
+    val triples = for {
+      i <- sorted.indices; j <- (i + 1) until sorted.length
+      if adj(sorted(i), sorted(j))
+      k <- (j + 1) until sorted.length
+      if adj(sorted(i), sorted(k)) && adj(sorted(j), sorted(k))
+    } yield (sorted(i), sorted(j), sorted(k))
+    val perNode = triples.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, xs) => n -> xs.length.toLong }
+    val degs = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.length.toLong }
+    out.foreach { r =>
+      val n = r.getAs[Long]("doc_id")
+      val t = perNode.getOrElse(n, 0L)
+      val d = degs(n)
+      assert(r.getAs[Long]("n_triangles") == t, s"node $n triangles")
+      assert(r.getAs[Long]("degree") == d, s"node $n degree")
+      assert(r.getAs[Long]("clustering_milli") ==
+        (if (d >= 2) 1000L * 2 * t / (d * (d - 1)) else 0L), s"node $n coefficient")
+    }
+    assert(triples.nonEmpty, "fixture pair graph has at least one triangle")
   }
 }
