@@ -108,10 +108,15 @@ object Bench {
     // defeated that parse (BENCH_r08.json parsed:null). Belt and braces:
     // ALSO write the record to a stable repo-root file the driver (and
     // BASELINE.md bookkeeping) can read directly.
-    try {
-      val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
-      java.nio.file.Files.write(p, (record + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    // …but ONLY at the artifact's defined scale: preflight --full runs
+    // Bench at sf0.01 as a smoke gate, and an unconditional write let that
+    // run clobber the committed sf0.1 record (caught in round 9)
+    if (sfDir.endsWith("sf0.1")) {
+      try {
+        val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
+        java.nio.file.Files.write(p, (record + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+    }
     println(record)
     spark.stop()
   }
