@@ -1211,6 +1211,7 @@ object DedupQueries {
     "dedup_minhash_eval"  -> (qMinhashEval _),
     "dedup_simhash"       -> (qSimhash _),
     "dedup_simhash_pairs" -> (qSimhashPairs _),
+    "dedup_simhash_eval"  -> (qSimhashEval _),
     "dedup_ngram_jaccard" -> (jaccardPairSnapshot _),
     "dedup_ngram_capped"  -> (qNgramJaccardCapped _),
     "dedup_spans"         -> (qSharedSpans _),
@@ -1253,14 +1254,14 @@ object DedupQueries {
     * pipelines. At 100 TB the truth set is a sampled stratum (exact
     * jaccard over the full corpus is what LSH avoids); the comparison
     * frame itself is unchanged. */
-  def qMinhashEval(spark: SparkSession, dir: String): DataFrame = {
-    val cand = qMinhash(spark, dir)
-      .select(col("doc_a"), col("doc_b"), lit(1L).as("is_cand"))
-    val truth = jaccardPairSnapshot(spark, dir)
-      .select(col("doc_a"), col("doc_b"), lit(1L).as("is_true"))
-    // outer coalesce: on a pair-free corpus (clean ingest) the global agg
-    // over an empty join emits one all-NULL row — the oracle's scalar
-    // COUNT(*) form emits zeros, and zeros are the truthful report
+  /** The shared pair-screen comparison: candidate pairs vs exact-truth
+    * pairs → one summary row of counts + integer milli recall/precision.
+    * Outer coalesce: on a pair-free corpus (clean ingest) the global agg
+    * over an empty join emits one all-NULL row — the oracle's scalar
+    * COUNT(*) form emits zeros, and zeros are the truthful report. */
+  private def pairScreenEval(cand0: DataFrame, truth0: DataFrame): DataFrame = {
+    val cand = cand0.select(col("doc_a"), col("doc_b"), lit(1L).as("is_cand"))
+    val truth = truth0.select(col("doc_a"), col("doc_b"), lit(1L).as("is_true"))
     cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
       .agg(
         coalesce(sum(coalesce(col("is_cand"), lit(0L))), lit(0L)).as("n_candidates"),
@@ -1270,6 +1271,29 @@ object DedupQueries {
         expr("1000 * n_hits DIV greatest(n_true_pairs, 1)").as("recall_milli"),
         expr("1000 * n_hits DIV greatest(n_candidates, 1)").as("precision_milli"))
   }
+
+  def qMinhashEval(spark: SparkSession, dir: String): DataFrame =
+    pairScreenEval(qMinhash(spark, dir), jaccardPairSnapshot(spark, dir))
+
+  /** The SimHash screen's report card — completing the calibration family
+    * (minhash/ANN/blocking all have one): Hamming-≤[[HammingMax]] pairs
+    * vs the exact jaccard pair set. Note the asymmetry to minhash_eval:
+    * SimHash detects a DIFFERENT notion of similarity (bit-signature
+    * proximity ≈ weighted token-set cosine, not shingle jaccard), so
+    * sub-1000 recall here measures the metric gap as much as the banding
+    * loss — exactly why a deployment runs the eval before swapping one
+    * screen for the other. Same pair-frame scale shape as minhash_eval. */
+  def qSimhashEval(spark: SparkSession, dir: String): DataFrame =
+    pairScreenEval(qSimhashPairs(spark, dir), jaccardPairSnapshot(spark, dir))
+
+  /** The simhash Hamming-pair statement — shared by the
+    * dedup_simhash_pairs gate and the recall/precision eval built on it. */
+  private[graft] lazy val simhashPairsSql: String =
+    s"""WITH sim AS ($simhashSql)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax""".stripMargin
 
   /** The minhash band-collision statement — shared by the dedup_minhash
     * gate and the recall/precision eval built on it, so the candidate
@@ -1415,12 +1439,25 @@ object DedupQueries {
          |             (SELECT count(*) FROM truth) AS nt,
          |             (SELECT count(*) FROM hits) AS nh)""".stripMargin,
     "dedup_simhash" -> simhashSql,
-    "dedup_simhash_pairs" ->
-      s"""WITH sim AS ($simhashSql)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax""".stripMargin,
+    "dedup_simhash_pairs" -> simhashPairsSql,
+    // the same nested-statement discipline as dedup_minhash_eval: the
+    // candidate and truth definitions are the shared gate statements
+    "dedup_simhash_eval" ->
+      s"""WITH cand AS (SELECT doc_a, doc_b FROM (
+         |$simhashPairsSql
+         |) s),
+         |truth AS (SELECT doc_a, doc_b FROM (
+         |$ngramJaccardSql
+         |) j),
+         |hits AS (SELECT doc_a, doc_b FROM cand INTERSECT SELECT doc_a, doc_b FROM truth)
+         |SELECT CAST(nc AS BIGINT) AS n_candidates,
+         |  CAST(nt AS BIGINT) AS n_true_pairs,
+         |  CAST(nh AS BIGINT) AS n_hits,
+         |  (1000 * CAST(nh AS BIGINT)) // greatest(CAST(nt AS BIGINT), 1) AS recall_milli,
+         |  (1000 * CAST(nh AS BIGINT)) // greatest(CAST(nc AS BIGINT), 1) AS precision_milli
+         |FROM (SELECT (SELECT count(*) FROM cand) AS nc,
+         |             (SELECT count(*) FROM truth) AS nt,
+         |             (SELECT count(*) FROM hits) AS nh)""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
     // componentsStars converges to the same per-component-min fixpoint as

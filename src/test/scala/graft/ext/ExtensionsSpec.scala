@@ -78,6 +78,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getAs[Long]("recall_milli") == 1000L, "band setting lost a true pair")
   }
 
+  test("dedup_simhash_eval: counts equal driver-side set arithmetic; screens agree with overlap spec") {
+    val row = DedupQueries.qSimhashEval(spark, sf).collect().head
+    val cand = DedupQueries.qSimhashPairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val truth = DedupQueries.qNgramJaccard(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val hits = (cand & truth).size.toLong
+    assert(row.getAs[Long]("n_candidates") == cand.size.toLong)
+    assert(row.getAs[Long]("n_true_pairs") == truth.size.toLong)
+    assert(row.getAs[Long]("n_hits") == hits)
+    assert(row.getAs[Long]("recall_milli") == 1000L * hits / math.max(truth.size, 1))
+    assert(row.getAs[Long]("precision_milli") == 1000L * hits / math.max(cand.size, 1))
+    // the two similarity notions overlap strongly on real near-dups even
+    // though neither subsumes the other (see the overlap spec below)
+    assert(row.getAs[Long]("recall_milli") >= 500L, "simhash lost most jaccard near-dups")
+  }
+
   test("simhash pairs (hamming ≤ 3) overlap heavily with jaccard near-dups") {
     val sim = DedupQueries.qSimhashPairs(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
