@@ -1,6 +1,6 @@
 package graft.ext.er
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,10 +23,9 @@ import graft.sources.Tables
  *     vocabulary-sized frame, never the fact table. At 100 TB the fact
  *     side may be billions of rows; distinct entity names are millions —
  *     the aggregate is the only full-data pass.
- *  2. BLOCKED SELF-JOIN: candidate pairs come from an equi-join on a
- *     cheap blocking key (here: first character; production uses several
- *     redundant keys — prefix, phonetic code, length band — unioned so a
- *     true match must only survive in ONE block). The expensive edit
+ *  2. COMPOUND-BLOCKED SELF-JOIN: candidate pairs come from an equi-join
+ *     on a UNION of redundant compound blocking keys (see [[keyed]]) — a
+ *     true match must survive in only ONE block. The expensive edit
  *     distance evaluates exclusively on blocked candidates, inside one
  *     whole-stage-codegen'd filter over the join — never all-pairs. The
  *     vocabulary-sized build side broadcasts; with an entity vocabulary
@@ -47,6 +46,15 @@ object ErQueries {
     * name; the threshold is a constant of the gate, not tuned per run. */
   val ErMaxDist = 3
 
+  /** Characters of prefix/suffix in the compound blocking key. */
+  val ErKeyChars = 2
+
+  /** Width of the length band folded into each compound key. With
+    * `ErMaxDist = 3` a true pair's lengths differ by at most 3, so a
+    * band of width 4 plus the dual-band emission below guarantees every
+    * true pair shares at least one band value. */
+  val ErBandWidth = 4
+
   /** The entity vocabulary: one row per distinct surface form with its
     * occurrence count and a stable representative key (min part key —
     * deterministic, so every engine elects the same representative). */
@@ -55,26 +63,75 @@ object ErQueries {
       .groupBy(col("p_name"))
       .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("rep_key"))
 
-  /** The vocabulary with its blocking key, contracted from the fact table
-    * ONCE and checkpointed — the fact aggregate is the dominant cost at
-    * scale, so every layer of one query invocation shares this frame
-    * rather than re-deriving it (fuzzy → canonical → resolve would
-    * otherwise each run their own full-data pass). */
+  /** The vocabulary, contracted from the fact table ONCE and
+    * checkpointed — the fact aggregate is the dominant cost at scale, so
+    * every layer of one query invocation shares this frame rather than
+    * re-deriving it (fuzzy → canonical → resolve would otherwise each run
+    * their own full-data pass). */
   private def namesCk(spark: SparkSession, dir: String): DataFrame =
-    nameStats(spark, dir)
-      .withColumn("blk", substring(col("p_name"), 1, 1))
-      .localCheckpoint()
+    nameStats(spark, dir).localCheckpoint()
+
+  /** The compound blocking keys of one name — the UNION of two redundant
+    * key families, each compounded with a length band:
+    *
+    *   p|&lt;first 2 chars&gt;|&lt;band&gt;   (survives edits in the tail)
+    *   s|&lt;last 2 chars&gt;|&lt;band&gt;    (survives edits in the head)
+    *
+    * Each family emits TWO band values, ⌊len/4⌋ and ⌊(len+3)/4⌋, so any
+    * pair within the distance cut (length gap ≤ 3) shares at least one
+    * band value — band boundaries never cost recall. A candidate pair
+    * sharing a band but violating the length gap is killed by the
+    * levenshtein filter (lev ≥ Δlen), so the match set is EXACTLY
+    * "(shared 2-prefix OR shared 2-suffix) AND lev ≤ 3" — the clean
+    * predicate the oracles state, with no band term.
+    *
+    * Why compound, not the single first-char key this kernel launched
+    * with: one character yields ≤ |alphabet| blocks, so candidate mass
+    * Σ|block|² stays quadratic in the vocabulary (vocab²/26) — ~10¹⁰
+    * levenshtein calls at a million-name vocabulary — AND any match
+    * editing the first character is unrecallable (166‰ measured recall on
+    * this corpus). The compound family's block count GROWS with the
+    * vocabulary (prefix × suffix × length diversity), bounding block
+    * sizes, while the two redundant families lift recall to 1000‰ here
+    * (a first-word edit is caught by the suffix key and vice versa);
+    * [[qErBlockingEval]] reports both sides of that trade, and the
+    * vocabulary-growth probe in SCALING.md measures the candidate-mass
+    * reduction at grown vocabularies. Production systems add further
+    * redundant families (phonetic codes, token keys) the same way: one
+    * more array element here, one more disjunct in the oracle.
+    *
+    * Assumes names of ≥ 2 characters (the corpus minimum is 7); shorter
+    * names would need the oracle's `greatest(length-1, 1)` guard mirrored
+    * here. */
+  private def keyed(names: DataFrame, nameCol: String = "p_name"): DataFrame = {
+    val n = col(nameCol)
+    def key(fam: String, part: Column, band: Column): Column =
+      concat_ws("|", lit(fam), part, band)
+    val b1 = expr(s"length($nameCol) DIV $ErBandWidth")
+    val b2 = expr(s"(length($nameCol) + ${ErMaxDist}) DIV $ErBandWidth")
+    val pfx = substring(n, 1, ErKeyChars)
+    val sfx = substring(n, -ErKeyChars, ErKeyChars)
+    names.withColumn("bk", explode(array_distinct(array(
+      key("p", pfx, b1), key("p", pfx, b2),
+      key("s", sfx, b1), key("s", sfx, b2)))))
+  }
 
   /** Fuzzy-match candidate pairs from an already-materialized vocabulary:
-    * blocked levenshtein self-join. Output is one row per matched
-    * (name_a < name_b) pair with the edit distance and both occurrence
-    * counts — the edge list of the match graph. */
+    * compound-blocked levenshtein self-join. Output is one row per
+    * matched (name_a < name_b) pair with the edit distance and both
+    * occurrence counts — the edge list of the match graph. A pair sharing
+    * several blocks (both families, or both band variants) is generated
+    * per block and deduped AFTER the distance filter: the distinct then
+    * shuffles only the match-graph-sized survivors, at the cost of a few
+    * redundant levenshtein evaluations on short strings — far cheaper
+    * than a pre-filter distinct over the full candidate mass. */
   private def fuzzyFrom(names: DataFrame): DataFrame = {
-    val lhs = names.select(col("blk"), col("p_name").as("name_a"),
+    val k = keyed(names)
+    val lhs = k.select(col("bk"), col("p_name").as("name_a"),
       col("n_parts").as("n_parts_a"))
-    val rhs = names.select(col("blk"), col("p_name").as("name_b"),
+    val rhs = k.select(col("bk"), col("p_name").as("name_b"),
       col("n_parts").as("n_parts_b"))
-    lhs.join(broadcast(rhs), Seq("blk"))
+    lhs.join(broadcast(rhs), Seq("bk"))
       .filter(col("name_a") < col("name_b"))
       // levenshtein runs on blocked candidates only, pipelined inside the
       // join's output — cast to long so the schema matches DuckDB's BIGINT
@@ -82,6 +139,7 @@ object ErQueries {
       .filter(col("dist") <= ErMaxDist)
       .select(col("name_a"), col("name_b"), col("dist"),
         col("n_parts_a"), col("n_parts_b"))
+      .distinct()
   }
 
   def qErFuzzy(spark: SparkSession, dir: String): DataFrame =
@@ -131,21 +189,36 @@ object ErQueries {
         max(col("p_size")).as("max_size"))
   }
 
-  /** In-engine calibration of the blocking key: the blocked match pairs
-    * ([[qErFuzzy]], verbatim) against ALL-PAIRS levenshtein ground truth
-    * over the vocabulary — recall (true matches whose pair survived in
-    * the block) and precision as integer milli-ratios, one summary row.
-    * A true match that differs in its FIRST character never shares a
-    * first-char block, so blocking recall < 1000‰ is exactly the number
-    * this report exists to surface before a deployment trusts the key
-    * (production unions several redundant keys until recall holds).
+  /** In-engine calibration of the blocking kernel — BOTH sides of the
+    * blocking trade on one summary row:
+    *
+    *  - QUALITY: the blocked match pairs ([[qErFuzzy]], verbatim) against
+    *    ALL-PAIRS levenshtein ground truth over the vocabulary — recall
+    *    (true matches whose pair survived in some block) and precision as
+    *    integer milli-ratios. Blocked matches all pass the distance cut,
+    *    so precision is 1000‰ by construction; recall is the number a
+    *    deployment must watch.
+    *  - COST: distinct candidate-pair mass (pairs co-blocked BEFORE the
+    *    distance filter — the levenshtein evaluations actually paid),
+    *    broken out per key family (`n_cand_prefix` / `n_cand_suffix`)
+    *    next to two comparators: `n_cand_firstchar`, what the retired
+    *    single first-char key would compare (Σ block·(block−1)/2 over
+    *    first-char blocks), and `n_all_pairs`, what unblocked truth
+    *    costs. Recall per candidate is the figure of merit: on this
+    *    corpus the compound key buys 6× the recall (166‰ → 1000‰) for 2×
+    *    the candidates; block-count growth makes the mass ratio flip
+    *    hard at realistic vocabularies (SCALING.md measures the curve).
     *
     * Scale shape: truth is a vocabulary² comparison — affordable only
     * because the vocabulary is the contracted frame (names ≪ facts); at
     * a vocabulary too large for that, the truth side runs over a sampled
     * stratum, same reasoning as dedup_minhash_eval. The comparison
     * itself is one pair-keyed full-outer join + a global aggregate over
-    * two match-graph-sized frames. */
+    * two match-graph-sized frames; the candidate mass re-runs only the
+    * block join (no levenshtein) and aggregates in place; the two
+    * comparator columns are one vocabulary-sized aggregate each. The
+    * four 1-row frames meet in crossJoins — broadcast scalars, not data
+    * joins. */
   def qErBlockingEval(spark: SparkSession, dir: String): DataFrame = {
     val names = namesCk(spark, dir)
     val truth = names.select(col("p_name").as("name_a"))
@@ -158,14 +231,33 @@ object ErQueries {
     // outer coalesce: a vocabulary with no fuzzy matches leaves both pair
     // frames empty, and the global agg's all-NULL row must read as zeros
     // (the oracle's scalar COUNT(*) form does)
-    truth.join(blocked, Seq("name_a", "name_b"), "full_outer")
+    val quality = truth.join(blocked, Seq("name_a", "name_b"), "full_outer")
       .agg(
         coalesce(sum(coalesce(col("is_true"), lit(0L))), lit(0L)).as("n_true_pairs"),
         coalesce(sum(coalesce(col("is_blocked"), lit(0L))), lit(0L)).as("n_blocked_pairs"),
         coalesce(sum(coalesce(col("is_true"), lit(0L)) * coalesce(col("is_blocked"), lit(0L))), lit(0L)).as("n_hits"))
+    val k = keyed(names)
+    val cand = k.select(col("bk"), col("p_name").as("name_a"))
+      .join(broadcast(k.select(col("bk"), col("p_name").as("name_b"))), Seq("bk"))
+      .filter(col("name_a") < col("name_b"))
+      .select(substring(col("bk"), 1, 1).as("fam"), col("name_a"), col("name_b"))
+    val mass = cand.agg(
+      countDistinct(col("name_a"), col("name_b")).as("n_cand_pairs"),
+      countDistinct(when(col("fam") === "p",
+        struct(col("name_a"), col("name_b")))).as("n_cand_prefix"),
+      countDistinct(when(col("fam") === "s",
+        struct(col("name_a"), col("name_b")))).as("n_cand_suffix"))
+    val firstChar = names
+      .groupBy(substring(col("p_name"), 1, 1).as("c"))
+      .agg(count(lit(1)).as("m"))
+      .agg(coalesce(sum(expr("m * (m - 1) DIV 2")), lit(0L)).as("n_cand_firstchar"))
+    val allPairs = names.agg(expr("count(*) * (count(*) - 1) DIV 2").as("n_all_pairs"))
+    quality.crossJoin(mass).crossJoin(firstChar).crossJoin(allPairs)
       .select(col("n_true_pairs"), col("n_blocked_pairs"), col("n_hits"),
         expr("1000 * n_hits DIV greatest(n_true_pairs, 1)").as("recall_milli"),
-        expr("1000 * n_hits DIV greatest(n_blocked_pairs, 1)").as("precision_milli"))
+        expr("1000 * n_hits DIV greatest(n_blocked_pairs, 1)").as("precision_milli"),
+        col("n_cand_pairs"), col("n_cand_prefix"), col("n_cand_suffix"),
+        col("n_cand_firstchar"), col("n_all_pairs"))
   }
 
   /** Percent of the vocabulary playing the established base; the rest
@@ -199,10 +291,14 @@ object ErQueries {
     val canon = canonicalFrom(base)
       .select(col("p_name").as("base_name"), col("canonical_name"))
     val w = Window.partitionBy("p_name").orderBy(col("dist"), col("base_name"))
-    val best = inc.select(col("blk"), col("p_name"))
-      .join(broadcast(base.select(col("blk"), col("p_name").as("base_name"))), Seq("blk"))
+    // distinct BEFORE the window: a pair co-blocked in both key families
+    // must score once, not twice, in the rank
+    val best = keyed(inc).select(col("bk"), col("p_name"))
+      .join(broadcast(keyed(base).select(col("bk"), col("p_name").as("base_name"))), Seq("bk"))
       .withColumn("dist", levenshtein(col("p_name"), col("base_name")).cast("long"))
       .filter(col("dist") <= ErMaxDist)
+      .select(col("p_name"), col("base_name"), col("dist"))
+      .distinct()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("p_name"), col("base_name"), col("dist"))
@@ -222,6 +318,16 @@ object ErQueries {
 
   // ------------------------------------------------------------- oracles
 
+  /** The compound blocking predicate between two name columns — the clean
+    * logical form of [[keyed]]'s key union (the band term is provably
+    * redundant under the distance cut, see [[keyed]]). The `greatest`
+    * guard covers 1-char names (the Spark side documents the same ≥2-char
+    * assumption). */
+  private def blockSql(a: String, b: String): String =
+    s"""(substr($a, 1, $ErKeyChars) = substr($b, 1, $ErKeyChars)
+       |     OR substr($a, greatest(length($a) - ${ErKeyChars - 1}, 1), $ErKeyChars)
+       |      = substr($b, greatest(length($b) - ${ErKeyChars - 1}, 1), $ErKeyChars))""".stripMargin
+
   /** Shared vocabulary + blocked-pair CTEs — one truth for both gates. */
   private val fuzzyCtes: String =
     s"""names AS (
@@ -232,8 +338,8 @@ object ErQueries {
        |    levenshtein(a.p_name, b.p_name) AS dist,
        |    a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
        |  FROM names a JOIN names b
-       |    ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
-       |   AND a.p_name < b.p_name
+       |    ON a.p_name < b.p_name
+       |   AND ${blockSql("a.p_name", "b.p_name")}
        |  WHERE levenshtein(a.p_name, b.p_name) <= $ErMaxDist)""".stripMargin
 
   /** Recursive min-label closure + canonical map over the fuzzy-pair
@@ -253,6 +359,18 @@ object ErQueries {
        |  SELECT n.p_name, coalesce(c.canon, n.p_name) AS canonical_name,
        |    n.n_parts, n.rep_key
        |  FROM names n LEFT JOIN comp c ON n.p_name = c.p_name)""".stripMargin
+
+  /** The band-overlap predicate the candidate COUNT must model exactly
+    * (unlike the match set, the pre-distance candidate mass depends on
+    * the physical band keys): two names share a band value iff one of the
+    * four ⌊len/W⌋ / ⌊(len+k)/W⌋ combinations coincides. */
+  private def bandSql(a: String, b: String): String = {
+    val (w, k) = (ErBandWidth, ErMaxDist)
+    s"""(length($a) // $w = length($b) // $w
+       |     OR length($a) // $w = (length($b) + $k) // $w
+       |     OR (length($a) + $k) // $w = length($b) // $w
+       |     OR (length($a) + $k) // $w = (length($b) + $k) // $w)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "er_fuzzy" ->
@@ -274,7 +392,10 @@ object ErQueries {
          |GROUP BY 1""".stripMargin,
     // blocked = the shared fpairs statement verbatim; truth = the same
     // distance rule with the block predicate REMOVED — the eval nests the
-    // gate it calibrates so the two cannot drift
+    // gate it calibrates so the two cannot drift. The cand CTE mirrors
+    // the PHYSICAL key family (block predicate AND band overlap, per
+    // family) because candidate mass — unlike the match set — is a
+    // property of the physical keys, not their logical closure.
     "er_blocking_eval" ->
       s"""WITH $fuzzyCtes,
          |truth AS (
@@ -283,15 +404,37 @@ object ErQueries {
          |  WHERE levenshtein(a.p_name, b.p_name) <= $ErMaxDist),
          |blocked AS (SELECT name_a, name_b FROM fpairs),
          |hits AS (SELECT name_a, name_b FROM blocked
-         |         INTERSECT SELECT name_a, name_b FROM truth)
+         |         INTERSECT SELECT name_a, name_b FROM truth),
+         |cand AS (
+         |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+         |    substr(a.p_name, 1, $ErKeyChars) = substr(b.p_name, 1, $ErKeyChars) AS is_pfx,
+         |    substr(a.p_name, greatest(length(a.p_name) - ${ErKeyChars - 1}, 1), $ErKeyChars)
+         |      = substr(b.p_name, greatest(length(b.p_name) - ${ErKeyChars - 1}, 1), $ErKeyChars) AS is_sfx
+         |  FROM names a JOIN names b
+         |    ON a.p_name < b.p_name
+         |   AND ${blockSql("a.p_name", "b.p_name")}
+         |   AND ${bandSql("a.p_name", "b.p_name")}),
+         |fc AS (
+         |  SELECT CAST(coalesce(sum(m * (m - 1) // 2), 0) AS BIGINT) AS n_cand_firstchar
+         |  FROM (SELECT count(*) AS m FROM names GROUP BY substr(p_name, 1, 1))),
+         |ap AS (
+         |  SELECT CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_all_pairs FROM names)
          |SELECT CAST(nt AS BIGINT) AS n_true_pairs,
          |  CAST(nb AS BIGINT) AS n_blocked_pairs,
          |  CAST(nh AS BIGINT) AS n_hits,
          |  (1000 * CAST(nh AS BIGINT)) // greatest(CAST(nt AS BIGINT), 1) AS recall_milli,
-         |  (1000 * CAST(nh AS BIGINT)) // greatest(CAST(nb AS BIGINT), 1) AS precision_milli
+         |  (1000 * CAST(nh AS BIGINT)) // greatest(CAST(nb AS BIGINT), 1) AS precision_milli,
+         |  CAST(nc AS BIGINT) AS n_cand_pairs,
+         |  CAST(ncp AS BIGINT) AS n_cand_prefix,
+         |  CAST(ncs AS BIGINT) AS n_cand_suffix,
+         |  fc.n_cand_firstchar, ap.n_all_pairs
          |FROM (SELECT (SELECT count(*) FROM truth) AS nt,
          |             (SELECT count(*) FROM blocked) AS nb,
-         |             (SELECT count(*) FROM hits) AS nh)""".stripMargin,
+         |             (SELECT count(*) FROM hits) AS nh,
+         |             (SELECT count(*) FROM cand) AS nc,
+         |             (SELECT count(*) FROM cand WHERE is_pfx) AS ncp,
+         |             (SELECT count(*) FROM cand WHERE is_sfx) AS ncs),
+         |     fc, ap""".stripMargin,
     // base/incoming split by the shared md5 hash; closure over BASE pairs
     // only (the persisted-artifact build); the screen is the same blocked
     // join + distance rule as fpairs, asymmetric batch × base
@@ -305,8 +448,8 @@ object ErQueries {
          |bpairs AS (
          |  SELECT a.p_name AS name_a, b.p_name AS name_b
          |  FROM base a JOIN base b
-         |    ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
-         |   AND a.p_name < b.p_name
+         |    ON a.p_name < b.p_name
+         |   AND ${blockSql("a.p_name", "b.p_name")}
          |  WHERE levenshtein(a.p_name, b.p_name) <= $ErMaxDist),
          |edges AS (SELECT name_a AS u, name_b AS v FROM bpairs
          |          UNION SELECT name_b, name_a FROM bpairs),
@@ -321,7 +464,7 @@ object ErQueries {
          |  SELECT i.p_name, b.p_name AS base_name,
          |    levenshtein(i.p_name, b.p_name) AS dist
          |  FROM inc i JOIN base b
-         |    ON substr(i.p_name, 1, 1) = substr(b.p_name, 1, 1)
+         |    ON ${blockSql("i.p_name", "b.p_name")}
          |  WHERE levenshtein(i.p_name, b.p_name) <= $ErMaxDist),
          |best AS (
          |  SELECT p_name, base_name, CAST(dist AS BIGINT) AS dist,

@@ -25,6 +25,36 @@ class ErSpec extends SparkSpec {
     d(a.length)(b.length)
   }
 
+  /** Driver-side reference of the compound blocking predicate's LOGICAL
+    * form (the band term is redundant under the distance cut). */
+  private def coBlocked(a: String, b: String): Boolean =
+    a.take(ErQueries.ErKeyChars) == b.take(ErQueries.ErKeyChars) ||
+      a.takeRight(ErQueries.ErKeyChars) == b.takeRight(ErQueries.ErKeyChars)
+
+  /** Driver-side reference of the PHYSICAL compound keys (including the
+    * dual length-band emission) — what the candidate mass depends on. */
+  private def physKeys(n: String): Set[String] = {
+    val (w, k, c) = (ErQueries.ErBandWidth, ErQueries.ErMaxDist, ErQueries.ErKeyChars)
+    val bands = Set(n.length / w, (n.length + k) / w)
+    bands.flatMap(b => Set(s"p|${n.take(c)}|$b", s"s|${n.takeRight(c)}|$b"))
+  }
+
+  private def vocab: Array[String] = Tables.part(spark, sf).select("p_name").distinct()
+    .collect().map(_.getString(0)).sorted
+
+  /** Driver-side union-find: canonical map = component lexicographic min
+    * over the reference match graph. */
+  private def refCanonical(names: Array[String]): Map[String, String] = {
+    val parent = scala.collection.mutable.Map(names.map(n => n -> n): _*)
+    def find(x: String): String =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- names; b <- names if a < b && coBlocked(a, b) && lev(a, b) <= ErQueries.ErMaxDist) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val lo = if (ra < rb) ra else rb; parent(ra) = lo; parent(rb) = lo }
+    }
+    names.map(n => n -> find(n)).toMap
+  }
+
   test("er_fuzzy: blocked pairs, engine distances equal reference DP, equi-join plan") {
     val out = ErQueries.qErFuzzy(spark, sf)
     val plan = out.queryExecution.executedPlan.toString
@@ -38,28 +68,33 @@ class ErSpec extends SparkSpec {
     rows.foreach { r =>
       val (a, b) = (r.getAs[String]("name_a"), r.getAs[String]("name_b"))
       assert(a < b, s"canonical ordering violated: $a / $b")
-      assert(a(0) == b(0), s"pair escaped its block: $a / $b")
+      assert(coBlocked(a, b), s"pair escaped its blocks: $a / $b")
       assert(r.getAs[Long]("dist") == lev(a, b).toLong,
         s"engine distance != reference DP for ($a, $b)")
       assert(r.getAs[Long]("dist") <= ErQueries.ErMaxDist)
     }
     // completeness within blocks: every distinct-name pair under the
     // distance cut (reference DP, driver-side over the small vocabulary)
-    // must be reported
-    val vocab = Tables.part(spark, sf).select("p_name").distinct()
-      .collect().map(_.getString(0)).sorted
+    // must be reported, each exactly once (the multi-key union dedupes)
+    val v = vocab
     val expected = (for {
-      a <- vocab; b <- vocab
-      if a < b && a(0) == b(0) && lev(a, b) <= ErQueries.ErMaxDist
+      a <- v; b <- v
+      if a < b && coBlocked(a, b) && lev(a, b) <= ErQueries.ErMaxDist
     } yield (a, b)).toSet
     val got = rows.map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(rows.length == got.size, "a multi-block pair was emitted more than once")
+    // the compound key's reason to exist: at least one reported match
+    // differs in its first character (unrecallable under the retired
+    // first-char key)
+    assert(rows.exists(r => r.getString(0)(0) != r.getString(1)(0)),
+      "fixture should exercise cross-first-char recall")
   }
 
-  test("er_canonical: transitive closure, idempotent canonical map, total over vocabulary") {
+  test("er_canonical: matches driver-side union-find closure, idempotent, total") {
     val out = ErQueries.qErCanonical(spark, sf).cache()
-    val nNames = Tables.part(spark, sf).select("p_name").distinct().count()
-    assert(out.count() == nNames, "one row per distinct surface form")
+    val v = vocab
+    assert(out.count() == v.length, "one row per distinct surface form")
 
     val m = out.collect().map(r =>
       r.getAs[String]("p_name") -> r.getAs[String]("canonical_name")).toMap
@@ -67,16 +102,15 @@ class ErSpec extends SparkSpec {
     m.foreach { case (n, c) => assert(c <= n, s"$n -> $c") }
     // idempotent: the canonical of a canonical is itself
     m.values.foreach(c => assert(m(c) == c, s"non-fixpoint canonical $c"))
-    // transitivity through a hub: 'x bolt'~'x rod' and 'x ring'~'x rod'
-    // match (dist 3) while bolt~ring does not (dist 4) — closure must
-    // still merge all three onto the component min
-    val hubbed = m.filter { case (n, _) => n.endsWith(" rod") }
-    assert(hubbed.nonEmpty, "fixture has a rod hub")
-    hubbed.foreach { case (n, c) =>
-      val stem = n.stripSuffix(" rod")
-      assert(c == s"$stem bolt", s"$n should canonicalize through the hub to '$stem bolt', got $c")
-      assert(m.get(s"$stem ring").contains(c), s"'$stem ring' must share $n's canonical")
-    }
+    // exact agreement with an independent driver-side union-find over the
+    // reference match graph — transitive closure included (a↔b, b↔c merge
+    // even when lev(a, c) > the cut)
+    val ref = refCanonical(v)
+    assert(m == ref,
+      s"diff=${m.toSet.diff(ref.toSet).take(5)} / ${ref.toSet.diff(m.toSet).take(5)}")
+    // the closure genuinely merges: some component spans > 2 members
+    val sizes = ref.values.groupBy(identity).map(_._2.size)
+    assert(sizes.exists(_ > 2), "fixture should force a transitive merge")
     out.unpersist()
   }
 
@@ -118,7 +152,7 @@ class ErSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("p_name")).toSet == inc, "one row per incoming name")
     rows.foreach { r =>
       val n = r.getAs[String]("p_name")
-      val cands = base.filter(b => b(0) == n(0) && lev(n, b) <= ErQueries.ErMaxDist)
+      val cands = base.filter(b => coBlocked(n, b) && lev(n, b) <= ErQueries.ErMaxDist)
       Option(r.getAs[String]("matched_name")) match {
         case Some(m) =>
           assert(cands.nonEmpty && r.getAs[Long]("dist") == lev(n, m).toLong)
@@ -135,15 +169,14 @@ class ErSpec extends SparkSpec {
     out.unpersist()
   }
 
-  test("er_blocking_eval: counts equal driver-side arithmetic over truth and blocked pairs") {
+  test("er_blocking_eval: counts equal driver-side arithmetic over truth, blocked and candidate pairs") {
     val row = ErQueries.qErBlockingEval(spark, sf).collect().head
-    val vocab = Tables.part(spark, sf).select("p_name").distinct()
-      .collect().map(_.getString(0)).sorted
+    val v = vocab
     val truth = (for {
-      a <- vocab; b <- vocab
+      a <- v; b <- v
       if a < b && lev(a, b) <= ErQueries.ErMaxDist
     } yield (a, b)).toSet
-    val blocked = truth.filter { case (a, b) => a(0) == b(0) }
+    val blocked = truth.filter { case (a, b) => coBlocked(a, b) }
     assert(row.getAs[Long]("n_true_pairs") == truth.size.toLong)
     assert(row.getAs[Long]("n_blocked_pairs") == blocked.size.toLong)
     // blocked ⊆ truth by construction, so hits = blocked and precision is
@@ -152,6 +185,26 @@ class ErSpec extends SparkSpec {
     assert(row.getAs[Long]("precision_milli") == 1000L)
     assert(row.getAs[Long]("recall_milli") ==
       1000L * blocked.size / math.max(truth.size, 1))
+    // candidate mass = distinct pairs sharing a PHYSICAL key (band
+    // emission included), totalled and per key family
+    val keyedV = v.map(n => n -> physKeys(n)).toMap
+    def mass(fam: String): Set[(String, String)] = (for {
+      a <- v; b <- v
+      if a < b && keyedV(a).exists(k => k.startsWith(fam) && keyedV(b).contains(k))
+    } yield (a, b)).toSet
+    val (candP, candS) = (mass("p|"), mass("s|"))
+    assert(row.getAs[Long]("n_cand_pairs") == (candP ++ candS).size.toLong)
+    assert(row.getAs[Long]("n_cand_prefix") == candP.size.toLong)
+    assert(row.getAs[Long]("n_cand_suffix") == candS.size.toLong)
+    // comparators: the retired first-char key's mass and the unblocked
+    // quadratic — the cost axis of the recall/cost trade
+    val firstCharMass = v.groupBy(_.head).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(row.getAs[Long]("n_cand_firstchar") == firstCharMass)
+    assert(row.getAs[Long]("n_all_pairs") == v.length.toLong * (v.length - 1) / 2)
+    // the kernel's contract on this corpus: full recall (the retired key
+    // measured 166‰), bought with candidate mass far under all-pairs
+    assert(row.getAs[Long]("recall_milli") == 1000L)
+    assert(row.getAs[Long]("n_cand_pairs") < row.getAs[Long]("n_all_pairs") / 2)
   }
 
   test("mix_dupweight: total over corpus, cluster-consistent, mass of a cluster ~ one doc") {
