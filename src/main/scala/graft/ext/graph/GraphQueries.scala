@@ -64,31 +64,73 @@ object GraphQueries {
     * pairing with many unrelated docs that don't pair with each other:
     * near 0‰) — structure the component collapse and PageRank both miss.
     *
-    * Algorithm: the ordered wedge join — edges are canonical (a < b), so
-    * wedges (x,y),(x,z) with y < z close into the unique ordered triple
-    * (x,y,z) iff (y,z) is an edge; each triangle is found exactly once,
-    * no post-dedup. Shape: one self-join on the wedge pivot + one
-    * edge-membership join + a node-key aggregate — all on the
-    * pair-graph-sized frame, never the corpus. At 100 TB-graph scale the
-    * refinement is pivoting wedges on the MIN-DEGREE endpoint
-    * (node-iterator++), which bounds wedge fan-out by Σ d·d_min instead
-    * of Σ d²; the id-ordered variant here keeps the oracle exactly
-    * replayable. Coefficient all-integer: ⌊1000·2T / d(d−1)⌋, 0 for
-    * degree < 2. */
-  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = DedupQueries.jaccardPairSnapshot(spark, dir)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val wedges = e.as("e1").join(e.as("e2"),
-        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-    val tris = wedges.join(e, col("y") === col("a") && col("z") === col("b"))
+    * Algorithm: degree-oriented wedge join (node-iterator++ / the
+    * "forward" algorithm). Every undirected edge orients from its
+    * lower-RANK endpoint to its higher-rank endpoint, rank = (degree,
+    * id) lexicographic — a total order, so orientation is well-defined
+    * and acyclic. Wedges pivot at a node's oriented OUT-edges, ordered
+    * by rank of the far endpoint, and close into the unique triple
+    * (x, y, z), rank x < y < z, iff the oriented edge y→z exists: each
+    * triangle is counted exactly once, at its minimum-RANK corner, no
+    * post-dedup. Pivoting at the min-DEGREE corner is what bounds wedge
+    * fan-out by Σ outdeg² = O(m^1.5) (out-degree ≤ O(√m) under rank
+    * orientation) instead of the min-ID pivot's Σ d² — a single
+    * boilerplate hub of degree d no longer fans out d²/2 wedge rows
+    * (GraphSpec pins a degree-1000 hub fixture at 2 wedges where the
+    * id-pivot emits 499 500). Shape: two node-key joins to attach
+    * degrees, one self-join on the wedge pivot + one edge-membership
+    * join + a node-key aggregate — all equi-joins on the
+    * pair-graph-sized frame, never the corpus. Coefficient all-integer:
+    * ⌊1000·2T / d(d−1)⌋, 0 for degree < 2. */
+  def qTriangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesFrom(DedupQueries.jaccardPairSnapshot(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b")))
+
+  /** The rank-oriented edge list of an undirected (a < b) edge frame:
+    * (s, t, dt) with rank(s) < rank(t), dt = degree(t) carried so the
+    * wedge join can order far endpoints without a third degree join.
+    * Checkpointed by default: three consumers (both wedge arms + the
+    * closing membership join) would otherwise each re-run the degree
+    * joins. `materialize = false` exists solely for the plan dossier
+    * (tools.Explain), which wants the un-truncated pipeline. */
+  private[graft] def orientEdges(e: DataFrame, materialize: Boolean = true): DataFrame = {
+    val deg = degreesOf(e)
+    val aLow = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = e
+      .join(deg.select(col("doc_id").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("doc_id").as("b"), col("degree").as("db")), "b")
+      .select(
+        when(aLow, col("a")).otherwise(col("b")).as("s"),
+        when(aLow, col("b")).otherwise(col("a")).as("t"),
+        when(aLow, col("db")).otherwise(col("da")).as("dt"))
+    if (materialize) oriented.localCheckpoint() else oriented
+  }
+
+  private def degreesOf(e: DataFrame): DataFrame =
+    e.select(col("a").as("doc_id"))
+      .unionByName(e.select(col("b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+
+  /** Wedge frame of the oriented graph — exposed to GraphSpec so the
+    * skewed-hub fixture can pin the fan-out bound, not just the output. */
+  private[graft] def orientedWedges(oriented: DataFrame): DataFrame =
+    oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") &&
+          (col("e1.dt") < col("e2.dt") ||
+            (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
+      .select(col("e1.s").as("x"), col("e1.t").as("y"), col("e2.t").as("z"))
+
+  private[graft] def trianglesFrom(e: DataFrame, materialize: Boolean = true): DataFrame = {
+    val oriented = orientEdges(e, materialize)
+    // the wedge orders (y, z) by rank, so the undirected edge {y, z} — if
+    // present — is oriented y→z: membership is a plain equi-join
+    val tris = orientedWedges(oriented)
+      .join(oriented.select(col("s").as("y"), col("t").as("z")), Seq("y", "z"))
       .select(col("x"), col("y"), col("z"))
     val perNode = tris.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
-    val deg = e.select(col("a").as("doc_id"))
-      .unionByName(e.select(col("b").as("doc_id")))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
-    deg.join(perNode, Seq("doc_id"), "left")
+    degreesOf(e).join(perNode, Seq("doc_id"), "left")
       .select(col("doc_id"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       .withColumn("clustering_milli", expr(

@@ -94,10 +94,19 @@ object Explain {
       "its own frequency. Two map-side-combinable aggregates (shingle " +
       "key, then doc key) plus one left join of two per-doc frames."),
     "er_fuzzy" -> ("Blocked entity resolution: one vocabulary-contracting " +
-      "aggregate over the fact table, then candidate pairs from an EQUI " +
-      "join on the blocking key (BroadcastHashJoin, never a nested loop) " +
-      "with levenshtein evaluated only on blocked candidates inside the " +
-      "codegen'd post-join filter."),
+      "aggregate over the fact table, a narrow explode of the compound " +
+      "key union (prefix x band + suffix x band), then candidate pairs " +
+      "from an EQUI join on the exploded key (BroadcastHashJoin, never a " +
+      "nested loop) with levenshtein evaluated only on co-blocked " +
+      "candidates inside the codegen'd post-join filter; the final " +
+      "distinct exchanges only match-graph-sized survivors."),
+    "graph_triangles" -> ("Degree-oriented triangle counting (node-" +
+      "iterator++): two node-key joins attach degrees, the rank " +
+      "orientation is a narrow projection, and the wedge self-join + " +
+      "closing edge-membership join are both EQUI joins on the oriented " +
+      "pair-graph frame — wedge fan-out bounded by out-degree (O(sqrt m) " +
+      "under rank orientation), so a boilerplate hub of degree d emits " +
+      "its oriented wedges, never d^2/2 rows."),
     "mix_dupweight" -> ("Soft dedup: the cluster membership frame (pair-" +
       "graph-sized) broadcasts into ONE left join against the corpus doc " +
       "list; the weight is a narrow integer projection — nothing corpus-" +
@@ -132,7 +141,13 @@ object Explain {
     "text_novelty" ->
       ((s, d) => graft.ext.text.TextQueries.noveltyFrom(
         graft.ext.dedup.DedupQueries.shingleRowsOf(
-          graft.sources.Tables.rebalanced(s, graft.sources.Tables.documents(s, d))))))
+          graft.sources.Tables.rebalanced(s, graft.sources.Tables.documents(s, d))))),
+    "graph_triangles" ->
+      ((s, d) => graft.ext.graph.GraphQueries.trianglesFrom(
+        graft.ext.dedup.DedupQueries.jaccardPairSnapshot(s, d)
+          .select(org.apache.spark.sql.functions.col("doc_a").as("a"),
+            org.apache.spark.sql.functions.col("doc_b").as("b")),
+        materialize = false)))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -71,4 +71,30 @@ class GraphSpec extends SparkSpec {
     }
     assert(triples.nonEmpty, "fixture pair graph has at least one triangle")
   }
+
+  test("graph_triangles: degree-oriented pivot bounds wedge fan-out on a skewed hub") {
+    // hub 0 pairs with spokes 1..1000 (the boilerplate-page pattern);
+    // edges (1,2) and (3,4) close two triangles through the hub
+    val spokes = (1L to 1000L).map(s => (0L, s))
+    val e = (spokes ++ Seq((1L, 2L), (3L, 4L))).toDF("a", "b")
+
+    // the retired min-ID pivot would emit C(1000, 2) = 499 500 wedge rows
+    // at the hub (it is the min id of every spoke edge); rank orientation
+    // points every spoke edge INTO the hub, so only the two degree-2
+    // spokes pivot — one wedge per triangle, nothing else
+    val wedges = GraphQueries.orientedWedges(GraphQueries.orientEdges(e)).collect()
+    assert(wedges.length == 2, s"wedge fan-out not degree-bounded: ${wedges.length} rows")
+
+    val out = GraphQueries.trianglesFrom(e).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"), r.getAs[Long]("clustering_milli")))
+      .toMap
+    assert(out(0L) == ((1000L, 2L, 0L)), s"hub row: ${out(0L)}")  // 1000*4/999000 floors to 0
+    Seq(1L, 2L, 3L, 4L).foreach { s =>
+      assert(out(s) == ((2L, 1L, 1000L)), s"spoke $s row: ${out(s)}")
+    }
+    (5L to 1000L).foreach { s =>
+      assert(out(s) == ((1L, 0L, 0L)), s"leaf $s row: ${out(s)}")
+    }
+  }
 }
