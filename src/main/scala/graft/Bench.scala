@@ -74,11 +74,16 @@ object Bench {
     // failed and pass 2's succeeded (the flaky rounds it exists to explain)
     val d1m = d1.toMap
     val d2m = d2.toMap
+    // millisecond resolution in the record: noise on this box is ±15%, so
+    // sub-ms digits are pure line width — and line width is exactly what
+    // front-truncated the driver's capture window in rounds 8/9
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val snapDetail = (d1.map(_._1) ++ d2.map(_._1)).distinct.map { name =>
       val s = (d1m.get(name).toSeq ++ d2m.get(name).toSeq).min
-      s"\"" + name + "\":" + s
+      s"\"" + name + "\":" + fmt(s)
     }.mkString("{", ",", "}")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // total sums ONLY successful queries — a -1.0 failure marker must not
     // shrink the total and let a breaking regression read as a speedup.
@@ -102,16 +107,28 @@ object Bench {
             graft.stream.StreamBench.probe(spark, 60000L, 3)
             graft.stream.StreamBench.probe(spark).json }
       catch { case _: Throwable => "null" }
-    val record = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"flaky":$flaky,"stream":$stream,"snapshot_detail":$snapDetail,"queries":$qs,"sf":"$sfDir"}"""
+    val record = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"flaky":$flaky,"stream":$stream,"snapshot_detail":$snapDetail,"queries":$qs,"sf":"$sfDir"}"""
     // The driver parses the LAST line matching "metric" — but sbt prefixes
-    // runMain stdout with [info] and appends a [success] trailer, which has
-    // defeated that parse (BENCH_r08.json parsed:null). Belt and braces:
-    // ALSO write the record to a stable repo-root file the driver (and
-    // BASELINE.md bookkeeping) can read directly.
-    // …but ONLY at the artifact's defined scale: preflight --full runs
-    // Bench at sf0.01 as a smoke gate, and an unconditional write let that
-    // run clobber the committed sf0.1 record (caught in round 9)
-    if (sfDir.endsWith("sf0.1")) {
+    // runMain stdout with [info] and appends a [success] trailer, and its
+    // capture window front-truncated the long record line (BENCH_r08/r09
+    // parsed:null). tools/bench.sh is the fix: it routes every byte of sbt
+    // noise to stderr and prints ONLY this record on stdout, reading it
+    // from target/bench_last.json, written here at EVERY scale (the file
+    // is per-run scratch, not the committed record).
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_last.json"),
+        (record + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    // The committed sf0.1 record additionally lands in repo-root
+    // BENCH_LOCAL.json for BASELINE.md bookkeeping — ONLY at the
+    // artifact's defined scale: preflight --full runs Bench at sf0.01 as a
+    // smoke gate, and an unconditional write let that run clobber the
+    // committed sf0.1 record (caught in round 9). Gate on the normalized
+    // basename, not endsWith: a trailing slash must not skip the refresh,
+    // and an unrelated "…mysf0.1" dir must not pass (ADVICE r9).
+    val sfName =
+      try java.nio.file.Paths.get(sfDir).getFileName.toString catch { case _: Throwable => "" }
+    if (sfName == "sf0.1") {
       try {
         val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
         java.nio.file.Files.write(p, (record + "\n").getBytes("UTF-8"))
