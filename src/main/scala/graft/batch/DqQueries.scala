@@ -103,7 +103,13 @@ object DqQueries {
       .select(col("event_type"), Exact.cents(col("value")).as("x"))
     // moments accumulate in decimal(38,0) from the first multiply — a
     // LongType x·x would overflow at a single ~$30M value and a LongType
-    // Σx² at ~10¹⁰ ordinary rows per type, both plausible at 100 TB
+    // Σx² at ~10¹⁰ ordinary rows per type, both plausible at 100 TB.
+    // Headroom bound (ADVICE r9): decimal(38,0) caps at ~1e38, where
+    // Spark's non-ANSI overflow silently NULLs while DuckDB's HUGEINT
+    // computes exactly to ~1.7e38 — the flags are engine-identical only
+    // below that magnitude (n·q and s², i.e. ~1e38 ⇒ Σx² per type ≲
+    // 1e38/n — comfortably beyond any cents-scale corpus, but a rule
+    // over raw 1e15-scale values would need decimal rescaling first)
     val stats = e.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"), sum(d(col("x"))).as("s"),
       sum(d(col("x")) * d(col("x"))).as("q"))

@@ -43,8 +43,11 @@ case class LastSeen(ts_us: Long, event_id: Long, event_type: String)
  */
 object StreamTransitions {
 
+  // floorDiv, not /: getTime truncates toward zero, so a pre-epoch
+  // timestamp (negative millis) would land one second late and break
+  // stream/batch parity with unix_micros() (ADVICE r9)
   private[stream] def micros(t: Timestamp): Long =
-    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
 
   def steps(events: Dataset[TypedEvent]): Dataset[TransitionStep] = {
     import events.sparkSession.implicits._
