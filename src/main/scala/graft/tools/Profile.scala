@@ -395,6 +395,78 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.lift(1).contains("scale10b")) {
+      // 10x multiplier probes for the round-9 families (VERDICT r9 ask
+      // #4): er_resolve (vocabulary x10), q_global_rank (docs x10),
+      // ann_eval (corpus x10 at a FIXED query set), graph_triangles
+      // (edges x10) — same copy-union method as the round-1 scan/agg/knn
+      // probes and the dedup-family probes since.
+      import graft.ext.dedup.DedupQueries
+      import graft.ext.graph.GraphQueries
+      import graft.ext.sim.SimQueries
+      val out = "/tmp/graft_scale10b"
+      // part: copy 0 keeps the original name (base vocabulary + its
+      // matches survive verbatim); salted copies append ' v<copy>' —
+      // near-variants of their base (dist <= 2), the dirty-catalog-grew-
+      // 10x shape. Suffix blocks split on the salt; prefix blocks grow
+      // 10x in occupancy — the adversarial side of compound blocking.
+      Tables.part(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+        .withColumn("p_partkey", col("p_partkey") * 10 + col("copy"))
+        .withColumn("p_name", when(col("copy") === 0, col("p_name"))
+          .otherwise(concat(col("p_name"), lit(" v"), col("copy"))))
+        .drop("copy")
+        .write.mode("overwrite").parquet(s"$out/part.parquet")
+      // documents: 10 exact copies, ids remapped (the scale10 shape)
+      Tables.documents(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+        .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      // embeddings: rotated copies (norm-preserving, decorrelated — the
+      // scale10 rationale); copy 0 keeps its ids, copies > 0 remap to
+      // ids ≡ 1 (mod QueryStride) so the QUERY SET stays fixed while the
+      // corpus grows 10x — the deployment shape (fixed query workload,
+      // growing corpus). An id map that multiplied queries too would
+      // measure q·n growth, not corpus growth.
+      Tables.embeddings(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+        .select(
+          when(col("copy") === 0, col("vec_id"))
+            .otherwise(col("copy") * 1000000L + col("vec_id") * lit(SimQueries.QueryStride.toLong) + 1)
+            .as("vec_id"),
+          when(col("copy") === 0, col("embedding")).otherwise(
+            concat(slice(col("embedding"), col("copy").cast("int") * 6 + 1,
+                lit(SimQueries.Dim)),
+              slice(col("embedding"), lit(1), col("copy").cast("int") * 6)))
+            .as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      for (d <- Seq(dir, out)) {
+        DedupQueries.clearSnapshots()
+        graft.ext.er.ErQueries.qErResolve(spark, d).count() // warm
+        time(s"er_resolve @ $d")(graft.ext.er.ErQueries.qErResolve(spark, d).count())
+        graft.ext.pipeline.CurateQueries.qGlobalRank(spark, d).count()
+        time(s"q_global_rank @ $d")(graft.ext.pipeline.CurateQueries.qGlobalRank(spark, d).count())
+        SimQueries.qAnnEval(spark, d).count()
+        time(s"ann_eval @ $d")(SimQueries.qAnnEval(spark, d).count())
+      }
+      // graph_triangles: the kernel itself on 10 DISJOINT copies of the
+      // real pair graph (the components-probe method) — attributable to
+      // the triangle plan, not to pair-snapshot rebuild over a
+      // duplicated corpus (that rebuild has its own probe in scale10)
+      DedupQueries.clearSnapshots()
+      val p0 = DedupQueries.jaccardPairSnapshot(spark, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")).localCheckpoint()
+      def tri(mult: Int): Long = {
+        val pairs = if (mult == 1) p0 else p0
+          .crossJoin(spark.range(mult.toLong).toDF("cp"))
+          .select((col("a") * mult + col("cp")).as("a"),
+            (col("b") * mult + col("cp")).as("b"))
+        GraphQueries.trianglesFrom(pairs).count()
+      }
+      tri(1)
+      time("graph_triangles @ 1x edges")(tri(1))
+      time("graph_triangles @ 10x edges")(tri(10))
+      spark.stop(); return
+    }
     if (args.lift(1).contains("sem2")) {
       // Head-to-head: all-pairs vs LSH-bucketed semantic dedup, COLD
       // (snapshots cleared between runs so each timing owns its full
