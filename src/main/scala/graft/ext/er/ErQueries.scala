@@ -103,7 +103,7 @@ object ErQueries {
     * Assumes names of ≥ 2 characters (the corpus minimum is 7); shorter
     * names would need the oracle's `greatest(length-1, 1)` guard mirrored
     * here. */
-  private def keyed(names: DataFrame, nameCol: String = "p_name"): DataFrame = {
+  private[graft] def keyed(names: DataFrame, nameCol: String = "p_name"): DataFrame = {
     val n = col(nameCol)
     def key(fam: String, part: Column, band: Column): Column =
       concat_ws("|", lit(fam), part, band)
@@ -125,7 +125,7 @@ object ErQueries {
     * shuffles only the match-graph-sized survivors, at the cost of a few
     * redundant levenshtein evaluations on short strings — far cheaper
     * than a pre-filter distinct over the full candidate mass. */
-  private def fuzzyFrom(names: DataFrame): DataFrame = {
+  private[graft] def fuzzyFrom(names: DataFrame): DataFrame = {
     val k = keyed(names)
     val lhs = k.select(col("bk"), col("p_name").as("name_a"),
       col("n_parts").as("n_parts_a"))
@@ -144,6 +144,46 @@ object ErQueries {
 
   def qErFuzzy(spark: SparkSession, dir: String): DataFrame =
     fuzzyFrom(namesCk(spark, dir))
+
+  /** Maximum names per physical block for the CAPPED kernel. Inactive on
+    * this corpus (largest block ≪ 256 — [[qErFuzzyCapped]] therefore
+    * equals [[qErFuzzy]], a cross-check the spec pins); binding on a real
+    * vocabulary, where it converts the worst case from Σ|block|²
+    * (quadratic in the hottest block — a boilerplate brand or a
+    * head-noun shared by 10⁵ product names) to cap · Σ|block| ≤
+    * cap · 4·vocab — LINEAR in the vocabulary. The ER analogue of the
+    * dedup family's MaxShingleDf posting-list cap: an oversized block is
+    * dropped whole (deterministic, oracle-replayable), and a true match
+    * inside one usually survives via its OTHER key family — what remains
+    * unrecallable is measured, not hoped about (the capped variant of
+    * [[qErBlockingEval]]'s recall applies; production either widens the
+    * compound key — 3-char prefix, phonetic — or accepts the measured
+    * loss, exactly the df-cap trade). */
+  val ErMaxBlock = 256
+
+  /** [[qErFuzzy]] with the block-size cap — the at-scale kernel. Keys
+    * whose block exceeds [[ErMaxBlock]] generate no candidates; the
+    * levenshtein gate and pair dedup are unchanged. */
+  def qErFuzzyCapped(spark: SparkSession, dir: String): DataFrame =
+    fuzzyCappedFrom(namesCk(spark, dir))
+
+  private[graft] def fuzzyCappedFrom(names: DataFrame): DataFrame = {
+    val k = keyed(names)
+    val ok = k.groupBy(col("bk")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= ErMaxBlock).select(col("bk"))
+    val kc = k.join(broadcast(ok), Seq("bk"))
+    val lhs = kc.select(col("bk"), col("p_name").as("name_a"),
+      col("n_parts").as("n_parts_a"))
+    val rhs = kc.select(col("bk"), col("p_name").as("name_b"),
+      col("n_parts").as("n_parts_b"))
+    lhs.join(broadcast(rhs), Seq("bk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= ErMaxDist)
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("n_parts_a"), col("n_parts_b"))
+      .distinct()
+  }
 
   /** Canonical entity assignment: collapse the fuzzy-match graph to
     * connected components (min-label propagation — transitive closure, so
@@ -219,8 +259,13 @@ object ErQueries {
     * comparator columns are one vocabulary-sized aggregate each. The
     * four 1-row frames meet in crossJoins — broadcast scalars, not data
     * joins. */
-  def qErBlockingEval(spark: SparkSession, dir: String): DataFrame = {
-    val names = namesCk(spark, dir)
+  def qErBlockingEval(spark: SparkSession, dir: String): DataFrame =
+    blockingEvalFrom(namesCk(spark, dir))
+
+  /** The eval over an arbitrary vocabulary frame (`p_name` + `n_parts`) —
+    * split out so ErSpec can certify the recall/cost trade on a grown
+    * synthetic vocabulary, not just the corpus fixture. */
+  private[graft] def blockingEvalFrom(names: DataFrame): DataFrame = {
     val truth = names.select(col("p_name").as("name_a"))
       .join(broadcast(names.select(col("p_name").as("name_b"))),
         col("name_a") < col("name_b"))
@@ -311,6 +356,7 @@ object ErQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_fuzzy"         -> (qErFuzzy _),
+    "er_fuzzy_capped"  -> (qErFuzzyCapped _),
     "er_canonical"     -> (qErCanonical _),
     "er_resolve"       -> (qErResolve _),
     "er_blocking_eval" -> (qErBlockingEval _),
@@ -372,10 +418,44 @@ object ErQueries {
        |     OR (length($a) + $k) // $w = (length($b) + $k) // $w)""".stripMargin
   }
 
+  /** The PHYSICAL key set of [[keyed]] in SQL — needed only where the
+    * block-size cap makes physicality observable (the capped kernel and
+    * the eval's candidate mass); the uncapped match set stays the clean
+    * logical predicate. UNION (not ALL) mirrors `array_distinct`. */
+  private val keysCte: String = {
+    def one(fam: String, part: String, band: String) =
+      s"  SELECT p_name, n_parts, '$fam|' || $part || '|' || CAST($band AS VARCHAR) AS bk FROM names"
+    val pfx = s"substr(p_name, 1, $ErKeyChars)"
+    val sfx = s"substr(p_name, greatest(length(p_name) - ${ErKeyChars - 1}, 1), $ErKeyChars)"
+    val b1 = s"length(p_name) // $ErBandWidth"
+    val b2 = s"(length(p_name) + $ErMaxDist) // $ErBandWidth"
+    Seq(one("p", pfx, b1), one("p", pfx, b2), one("s", sfx, b1), one("s", sfx, b2))
+      .mkString("keys AS (\n", "\n  UNION\n", ")")
+  }
+
   val oracles: Map[String, String] = Map(
     "er_fuzzy" ->
       s"""WITH $fuzzyCtes
          |SELECT name_a, name_b, dist, n_parts_a, n_parts_b FROM fpairs""".stripMargin,
+    // the capped kernel is physical by nature (WHICH block a pair
+    // survives in decides whether the cap kills it), so this oracle
+    // replays the key explosion + block census + cap verbatim
+    "er_fuzzy_capped" ->
+      s"""WITH names AS (
+         |  SELECT p_name, count(*) AS n_parts, min(p_partkey) AS rep_key
+         |  FROM part GROUP BY 1),
+         |$keysCte,
+         |ok AS (SELECT bk FROM keys GROUP BY bk HAVING count(*) <= $ErMaxBlock),
+         |cand AS (
+         |  SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b,
+         |    a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+         |  FROM keys a
+         |  JOIN ok ON ok.bk = a.bk
+         |  JOIN keys b ON b.bk = a.bk AND a.p_name < b.p_name)
+         |SELECT name_a, name_b,
+         |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist,
+         |  n_parts_a, n_parts_b
+         |FROM cand WHERE levenshtein(name_a, name_b) <= $ErMaxDist""".stripMargin,
     "er_canonical" ->
       s"""WITH RECURSIVE $canonicalCtes
          |SELECT p_name, canonical_name, n_parts, rep_key,

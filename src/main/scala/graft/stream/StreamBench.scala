@@ -119,8 +119,122 @@ object StreamBench {
     Result(total / elapsed, total, math.rint(elapsed * 1000) / 1000, batches, stateRows, outRows)
   }
 
+  final case class LargeStateResult(rowsPerSec: Double, rows: Long,
+      elapsedSec: Double, stateRows: Long, outRows: Long, memBudgetMb: Int,
+      sstMb: Long, changelog: Boolean, batchRps: Seq[Long]) {
+    def json: String =
+      s"""{"rows_per_sec":${rowsPerSec.round},"rows":$rows,""" +
+        s""""elapsed_sec":$elapsedSec,"state_rows":$stateRows,""" +
+        s""""out_rows":$outRows,"rocksdb_budget_mb":$memBudgetMb,""" +
+        s""""sst_mb":$sstMb,"changelog":$changelog,""" +
+        s""""batch_rps":${batchRps.mkString("[", ",", "]")}}"""
+  }
+
+  /** Beyond-memory state probe (VERDICT r9 ask #5): first-seen dedup
+    * ([[TwsDedup]], ttl = None so ids are NEVER evicted) on the RocksDB
+    * state-store provider with `boundedMemoryUsage` capped at
+    * `memBudgetMb` — the id set grows past the store's memory budget and
+    * RocksDB works off local SSTs, which is the mechanism a 1000-executor
+    * cluster runs on when state outgrows executor memory. Every 10th
+    * event duplicates the id from position i/2 — HALF the stream back, so
+    * dedup hits are point lookups deep into old SSTs, not memtable hits.
+    * Per-batch rows/s is the number to watch: a state-size-dependent
+    * store would decay across batches as state grows; a log-structured
+    * one holds roughly flat. State keys are ~15-byte strings + store
+    * overhead, so the default 2M keys comfortably exceed a 64 MB budget.
+    *
+    * Same pinned-partition discipline as [[probe]] (the constant-config
+    * series rationale); the provider/budget confs are restored after so a
+    * sharing session (Bench) keeps its own settings. */
+  def probeLargeState(spark: SparkSession, nEvents: Long = 2000000L,
+                      nBatches: Int = 10, memBudgetMb: Int = 64,
+                      changelog: Boolean = true): LargeStateResult = {
+    val restore = Seq(
+      "spark.sql.shuffle.partitions",
+      "spark.sql.streaming.stateStore.providerClass",
+      "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage",
+      "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.shuffle.partitions", ProbePartitions)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
+      memBudgetMb.toString)
+    // changelog checkpointing: per-commit durability cost ∝ the BATCH's
+    // changes instead of a full state snapshot (∝ state size) — the
+    // production config for state ≫ budget, and the measured difference
+    // between a flat and a linearly-decaying batch_rps curve below
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      changelog.toString)
+    try probeLargeStatePinned(spark, nEvents, nBatches, memBudgetMb, changelog)
+    finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private def probeLargeStatePinned(spark: SparkSession, nEvents: Long,
+      nBatches: Int, memBudgetMb: Int, changelog: Boolean): LargeStateResult = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val t0ms = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val perBatch = (nEvents / nBatches).toInt
+    // UUID-shaped ids (md5-hex of the position): 36-char incompressible
+    // keys with no shared prefixes — the production id shape, and the one
+    // RocksDB can't shrink via prefix compression; ~2M such keys put the
+    // SST footprint several× over a 64 MB budget (the record reports the
+    // measured sst_mb next to the budget)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hex(i: Long): String =
+      md5.digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ev(i: Long): DedupEvent = {
+      // every 10th row re-sends the id from position i/2 — half the
+      // stream back. (When i/2 itself was a duplicate row, that id never
+      // existed and the "duplicate" is a genuine first-seen;
+      // deterministic either way.)
+      val key = if (i % 10 == 9) i / 2 else i
+      DedupEvent(s"evt_${hex(key)}", new java.sql.Timestamp(t0ms + i), (i % 9973) / 100.0)
+    }
+    // generate everything BEFORE the clock starts
+    val chunks: IndexedSeq[IndexedSeq[DedupEvent]] =
+      (0 until nBatches).map(b =>
+        (0 until perBatch).map(j => ev(b.toLong * perBatch + j)))
+    val ms = MemoryStream[DedupEvent]
+    val out = TwsDedup(ms.toDS(), ttl = None).toDF()
+    val name = s"stream_large_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append")
+      .trigger(Trigger.ProcessingTime(0L))
+      .format("memory").queryName(name).start()
+    val clock0 = System.nanoTime()
+    val batchRps = chunks.map { c =>
+      val b0 = System.nanoTime()
+      ms.addData(c: _*); q.processAllAvailable()
+      (perBatch / ((System.nanoTime() - b0) / 1e9)).round
+    }
+    val elapsed = (System.nanoTime() - clock0) / 1e9
+    val stateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    // on-disk state footprint (RocksDB's own metric, summed over the
+    // store shards) — the record's evidence that state genuinely exceeds
+    // the configured memory budget rather than fitting in block cache
+    val sstMb = Option(q.lastProgress).map(_.stateOperators.map(op =>
+      Option(op.customMetrics.get("rocksdbSstFileSize")).map(_.longValue).getOrElse(0L))
+      .sum / (1024 * 1024)).getOrElse(-1L)
+    val outRows = spark.table(name).count()
+    q.stop()
+    spark.sql(s"DROP VIEW IF EXISTS $name")
+    val total = perBatch.toLong * nBatches
+    LargeStateResult(total / elapsed, total, math.rint(elapsed * 1000) / 1000,
+      stateRows, outRows, memBudgetMb, sstMb, changelog, batchRps.toSeq)
+  }
+
   /** Standalone CLI: prints the one-line JSON record. Env overrides:
-    * SPARK_GRAFT_STREAM_EVENTS, SPARK_GRAFT_STREAM_BATCHES, SPARK_GRAFT_CPUS. */
+    * SPARK_GRAFT_STREAM_EVENTS, SPARK_GRAFT_STREAM_BATCHES, SPARK_GRAFT_CPUS.
+    * With arg `large`, runs [[probeLargeState]] instead (the beyond-memory
+    * RocksDB record; SPARK_GRAFT_STREAM_BUDGET_MB overrides the budget). */
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -130,12 +244,23 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "240000").toLong
-    val b = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "12").toInt
-    // untimed warm pass (JIT + codegen for the streaming plan), then the record
-    probe(spark, n / 4, math.max(b / 4, 2))
-    val r = probe(spark, n, b)
-    println(s"""{"metric":"stream_rows_per_sec","value":${r.rowsPerSec.round},"unit":"rows/sec","detail":${r.json}}""")
+    if (args.headOption.contains("large")) {
+      val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "2000000").toLong
+      val b = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
+      val mb = sys.env.getOrElse("SPARK_GRAFT_STREAM_BUDGET_MB", "64").toInt
+      val cl = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHANGELOG", "true").toBoolean
+      // untimed warm pass at 1/10 size (JIT + codegen + RocksDB init)
+      probeLargeState(spark, n / 10, math.max(b / 5, 2), mb, cl)
+      val r = probeLargeState(spark, n, b, mb, cl)
+      println(s"""{"metric":"stream_large_state_rows_per_sec","value":${r.rowsPerSec.round},"unit":"rows/sec","detail":${r.json}}""")
+    } else {
+      val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "240000").toLong
+      val b = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "12").toInt
+      // untimed warm pass (JIT + codegen for the streaming plan), then the record
+      probe(spark, n / 4, math.max(b / 4, 2))
+      val r = probe(spark, n, b)
+      println(s"""{"metric":"stream_rows_per_sec","value":${r.rowsPerSec.round},"unit":"rows/sec","detail":${r.json}}""")
+    }
     spark.stop()
   }
 }

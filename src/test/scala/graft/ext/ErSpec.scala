@@ -207,6 +207,51 @@ class ErSpec extends SparkSpec {
     assert(row.getAs[Long]("n_cand_pairs") < row.getAs[Long]("n_all_pairs") / 2)
   }
 
+  test("er_fuzzy_capped: cap inactive on the corpus (capped ≡ uncapped), binding on a hot block") {
+    // corpus cross-check: every block is far under ErMaxBlock, so the
+    // capped kernel must reproduce er_fuzzy exactly
+    val capped = ErQueries.qErFuzzyCapped(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val plain = ErQueries.qErFuzzy(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(capped == plain, "cap must be a no-op on this corpus")
+
+    // hot-block fixture: 400 names 'zz<3 digits>' share prefix2 'zz' and
+    // one length band — a block of 400 > ErMaxBlock that the cap must
+    // drop whole; the last-2-DIGIT suffix blocks hold 4 names each and
+    // keep recalling the pairs that share them
+    import spark.implicits._
+    val hot = (0 until 400).map(i => (f"zz$i%03d", 1L)).toDF("p_name", "n_parts")
+
+    // driver-side reference with the PHYSICAL keys: block census → drop
+    // oversized → candidates → distance gate
+    val names = hot.collect().map(_.getString(0))
+    val blocks = scala.collection.mutable.Map.empty[String, List[String]]
+    names.foreach(n => physKeys(n).foreach(k => blocks(k) = n :: blocks.getOrElse(k, Nil)))
+    val expected = (for {
+      (_, mem) <- blocks.toSeq if mem.size <= ErQueries.ErMaxBlock
+      a <- mem; b <- mem if a < b && lev(a, b) <= ErQueries.ErMaxDist
+    } yield (a, b)).toSet
+    val uncappedRef = (for {
+      a <- names; b <- names
+      if a < b && coBlocked(a, b) && lev(a, b) <= ErQueries.ErMaxDist
+    } yield (a, b)).toSet
+
+    val got = ErQueries.fuzzyCappedFrom(hot).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == expected, s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // the cap binds (prefix-block matches are gone) but the redundant
+    // suffix family still recalls its share — dropped-whole, not dead
+    assert(got.nonEmpty, "suffix blocks must survive the cap")
+    assert(got.size < uncappedRef.size, "the oversized prefix block must be dropped")
+    // the linear mass bound: candidates from surviving blocks only,
+    // each ≤ cap members → Σ|b|² ≤ cap · Σ|b| ≤ cap · 4·vocab
+    val survivors = blocks.values.filter(_.size <= ErQueries.ErMaxBlock)
+    val candMass = survivors.map(m => m.size.toLong * (m.size - 1) / 2).sum
+    assert(candMass <= ErQueries.ErMaxBlock.toLong * 4 * names.length,
+      "capped candidate mass must stay under the linear bound")
+  }
+
   test("mix_dupweight: total over corpus, cluster-consistent, mass of a cluster ~ one doc") {
     val out = CurateQueries.qDupWeights(spark, sf).cache()
     val nDocs = Tables.documents(spark, sf).count()
