@@ -357,6 +357,23 @@ class StreamPipelineSpec extends SparkSpec {
     assert(r.batches >= 3)
   }
 
+  test("large-state probe: RocksDB dedup counts first-seens, restores session confs") {
+    val before = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.streaming.stateStore.providerClass")
+      .map(k => spark.conf.getOption(k))
+    val r = StreamBench.probeLargeState(spark, nEvents = 20000L, nBatches = 4)
+    assert(Seq("spark.sql.shuffle.partitions",
+      "spark.sql.streaming.stateStore.providerClass")
+      .map(k => spark.conf.getOption(k)) == before,
+      "probe leaked a pinned conf (provider/partitions) into the session")
+    assert(r.rows == 20000L && r.rowsPerSec > 0)
+    // ttl = None retains every first-seen id: state rows == emitted rows,
+    // and every 10th event was an (eventual) duplicate, so out < in
+    assert(r.stateRows == r.outRows, s"state ${r.stateRows} != out ${r.outRows}")
+    assert(r.outRows < r.rows && r.outRows > (r.rows * 85) / 100)
+    assert(r.batchRps.length == 4 && r.batchRps.forall(_ > 0))
+  }
+
   test("kafka deploy gate: without the connector jar, source resolution fails naming kafka") {
     // executable documentation of the deploy requirement (README "Deploying
     // against Kafka"): the spark-sql-kafka-0-10 connector is NOT on this
