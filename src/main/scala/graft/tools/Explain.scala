@@ -100,6 +100,11 @@ object Explain {
       "nested loop) with levenshtein evaluated only on co-blocked " +
       "candidates inside the codegen'd post-join filter; the final " +
       "distinct exchanges only match-graph-sized survivors."),
+    "er_fuzzy_capped" -> ("The at-scale ER kernel: the same exploded " +
+      "compound-key equi-join with a block census (one aggregate on the " +
+      "key) semi-joined in front, so keys whose block exceeds ErMaxBlock " +
+      "generate no candidates — worst-case candidate mass cap*4*vocab, " +
+      "linear in the vocabulary."),
     "graph_triangles" -> ("Degree-oriented triangle counting (node-" +
       "iterator++): two node-key joins attach degrees, the rank " +
       "orientation is a narrow projection, and the wedge self-join + " +
