@@ -328,6 +328,18 @@ object ErQueries {
     * artifact — exactly what the corpus-index builds in the dedup
     * incremental family do. */
   def qErIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val (base, inc, canon) = baseArtifacts(spark, dir)
+    screenAgainstBase(inc, base, canon)
+  }
+
+  /** The persisted artifacts of the last full ER run over the BASE split
+    * plus the incoming batch: (base vocabulary, incoming names, canonical
+    * map). At deployment base + canon are what survives between
+    * incremental runs; here they rebuild from the shared hash split so
+    * the batch query and its streaming twin screen against the SAME
+    * index (StreamPipelineSpec drives the twin through this hook). */
+  private[graft] def baseArtifacts(spark: SparkSession,
+                                   dir: String): (DataFrame, DataFrame, DataFrame) = {
     val names = namesCk(spark, dir)
       .withColumn("bucket",
         pmod(graft.functions.Exact.md5Long(concat(lit("erb|"), col("p_name"))), lit(100)))
@@ -335,11 +347,23 @@ object ErQueries {
     val inc = names.filter(col("bucket") >= ErBasePct).drop("bucket")
     val canon = canonicalFrom(base)
       .select(col("p_name").as("base_name"), col("canonical_name"))
+    (base, inc, canon)
+  }
+
+  /** The screen given the PERSISTED artifacts (base vocabulary + canonical
+    * map) — split out so the streaming twin can run it per micro-batch
+    * against a fixed index, exactly like the dedup family's
+    * screenAgainstIndex: per-name verdicts are independent given the
+    * artifacts, so micro-batch outputs union to the one-shot answer
+    * (StreamPipelineSpec pins it). `batch` needs only `p_name`. */
+  private[graft] def screenAgainstBase(batch: DataFrame, base: DataFrame,
+                                       canon: DataFrame): DataFrame = {
     val w = Window.partitionBy("p_name").orderBy(col("dist"), col("base_name"))
     // distinct BEFORE the window: a pair co-blocked in both key families
     // must score once, not twice, in the rank
-    val best = keyed(inc).select(col("bk"), col("p_name"))
-      .join(broadcast(keyed(base).select(col("bk"), col("p_name").as("base_name"))), Seq("bk"))
+    val best = keyed(batch.select(col("p_name"))).select(col("bk"), col("p_name"))
+      .join(broadcast(keyed(base.select(col("p_name")))
+        .select(col("bk"), col("p_name").as("base_name"))), Seq("bk"))
       .withColumn("dist", levenshtein(col("p_name"), col("base_name")).cast("long"))
       .filter(col("dist") <= ErMaxDist)
       .select(col("p_name"), col("base_name"), col("dist"))
@@ -347,7 +371,7 @@ object ErQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("p_name"), col("base_name"), col("dist"))
-    inc.select(col("p_name"))
+    batch.select(col("p_name"))
       .join(best, Seq("p_name"), "left")
       .join(broadcast(canon), Seq("base_name"), "left")
       .select(col("p_name"), col("base_name").as("matched_name"), col("dist"),

@@ -329,6 +329,40 @@ class StreamPipelineSpec extends SparkSpec {
       s"stream=${streamed.size} rows, batch=${expected.size} rows")
   }
 
+  test("incremental ER screen runs UNCHANGED on a name stream (batch ≡ stream)") {
+    import graft.ext.er.ErQueries
+    implicit val sqlCtx = spark.sqlContext
+    val sf01 = "/root/testdata/sf0.01"
+    val expected = ErQueries.qErIncremental(spark, sf01).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getString(3))).toSet
+    assert(expected.nonEmpty, "equivalence is vacuous with no incoming names")
+    // the persisted artifacts a deployment holds between batches — the
+    // SAME index the batch query screens against, materialized once
+    val (base0, inc, canon0) = ErQueries.baseArtifacts(spark, sf01)
+    val (base, canon) = (base0.localCheckpoint(), canon0.localCheckpoint())
+    val incoming = inc.select("p_name").as[String].collect().toSeq.sorted
+    val (half1, half2) = incoming.splitAt(incoming.length / 2)
+    // per-name verdicts are independent given the index, so the union of
+    // micro-batch screen outputs must equal the one-shot batch answer
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Option[String], Option[Long], String)]()
+    val ms = MemoryStream[String]
+    val q = StreamPipeline.start(ms.toDF().toDF("p_name"),
+      StreamPipeline.ForeachBatch((batch, _) =>
+        ErQueries.screenAgainstBase(batch, base, canon).collect()
+          .foreach(r => out.add((r.getString(0), Option(r.getString(1)),
+            Option(r.get(2)).map(_.asInstanceOf[Long]), r.getString(3))))))
+    ms.addData(half1: _*)
+    q.processAllAvailable()
+    ms.addData(half2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = out.toArray(Array.empty[(String, Option[String], Option[Long], String)]).toSet
+    assert(streamed == expected,
+      s"stream=${streamed.size} rows, batch=${expected.size} rows; " +
+        s"diff=${(streamed -- expected).take(3)} / ${(expected -- streamed).take(3)}")
+  }
+
   test("kafka source/sink wiring constructs (connector needed only at runtime)") {
     // no connector jar in this image: constructing the plan must still work
     val cfg = StreamPipeline.Kafka("broker:9092", "events")
