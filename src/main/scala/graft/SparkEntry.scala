@@ -36,6 +36,7 @@ object SparkEntry {
       batch.FrameQueries.queries ++
       batch.CdcQueries.queries ++
       batch.DqQueries.queries ++
+      batch.StatsQueries.queries ++
       batch.LayoutQueries.queries ++
       ext.text.TextQueries.queries ++
       ext.dedup.DedupQueries.queries ++
@@ -65,6 +66,7 @@ object SparkEntry {
       batch.FrameQueries.oracles ++
       batch.CdcQueries.oracles ++
       batch.DqQueries.oracles ++
+      batch.StatsQueries.oracles ++
       batch.LayoutQueries.oracles ++
       ext.text.TextQueries.oracles ++
       ext.dedup.DedupQueries.oracles ++

@@ -1,0 +1,194 @@
+package graft.batch
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+import graft.sources.Tables
+
+/**
+ * Table-statistics collection — the `ANALYZE TABLE … COMPUTE STATISTICS
+ * FOR COLUMNS` pass every cost-based engine runs before planning, as an
+ * explicit operator family. The reference pipeline has no optimizer and
+ * no stats; a 100 TB deployment of THIS engine lives and dies by them:
+ * per-column NDV drives join-order and broadcast decisions, min/max
+ * drives partition pruning, and histograms drive selectivity estimates
+ * for range predicates. Three grains:
+ *
+ *  - [[qStatsProfile]]: one row per column — count / nulls / NDV /
+ *    min / max. The catalog-stats row.
+ *  - [[qStatsHist]]: equi-WIDTH histogram over the price column —
+ *    value-range buckets, one broadcast bounds pass + one aggregate.
+ *  - [[qStatsHistDepth]]: equi-DEPTH histogram (equal row mass per
+ *    bucket) — the selectivity-estimation shape engines actually keep,
+ *    exact here via the two-phase distributed rank.
+ *
+ * All output integers-or-strings so every row hash-matches the DuckDB
+ * twin bit-for-bit (SURVEY §5.1 discipline).
+ */
+object StatsQueries {
+
+  /** Profiled columns: name → (value column, already stringly?). Timestamps
+    * profile over their ISO-formatted string (identical total order, and
+    * min/max/NDV over the string are engine-identical — no float or
+    * timezone rendering in the output row). Money profiles in exact cents. */
+  private def profiled: Seq[(String, Column)] = Seq(
+    "l_orderkey" -> col("l_orderkey"),
+    "l_partkey" -> col("l_partkey"),
+    "l_suppkey" -> col("l_suppkey"),
+    "l_linenumber" -> col("l_linenumber").cast("long"),
+    "l_returnflag" -> col("l_returnflag"),
+    "l_linestatus" -> col("l_linestatus"),
+    "l_shipdate" -> date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss"),
+    "l_extendedprice_cents" -> Exact.cents(col("l_extendedprice")))
+
+  /** SQL twins of [[profiled]] for the oracle. */
+  private def profiledSql: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "l_orderkey",
+    "l_partkey" -> "l_partkey",
+    "l_suppkey" -> "l_suppkey",
+    "l_linenumber" -> "CAST(l_linenumber AS BIGINT)",
+    "l_returnflag" -> "l_returnflag",
+    "l_linestatus" -> "l_linestatus",
+    "l_shipdate" -> "strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')",
+    "l_extendedprice_cents" -> Exact.centsSql("l_extendedprice"))
+
+  /** Column-stats profile of `lineitem`: one output row per profiled
+    * column with (n_rows, n_null, n_distinct, min_str, max_str).
+    *
+    * Shape: ONE aggregate computes every column's stats in a single scan
+    * — the multiple exact `countDistinct`s compile to Catalyst's Expand
+    * (one input row fans to |distinct-aggs| grouping streams), which IS
+    * how batched ANALYZE runs single-pass; the fan-out multiplies the
+    * aggregate's input, not the scan. At 100 TB the one-line swap is
+    * `approx_count_distinct` (HLL++) per column — same plan minus the
+    * Expand, sketch-mergeable across partitions — kept exact here so the
+    * row is oracle-able, exactly the A3/q_exact_distinct split. min/max
+    * render through CAST AS STRING so every engine prints the identical
+    * bytes (longs and ISO timestamps only — no float formatting). */
+  def qStatsProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = profiled
+    val li = Tables.lineitem(spark, dir)
+      .select(cols.map { case (n, c) => c.as(n) }: _*)
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (n, _) =>
+      Seq(
+        sum(col(n).isNull.cast("long")).as(s"null__$n"),
+        countDistinct(col(n)).as(s"ndv__$n"),
+        min(col(n)).cast("string").as(s"min__$n"),
+        max(col(n)).cast("string").as(s"max__$n"))
+    }
+    val m = li.agg(aggs.head, aggs.tail: _*)
+    m.select(explode(array(cols.map { case (n, _) =>
+        struct(lit(n).as("column_name"),
+          col("n_rows"),
+          col(s"null__$n").as("n_null"),
+          col(s"ndv__$n").as("n_distinct"),
+          col(s"min__$n").as("min_str"),
+          col(s"max__$n").as("max_str"))
+      }: _*)).as("s"))
+      .select(col("s.column_name").as("column_name"), col("s.n_rows").as("n_rows"),
+        col("s.n_null").as("n_null"), col("s.n_distinct").as("n_distinct"),
+        col("s.min_str").as("min_str"), col("s.max_str").as("max_str"))
+  }
+
+  /** Bucket count for both histograms. */
+  val HistBuckets = 16L
+
+  /** Equi-width histogram over `l_extendedprice` cents: bucket k covers
+    * cents in [lo + k·w, lo + (k+1)·w) for w = ⌈(hi−lo+1)/B⌉ via the
+    * all-integer rule bucket = ((x−lo)·B) DIV (hi−lo+1) — buckets are
+    * value-DISJOINT by construction, so per-bucket (min, max) envelopes
+    * never overlap (StatsSpec pins it).
+    *
+    * Shape: one narrow aggregate finds (lo, hi), broadcast back onto the
+    * scan (in-plan — a driver `collect` of the bounds would bake stale
+    * literals if the frame is chained after a filter); then one hash
+    * aggregate on the bucket id. Two scan-bandwidth passes, ≤ B output
+    * rows at any scale; the per-bucket sums are exact longs. */
+  def qStatsHist(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(spark, dir)
+      .select(Exact.cents(col("l_extendedprice")).as("x"))
+    val bounds = x.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    x.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(s"((x - lo) * $HistBuckets) DIV (hi - lo + 1)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("lo_cents"), max(col("x")).as("hi_cents"),
+        sum(col("x")).as("sum_cents"))
+  }
+
+  /** Equi-depth histogram over `l_extendedprice` cents: every bucket
+    * holds ⌊n/B⌋ or ⌈n/B⌉ rows (bucket = ⌊B·(rank−1)/n⌋ over the exact
+    * global rank), with the per-bucket value envelope — the boundary set
+    * a selectivity estimator interpolates range predicates against.
+    * Equal-value runs straddling a boundary stay split (rank ties break
+    * on the (l_orderkey, l_linenumber) PK), so adjacent envelopes may
+    * TOUCH at a duplicated value but never invert (StatsSpec pins both
+    * the ±1 bucket sizes and the envelope order).
+    *
+    * Scale shape: the exact rank is the q_global_rank two-phase kernel —
+    * `orderBy` range-partitions on sampled split points, `zipWithIndex`
+    * adds per-partition prefix offsets from one counts job — NO
+    * single-partition window anywhere (the `row_number().over(orderBy)`
+    * formulation would funnel the corpus through one task). The row
+    * count rides a 1-row broadcast. At 100 TB the sketch swap is
+    * `percentile_approx` boundaries (one pass, mergeable KLL-style
+    * sketch) — same output contract, bounded rank error; kept exact here
+    * as the oracle anchor, the same split as q_len_quantiles vs the
+    * specOnly q_percentiles. */
+  def qStatsHistDepth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ranked = Tables.lineitem(spark, dir)
+      .select(Exact.cents(col("l_extendedprice")).as("x"),
+        col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))
+      .rdd.zipWithIndex
+      .map { case (r, i) => (r.getLong(0), i + 1L) }
+      .toDF("x", "rank")
+    val total = Tables.lineitem(spark, dir).agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("bucket", expr(s"($HistBuckets * (rank - 1)) DIV n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("lo_cents"), max(col("x")).as("hi_cents"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_profile" -> (qStatsProfile _),
+    "stats_histogram" -> (qStatsHist _),
+    "stats_histogram_depth" -> (qStatsHistDepth _))
+
+  val oracles: Map[String, String] = Map(
+    "stats_profile" -> {
+      val m = profiledSql.map { case (n, e) =>
+        s"""|    sum(CASE WHEN ($e) IS NULL THEN 1 ELSE 0 END) AS "null__$n",
+            |    count(DISTINCT ($e)) AS "ndv__$n",
+            |    CAST(min($e) AS VARCHAR) AS "min__$n",
+            |    CAST(max($e) AS VARCHAR) AS "max__$n"""".stripMargin
+      }.mkString(",\n")
+      val rows = profiledSql.map { case (n, _) =>
+        s"""SELECT '$n' AS column_name, n_rows, CAST("null__$n" AS BIGINT) AS n_null,
+           |  CAST("ndv__$n" AS BIGINT) AS n_distinct, "min__$n" AS min_str,
+           |  "max__$n" AS max_str FROM m""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"WITH m AS (\n  SELECT count(*) AS n_rows,\n$m\n  FROM lineitem)\n$rows"
+    },
+    "stats_histogram" ->
+      s"""WITH x AS (
+         |  SELECT ${Exact.centsSql("l_extendedprice")} AS x FROM lineitem),
+         |b AS (SELECT min(x) AS lo, max(x) AS hi FROM x)
+         |SELECT ((x - lo) * $HistBuckets) // (hi - lo + 1) AS bucket,
+         |  count(*) AS n_rows, min(x) AS lo_cents, max(x) AS hi_cents,
+         |  sum(x) AS sum_cents
+         |FROM x, b GROUP BY 1""".stripMargin,
+    "stats_histogram_depth" ->
+      s"""WITH r AS (
+         |  SELECT ${Exact.centsSql("l_extendedprice")} AS x,
+         |    row_number() OVER (ORDER BY ${Exact.centsSql("l_extendedprice")},
+         |      l_orderkey, l_linenumber) AS rank
+         |  FROM lineitem),
+         |t AS (SELECT count(*) AS n FROM lineitem)
+         |SELECT ($HistBuckets * (rank - 1)) // n AS bucket, count(*) AS n_rows,
+         |  min(x) AS lo_cents, max(x) AS hi_cents
+         |FROM r, t GROUP BY 1""".stripMargin)
+}

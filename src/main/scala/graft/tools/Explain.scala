@@ -31,6 +31,15 @@ object Explain {
       "WindowGroupLimit prunes to top-K before the final exchange."),
     "q_salted_agg" -> ("Skew-mitigation rewrite: partial aggregate on " +
       "(key, __salt), final on key — exactly two exchanges."),
+    "stats_profile" -> ("ANALYZE pass: every column's count/nulls/NDV/" +
+      "min/max in ONE scan — the exact countDistincts batch through " +
+      "Catalyst's Expand (|distinct-aggs| grouping streams over the same " +
+      "scan), the at-scale swap is approx_count_distinct with the Expand " +
+      "gone; no join anywhere (spec-pinned)."),
+    "stats_histogram_depth" -> ("Equi-depth histogram on the exact " +
+      "global rank: range-exchange sort + zipWithIndex counts pass (the " +
+      "q_global_rank two-phase kernel), bucket aggregate on the bounded " +
+      "bucket id — NO partition-less Window (spec-pinned)."),
     "q_asof_order" -> ("As-of join WITHOUT a join operator: union probe+" +
       "build on the key, one window pass carries the last build payload " +
       "forward — two exchanges, no node that can blow up with version " +

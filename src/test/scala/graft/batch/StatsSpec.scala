@@ -1,0 +1,77 @@
+package graft.batch
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Engine-side invariants of the ANALYZE family (the DuckDB hash-compare
+  * is the driver's t2 gate; these pin what the oracle can't see — plan
+  * shape, bucket geometry, and agreement with independent recomputation). */
+class StatsSpec extends SparkSpec {
+
+  test("stats_profile: NDV/min/max agree with independent per-column recomputation") {
+    val rows = StatsQueries.qStatsProfile(spark, sf).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    val li = Tables.lineitem(spark, sf)
+    val n = li.count()
+    assert(rows.values.forall(_.getAs[Long]("n_rows") == n))
+    // spot-check three columns against a direct distinct/min/max pass
+    val flagNdv = li.select(countDistinct(col("l_returnflag"))).head().getLong(0)
+    assert(rows("l_returnflag").getAs[Long]("n_distinct") == flagNdv)
+    val okMin = li.agg(min(col("l_orderkey"))).head().getLong(0)
+    assert(rows("l_orderkey").getAs[String]("min_str") == okMin.toString)
+    val shipMax = li.agg(max(date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")))
+      .head().getString(0)
+    assert(rows("l_shipdate").getAs[String]("max_str") == shipMax)
+    assert(rows.values.forall(_.getAs[Long]("n_null") == 0L))
+  }
+
+  test("stats_profile: single-scan plan (one aggregate, no join)") {
+    val plan = StatsQueries.qStatsProfile(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"ANALYZE pass must not join:\n${plan.take(1500)}")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"expected exactly one scan:\n${plan.take(1500)}")
+  }
+
+  test("stats_histogram: buckets partition the row count with disjoint value envelopes") {
+    val h = StatsQueries.qStatsHist(spark, sf)
+      .orderBy(col("bucket")).collect()
+    val n = Tables.lineitem(spark, sf).count()
+    assert(h.map(_.getAs[Long]("n_rows")).sum == n)
+    assert(h.forall { r =>
+      val b = r.getAs[Long]("bucket"); b >= 0 && b < StatsQueries.HistBuckets })
+    h.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi_cents") < b.getAs[Long]("lo_cents"),
+          s"equi-width envelopes overlap: bucket ${a.getAs[Long]("bucket")} hi " +
+            s"${a.getAs[Long]("hi_cents")} vs next lo ${b.getAs[Long]("lo_cents")}")
+      case _ => ()
+    }
+  }
+
+  test("stats_histogram_depth: bucket sizes within 1 and envelopes never invert") {
+    val h = StatsQueries.qStatsHistDepth(spark, sf)
+      .orderBy(col("bucket")).collect()
+    assert(h.length == StatsQueries.HistBuckets)
+    val sizes = h.map(_.getAs[Long]("n_rows"))
+    assert(sizes.max - sizes.min <= 1L,
+      s"equi-depth sizes spread ${sizes.min}..${sizes.max}")
+    val n = Tables.lineitem(spark, sf).count()
+    assert(sizes.sum == n)
+    h.sliding(2).foreach {
+      case Array(a, b) =>
+        // ties may make adjacent envelopes TOUCH, never invert
+        assert(a.getAs[Long]("hi_cents") <= b.getAs[Long]("lo_cents"))
+      case _ => ()
+    }
+  }
+
+  test("stats_histogram_depth: plan has no partition-less window") {
+    val plan = StatsQueries.qStatsHistDepth(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"global rank must use the two-phase kernel, not a window:\n${plan.take(1500)}")
+  }
+}
