@@ -35,6 +35,7 @@ object SparkEntry {
       batch.TemporalQueries.queries ++
       batch.FrameQueries.queries ++
       batch.CdcQueries.queries ++
+      batch.MvQueries.queries ++
       batch.DqQueries.queries ++
       batch.StatsQueries.queries ++
       batch.LayoutQueries.queries ++
@@ -65,6 +66,7 @@ object SparkEntry {
       batch.TemporalQueries.oracles ++
       batch.FrameQueries.oracles ++
       batch.CdcQueries.oracles ++
+      batch.MvQueries.oracles ++
       batch.DqQueries.oracles ++
       batch.StatsQueries.oracles ++
       batch.LayoutQueries.oracles ++
