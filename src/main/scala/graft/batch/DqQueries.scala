@@ -123,9 +123,129 @@ object DqQueries {
       .withColumn("outlier_milli", expr("(1000 * n_outliers) DIV n_events"))
   }
 
+  /** MAD multiple for [[qMadOutliers]] (flag dev > 3·MAD). */
+  val MadK = 3L
+
+  /** Robust per-type outlier gate — the median/MAD twin of [[qOutliers]]:
+    * flag rows whose |x − median| exceeds [[MadK]]·MAD, where MAD is the
+    * median absolute deviation. The 3σ rule breaks exactly when it is
+    * needed most — a fat tail inflates σ until the tail passes its own
+    * gate (masking); the median and MAD have 50% breakdown points, so a
+    * contaminated type still gets a sane threshold. Everything stays in
+    * integer cents: the lower median is the element at rank ⌊(n+1)/2⌋ of
+    * the per-type sort (the [[graft.ext.pipeline.CurateQueries]]
+    * q_len_quantiles rank rule), deviations are |x − med| on BIGINT, and
+    * the flag compares longs — no float ever forms, so every
+    * near-threshold verdict is engine-identical. MAD = 0 (over half the
+    * type at one value) flags every deviating row — the strictest
+    * consistent reading, pinned in DqSpec.
+    *
+    * Shape: two type-partitioned window sorts (median, then MAD over
+    * deviations) + one broadcast-stats flag pass — the per-type sort is
+    * the exact-median price, consciously traded as in q_len_quantiles vs
+    * q_percentiles; at 100 TB swap both medians for
+    * `approx_percentile(0.5)` (mergeable KLL, no sort) and keep this
+    * exact form as its oracle anchor. Hot-type skew is the salted-agg
+    * family's territory; output is |types| rows at any scale. */
+  def qMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    madOutliers(Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), Exact.cents(col("value")).as("x")))
+  }
+
+  /** The kernel over an (event_type, x: long) frame — DqSpec drives it
+    * over crafted fixtures (MAD = 0, masking) the corpus can't express. */
+  def madOutliers(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCnt = Window.partitionBy("event_type")
+    def lowerMedian(df: DataFrame, c: String): DataFrame =
+      df.withColumn("rn",
+          row_number().over(Window.partitionBy("event_type").orderBy(col(c))))
+        .withColumn("n", count(lit(1)).over(wCnt))
+        .filter(expr("rn = (n + 1) DIV 2"))
+        .select(col("event_type"), col(c).as(s"med_$c"))
+    val med = lowerMedian(e, "x")
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("x") - col("med_x")))
+    val mad = lowerMedian(dev.select(col("event_type"), col("dev")), "dev")
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("f", when(col("dev") > lit(MadK) * col("med_dev"), 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("med_x")).as("median_cents"),
+        max(col("med_dev")).as("mad_cents"),
+        sum(col("f")).as("n_outliers"))
+      .withColumn("outlier_milli", expr("(1000 * n_outliers) DIV n_events"))
+  }
+
+  /** Reference/current boundary for [[qDriftTv]] — the corpus spans
+    * January 2024, so each window holds roughly half of it. */
+  val DriftCutoff = "2024-01-16 00:00:00"
+
+  /** Equi-width buckets the two windows' value distributions are compared
+    * over (the stats_histogram bucket rule, shared bounds). */
+  val DriftBuckets = 10L
+
+  /** Distribution-drift monitor: per event type, the total-variation
+    * distance (in milli) between the value distribution of a REFERENCE
+    * window and the CURRENT window — the "did yesterday's feed change
+    * shape" gate a pipeline checks before republishing a model or a
+    * summary, with TV chosen over PSI/KL because it needs no logarithm:
+    *
+    *   TV = ½ Σ_b |o_cur/N_cur − o_ref/N_ref|
+    *      ⇒ tv_milli = (1000 · Σ_b |o_cur·N_ref − o_ref·N_cur|)
+    *                   DIV (2 · N_ref · N_cur)
+    *
+    * — denominators cleared, so the statistic is exact integer end to end
+    * (products in decimal(38,0) / HUGEINT like q_outliers' moments) and
+    * every near-threshold drift score is engine-identical. Both windows
+    * bucket against the SAME global [lo, hi] envelope ([[DriftBuckets]]
+    * equi-width, the stats_histogram rule), because per-window bounds
+    * would hide exactly the shift being measured.
+    *
+    * Shape: one scan with the side flag as a conditional-sum pivot — no
+    * per-side self-join; bounds are a 1-row broadcast; the
+    * (type × bucket) frame and the per-type totals are
+    * bounded-cardinality. At 100 TB this is one scan-bandwidth pass +
+    * kilobyte aggregates, run per partition/day as a standing monitor. */
+  def qDriftTv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val cut = lit(DriftCutoff).cast("timestamp")
+    driftTv(Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), Exact.cents(col("value")).as("x"),
+        (col("ts") < cut).cast("long").as("is_ref")))
+  }
+
+  /** The kernel over an (event_type, x: long, is_ref: 0|1) frame — DqSpec
+    * drives the identical-window (TV = 0) and disjoint-support
+    * (TV = 1000) boundary cases over crafted fixtures. */
+  def driftTv(e: DataFrame): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val bounds = e.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val counts = e.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(s"((x - lo) * $DriftBuckets) DIV (hi - lo + 1)"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("is_ref")).as("o_ref"),
+        sum(lit(1L) - col("is_ref")).as("o_cur"))
+    val totals = counts.groupBy(col("event_type"))
+      .agg(sum(col("o_ref")).as("n_ref"), sum(col("o_cur")).as("n_cur"))
+    counts.join(broadcast(totals), "event_type")
+      .withColumn("term",
+        abs(d(col("o_cur")) * d(col("n_ref")) - d(col("o_ref")) * d(col("n_cur"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        sum(col("term")).as("num"))
+      .withColumn("tv_milli",
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          expr("CAST((1000 * num) DIV (2 * n_ref * n_cur) AS BIGINT)")))
+      .select(col("event_type"), col("n_ref"), col("n_cur"), col("tv_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dq_audit" -> (qDqAudit _),
-    "q_outliers" -> (qOutliers _))
+    "q_outliers" -> (qOutliers _),
+    "q_mad_outliers" -> (qMadOutliers _),
+    "q_drift_tv" -> (qDriftTv _))
 
   val oracles: Map[String, String] = Map(
     "q_dq_audit" ->
@@ -174,5 +294,66 @@ object DqQueries {
          |SELECT event_type, count(*) AS n_events,
          |  CAST(sum(f) AS BIGINT) AS n_outliers,
          |  (1000 * CAST(sum(f) AS BIGINT)) // count(*) AS outlier_milli
-         |FROM fl GROUP BY 1""".stripMargin)
+         |FROM fl GROUP BY 1""".stripMargin,
+    // identical lower-median rank rule ((n+1)//2 of the per-type sort) and
+    // all-integer deviations — ties are benign because only the VALUE at
+    // the rank survives, never the row identity
+    "q_mad_outliers" ->
+      s"""WITH e AS (
+         |  SELECT event_type, ${graft.functions.Exact.centsSql("value")} AS x
+         |  FROM events WHERE value IS NOT NULL),
+         |r AS (
+         |  SELECT event_type, x,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM e),
+         |med AS (SELECT event_type, x AS med FROM r WHERE rn = (n + 1) // 2),
+         |d AS (
+         |  SELECT e.event_type, abs(e.x - med.med) AS dev, med.med
+         |  FROM e JOIN med USING (event_type)),
+         |rd AS (
+         |  SELECT event_type, dev,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM d),
+         |mad AS (SELECT event_type, dev AS mad FROM rd WHERE rn = (n + 1) // 2),
+         |fl AS (
+         |  SELECT d.event_type, d.med, mad.mad,
+         |    CASE WHEN d.dev > $MadK * mad.mad THEN 1 ELSE 0 END AS f
+         |  FROM d JOIN mad USING (event_type))
+         |SELECT event_type, count(*) AS n_events,
+         |  max(med) AS median_cents, max(mad) AS mad_cents,
+         |  CAST(sum(f) AS BIGINT) AS n_outliers,
+         |  (1000 * CAST(sum(f) AS BIGINT)) // count(*) AS outlier_milli
+         |FROM fl GROUP BY 1""".stripMargin,
+    // same global-envelope bucket rule, same cleared-denominator TV
+    // arithmetic in HUGEINT — every operand nonnegative, so DuckDB's
+    // flooring // and Spark's truncating DIV agree
+    "q_drift_tv" ->
+      s"""WITH e AS (
+         |  SELECT event_type, ${graft.functions.Exact.centsSql("value")} AS x,
+         |    CASE WHEN ts < TIMESTAMP '$DriftCutoff' THEN 1 ELSE 0 END AS is_ref
+         |  FROM events WHERE value IS NOT NULL),
+         |b AS (SELECT min(x) AS lo, max(x) AS hi FROM e),
+         |c AS (
+         |  SELECT event_type,
+         |    ((x - lo) * $DriftBuckets) // (hi - lo + 1) AS bucket,
+         |    CAST(sum(is_ref) AS BIGINT) AS o_ref,
+         |    CAST(sum(1 - is_ref) AS BIGINT) AS o_cur
+         |  FROM e, b GROUP BY 1, 2),
+         |t AS (
+         |  SELECT event_type, CAST(sum(o_ref) AS BIGINT) AS n_ref,
+         |    CAST(sum(o_cur) AS BIGINT) AS n_cur
+         |  FROM c GROUP BY 1),
+         |j AS (
+         |  SELECT c.event_type, t.n_ref, t.n_cur,
+         |    abs(CAST(c.o_cur AS HUGEINT) * t.n_ref
+         |        - CAST(c.o_ref AS HUGEINT) * t.n_cur) AS term
+         |  FROM c JOIN t ON c.event_type = t.event_type)
+         |SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+         |  CASE WHEN max(n_ref) > 0 AND max(n_cur) > 0
+         |    THEN CAST((1000 * sum(term))
+         |      // (2 * CAST(max(n_ref) AS HUGEINT) * max(n_cur)) AS BIGINT)
+         |  END AS tv_milli
+         |FROM j GROUP BY 1""".stripMargin)
 }

@@ -64,4 +64,78 @@ class DqSpec extends SparkSpec {
     got.foreach { case (t, n, o, _) =>
       assert(o * 5 <= n, s"$t flagged $o of $n — gate inverted?") }
   }
+
+  /** Driver-side lower median: the element at rank ⌊(n+1)/2⌋ (1-based) of
+    * the sorted values — the q_mad_outliers rank rule. */
+  private def lowerMedian(xs: Seq[Long]): Long = {
+    val s = xs.sorted
+    s(((s.length + 1) / 2) - 1)
+  }
+
+  test("q_mad_outliers equals a driver-side median/MAD gate") {
+    val rows = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        graft.functions.Exact.cents(col("value")).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = rows.groupBy(_._1).map { case (t, txs) =>
+      val xs = txs.map(_._2).toSeq
+      val med = lowerMedian(xs)
+      val devs = xs.map(x => math.abs(x - med))
+      val mad = lowerMedian(devs)
+      val out = devs.count(_ > DqQueries.MadK * mad)
+      (t, xs.length.toLong, med, mad, out.toLong, 1000L * out / xs.length)
+    }.toSeq.sortBy(_._1)
+    val got = DqQueries.qMadOutliers(spark, sf).orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("madOutliers: MAD=0 flags every deviant; median gate survives the tail that masks 3σ") {
+    import spark.implicits._
+    // over half the type at one value ⇒ MAD = 0 ⇒ any deviation flags
+    val constant = Seq.fill(6)(("a", 500L)) ++ Seq(("a", 501L), ("a", 9999L))
+    val c = DqQueries.madOutliers(constant.toDF("event_type", "x")).collect().head
+    assert(c.getLong(2) == 500L && c.getLong(3) == 0L && c.getLong(4) == 2L)
+    // masking: one extreme point inflates σ until 3σ misses it less
+    // aggressively than the MAD gate — the robust gate must flag the
+    // spike that the moment gate (same data, qOutliers arithmetic) hides
+    val masked = (1L to 20L).map(i => ("b", 100L + i)) :+ ("b", 100000000L)
+    val mOut = DqQueries.madOutliers(masked.toDF("event_type", "x")).collect().head
+    assert(mOut.getLong(4) >= 1L, s"MAD gate must catch the spike: $mOut")
+  }
+
+  test("driftTv: zero on identical windows, 1000 on disjoint support, driver parity on the corpus") {
+    import spark.implicits._
+    // identical ref/cur distributions ⇒ every bucket term is 0
+    val same = (1L to 50L).flatMap(i =>
+      Seq(("a", i % 7 * 100, 1L), ("a", i % 7 * 100, 0L)))
+    val s = DqQueries.driftTv(same.toDF("event_type", "x", "is_ref")).collect().head
+    assert(s.getLong(3) == 0L, s"identical windows must read 0: $s")
+    // disjoint support (ref all-low, cur all-high) ⇒ TV = 1 ⇒ 1000 milli
+    val disjoint = (1L to 30L).map(i => ("a", 0L + i % 3, 1L)) ++
+      (1L to 20L).map(i => ("a", 100000L + i % 3, 0L))
+    val dj = DqQueries.driftTv(disjoint.toDF("event_type", "x", "is_ref")).collect().head
+    assert(dj.getLong(3) == 1000L, s"disjoint windows must read 1000: $dj")
+    // corpus run agrees with a driver-side recompute of the same rule
+    val rows = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_type"), graft.functions.Exact.cents(col("value")).as("x"),
+        (col("ts") < lit(DqQueries.DriftCutoff).cast("timestamp")).cast("long").as("r"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val lo = rows.map(_._2).min; val hi = rows.map(_._2).max
+    val expected = rows.groupBy(_._1).map { case (t, txs) =>
+      val bucket = (x: Long) => (x - lo) * DqQueries.DriftBuckets / (hi - lo + 1)
+      val ref = txs.filter(_._3 == 1L); val cur = txs.filter(_._3 == 0L)
+      val nr = BigInt(ref.length); val nc = BigInt(cur.length)
+      val num = (0L until DqQueries.DriftBuckets).map { b =>
+        val or = BigInt(ref.count(x => bucket(x._2) == b))
+        val oc = BigInt(cur.count(x => bucket(x._2) == b))
+        (oc * nr - or * nc).abs
+      }.sum
+      (t, nr.toLong, nc.toLong, (1000 * num / (2 * nr * nc)).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = DqQueries.qDriftTv(spark, sf).orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
 }
