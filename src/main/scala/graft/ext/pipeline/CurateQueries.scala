@@ -421,6 +421,74 @@ object CurateQueries {
       .withColumn("weight_milli", expr("1000 DIV n_dups"))
   }
 
+  /** The sampled corpus that APPLIES [[qDupWeights]]'s soft-dedup weights:
+    * each doc is kept iff its RNG-free md5 bucket (0..999) falls under its
+    * cluster's ⌊1000/k⌋ weight — deterministic Bernoulli(weight) sampling,
+    * the same hash-sample rule as `mix_rebalance`/`q_strat_sample` driven
+    * by a PER-DOC weight column instead of a per-language rate. Singletons
+    * carry weight 1000 and are kept unconditionally, so unique content is
+    * provably never lost — the property that separates down-weighting
+    * from dropping; a k-clone cluster keeps ~one member in expectation.
+    *
+    * Scale shape: everything is [[qDupWeights]]'s one broadcast left join
+    * plus a narrow hash filter — the decision needs no second shuffle, no
+    * sort, no RNG state; resampling with a different salt is a constant
+    * change. Output is the kept doc list with its provenance columns. */
+  def qWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    qDupWeights(spark, dir)
+      .withColumn("b",
+        pmod(Exact.md5Long(concat(lit("wsamp|"), col("doc_id"))), lit(1000)))
+      .filter(col("b") < col("weight_milli"))
+      .select(col("doc_id"), col("cluster_id"), col("n_dups"), col("weight_milli"))
+
+  /** Hash-bucket count for [[qTrainTriplets]]' negative mining. Sized for
+    * a target bucket OCCUPANCY, not a fixed fan-in: at corpus scale B
+    * grows ∝ n/occupancy (exactly how the LSH band count scales with
+    * log₂ n), keeping both the per-key row count and the candidate mass
+    * |pairs|·occupancy bounded. 16 buckets ≈ 31-doc occupancy here. */
+  val NegBuckets = 16L
+
+  /** Contrastive training-pair mining: one (anchor, positive, negative)
+    * triple per near-dup pair — anchors/positives straight from the
+    * jaccard pair snapshot (documents that genuinely paraphrase each
+    * other), negatives mined deterministically: each anchor probes ONE
+    * md5 hash bucket of the corpus and takes the min-hash member that is
+    * not itself, not the positive, and not a known near-dup of the
+    * anchor. The RNG-free twin of uniform negative sampling — resampling
+    * is a salt change, and the triple set replays bit-identically (the
+    * property that makes a training run reproducible from the manifest).
+    *
+    * Scale shape: candidate generation is an EQUI join of the pair frame
+    * against one corpus bucket per anchor — candidate mass =
+    * |pairs| × occupancy, never pairs × corpus; the near-dup exclusion
+    * is a hash anti-join on the normalized pair key (pair-frame-sized
+    * build side); the argmin window partitions by (anchor, positive) —
+    * triple-frame-sized groups of occupancy rows. Nothing corpus-sized
+    * shuffles beyond the one bucket projection. In-batch negatives (the
+    * other common scheme) need no mining at all — this operator exists
+    * for the curriculum that wants CORPUS-wide negatives pinned ahead of
+    * batching. */
+  def qTrainTriplets(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupQueries.jaccardPairSnapshot(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val cands = Tables.documents(spark, dir).select(
+      col("doc_id").as("cand"),
+      pmod(Exact.md5Long(concat(lit("negb|"), col("doc_id"))), lit(NegBuckets)).as("nb"),
+      Exact.md5Long(concat(lit("negh|"), col("doc_id"))).as("nh"))
+    val probes = pairs.withColumn("nb",
+      pmod(Exact.md5Long(concat(lit("negp|"), col("doc_a"))), lit(NegBuckets)))
+    val screened = probes.join(cands, Seq("nb"))
+      .filter(col("cand") =!= col("doc_a") && col("cand") =!= col("doc_b"))
+      .join(pairs.select(col("doc_a").as("xa"), col("doc_b").as("xb")),
+        least(col("doc_a"), col("cand")) === col("xa") &&
+          greatest(col("doc_a"), col("cand")) === col("xb"),
+        "left_anti")
+    val w = Window.partitionBy("doc_a", "doc_b").orderBy(col("nh"), col("cand"))
+    screened.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_a").as("anchor_id"), col("doc_b").as("positive_id"),
+        col("cand").as("negative_id"))
+  }
+
   /** Corpus governance report: the per-(lang, source) dashboard a curation
     * run publishes — document and token counts, mean quality, and the
     * fraction falling under the [[QualityMin]] cut. Mean quality follows
@@ -502,7 +570,9 @@ object CurateQueries {
     "mix_rebalance"   -> (qMixRebalance _),
     "mix_temperature" -> (qMixTemperature _),
     "mix_epochs"      -> (qMixEpochs _),
-    "mix_dupweight"   -> (qDupWeights _))
+    "mix_dupweight"   -> (qDupWeights _),
+    "q_weighted_sample" -> (qWeightedSample _),
+    "train_triplets"  -> (qTrainTriplets _))
 
   // ------------------------------------------------------------- oracles
 
@@ -758,6 +828,55 @@ object CurateQueries {
          |  coalesce(m.n, 1) AS n_dups,
          |  1000 // coalesce(m.n, 1) AS weight_milli
          |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin,
+    // the mix_dupweight statement nests verbatim, then the same RNG-free
+    // md5 bucket rule as the other hash samples applies the weight
+    "q_weighted_sample" ->
+      s"""WITH c AS (
+         |${DedupQueries.dedupClustersSql}
+         |),
+         |s AS (SELECT cluster_id, count(*) AS n FROM c GROUP BY 1),
+         |m AS (SELECT c.doc_id, c.cluster_id, s.n
+         |      FROM c JOIN s ON c.cluster_id = s.cluster_id),
+         |w AS (SELECT d.doc_id,
+         |        coalesce(m.cluster_id, d.doc_id) AS cluster_id,
+         |        coalesce(m.n, 1) AS n_dups,
+         |        1000 // coalesce(m.n, 1) AS weight_milli
+         |      FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id)
+         |SELECT doc_id, cluster_id, n_dups, weight_milli
+         |FROM w
+         |WHERE ${Exact.md5LongSql("'wsamp|' || CAST(doc_id AS VARCHAR)")} % 1000
+         |      < weight_milli""".stripMargin,
+    // the jaccard pair statement nests verbatim (one truth with the dedup
+    // gate); bucket probe, exclusions, and the (nh, cand) argmin replay
+    // the engine rule exactly — all md5 operands nonnegative, so % is pmod
+    "train_triplets" ->
+      s"""WITH p AS (
+         |$jaccardPairsSql
+         |),
+         |d AS (
+         |  SELECT doc_id AS cand,
+         |    ${Exact.md5LongSql("'negb|' || CAST(doc_id AS VARCHAR)")}
+         |      % $NegBuckets AS nb,
+         |    ${Exact.md5LongSql("'negh|' || CAST(doc_id AS VARCHAR)")} AS nh
+         |  FROM documents),
+         |c AS (
+         |  SELECT p.doc_a, p.doc_b, d.cand, d.nh
+         |  FROM p JOIN d
+         |    ON d.nb = ${Exact.md5LongSql("'negp|' || CAST(p.doc_a AS VARCHAR)")}
+         |            % $NegBuckets
+         |  WHERE d.cand <> p.doc_a AND d.cand <> p.doc_b),
+         |e AS (
+         |  SELECT c.* FROM c
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM p q
+         |    WHERE q.doc_a = least(c.doc_a, c.cand)
+         |      AND q.doc_b = greatest(c.doc_a, c.cand))),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY doc_a, doc_b ORDER BY nh, cand) AS rn
+         |  FROM e)
+         |SELECT doc_a AS anchor_id, doc_b AS positive_id, cand AS negative_id
+         |FROM r WHERE rn = 1""".stripMargin,
     // all-integer replay: the same √-quantization as mix_temperature's
     // wq, then floor division end to end — sums cast back from HUGEINT
     "mix_epochs" ->

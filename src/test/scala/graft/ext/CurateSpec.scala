@@ -369,4 +369,63 @@ class CurateSpec extends SparkSpec {
     assert(realized.head / realized.last < shares.head / shares.last,
       "temperature did not compress the mix skew")
   }
+
+  test("q_weighted_sample: singletons always survive; kept set matches a driver md5 replay") {
+    val weights = CurateQueries.qDupWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val got = CurateQueries.qWeightedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // independent replay of the bucket rule: md5 hex → first 15 nibbles →
+    // long → mod 1000, the engine-shared Exact.md5Long definition
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      md.reset()
+      val hex = md.digest(s"wsamp|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1000L
+    }
+    val expected = weights.collect {
+      case (id, (c, n, w)) if bucket(id) < w => (id, c, n, w)
+    }.toSet
+    assert(got == expected && got.nonEmpty)
+    // soft dedup never loses unique content: every weight-1000 singleton
+    // is in the sample unconditionally
+    val singletons = weights.collect { case (id, (_, 1L, _)) => id }.toSet
+    assert(singletons.nonEmpty &&
+      singletons.forall(id => got.exists(_._1 == id)))
+    // and duplication is genuinely thinned: kept docs from multi-doc
+    // clusters number well under their membership
+    val multiMembers = weights.count(_._2._2 > 1L)
+    val multiKept = got.count(_._3 > 1L)
+    assert(multiMembers == 0 || multiKept < multiMembers)
+  }
+
+  test("train_triplets: one triple per pair; negative is the min-hash eligible bucket member") {
+    val pairSet = graft.ext.dedup.DedupQueries.qNgramJaccard(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val docs = Tables.documents(spark, sf).select("doc_id").as[Long].collect().toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long = {
+      md.reset()
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val b = CurateQueries.NegBuckets
+    val expected = pairSet.flatMap { case (a, p) =>
+      val nb = h(s"negp|$a") % b
+      val elig = docs.filter(d => h(s"negb|$d") % b == nb && d != a && d != p &&
+        !pairSet.contains((math.min(a, d), math.max(a, d))))
+      if (elig.isEmpty) None
+      else Some((a, p, elig.minBy(d => (h(s"negh|$d"), d))))
+    }
+    val got = CurateQueries.qTrainTriplets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairSet.nonEmpty && got == expected)
+    // on this corpus every anchor finds a negative, and no negative is a
+    // known near-dup of its anchor (re-checked on the engine output)
+    assert(got.size == pairSet.size)
+    got.foreach { case (a, _, n) =>
+      assert(n != a &&
+        !pairSet.contains((math.min(a, n), math.max(a, n))), s"($a,$n)") }
+  }
 }
