@@ -57,6 +57,53 @@ object GraphQueries {
       .select(col("u").as("doc_id"), col("r").as("rank_micro"), col("d").as("degree"))
   }
 
+  /** Core order for [[qKcore]] (keep nodes of within-subgraph degree ≥ K). */
+  val CoreK = 2L
+  /** Fixed peel rounds — like [[Iters]] and the k-means trainer, a pure
+    * function of the input is what the oracle/determinism gates require.
+    * The true k-core is this peel run to fixpoint; 3 rounds reach it on
+    * near-dup graphs (GraphSpec asserts convergence on the corpus — the
+    * flag in the output is how a deployment knows to run another R). */
+  val CoreRounds = 3
+
+  /** k-core decomposition (fixed-round peel): iteratively remove nodes
+    * whose degree within the SURVIVING subgraph is below [[CoreK]] — the
+    * graph-cohesion complement of triangles: a mirror-clique is a dense
+    * core, while hub-and-spokes boilerplate and pendant chains peel away
+    * entirely (the 2-core of any tree is empty). On the near-dup pair
+    * graph the surviving core names the heavily cross-duplicated
+    * neighborhoods worth auditing as a set rather than pairwise.
+    *
+    * Scale shape: [[CoreRounds]] bounded passes over the pair-graph-sized
+    * edge list — per round one degree aggregate and one semi-join per
+    * endpoint (broadcast when the survivor frame is small, shuffle
+    * otherwise), checkpointed per round exactly like the component loop so
+    * iteration N+1 never replays N. Nothing corpus-sized is touched after
+    * the shared pair snapshot. */
+  def qKcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreFrom(DedupQueries.jaccardPairSnapshot(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b")))
+
+  /** The peel kernel over an undirected (a, b) edge frame — GraphSpec
+    * drives the tree-peels-to-empty and cycle-survives-whole fixtures. */
+  private[graft] def kcoreFrom(pairs: DataFrame): DataFrame = {
+    var edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    for (_ <- 1 to CoreRounds) {
+      val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= CoreK).select(col("u"))
+      edges = edges.join(keep, "u")
+        .join(keep.select(col("u").as("v")), "v")
+        .select(col("u"), col("v")).localCheckpoint()
+    }
+    // survivors with their within-core degree; in_core flags whether the
+    // node already satisfies the core order (false ⇒ one more R needed)
+    edges.groupBy(col("u")).agg(count(lit(1)).as("degree"))
+      .select(col("u").as("doc_id"), col("degree"),
+        (col("degree") >= CoreK).as("in_core"))
+  }
+
   /** Per-node triangle count + local clustering coefficient over the
     * near-dup pair graph — the cohesion metric that separates a dense
     * mirror-cluster (every copy pairs with every other: coefficient near
@@ -139,7 +186,20 @@ object GraphQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank"  -> (qPagerank _),
-    "graph_triangles" -> (qTriangles _))
+    "graph_triangles" -> (qTriangles _),
+    "graph_kcore"     -> (qKcore _))
+
+  /** One unrolled peel round — survivors of round n are the nodes whose
+    * degree within e(n−1) meets the core order; e(n) keeps edges with
+    * BOTH endpoints surviving. */
+  private def peelSql(n: Int): String =
+    s"""k$n AS (
+       |  SELECT u FROM (SELECT u, count(*) AS d FROM e${n - 1} GROUP BY 1)
+       |  WHERE d >= $CoreK),
+       |e$n AS (
+       |  SELECT e.u, e.v FROM e${n - 1} e
+       |  JOIN k$n a ON e.u = a.u
+       |  JOIN k$n b ON e.v = b.u)""".stripMargin
 
   /** One unrolled iteration — the same floored-integer update as the
     * Spark side. DuckDB `sum(BIGINT)` widens to HUGEINT, which would
@@ -192,5 +252,18 @@ object GraphQueries {
          |    THEN (1000 * 2 * CAST(coalesce(p.n_triangles, 0) AS BIGINT))
          |           // (d.degree * (d.degree - 1))
          |    ELSE 0 END AS clustering_milli
-         |FROM deg d LEFT JOIN per_node p ON p.doc_id = d.doc_id""".stripMargin)
+         |FROM deg d LEFT JOIN per_node p ON p.doc_id = d.doc_id""".stripMargin,
+    // the same CoreRounds peel unrolled as CTE rounds over the shared
+    // pair statement
+    "graph_kcore" ->
+      s"""WITH pairs AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM (
+         |${DedupQueries.ngramJaccardSql}
+         |  ) jp),
+         |e0 AS (SELECT a AS u, b AS v FROM pairs
+         |       UNION ALL SELECT b, a FROM pairs),
+         |${(1 to CoreRounds).map(peelSql).mkString(",\n")}
+         |SELECT u AS doc_id, count(*) AS degree,
+         |  count(*) >= $CoreK AS in_core
+         |FROM e$CoreRounds GROUP BY 1""".stripMargin)
 }

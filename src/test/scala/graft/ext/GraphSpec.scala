@@ -97,4 +97,39 @@ class GraphSpec extends SparkSpec {
       assert(out(s) == ((1L, 0L, 0L)), s"leaf $s row: ${out(s)}")
     }
   }
+
+  test("graph_kcore: trees peel to empty, cycles survive whole, corpus peel matches a driver fixpoint") {
+    // the 2-core of any tree is empty: a 6-node path peels from both ends,
+    // gone within 3 rounds
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    assert(GraphQueries.kcoreFrom(path).count() == 0L, "path graph must peel away")
+    // a cycle is its own 2-core: every node survives at degree exactly 2
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val c = GraphQueries.kcoreFrom(cycle).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(c == (1L to 4L).map(n => (n, 2L, true)).toSet, s"cycle core: $c")
+    // a cycle with a pendant tail: tail peels, cycle stays
+    val tailed = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 9L), (9L, 10L)).toDF("a", "b")
+    val t = GraphQueries.kcoreFrom(tailed).collect().map(_.getLong(0)).toSet
+    assert(t == Set(1L, 2L, 3L), s"tailed-cycle core: $t")
+
+    // corpus run: matches a driver-side peel run to FIXPOINT — i.e. 3
+    // rounds converge on this graph (every survivor flags in_core)
+    val pairs = DedupQueries.qNgramJaccard(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    var adj = (pairs.map(p => (p._1, p._2)) ++ pairs.map(p => (p._2, p._1))).toSeq
+    var changed = true
+    while (changed) {
+      val deg = adj.groupBy(_._1).map { case (n, es) => n -> es.size }
+      val keep = deg.filter(_._2 >= GraphQueries.CoreK).keySet
+      val next = adj.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != adj.size
+      adj = next
+    }
+    val want = adj.groupBy(_._1).map { case (n, es) => (n, es.size.toLong, true) }.toSet
+    val got = GraphQueries.qKcore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == want, s"corpus core mismatch: ${got.size} vs ${want.size}")
+    assert(got.forall(_._3), "3 rounds did not converge on the corpus graph")
+  }
 }
