@@ -137,7 +137,30 @@ object Explain {
     "q_transitions" -> ("Sequence census: lag() rides ONE user-keyed " +
       "sort; the transition aggregate is map-side-combinable onto a " +
       "|types|²-bounded frame, and the row-normalizing window runs over " +
-      "that bounded output — nothing data-sized after the fact shuffle."))
+      "that bounded output — nothing data-sized after the fact shuffle."),
+    "q_mv_merge" -> ("Incremental MV maintenance: each side's partials " +
+      "are a map-side-combinable aggregate of ITS slice only (the " +
+      "cutoff predicate reaches both parquet scans as PushedFilters), " +
+      "and the merge re-aggregates the UNION of two view-grain frames — " +
+      "the merge exchange carries days x types rows, never events; in " +
+      "deployment the base branch is a read of the persisted view, so " +
+      "history is never rescanned."),
+    "q_mad_outliers" -> ("Robust outlier gate: two event_type-" +
+      "partitioned Window sorts (median, then MAD over deviations) — " +
+      "the exact-median price, with approx_percentile as the documented " +
+      "at-scale swap — then the per-type thresholds broadcast back onto " +
+      "the value frame for the flag pass; output |types| rows."),
+    "q_drift_tv" -> ("Drift monitor: ONE scan with the window side as a " +
+      "conditional-sum pivot (no per-side self-join), global bounds as " +
+      "a 1-row broadcast, and every frame after the (type x bucket) " +
+      "aggregate is bounded-cardinality — the TV arithmetic runs " +
+      "integer-exact in decimal(38,0)."),
+    "train_triplets" -> ("Negative mining candidate-bounded: the pair " +
+      "frame equi-joins ONE corpus hash bucket per anchor (candidate " +
+      "mass = pairs x occupancy, never pairs x corpus), the near-dup " +
+      "exclusion is a hash anti-join on the normalized pair key, and " +
+      "the argmin window partitions per (anchor, positive) over " +
+      "occupancy-sized groups."))
 
   /** Snapshot-backed registered entries serve a `localCheckpoint`, whose
     * plan is just an RDD scan — audit the underlying BUILD pipeline
