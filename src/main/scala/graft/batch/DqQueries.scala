@@ -155,15 +155,21 @@ object DqQueries {
 
   /** The kernel over an (event_type, x: long) frame — DqSpec drives it
     * over crafted fixtures (MAD = 0, masking) the corpus can't express. */
-  def madOutliers(e: DataFrame): DataFrame = {
+  /** Per-group lower median: the element at rank ⌊(n+1)/2⌋ (1-based) of
+    * each event_type partition's sort on `c` — ties are benign because
+    * only the VALUE at the rank survives. Shared by the MAD gate and the
+    * daily-volume anomaly gate. */
+  private def lowerMedian(df: DataFrame, c: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wCnt = Window.partitionBy("event_type")
-    def lowerMedian(df: DataFrame, c: String): DataFrame =
-      df.withColumn("rn",
-          row_number().over(Window.partitionBy("event_type").orderBy(col(c))))
-        .withColumn("n", count(lit(1)).over(wCnt))
-        .filter(expr("rn = (n + 1) DIV 2"))
-        .select(col("event_type"), col(c).as(s"med_$c"))
+    df.withColumn("rn",
+        row_number().over(Window.partitionBy("event_type").orderBy(col(c))))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(expr("rn = (n + 1) DIV 2"))
+      .select(col("event_type"), col(c).as(s"med_$c"))
+  }
+
+  def madOutliers(e: DataFrame): DataFrame = {
     val med = lowerMedian(e, "x")
     val dev = e.join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("x") - col("med_x")))
@@ -241,11 +247,87 @@ object DqQueries {
       .select(col("event_type"), col("n_ref"), col("n_cur"), col("tv_milli"))
   }
 
+  /** Daily-volume anomaly gate: for each (event_type, day), is that day's
+    * event COUNT anomalous against the type's daily history? The same
+    * median/MAD rule as [[qMadOutliers]] applied at the day grain — the
+    * "did yesterday's feed spike or go dark" check a standing pipeline
+    * runs before trusting a partition, robust against the very outage
+    * days it exists to catch (a week-long outage shifts a mean; the
+    * median shrugs). All counts are integers, so the gate is exact; a
+    * MAD of 0 (over half the days at one volume) flags any deviating
+    * day — strictest consistent reading, like the value-grain gate.
+    *
+    * Shape: the fact collapses to the |types|×|days| count frame FIRST
+    * (one map-side-combinable aggregate — the only full-data pass), and
+    * every window/join after it runs on that bounded frame. Output is
+    * the full per-day report with the per-type thresholds attached, so
+    * the flag is auditable, not just asserted. */
+  def qAnomalyDays(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("x"))
+    val med = lowerMedian(d.select(col("event_type"), col("x")), "x")
+    val dev = d.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("x") - col("med_x")))
+    val mad = lowerMedian(dev.select(col("event_type"), col("dev")), "dev")
+    dev.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("event_date"), col("x").as("n_events"),
+        col("med_x").as("median_n"), col("med_dev").as("mad_n"),
+        (col("dev") > lit(MadK) * col("med_dev")).as("is_anomaly"))
+  }
+
+  /** Frequency quantile probed by [[qSkewMetrics]] (p99 of key counts). */
+  val SkewPctl = 99L
+
+  /** Join-key skew census — the diagnostic that decides whether a key
+    * needs salting/AQE-skew handling BEFORE the shuffle burns a retry:
+    * for each candidate key column, the key-frequency distribution's
+    * headline numbers — distinct keys, the hottest key's row share, and
+    * the p99/median frequency ratio (exact rank arithmetic, integer
+    * end to end). A diffuse key (user_id) and a concentrated one
+    * (event_type) bracket the scale: top_share_milli ≈ 0 vs ≈ 200 here.
+    *
+    * Shape — the count-of-COUNTS contraction, because the frequency
+    * frame itself is |keys|-sized (billions of user_ids at 100 TB) and
+    * must never meet a single-partition window: per column one
+    * map-side-combinable aggregate collapses the fact to key
+    * frequencies, a second collapses THOSE to the frequency-of-
+    * frequencies frame (distinct count VALUES — Zipf-bounded, tiny),
+    * and the exact median/p99 read off its cumulative sum (value at
+    * rank r ≡ min c with cum(c) ≥ r, the same rank rule as the MAD
+    * family). Only the bounded cc frame ever sees a window; the two
+    * fact-side aggregates are the operator's whole cost. */
+  def qSkewMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    def report(keyCol: String): DataFrame = {
+      val freq = e.groupBy(col(keyCol).cast("string").as("k"))
+        .agg(count(lit(1)).as("c"))
+      val cc = freq.groupBy(col("c")).agg(count(lit(1)).as("kn"))
+        .select(lit(keyCol).as("key_col"), col("c"), col("kn"))
+      val wAll = Window.partitionBy("key_col")
+      cc.withColumn("cum", sum(col("kn")).over(wAll.orderBy(col("c"))))
+        .withColumn("nk", sum(col("kn")).over(wAll))
+        .groupBy(col("key_col"))
+        .agg(sum(col("c") * col("kn")).as("n_rows"),
+          max(col("nk")).as("n_keys"),
+          max(col("c")).as("max_count"),
+          min(when(expr("cum >= (nk + 1) DIV 2"), col("c"))).as("med_count"),
+          min(when(expr(s"cum >= ((nk * $SkewPctl) + 99) DIV 100"), col("c")))
+            .as("p99_count"))
+        .withColumn("top_share_milli", expr("(1000 * max_count) DIV n_rows"))
+        .withColumn("skew_ratio_milli", expr("(1000 * p99_count) DIV med_count"))
+    }
+    report("user_id").unionByName(report("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dq_audit" -> (qDqAudit _),
     "q_outliers" -> (qOutliers _),
     "q_mad_outliers" -> (qMadOutliers _),
-    "q_drift_tv" -> (qDriftTv _))
+    "q_drift_tv" -> (qDriftTv _),
+    "q_anomaly_days" -> (qAnomalyDays _),
+    "q_skew_metrics" -> (qSkewMetrics _))
 
   val oracles: Map[String, String] = Map(
     "q_dq_audit" ->
@@ -355,5 +437,58 @@ object DqQueries {
          |    THEN CAST((1000 * sum(term))
          |      // (2 * CAST(max(n_ref) AS HUGEINT) * max(n_cur)) AS BIGINT)
          |  END AS tv_milli
-         |FROM j GROUP BY 1""".stripMargin)
+         |FROM j GROUP BY 1""".stripMargin,
+    // the q_mad_outliers rank rule at the (type, day) count grain
+    "q_anomaly_days" ->
+      s"""WITH d AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS event_date, count(*) AS x
+         |  FROM events GROUP BY 1, 2),
+         |r AS (
+         |  SELECT event_type, x,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM d),
+         |med AS (SELECT event_type, x AS med FROM r WHERE rn = (n + 1) // 2),
+         |dv AS (
+         |  SELECT d.event_type, d.event_date, d.x, med.med,
+         |    abs(d.x - med.med) AS dev
+         |  FROM d JOIN med USING (event_type)),
+         |rd AS (
+         |  SELECT event_type, dev,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM dv),
+         |mad AS (SELECT event_type, dev AS mad FROM rd WHERE rn = (n + 1) // 2)
+         |SELECT dv.event_type, dv.event_date, dv.x AS n_events,
+         |  dv.med AS median_n, mad.mad AS mad_n,
+         |  dv.dev > $MadK * mad.mad AS is_anomaly
+         |FROM dv JOIN mad USING (event_type)""".stripMargin,
+    // identical count-of-counts contraction; window sums cast back from
+    // HUGEINT, quantiles read off the cumulative (min c with cum >= rank)
+    "q_skew_metrics" ->
+      s"""WITH f1 AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS c
+         |  FROM events GROUP BY 1),
+         |cc1 AS (SELECT 'user_id' AS key_col, c, count(*) AS kn FROM f1 GROUP BY 2),
+         |f2 AS (
+         |  SELECT CAST(event_type AS VARCHAR) AS k, count(*) AS c
+         |  FROM events GROUP BY 1),
+         |cc2 AS (SELECT 'event_type' AS key_col, c, count(*) AS kn FROM f2 GROUP BY 2),
+         |cc AS (SELECT * FROM cc1 UNION ALL SELECT * FROM cc2),
+         |x AS (
+         |  SELECT key_col, c, kn,
+         |    CAST(sum(kn) OVER (PARTITION BY key_col ORDER BY c) AS BIGINT) AS cum,
+         |    CAST(sum(kn) OVER (PARTITION BY key_col) AS BIGINT) AS nk
+         |  FROM cc),
+         |g AS (
+         |  SELECT key_col, CAST(sum(c * kn) AS BIGINT) AS n_rows,
+         |    max(nk) AS n_keys, max(c) AS max_count,
+         |    min(CASE WHEN cum >= (nk + 1) // 2 THEN c END) AS med_count,
+         |    min(CASE WHEN cum >= ((nk * $SkewPctl) + 99) // 100 THEN c END)
+         |      AS p99_count
+         |  FROM x GROUP BY 1)
+         |SELECT key_col, n_rows, n_keys, max_count, med_count, p99_count,
+         |  (1000 * max_count) // n_rows AS top_share_milli,
+         |  (1000 * p99_count) // med_count AS skew_ratio_milli
+         |FROM g""".stripMargin)
 }

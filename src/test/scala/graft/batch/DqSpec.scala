@@ -105,6 +105,50 @@ class DqSpec extends SparkSpec {
     assert(mOut.getLong(4) >= 1L, s"MAD gate must catch the spike: $mOut")
   }
 
+  test("q_anomaly_days equals a driver-side per-day median/MAD replay") {
+    val counts = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    val expected = counts.groupBy(_._1).flatMap { case (t, rows) =>
+      val med = lowerMedian(rows.map(_._3).toSeq)
+      val mad = lowerMedian(rows.map(r => math.abs(r._3 - med)).toSeq)
+      rows.toSeq.map(r => (t, r._2, r._3, med, mad,
+        math.abs(r._3 - med) > DqQueries.MadK * mad))
+    }.toSet
+    val got = DqQueries.qAnomalyDays(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    assert(got == expected && got.nonEmpty)
+    // the report covers every (type, day) cell exactly once
+    assert(got.size == counts.length)
+  }
+
+  test("q_skew_metrics equals a driver-side frequency census; event_type reads more skewed") {
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id").cast("string"), col("event_type")).collect()
+    def replay(keyCol: String, keys: Seq[String]) = {
+      val freqs = keys.groupBy(identity).values.map(_.size.toLong).toSeq.sorted
+      val nk = freqs.length
+      def atRank(r: Long) = freqs((r - 1).toInt)
+      (keyCol, keys.length.toLong, nk.toLong, freqs.max,
+        atRank((nk + 1) / 2), atRank((nk * DqQueries.SkewPctl + 99) / 100),
+        1000L * freqs.max / keys.length,
+        1000L * atRank((nk * DqQueries.SkewPctl + 99) / 100) / atRank((nk + 1) / 2))
+    }
+    val expected = Set(
+      replay("user_id", rows.map(_.getString(0)).toSeq),
+      replay("event_type", rows.map(_.getString(1)).toSeq))
+    val got = DqQueries.qSkewMetrics(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(got == expected)
+    // the diagnostic discriminates: the 5-value event_type column is far
+    // more concentrated than the diffuse user_id key
+    val byCol = got.map(t => t._1 -> t._7).toMap
+    assert(byCol("event_type") > byCol("user_id"))
+  }
+
   test("driftTv: zero on identical windows, 1000 on disjoint support, driver parity on the corpus") {
     import spark.implicits._
     // identical ref/cur distributions ⇒ every bucket term is 0
