@@ -3,6 +3,7 @@ package graft.ext.text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ext.dedup.DedupQueries
 import graft.sources.Tables
 
 /**
@@ -481,8 +482,35 @@ object TextQueries {
       .withColumn("novelty_milli", expr("(1000 * n_unique) DIV n_shingles"))
   }
 
+  /** Query phrases for [[qPhraseSearch]] — 3-token literals, the shared
+    * shingle width, chosen to actually occur in the corpus so the result
+    * exercises real hits. */
+  val SearchPhrases: Seq[String] = Seq("slow hash batch", "row column sort")
+
+  /** Exact-phrase search: per (phrase, doc), how many times the phrase
+    * occurs verbatim — the retrieval primitive BM25's bag-of-words
+    * scoring cannot express (term adjacency), served off the SAME
+    * 3-token shingle definition as the dedup/repetition family, so a
+    * phrase index IS the span family's window artifact at shingle width.
+    * Multiset shingles (dedup = false) count within-doc repeats, not
+    * just presence.
+    *
+    * Shape: the phrase literals filter the narrow shingle projection
+    * IMMEDIATELY (the BM25 discipline — hits-sized data from the first
+    * operator on), so the one aggregate exchange carries only matching
+    * (phrase, doc) rows. At 100 TB the same query runs as a lookup into
+    * the persisted shingle posting-list artifact instead of a rescan —
+    * the plan above the filter is identical. */
+  def qPhraseSearch(spark: SparkSession, dir: String): DataFrame =
+    DedupQueries.shingleRows(spark, dir, dedup = false)
+      .filter(col("s").isin(SearchPhrases: _*))
+      .groupBy(col("s"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .select(col("s").as("phrase"), col("doc_id"), col("n_occurrences"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid"        -> (qLangId _),
+    "text_phrase_search" -> (qPhraseSearch _),
     "text_quality"       -> (qQuality _),
     "text_tokens"        -> (qTokens _),
     "text_fingerprint"   -> (qFingerprint _),
@@ -585,6 +613,17 @@ object TextQueries {
   // would cross the class-init locks (see the note there)
   lazy val oracles: Map[String, String] = Map(
     "text_langid" -> langIdSql,
+    // the shared multiset trigram definition, filtered to the phrase
+    // literals — occurrences counted, not just presence
+    "text_phrase_search" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(${TextNorm.shinglesMultisetSql("t")}) AS s
+         |  FROM toks)
+         |SELECT s AS phrase, doc_id, count(*) AS n_occurrences
+         |FROM sh
+         |WHERE s IN (${SearchPhrases.map(p => s"'$p'").mkString(", ")})
+         |GROUP BY 1, 2""".stripMargin,
     // the same prediction SQL reused verbatim, so the eval cannot drift
     // from the classifier it audits
     "text_langid_eval" ->

@@ -49,4 +49,28 @@ class TextModelSpec extends SparkSpec {
         lit(TextQueries.QmWLen) * col("len_ok")))
     assert(recomputed.count() == 0)
   }
+
+  test("text_phrase_search: per-doc occurrence counts equal a driver scan; repeats counted") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = (for {
+      (id, text) <- docs.toSeq
+      toks = toksRef(text)
+      phrase <- TextQueries.SearchPhrases
+      n = (if (toks.length >= 3) toks.sliding(3).count(_.mkString(" ") == phrase)
+           else if (toks.mkString(" ") == phrase) 1 else 0).toLong
+      if n > 0
+    } yield (phrase, id, n)).toSet
+    val got = TextQueries.qPhraseSearch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // adjacency matters: every hit doc contains all three words, but not
+    // every doc containing the words is a hit (bag-of-words would differ)
+    val words = TextQueries.SearchPhrases.head.split(" ").toSeq
+    val bagHits = docs.count { case (_, t) =>
+      val s = toksRef(t).toSet; words.forall(s.contains) }
+    val phraseHits = got.count(_._1 == TextQueries.SearchPhrases.head)
+    assert(phraseHits <= bagHits,
+      s"phrase hits $phraseHits cannot exceed bag-of-words hits $bagHits")
+  }
 }
