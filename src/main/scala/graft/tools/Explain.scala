@@ -160,7 +160,13 @@ object Explain {
       "mass = pairs x occupancy, never pairs x corpus), the near-dup " +
       "exclusion is a hash anti-join on the normalized pair key, and " +
       "the argmin window partitions per (anchor, positive) over " +
-      "occupancy-sized groups."))
+      "occupancy-sized groups."),
+    "q_skew_metrics" -> ("Skew census via the count-of-COUNTS " +
+      "contraction: the |keys|-sized frequency frame (billions of " +
+      "user_ids at scale) never meets a window — a second aggregate " +
+      "collapses it to the Zipf-bounded frequency-of-frequencies frame " +
+      "and the exact median/p99 read off ITS cumulative sum; the only " +
+      "fact-sized work is the two map-side-combinable aggregates."))
 
   /** Snapshot-backed registered entries serve a `localCheckpoint`, whose
     * plan is just an RDD scan — audit the underlying BUILD pipeline
