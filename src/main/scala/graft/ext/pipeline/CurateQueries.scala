@@ -441,12 +441,16 @@ object CurateQueries {
       .filter(col("b") < col("weight_milli"))
       .select(col("doc_id"), col("cluster_id"), col("n_dups"), col("weight_milli"))
 
-  /** Hash-bucket count for [[qTrainTriplets]]' negative mining. Sized for
-    * a target bucket OCCUPANCY, not a fixed fan-in: at corpus scale B
-    * grows ∝ n/occupancy (exactly how the LSH band count scales with
-    * log₂ n), keeping both the per-key row count and the candidate mass
-    * |pairs|·occupancy bounded. 16 buckets ≈ 31-doc occupancy here. */
-  val NegBuckets = 16L
+  /** Target hash-bucket OCCUPANCY for [[qTrainTriplets]]' negative
+    * mining: the bucket count derives from the corpus size as
+    * ⌊n/NegOccupancy⌋ (floored at 1), so candidate mass stays
+    * |pairs|·occupancy at ANY corpus size. A FIXED bucket count is the
+    * trap the 10x probe catches: occupancy — and with it the candidate
+    * product — grows with the corpus, 63x observed at 10x docs+pairs
+    * before this derivation replaced a constant 16 (SCALING.md). The
+    * count is computed in-plan from a 1-row broadcast, and the oracle
+    * derives it from the same count(*) — no driver pre-pass. */
+  val NegOccupancy = 32L
 
   /** Contrastive training-pair mining: one (anchor, positive, negative)
     * triple per near-dup pair — anchors/positives straight from the
@@ -468,15 +472,24 @@ object CurateQueries {
     * other common scheme) need no mining at all — this operator exists
     * for the curriculum that wants CORPUS-wide negatives pinned ahead of
     * batching. */
-  def qTrainTriplets(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = DedupQueries.jaccardPairSnapshot(spark, dir)
-      .select(col("doc_a"), col("doc_b"))
-    val cands = Tables.documents(spark, dir).select(
+  def qTrainTriplets(spark: SparkSession, dir: String): DataFrame =
+    tripletsFrom(
+      DedupQueries.jaccardPairSnapshot(spark, dir).select(col("doc_a"), col("doc_b")),
+      Tables.documents(spark, dir).select(col("doc_id")))
+
+  /** The mining kernel over a (doc_a, doc_b) pair frame and a doc_id
+    * list — separable so the scale probe can grow the pair graph without
+    * re-paying the snapshot build it does not measure. */
+  private[graft] def tripletsFrom(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val nb = docs.agg(
+      greatest(lit(1L), expr(s"count(1) DIV $NegOccupancy")).as("nb_total"))
+    val cands = docs.crossJoin(broadcast(nb)).select(
       col("doc_id").as("cand"),
-      pmod(Exact.md5Long(concat(lit("negb|"), col("doc_id"))), lit(NegBuckets)).as("nb"),
+      pmod(Exact.md5Long(concat(lit("negb|"), col("doc_id"))), col("nb_total")).as("nb"),
       Exact.md5Long(concat(lit("negh|"), col("doc_id"))).as("nh"))
-    val probes = pairs.withColumn("nb",
-      pmod(Exact.md5Long(concat(lit("negp|"), col("doc_a"))), lit(NegBuckets)))
+    val probes = pairs.crossJoin(broadcast(nb)).withColumn("nb",
+      pmod(Exact.md5Long(concat(lit("negp|"), col("doc_a"))), col("nb_total")))
+      .drop("nb_total")
     val screened = probes.join(cands, Seq("nb"))
       .filter(col("cand") =!= col("doc_a") && col("cand") =!= col("doc_b"))
       .join(pairs.select(col("doc_a").as("xa"), col("doc_b").as("xb")),
@@ -853,17 +866,20 @@ object CurateQueries {
       s"""WITH p AS (
          |$jaccardPairsSql
          |),
+         |b AS (
+         |  SELECT greatest(1, count(*) // $NegOccupancy) AS nb_total
+         |  FROM documents),
          |d AS (
          |  SELECT doc_id AS cand,
          |    ${Exact.md5LongSql("'negb|' || CAST(doc_id AS VARCHAR)")}
-         |      % $NegBuckets AS nb,
+         |      % b.nb_total AS nb,
          |    ${Exact.md5LongSql("'negh|' || CAST(doc_id AS VARCHAR)")} AS nh
-         |  FROM documents),
+         |  FROM documents, b),
          |c AS (
          |  SELECT p.doc_a, p.doc_b, d.cand, d.nh
-         |  FROM p JOIN d
+         |  FROM p CROSS JOIN b JOIN d
          |    ON d.nb = ${Exact.md5LongSql("'negp|' || CAST(p.doc_a AS VARCHAR)")}
-         |            % $NegBuckets
+         |            % b.nb_total
          |  WHERE d.cand <> p.doc_a AND d.cand <> p.doc_b),
          |e AS (
          |  SELECT c.* FROM c

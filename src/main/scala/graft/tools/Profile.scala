@@ -395,6 +395,62 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.lift(1).contains("scale10c")) {
+      // 10x multiplier probes for the round-10 additions: the monitor
+      // family + MV merge (events x10), phrase search (documents x10),
+      // and the kcore/triplets KERNELS on disjoint pair-graph copies —
+      // kernel-attributed so the measurement is the operator's plan, not
+      // the pair-snapshot rebuild (probed separately by scale10).
+      // q_weighted_sample needs no probe of its own: past the shared
+      // snapshot it IS mix_dupweight's broadcast join + a narrow filter.
+      import graft.ext.dedup.DedupQueries
+      import graft.ext.graph.GraphQueries
+      import graft.ext.pipeline.CurateQueries
+      val out = "/tmp/graft_scale10c"
+      // events: 10 copies, event/user ids remapped, time structure kept —
+      // days x types grain unchanged, so the MV/monitor outputs stay
+      // bounded while the fact grows 10x (exactly the at-scale claim)
+      Tables.events(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+        .select((col("event_id") * 10 + col("copy")).as("event_id"), col("ts"),
+          (col("user_id") * 10 + col("copy")).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      // documents: 10 exact copies, ids remapped (the scale10 shape)
+      Tables.documents(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+        .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      val evQs = Seq("q_mv_merge", "q_mad_outliers", "q_drift_tv",
+        "q_anomaly_days", "q_skew_metrics", "text_phrase_search")
+      for (d <- Seq(dir, out); name <- evQs) {
+        val fn = graft.SparkEntry.queries(name)
+        fn(spark, d).count() // warm
+        time(s"$name @ $d")(fn(spark, d).count())
+      }
+      // kernel-attributed probes: grow ONLY the pair graph (10 disjoint
+      // copies of the real one), so the measurement is the operator's own
+      // plan, not the snapshot rebuild (which scale10 probes separately)
+      DedupQueries.clearSnapshots()
+      val p0 = DedupQueries.jaccardPairSnapshot(spark, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")).localCheckpoint()
+      val docs0 = Tables.documents(spark, dir).select(col("doc_id")).localCheckpoint()
+      def pairsX(mult: Int) = if (mult == 1) p0 else p0
+        .crossJoin(spark.range(mult.toLong).toDF("cp"))
+        .select((col("a") * mult + col("cp")).as("a"),
+          (col("b") * mult + col("cp")).as("b"))
+      def docsX(mult: Int) = if (mult == 1) docs0 else docs0
+        .crossJoin(spark.range(mult.toLong).toDF("cp"))
+        .select((col("doc_id") * mult + col("cp")).as("doc_id"))
+      def kcore(mult: Int): Long = GraphQueries.kcoreFrom(pairsX(mult)).count()
+      kcore(1); time("graph_kcore @ 1x edges")(kcore(1))
+      time("graph_kcore @ 10x edges")(kcore(10))
+      def trip(mult: Int): Long = CurateQueries.tripletsFrom(
+        pairsX(mult).select(col("a").as("doc_a"), col("b").as("doc_b")),
+        docsX(mult)).count()
+      trip(1); time("train_triplets @ 1x pairs+docs")(trip(1))
+      time("train_triplets @ 10x pairs+docs")(trip(10))
+      spark.stop(); return
+    }
     if (args.lift(1).contains("scale10b")) {
       // 10x multiplier probes for the round-9 families (VERDICT r9 ask
       // #4): er_resolve (vocabulary x10), q_global_rank (docs x10),

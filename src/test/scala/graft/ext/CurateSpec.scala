@@ -410,7 +410,7 @@ class CurateSpec extends SparkSpec {
       java.lang.Long.parseLong(
         md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
     }
-    val b = CurateQueries.NegBuckets
+    val b = math.max(1L, docs.length / CurateQueries.NegOccupancy)
     val expected = pairSet.flatMap { case (a, p) =>
       val nb = h(s"negp|$a") % b
       val elig = docs.filter(d => h(s"negb|$d") % b == nb && d != a && d != p &&
