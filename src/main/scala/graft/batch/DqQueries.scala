@@ -225,14 +225,28 @@ object DqQueries {
   /** The kernel over an (event_type, x: long, is_ref: 0|1) frame — DqSpec
     * drives the identical-window (TV = 0) and disjoint-support
     * (TV = 1000) boundary cases over crafted fixtures. */
-  def driftTv(e: DataFrame): DataFrame = {
-    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-    val bounds = e.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-    val counts = e.crossJoin(broadcast(bounds))
+  def driftTv(e: DataFrame): DataFrame =
+    tvFromCounts(driftCounts(e,
+      e.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))))
+
+  /** Bucket-count state of a (event_type, x, is_ref) frame against a
+    * FIXED (lo, hi) envelope — (type, bucket, o_ref, o_cur) rows. These
+    * counts are MERGEABLE partials (sum ⊕ sum), which is what makes the
+    * monitor a standing streaming view: a foreachBatch sink folds each
+    * micro-batch's counts into bounded state (types × buckets rows) and
+    * rescores with [[tvFromCounts]] — batch ≡ stream pinned in DqSpec.
+    * The envelope comes from the REFERENCE artifact in that regime
+    * (per-batch bounds would shift the buckets and hide the drift). */
+  private[graft] def driftCounts(e: DataFrame, bounds: DataFrame): DataFrame =
+    e.crossJoin(broadcast(bounds))
       .withColumn("bucket", expr(s"((x - lo) * $DriftBuckets) DIV (hi - lo + 1)"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(sum(col("is_ref")).as("o_ref"),
         sum(lit(1L) - col("is_ref")).as("o_cur"))
+
+  /** The TV score over a (type, bucket, o_ref, o_cur) count frame. */
+  private[graft] def tvFromCounts(counts: DataFrame): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val totals = counts.groupBy(col("event_type"))
       .agg(sum(col("o_ref")).as("n_ref"), sum(col("o_cur")).as("n_cur"))
     counts.join(broadcast(totals), "event_type")

@@ -31,6 +31,28 @@ object Io {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Replace ONLY the partitions present in `df`, leaving every other
+    * partition of the table untouched — the daily-refresh write a
+    * partitioned 100 TB table actually needs (re-land one day without
+    * rewriting the year; static overwrite mode would clobber the whole
+    * root). Spark's `partitionOverwriteMode=dynamic` scoped to this one
+    * write; the session value is restored after, like the stream
+    * probe's conf discipline. Idempotent per partition, which is what
+    * makes a failed daily job safely re-runnable. */
+  def overwritePartitionsDynamic(df: DataFrame, path: String,
+                                 partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   def readCsv(spark: SparkSession, path: String,
               schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val r = spark.read.option("header", "true")

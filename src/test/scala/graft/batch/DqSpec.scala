@@ -149,6 +149,50 @@ class DqSpec extends SparkSpec {
     assert(byCol("event_type") > byCol("user_id"))
   }
 
+  test("drift monitor as a standing stream: folded micro-batch counts rescore to the batch TV") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    // reference window — the persisted artifact: its counts AND its
+    // envelope are fixed; per-batch bounds would shift buckets and hide
+    // the very drift being measured
+    val refDf = (0L until 40L).map(i => ("a", i % 10 * 10, 1L))
+      .toDF("event_type", "x", "is_ref")
+    val bounds = refDf.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .localCheckpoint()
+    val refCounts = DqQueries.driftCounts(refDf, bounds).localCheckpoint()
+    // current feed: skewed to the top buckets, arriving in micro-batches
+    val cur = (1L to 30L).map(i => ("a", 70L + (i % 3) * 10, 0L))
+    var state = DqQueries.driftCounts(
+      Seq.empty[(String, Long, Long)].toDF("event_type", "x", "is_ref"), bounds)
+      .localCheckpoint()
+    val ms = MemoryStream[(String, Long, Long)]
+    val q = graft.stream.StreamPipeline.start(
+      ms.toDS().toDF("event_type", "x", "is_ref"),
+      graft.stream.StreamPipeline.ForeachBatch((batch, _) => {
+        state = state.unionByName(DqQueries.driftCounts(batch, bounds))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(sum(col("o_ref")).as("o_ref"), sum(col("o_cur")).as("o_cur"))
+          .localCheckpoint()
+      }, trigger = Trigger.ProcessingTime(0L)))
+    cur.grouped(10).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+    q.stop()
+    // rescore the standing state against the reference counts
+    val merged = state.unionByName(refCounts)
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("o_ref")).as("o_ref"), sum(col("o_cur")).as("o_cur"))
+    val got = DqQueries.tvFromCounts(merged).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the batch operator over the union sees the same global envelope
+    // (cur values lie inside the reference's), so batch ≡ stream exactly
+    val want = DqQueries.driftTv(refDf.unionByName(
+        cur.toDF("event_type", "x", "is_ref"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want && got.head._4 > 0L,
+      s"stream $got vs batch $want — and a skewed feed must score > 0")
+  }
+
   test("driftTv: zero on identical windows, 1000 on disjoint support, driver parity on the corpus") {
     import spark.implicits._
     // identical ref/cur distributions ⇒ every bucket term is 0

@@ -92,4 +92,26 @@ class IoSpec extends SparkSpec {
     // and the non-merged default keeps working on the widest footer alone
     assert(spark.read.parquet(s"$tmp/evo").count() == 4)
   }
+
+  test("dynamic partition overwrite replaces only the landed partitions") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_io3").toString + "/days"
+    val base = Seq((1L, "d1", 10L), (2L, "d1", 11L), (3L, "d2", 20L), (4L, "d3", 30L))
+      .toDF("id", "day", "v")
+    Io.writePartitioned(base, root, Seq("day"))
+    // re-land ONLY day d2 (the failed-job rerun / late-data refresh shape)
+    val redo = Seq((9L, "d2", 99L)).toDF("id", "day", "v")
+    Io.overwritePartitionsDynamic(redo, root, Seq("day"))
+    val got = spark.read.parquet(root).select("id", "day", "v")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "d1", 10L), (2L, "d1", 11L), (9L, "d2", 99L), (4L, "d3", 30L)),
+      s"untouched partitions must survive, d2 must be replaced: $got")
+    // session conf untouched after the scoped write
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode").isEmpty ||
+      spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic")
+    // contrast: a STATIC overwrite of the same one-day frame clobbers the
+    // other partitions — the failure mode the dynamic write exists to avoid
+    Io.writePartitioned(redo, root, Seq("day"))
+    assert(spark.read.parquet(root).count() == 1)
+  }
 }
