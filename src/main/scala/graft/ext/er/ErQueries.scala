@@ -134,9 +134,16 @@ object ErQueries {
     lhs.join(broadcast(rhs), Seq("bk"))
       .filter(col("name_a") < col("name_b"))
       // levenshtein runs on blocked candidates only, pipelined inside the
-      // join's output — cast to long so the schema matches DuckDB's BIGINT
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= ErMaxDist)
+      // join's output — cast to long so the schema matches DuckDB's
+      // BIGINT. The THRESHOLD form (round 10) computes a banded DP
+      // (O(k·len), early exit) instead of the full O(len²) matrix and
+      // returns −1 above the cut — on rejected candidates (most of the
+      // block) the full matrix was always wasted work; kept pairs get the
+      // identical exact distance, so the oracle's plain `lev ≤ k`
+      // predicate is unchanged. between(0, k) is the −1 guard.
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), ErMaxDist.toInt).cast("long"))
+      .filter(col("dist").between(0, ErMaxDist))
       .select(col("name_a"), col("name_b"), col("dist"),
         col("n_parts_a"), col("n_parts_b"))
       .distinct()
@@ -178,8 +185,9 @@ object ErQueries {
       col("n_parts").as("n_parts_b"))
     lhs.join(broadcast(rhs), Seq("bk"))
       .filter(col("name_a") < col("name_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= ErMaxDist)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), ErMaxDist.toInt).cast("long"))
+      .filter(col("dist").between(0, ErMaxDist))
       .select(col("name_a"), col("name_b"), col("dist"),
         col("n_parts_a"), col("n_parts_b"))
       .distinct()
@@ -269,7 +277,8 @@ object ErQueries {
     val truth = names.select(col("p_name").as("name_a"))
       .join(broadcast(names.select(col("p_name").as("name_b"))),
         col("name_a") < col("name_b"))
-      .filter(levenshtein(col("name_a"), col("name_b")) <= ErMaxDist)
+      .filter(levenshtein(col("name_a"), col("name_b"), ErMaxDist.toInt)
+        .between(0, ErMaxDist))
       .select(col("name_a"), col("name_b"), lit(1L).as("is_true"))
     val blocked = fuzzyFrom(names)
       .select(col("name_a"), col("name_b"), lit(1L).as("is_blocked"))
@@ -364,8 +373,9 @@ object ErQueries {
     val best = keyed(batch.select(col("p_name"))).select(col("bk"), col("p_name"))
       .join(broadcast(keyed(base.select(col("p_name")))
         .select(col("bk"), col("p_name").as("base_name"))), Seq("bk"))
-      .withColumn("dist", levenshtein(col("p_name"), col("base_name")).cast("long"))
-      .filter(col("dist") <= ErMaxDist)
+      .withColumn("dist",
+        levenshtein(col("p_name"), col("base_name"), ErMaxDist.toInt).cast("long"))
+      .filter(col("dist").between(0, ErMaxDist))
       .select(col("p_name"), col("base_name"), col("dist"))
       .distinct()
       .withColumn("rn", row_number().over(w))
