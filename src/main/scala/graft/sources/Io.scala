@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /**
  * Physical-layout I/O helpers — the 100 TB techniques that don't show up
@@ -51,6 +52,40 @@ object Io {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
     }
+  }
+
+  /** Compaction PLAN for a small-files directory: one row per data file
+    * with its row count and the output group next-fit-decreasing packing
+    * assigns it — the audit a table-maintenance job publishes before an
+    * OPTIMIZE rewrite, and the direct analog of pack_shards' running-
+    * total rule applied to files instead of documents. Row counts come
+    * from one `input_file_name()` aggregate (a scan of the dir's
+    * metadata-and-pages, not a driver listing); the packing window runs
+    * over the |files|-row frame. */
+  def compactionPlan(df: DataFrame, targetRows: Long): DataFrame = {
+    val perFile = df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"))
+    perFile
+      .withColumn("grp",
+        expr(s"(sum(rows) OVER (ORDER BY rows DESC, file" +
+          s" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - rows)" +
+          s" DIV $targetRows"))
+      .select(col("file"), col("rows"), col("grp"))
+  }
+
+  /** Execute the compaction: rewrite the directory's data as
+    * ⌈total/target⌉ similar-sized files — Spark's round-robin
+    * `repartition(n)` is the rewrite an OPTIMIZE job runs (row-group
+    * sized outputs, no key clustering implied; use writeBucketed /
+    * writePartitioned when the layout should also cluster). Reads and
+    * writes stream through executors; nothing driver-sized. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetRows: Long): Long = {
+    val df = spark.read.parquet(inPath)
+    val total = df.count()
+    val n = math.max(1L, (total + targetRows - 1) / targetRows).toInt
+    df.repartition(n).write.mode(SaveMode.Overwrite).parquet(outPath)
+    total
   }
 
   def readCsv(spark: SparkSession, path: String,

@@ -114,4 +114,30 @@ class IoSpec extends SparkSpec {
     Io.writePartitioned(redo, root, Seq("day"))
     assert(spark.read.parquet(root).count() == 1)
   }
+
+  test("compaction: plan groups small files toward the target; rewrite hits the file count") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_io4").toString
+    // the small-files pathology: 1000 rows sprayed across 20 files
+    spark.range(1000).select(col("id"), (col("id") % 7).as("v"))
+      .repartition(20).write.parquet(s"$tmp/small")
+    val plan = Io.compactionPlan(spark.read.parquet(s"$tmp/small"), 300L)
+      .as[(String, Long, Long)].collect()
+    assert(plan.length == 20 && plan.map(_._2).sum == 1000L)
+    // the next-fit bound: every non-final group lands within one file of
+    // the target (group sum >= T - max_file_rows)
+    val byGrp = plan.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val maxGrp = byGrp.keys.max
+    val maxFile = plan.map(_._2).max
+    byGrp.foreach { case (g, rows) =>
+      if (g < maxGrp) assert(rows >= 300L - maxFile, s"group $g under bound: $rows") }
+    // execute: 1000 rows at target 300 → 4 similar-sized files, data intact
+    assert(Io.compact(spark, s"$tmp/small", s"$tmp/compacted", 300L) == 1000L)
+    val outFiles = new java.io.File(s"$tmp/compacted").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(outFiles == 4, s"expected 4 output files, got $outFiles")
+    val a = spark.read.parquet(s"$tmp/small").as[(Long, Long)].collect().toSet
+    val b = spark.read.parquet(s"$tmp/compacted").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
 }
