@@ -36,6 +36,7 @@ object SparkEntry {
       batch.FrameQueries.queries ++
       batch.CdcQueries.queries ++
       batch.MvQueries.queries ++
+      batch.PrivacyQueries.queries ++
       batch.DqQueries.queries ++
       batch.StatsQueries.queries ++
       batch.LayoutQueries.queries ++
@@ -67,6 +68,7 @@ object SparkEntry {
       batch.FrameQueries.oracles ++
       batch.CdcQueries.oracles ++
       batch.MvQueries.oracles ++
+      batch.PrivacyQueries.oracles ++
       batch.DqQueries.oracles ++
       batch.StatsQueries.oracles ++
       batch.LayoutQueries.oracles ++
