@@ -335,7 +335,59 @@ object DqQueries {
     report("user_id").unionByName(report("event_type"))
   }
 
+  /** Referential-integrity audit across the star schema: one row per
+    * FK edge with the child row count, NULL-key count, and ORPHAN count
+    * (non-null keys with no parent) — the cross-TABLE complement of
+    * [[qDqAudit]]'s single-table constraints, and the audit that tells a
+    * pipeline whether its dimension joins will silently drop or
+    * null-extend fact rows before it runs them.
+    *
+    * Shape: per edge one LEFT ANTI join of the child's key projection
+    * against the parent's key column (broadcast for dimension parents,
+    * shuffle for fact-sized ones — Catalyst's choice), collapsed to a
+    * 1-row count; the edges union into a |edges|-row report. No
+    * driver-side counting — the whole audit is one DataFrame. */
+  /** One FK-edge report row — split out so DqSpec can drive orphan and
+    * null-key fixtures the intact corpus cannot express. */
+  private[graft] def refEdge(name: String, child: DataFrame, key: String,
+                             parent: DataFrame, pkey: String): DataFrame = {
+    val base = child.agg(count(lit(1)).as("n_child"),
+      sum(col(key).isNull.cast("long")).as("n_null_keys"))
+    val orphans = child.select(col(key)).filter(col(key).isNotNull)
+      .join(parent.select(col(pkey)), col(key) === col(pkey), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    base.crossJoin(orphans)
+      .select(lit(name).as("relation"), col("n_child"),
+        col("n_null_keys"), col("n_orphans"),
+        (col("n_null_keys") === 0 && col("n_orphans") === 0).as("intact"))
+  }
+
+  def qRefIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+             parent: DataFrame, pkey: String): DataFrame =
+      refEdge(name, child, key, parent, pkey)
+    Seq(
+      edge("lineitem.l_orderkey->orders", Tables.lineitem(spark, dir),
+        "l_orderkey", Tables.orders(spark, dir), "o_orderkey"),
+      edge("lineitem.l_suppkey->supplier", Tables.lineitem(spark, dir),
+        "l_suppkey", Tables.supplier(spark, dir), "s_suppkey"),
+      edge("lineitem.l_partkey->part", Tables.lineitem(spark, dir),
+        "l_partkey", Tables.part(spark, dir), "p_partkey"),
+      edge("orders.o_custkey->customer", Tables.orders(spark, dir),
+        "o_custkey", Tables.customer(spark, dir), "c_custkey"),
+      edge("customer.c_nationkey->nation", Tables.customer(spark, dir),
+        "c_nationkey", Tables.nation(spark, dir), "n_nationkey"),
+      edge("supplier.s_nationkey->nation", Tables.supplier(spark, dir),
+        "s_nationkey", Tables.nation(spark, dir), "n_nationkey"),
+      edge("nation.n_regionkey->region", Tables.nation(spark, dir),
+        "n_regionkey", Tables.region(spark, dir), "r_regionkey"),
+      edge("events.user_id->customer", Tables.events(spark, dir),
+        "user_id", Tables.customer(spark, dir), "c_custkey"))
+      .reduce(_ unionByName _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ref_integrity" -> (qRefIntegrity _),
     "q_dq_audit" -> (qDqAudit _),
     "q_outliers" -> (qOutliers _),
     "q_mad_outliers" -> (qMadOutliers _),
@@ -343,7 +395,31 @@ object DqQueries {
     "q_anomaly_days" -> (qAnomalyDays _),
     "q_skew_metrics" -> (qSkewMetrics _))
 
+  private def refEdgeSql(name: String, child: String, key: String,
+                         parent: String, pkey: String): String =
+    s"""SELECT '$name' AS relation,
+       |  (SELECT count(*) FROM $child) AS n_child,
+       |  (SELECT count(*) FROM $child WHERE $key IS NULL) AS n_null_keys,
+       |  (SELECT count(*) FROM $child c WHERE c.$key IS NOT NULL
+       |     AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pkey = c.$key))
+       |    AS n_orphans""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_ref_integrity" ->
+      s"""SELECT relation, n_child, n_null_keys, n_orphans,
+         |  n_null_keys = 0 AND n_orphans = 0 AS intact
+         |FROM (
+         |${Seq(
+            refEdgeSql("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+            refEdgeSql("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+            refEdgeSql("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+            refEdgeSql("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+            refEdgeSql("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+            refEdgeSql("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+            refEdgeSql("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+            refEdgeSql("events.user_id->customer", "events", "user_id", "customer", "c_custkey"))
+          .mkString("\nUNION ALL\n")}
+         |) edges""".stripMargin,
     "q_dq_audit" ->
       s"""WITH m AS (
          |  SELECT count(*) AS n_rows,

@@ -65,6 +65,25 @@ class DqSpec extends SparkSpec {
       assert(o * 5 <= n, s"$t flagged $o of $n — gate inverted?") }
   }
 
+  test("q_ref_integrity: clean corpus proves intact; orphans and null keys are caught") {
+    import spark.implicits._
+    val report = DqQueries.qRefIntegrity(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toMap
+    assert(report.size == 8)
+    // this synthetic corpus is referentially intact — the audit's job is
+    // to PROVE that, not assume it; spot-check one edge's child count
+    assert(report.values.forall(_._4), s"clean corpus must be intact: $report")
+    assert(report("nation.n_regionkey->region")._1 ==
+      Tables.nation(spark, sf).count())
+    // and the edge kernel catches what the corpus cannot express
+    val child = Seq(Some(1L), Some(2L), Some(99L), None).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val e = DqQueries.refEdge("t", child, "k", parent, "pk").collect().head
+    assert((e.getLong(1), e.getLong(2), e.getLong(3), e.getBoolean(4)) ==
+      ((4L, 1L, 1L, false)))
+  }
+
   /** Driver-side lower median: the element at rank ⌊(n+1)/2⌋ (1-based) of
     * the sorted values — the q_mad_outliers rank rule. */
   private def lowerMedian(xs: Seq[Long]): Long = {
