@@ -153,10 +153,60 @@ object StatsQueries {
         min(col("x")).as("lo_cents"), max(col("x")).as("hi_cents"))
   }
 
+  /** Range-fraction cutoffs (milli of the value range) probed by
+    * [[qStatsHistEval]]. */
+  val EvalFracs: Seq[Long] = Seq(100L, 250L, 500L, 900L)
+
+  /** The stats family's calibration card — how far off is the equi-width
+    * histogram's selectivity ESTIMATE for `x < c` range predicates, next
+    * to the exact answer? The same in-engine recall-card discipline as
+    * dedup_minhash_eval/ann_eval applied to the optimizer's own input:
+    * stats drive join-order/broadcast decisions, so their error deserves
+    * a measured row, not an assumption. Cutoffs are fixed FRACTIONS of
+    * the value range, so the card is comparable across corpus sizes.
+    *
+    * The estimator is the textbook one — full buckets count whole,
+    * the straddling bucket contributes `n_b · overlap DIV width`
+    * (uniform-within-bucket) — with bucket EDGES derived from the same
+    * integer bucket rule as stats_histogram (edge(b) = ⌈b·R/B⌉ offsets),
+    * so every quantity is exact integer and the card hash-matches.
+    *
+    * Shape: the estimate side runs over the B-row bucket census × |fracs|
+    * literals; the exact side is ONE scan whose rows fan to |fracs| flag
+    * rows collapsing in a map-side-combinable |fracs|-key aggregate;
+    * both join on the frac literal. Output |fracs| rows at any scale. */
+  def qStatsHistEval(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(spark, dir)
+      .select(Exact.cents(col("l_extendedprice")).as("x"))
+    val bounds = x.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val hist = x.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(s"((x - lo) * $HistBuckets) DIV (hi - lo + 1)"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_b"))
+    val fracs = expr(s"explode(array(${EvalFracs.map(_ + "L").mkString(",")}))")
+      .as("f_milli")
+    val est = hist.crossJoin(broadcast(bounds)).select(col("*"), fracs)
+      .withColumn("r", expr("hi - lo + 1"))
+      .withColumn("e_lo", expr(s"(bucket * r + $HistBuckets - 1) DIV $HistBuckets"))
+      .withColumn("e_hi", expr(s"((bucket + 1) * r + $HistBuckets - 1) DIV $HistBuckets"))
+      .withColumn("oc", expr("(r * f_milli) DIV 1000"))
+      .withColumn("contrib",
+        expr("(n_b * least(greatest(oc - e_lo, 0L), e_hi - e_lo)) DIV (e_hi - e_lo)"))
+      .groupBy(col("f_milli")).agg(sum(col("contrib")).as("est_rows"))
+    val actual = x.crossJoin(broadcast(bounds)).select(col("x"), col("lo"),
+        expr("hi - lo + 1").as("r"), fracs)
+      .groupBy(col("f_milli"))
+      .agg(sum(expr("CAST(x - lo < (r * f_milli) DIV 1000 AS LONG)")).as("actual_rows"))
+    est.join(actual, "f_milli")
+      .withColumn("err_milli",
+        expr("(1000 * abs(est_rows - actual_rows)) DIV greatest(actual_rows, 1L)"))
+      .select(col("f_milli"), col("est_rows"), col("actual_rows"), col("err_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_profile" -> (qStatsProfile _),
     "stats_histogram" -> (qStatsHist _),
-    "stats_histogram_depth" -> (qStatsHistDepth _))
+    "stats_histogram_depth" -> (qStatsHistDepth _),
+    "stats_hist_eval" -> (qStatsHistEval _))
 
   val oracles: Map[String, String] = Map(
     "stats_profile" -> {
@@ -190,5 +240,41 @@ object StatsQueries {
          |t AS (SELECT count(*) AS n FROM lineitem)
          |SELECT ($HistBuckets * (rank - 1)) // n AS bucket, count(*) AS n_rows,
          |  min(x) AS lo_cents, max(x) AS hi_cents
-         |FROM r, t GROUP BY 1""".stripMargin)
+         |FROM r, t GROUP BY 1""".stripMargin,
+    // identical integer edge rule (edge(b) = ceil(b*R/B) offsets), the
+    // same floored per-bucket interpolation, and the same fan-out exact
+    // side — every quantity integer, so the card hash-matches
+    "stats_hist_eval" ->
+      s"""WITH x AS (
+         |  SELECT ${Exact.centsSql("l_extendedprice")} AS x FROM lineitem),
+         |b AS (SELECT min(x) AS lo, max(x) AS hi FROM x),
+         |h AS (
+         |  SELECT ((x - lo) * $HistBuckets) // (hi - lo + 1) AS bucket,
+         |    count(*) AS n_b
+         |  FROM x, b GROUP BY 1),
+         |f AS (SELECT CAST(unnest([${EvalFracs.mkString(", ")}]) AS BIGINT)
+         |        AS f_milli),
+         |e0 AS (
+         |  SELECT f.f_milli, h.n_b, (b.hi - b.lo + 1) AS r,
+         |    (h.bucket * (b.hi - b.lo + 1) + ${HistBuckets - 1}) // $HistBuckets
+         |      AS e_lo,
+         |    ((h.bucket + 1) * (b.hi - b.lo + 1) + ${HistBuckets - 1})
+         |      // $HistBuckets AS e_hi
+         |  FROM h, b, f),
+         |est AS (
+         |  SELECT f_milli,
+         |    CAST(sum((n_b * least(greatest((r * f_milli) // 1000 - e_lo, 0),
+         |                          e_hi - e_lo)) // (e_hi - e_lo)) AS BIGINT)
+         |      AS est_rows
+         |  FROM e0 GROUP BY 1),
+         |act AS (
+         |  SELECT f.f_milli,
+         |    CAST(sum(CASE WHEN x.x - b.lo
+         |        < ((b.hi - b.lo + 1) * f.f_milli) // 1000 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS actual_rows
+         |  FROM x, b, f GROUP BY 1)
+         |SELECT est.f_milli, est.est_rows, act.actual_rows,
+         |  (1000 * abs(est.est_rows - act.actual_rows))
+         |    // greatest(act.actual_rows, 1) AS err_milli
+         |FROM est JOIN act ON est.f_milli = act.f_milli""".stripMargin)
 }

@@ -9,6 +9,7 @@ import graft.sources.Tables
   * is the driver's t2 gate; these pin what the oracle can't see — plan
   * shape, bucket geometry, and agreement with independent recomputation). */
 class StatsSpec extends SparkSpec {
+  import spark.implicits._
 
   test("stats_profile: NDV/min/max agree with independent per-column recomputation") {
     val rows = StatsQueries.qStatsProfile(spark, sf).collect()
@@ -73,5 +74,33 @@ class StatsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
       s"global rank must use the two-phase kernel, not a window:\n${plan.take(1500)}")
+  }
+
+  test("stats_hist_eval: estimates equal a driver interpolation replay; error bounded on uniform-ish data") {
+    import org.apache.spark.sql.functions._
+    val xs = Tables.lineitem(spark, sf)
+      .select(graft.functions.Exact.cents(col("l_extendedprice")))
+      .as[Long].collect().sorted
+    val (lo, hi) = (xs.head, xs.last); val r = hi - lo + 1
+    val b = StatsQueries.HistBuckets
+    val counts = xs.groupBy(x => (x - lo) * b / r).view.mapValues(_.length.toLong)
+    def edge(k: Long) = (k * r + b - 1) / b
+    val expected = StatsQueries.EvalFracs.map { f =>
+      val oc = r * f / 1000
+      val est = counts.toSeq.map { case (bk, nB) =>
+        val (eLo, eHi) = (edge(bk), edge(bk + 1))
+        nB * math.min(math.max(oc - eLo, 0L), eHi - eLo) / (eHi - eLo)
+      }.sum
+      val actual = xs.count(x => x - lo < oc).toLong
+      (f, est, actual, 1000 * math.abs(est - actual) / math.max(actual, 1L))
+    }.toSet
+    val got = StatsQueries.qStatsHistEval(spark, sf).collect()
+      .map(rw => (rw.getLong(0), rw.getLong(1), rw.getLong(2), rw.getLong(3))).toSet
+    assert(got == expected)
+    // estimates are monotone in the cutoff, and on this near-uniform
+    // column the card certifies a tight estimator (within 10%)
+    val byF = got.toSeq.sortBy(_._1)
+    assert(byF.map(_._2) == byF.map(_._2).sorted)
+    assert(byF.forall(_._4 <= 100L), s"estimator badly off: $byF")
   }
 }
