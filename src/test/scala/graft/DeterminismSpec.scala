@@ -10,7 +10,7 @@ package graft
  */
 class DeterminismSpec extends SparkSpec {
 
-  test("every registered query is invariant to shuffle parallelism (4 vs 7 partitions)") {
+  test("every registered query is invariant to shuffle parallelism and AQE (4/AQE-on vs 7/AQE-off)") {
     // sf0.01, not the smoke tier: more rows ⇒ more groups whose unbroken
     // ties or order-dependent floats would actually collide
     val dir = "/root/testdata/sf0.01"
@@ -25,13 +25,21 @@ class DeterminismSpec extends SparkSpec {
     val sketchExempt = Set("q_approx_pctl")
     val failures = (SparkEntry.queries ++ SparkEntry.specOnly).toSeq.sortBy(_._1)
       .filterNot(q => sketchExempt(q._1)).flatMap { case (name, fn) =>
-      def run(parts: String): Seq[String] = {
+      // the second pass also disables AQE, so runtime re-planning
+      // (coalesced partitions, demoted broadcasts, skew splits) is pinned
+      // as result-invariant in the same two passes — two variation axes
+      // for the price of one extra run
+      def run(parts: String, aqe: String): Seq[String] = {
         spark.conf.set("spark.sql.shuffle.partitions", parts)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
         try fn(spark, dir).collect().map(_.toString).sorted.toSeq
-        finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+        finally {
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          spark.conf.set("spark.sql.adaptive.enabled", "true")
+        }
       }
-      val a = run("4")
-      val b = run("7")
+      val a = run("4", "true")
+      val b = run("7", "false")
       if (a == b) None
       else Some(s"$name: ${a.size} vs ${b.size} rows, first diff: " +
         a.zip(b).find { case (x, y) => x != y }.orElse(Some((a.length.toString, b.length.toString))))
