@@ -62,6 +62,33 @@ object LayoutQueries {
     * this is the table-maintenance job that decides file boundaries:
     * compute z, range-partition on it, write; the audit output here is its
     * verification artifact. */
+  /** Materialize the z-ordered REWRITE that [[qZorder]] audits: Morton
+    * key against the frame's own bounds, range-partition on it into
+    * `nFiles`, sort within each file, write — the OPTIMIZE ZORDER
+    * table-maintenance job. Range partitioning gives contiguous,
+    * similar-sized z-runs per file (Spark samples the key), so each
+    * file's parquet footer carries a tight TWO-dimensional envelope —
+    * the skipping the audit quantifies, now in real file statistics
+    * (LayoutSpec reads them back via input_file_name and pins the
+    * non-sort-dimension pruning a linear sort cannot give). Everything
+    * is the audit's own codegen'd expressions; the z column is dropped
+    * before the write so the layout is free of helper columns. */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+                    path: String, nFiles: Int): Unit = {
+    val bounds = df.agg(
+      min(col(xCol)).as("xlo"), max(col(xCol)).as("xhi"),
+      min(col(yCol)).as("ylo"), max(col(yCol)).as("yhi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__z", morton(
+        norm(col(xCol).cast("long"), col("xlo").cast("long"), col("xhi").cast("long")),
+        norm(col(yCol).cast("long"), col("ylo").cast("long"), col("yhi").cast("long"))))
+      .drop("xlo", "xhi", "ylo", "yhi")
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
+
   def qZorder(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
     val bounds = li.agg(

@@ -136,4 +136,33 @@ class LayoutSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
+
+  test("writeZOrdered: real file envelopes prune the non-sort dimension; linear layout cannot") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey").cast("long").as("l_suppkey"))
+    LayoutQueries.writeZOrdered(li, "l_partkey", "l_suppkey", s"$tmp/z", 8)
+    li.repartitionByRange(8, col("l_partkey"))
+      .sortWithinPartitions("l_partkey").write.parquet(s"$tmp/lin")
+    // data preserved through the rewrite
+    assert(spark.read.parquet(s"$tmp/z").as[(Long, Long)].collect().sorted.toSeq
+      == li.as[(Long, Long)].collect().sorted.toSeq)
+    def envs(p: String, c: String): Seq[(Long, Long)] =
+      spark.read.parquet(p).groupBy(input_file_name())
+        .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+        .select("mn", "mx").as[(Long, Long)].collect().toSeq
+    def touched(es: Seq[(Long, Long)], lo: Long, hi: Long): Double =
+      es.count { case (a, b) => b >= lo && a <= hi }.toDouble / es.size
+    // a central ~10% band on the suppkey dimension (the one the linear
+    // layout does NOT sort by)
+    val (smin, smax) = li.agg(min("l_suppkey"), max("l_suppkey"))
+      .as[(Long, Long)].collect().head
+    val mid = (smin + smax) / 2; val w = math.max((smax - smin) / 20, 1L)
+    val (zf, lf) = (touched(envs(s"$tmp/z", "l_suppkey"), mid - w, mid + w),
+      touched(envs(s"$tmp/lin", "l_suppkey"), mid - w, mid + w))
+    assert(lf > 0.9, s"linear-on-partkey files should all straddle suppkey: $lf")
+    assert(zf < lf, s"z-ordered files must prune the suppkey band: z=$zf lin=$lf")
+    assert(zf <= 0.75, s"z-ordered files should skip a real fraction: $zf")
+  }
 }
