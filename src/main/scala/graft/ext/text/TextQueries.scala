@@ -508,8 +508,70 @@ object TextQueries {
       .agg(count(lit(1)).as("n_occurrences"))
       .select(col("s").as("phrase"), col("doc_id"), col("n_occurrences"))
 
+  /** Vocabulary size for [[qVocab]]/[[qTokenIds]] — deliberately smaller
+    * than this corpus's 31-token vocabulary so the OOV path is genuinely
+    * exercised (7 token types fall out). */
+  val VocabK = 24
+
+  /** Sentinel id for out-of-vocabulary tokens. */
+  val OovId = -1L
+
+  /** The tokenizer's ID TABLE: the top-[[VocabK]] tokens by corpus
+    * frequency (ties broken by token text — a total order, so the table
+    * replays bit-identically), each with its dense id and count. The
+    * word-level analog of a trained tokenizer vocabulary; bpe_pairs is
+    * the subword census that would refine it.
+    *
+    * Shape: the corpus collapses to its Zipf-bounded vocabulary in one
+    * map-side-combinable aggregate; the top-K cut is
+    * TakeOrderedAndProject (K rows per partial) and the id window runs
+    * over K rows. */
+  def qVocab(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.rebalanced(spark, Tables.documents(spark, dir))
+      .select(explode(TextNorm.toks(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token")).limit(VocabK)
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("n_occurrences").desc, col("token")))
+          .cast("long") - 1L)
+      .select(col("token"), col("id"), col("n_occurrences"))
+  }
+
+  /** Tokenization APPLIED: every doc's token sequence mapped through the
+    * [[qVocab]] id table (OOV → [[OovId]]), with the id SEQUENCE itself
+    * under the hash gate — `ids_sig` is the md5 of the position-ordered
+    * id string, so a single transposed or mis-mapped id anywhere in the
+    * corpus fails the oracle. Plus the per-doc OOV stats a coverage
+    * report needs. Docs whose normalized text is empty have no sequence
+    * and no row (grain = docs with ≥ 1 token, like the explode).
+    *
+    * Shape: posexplode is narrow; the vocab attach is a broadcast join
+    * against the K-row table; the per-doc re-assembly is one doc-keyed
+    * aggregate (collect_list + array_sort over that doc's own tokens).
+    * At real vocab sizes the id table stays broadcast-sized (a 100k-row
+    * map is kilobytes); nothing else changes. */
+  def qTokenIds(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = qVocab(spark, dir).select(col("token"), col("id"))
+    Tables.rebalanced(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), posexplode(TextNorm.toks(col("text"))).as(Seq("pos", "token")))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .withColumn("id", coalesce(col("id"), lit(OovId)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum((col("id") === OovId).cast("long")).as("n_oov"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+            x => x.getField("id").cast("string")))).as("ids_sig"))
+      .withColumn("oov_milli", expr("(1000 * n_oov) DIV n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("oov_milli"),
+        col("ids_sig"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid"        -> (qLangId _),
+    "text_vocab"         -> (qVocab _),
+    "text_token_ids"     -> (qTokenIds _),
     "text_phrase_search" -> (qPhraseSearch _),
     "text_quality"       -> (qQuality _),
     "text_tokens"        -> (qTokens _),
@@ -611,8 +673,44 @@ object TextQueries {
   // lazy for the same reason as DedupQueries.oracles: the two maps embed
   // each other's shared SQL fragments, and strict-val initialization
   // would cross the class-init locks (see the note there)
+  /** The id-table statement, shared verbatim by both tokenizer oracles —
+    * one truth for the token→id mapping. */
+  private lazy val vocabSql: String =
+    s"""SELECT token,
+       |  CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) - 1
+       |    AS BIGINT) AS id,
+       |  n_occurrences
+       |FROM (
+       |  SELECT tok AS token, count(*) AS n_occurrences
+       |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
+       |  GROUP BY 1)
+       |ORDER BY n_occurrences DESC, token LIMIT $VocabK""".stripMargin
+
   lazy val oracles: Map[String, String] = Map(
     "text_langid" -> langIdSql,
+    "text_vocab" -> vocabSql,
+    // parallel unnests zip positionally in DuckDB, giving each token its
+    // ordinal; string_agg(... ORDER BY pos) replays the engine's
+    // position-sorted id sequence byte-for-byte under md5
+    "text_token_ids" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |v AS (
+         |$vocabSql
+         |),
+         |ex AS (
+         |  SELECT doc_id, unnest(t) AS tok,
+         |    unnest(range(1, len(t) + 1)) AS pos
+         |  FROM toks),
+         |j AS (
+         |  SELECT e.doc_id, e.pos, coalesce(v.id, $OovId) AS id
+         |  FROM ex e LEFT JOIN v ON v.token = e.tok)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN id = $OovId THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  (1000 * CAST(sum(CASE WHEN id = $OovId THEN 1 ELSE 0 END) AS BIGINT))
+         |    // count(*) AS oov_milli,
+         |  md5(string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos)) AS ids_sig
+         |FROM j GROUP BY 1""".stripMargin,
     // the shared multiset trigram definition, filtered to the phrase
     // literals — occurrences counted, not just presence
     "text_phrase_search" ->

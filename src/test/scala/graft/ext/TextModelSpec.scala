@@ -50,6 +50,40 @@ class TextModelSpec extends SparkSpec {
     assert(recomputed.count() == 0)
   }
 
+  test("text_vocab + text_token_ids: id table and per-doc id sequences equal a driver tokenizer") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // driver-side vocabulary: top-K by (count desc, token), dense ids
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, t) => toksRef(t).foreach(w =>
+      counts(w) = counts.getOrElse(w, 0L) + 1L) }
+    val ranked = counts.toSeq.sortBy { case (w, n) => (-n, w) }
+      .take(TextQueries.VocabK)
+    val vocabExp = ranked.zipWithIndex
+      .map { case ((w, n), i) => (w, i.toLong, n) }.toSet
+    val vocabGot = TextQueries.qVocab(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(vocabGot == vocabExp && vocabGot.size == TextQueries.VocabK)
+    assert(vocabGot.map(_._2) == (0L until TextQueries.VocabK).toSet, "dense ids")
+
+    val idOf = ranked.zipWithIndex.map { case ((w, _), i) => w -> i.toLong }.toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = docs.toSeq.flatMap { case (id, t) =>
+      val ids = toksRef(t).map(w => idOf.getOrElse(w, TextQueries.OovId))
+      if (ids.isEmpty) None else {
+        md.reset()
+        val sig = md.digest(ids.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val oov = ids.count(_ == TextQueries.OovId).toLong
+        Some((id, ids.length.toLong, oov, 1000L * oov / ids.length, sig))
+      }
+    }.toSet
+    val got = TextQueries.qTokenIds(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("text_phrase_search: per-doc occurrence counts equal a driver scan; repeats counted") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
