@@ -114,6 +114,37 @@ object CurateQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
   }
 
+  /** The loader MANIFEST of [[qPackShards]]' packing: one row per
+    * (lang, shard, position) naming the doc at that slot, its token
+    * count, and its start offset in the language's concatenated token
+    * stream — the flat, ordered table a training reader actually seeks
+    * by (pack_shards is the capacity summary; this is the index). The
+    * same deterministic (lang, doc_id) packing order and the same shard
+    * rule, so the manifest and the summary can never disagree; position
+    * and offsets are exact integers and the whole table replays
+    * bit-identically — the reproducible-run property again.
+    *
+    * Shape: identical to pack_shards (one per-lang window sort) plus a
+    * second window at the (lang, shard) grain for the slot number —
+    * both ride the same exchange. */
+  def qPackManifest(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      size(TextNorm.toks(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("shard",
+        floor((col("cum_tokens") - col("n_tokens")).cast("double") / lit(ShardTokens.toDouble)).cast("long"))
+      .withColumn("lang_offset", col("cum_tokens") - col("n_tokens"))
+      .withColumn("position",
+        row_number().over(Window.partitionBy("lang", "shard").orderBy("doc_id"))
+          .cast("long"))
+      .select(col("lang"), col("shard"), col("position"), col("doc_id"),
+        col("n_tokens"), col("lang_offset"))
+  }
+
   /** Benchmark-contamination check: for each held-out (test-split) doc,
     * the fraction of its distinct 3-gram shingles that appear anywhere in
     * the train split — the standard train/test leakage audit before a
@@ -575,6 +606,7 @@ object CurateQueries {
     "curate_clustered" -> (qCurateClustered _),
     "sample_split"    -> (qSampleSplit _),
     "pack_shards"     -> (qPackShards _),
+    "pack_manifest"   -> (qPackManifest _),
     "q_contamination" -> (qContamination _),
     "q_decontam_scrub" -> (qDecontamScrub _),
     "q_global_rank"   -> (qGlobalRank _),
@@ -826,6 +858,26 @@ object CurateQueries {
          |SELECT lang, shard, count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
          |FROM packed GROUP BY 1, 2""".stripMargin,
+    // the identical packing CTE (same double-floor shard rule), plus the
+    // slot row_number at the (lang, shard) grain
+    "pack_manifest" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, CAST(len(${TextNorm.toksSql}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |packed AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+         |      AS BIGINT) AS lang_offset,
+         |    CAST(floor(CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS DOUBLE)
+         |      / ${ShardTokens.toDouble}) AS BIGINT) AS shard
+         |  FROM toks)
+         |SELECT lang, shard,
+         |  CAST(row_number() OVER (PARTITION BY lang, shard ORDER BY doc_id)
+         |    AS BIGINT) AS position,
+         |  doc_id, n_tokens, lang_offset
+         |FROM packed""".stripMargin,
     // the cluster statement nests verbatim (one truth with the
     // dedup_clusters gate); 1000 // n is DuckDB integer division, the
     // twin of Spark's 1000 DIV n_dups on BIGINT operands

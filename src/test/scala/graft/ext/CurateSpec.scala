@@ -73,6 +73,31 @@ class CurateSpec extends SparkSpec {
     shards.unpersist()
   }
 
+  test("pack_manifest: dense slots, contiguous offsets, and exact agreement with pack_shards") {
+    val man = CurateQueries.qPackManifest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val shards = CurateQueries.qPackShards(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // per (lang, shard): slot count and token mass equal the summary
+    val byShard = man.groupBy(m => (m._1, m._2))
+    assert(byShard.keySet == shards.keySet)
+    byShard.foreach { case (k, rows) =>
+      assert((rows.length.toLong, rows.map(_._5).sum) == shards(k), s"$k")
+      // positions are 1..n dense
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, s"$k slots")
+    }
+    // per lang: offsets are the exact running token sum in doc_id order
+    man.groupBy(_._1).foreach { case (lang, rows) =>
+      val ordered = rows.sortBy(_._4)
+      var cum = 0L
+      ordered.foreach { r =>
+        assert(r._6 == cum, s"$lang doc ${r._4}: offset ${r._6} != $cum")
+        cum += r._5
+      }
+    }
+  }
+
   test("CurateRunner materializes the curated corpus partitioned by (split, lang)") {
     val out = java.nio.file.Files.createTempDirectory("graft_curated").toString
     val n = CurateRunner.run(spark, sf, out)
