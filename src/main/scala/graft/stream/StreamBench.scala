@@ -43,6 +43,58 @@ object StreamBench {
   private val Countries = Array("us", "in", "de", "fr", "jp", "br")
   private val Devices = Array("Mobile", "DESKTOP", " tablet ", "mobile", null)
 
+  final case class MvResult(rowsPerSec: Double, rows: Long, elapsedSec: Double,
+                            batches: Long, viewRows: Long, matchesBatch: Boolean) {
+    def json: String =
+      s"""{"rows_per_sec":${rowsPerSec.round},"rows":$rows,""" +
+        s""""elapsed_sec":$elapsedSec,"batches":$batches,""" +
+        s""""view_rows":$viewRows,"matches_batch":$matchesBatch}"""
+  }
+
+  /** Streaming materialized-view maintenance probe: fold micro-batches of
+    * synthetic events into the (day × type) partial-aggregate view via
+    * the [[graft.batch.MvQueries]] merge kernel (the foreachBatch
+    * lifecycle MvSpec pins functionally), and measure rows/second through
+    * the fold. State is the VIEW — day×type rows, constant in the event
+    * count — so unlike the dedup probe there is no per-key state store;
+    * the cost is each batch's partial aggregate plus a view-grain merge.
+    * The result carries `matches_batch`: the folded view is re-checked
+    * against a one-shot recompute of the same events inside the probe, so
+    * the throughput number can never come from a broken fold. */
+  def probeMvFold(spark: SparkSession, nEvents: Long = 1000000L,
+                  nBatches: Int = 20): MvResult = {
+    import spark.implicits._
+    import graft.batch.MvQueries
+    implicit val sqlCtx = spark.sqlContext
+    def ev(i: Long): (java.sql.Timestamp, String, Option[Double]) = (
+      java.sql.Timestamp.valueOf(f"2024-01-${(i % 30) + 1}%02d 12:00:00"),
+      Countries((i % Countries.length).toInt),
+      if (i % 11 == 10) None else Some((i % 9973) / 100.0))
+    // load generation before the clock, like the pipeline probe
+    val chunks = (0L until nEvents).grouped((nEvents / nBatches).toInt.max(1))
+      .map(_.map(ev)).toSeq
+    val ms = MemoryStream[(java.sql.Timestamp, String, Option[Double])]
+    var state = MvQueries.partials(
+      Seq.empty[(java.sql.Timestamp, String, Option[Double])]
+        .toDF("ts", "event_type", "value")).localCheckpoint()
+    val q = StreamPipeline.start(
+      ms.toDS().toDF("ts", "event_type", "value"),
+      StreamPipeline.ForeachBatch((b, _) => {
+        state = MvQueries.merge(state, MvQueries.partials(b)).localCheckpoint()
+      }, trigger = Trigger.ProcessingTime(0L)))
+    val t0 = System.nanoTime()
+    chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    val viewRows = state.count()
+    val batchTwin = MvQueries.finish(MvQueries.partials(
+      chunks.flatten.toDF("ts", "event_type", "value")))
+    val matches = MvQueries.finish(state).collect().map(_.toString).sorted.toSeq ==
+      batchTwin.collect().map(_.toString).sorted.toSeq
+    MvResult(nEvents / elapsed, nEvents, math.round(elapsed * 1000) / 1000.0,
+      chunks.size.toLong, viewRows, matches)
+  }
+
   /** One synthetic Kafka-value line. Key space: every 10th row reuses the
     * previous row's event_id (an in-watermark duplicate). */
   private def eventJson(i: Long, t0: java.time.Instant, secPerEvent: Double): String = {
@@ -244,6 +296,14 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("mv")) {
+      val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "1000000").toLong
+      val b = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "20").toInt
+      probeMvFold(spark, n / 10, math.max(b / 5, 2)) // untimed warm pass
+      val r = probeMvFold(spark, n, b)
+      println(s"""{"metric":"stream_mv_fold_rows_per_sec","value":${r.rowsPerSec.round},"unit":"rows/sec","detail":${r.json}}""")
+      spark.stop(); return
+    }
     if (args.headOption.contains("large")) {
       val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "2000000").toLong
       val b = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
