@@ -408,6 +408,14 @@ class StreamPipelineSpec extends SparkSpec {
     assert(r.batchRps.length == 4 && r.batchRps.forall(_ > 0))
   }
 
+  test("MV fold probe: folded view matches the batch recompute, view stays bounded") {
+    val r = StreamBench.probeMvFold(spark, nEvents = 6000L, nBatches = 4)
+    assert(r.rows == 6000L && r.batches == 4L && r.rowsPerSec > 0)
+    assert(r.matchesBatch, "folded view diverged from the one-shot recompute")
+    // state is the VIEW: day x type grain, constant in the event count
+    assert(r.viewRows <= 30L * 6L, s"view grew past its grain: ${r.viewRows}")
+  }
+
   test("kafka deploy gate: without the connector jar, source resolution fails naming kafka") {
     // executable documentation of the deploy requirement (README "Deploying
     // against Kafka"): the spark-sql-kafka-0-10 connector is NOT on this
