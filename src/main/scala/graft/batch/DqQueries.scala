@@ -363,27 +363,52 @@ object DqQueries {
   }
 
   def qRefIntegrity(spark: SparkSession, dir: String): DataFrame = {
-    def edge(name: String, child: DataFrame, key: String,
-             parent: DataFrame, pkey: String): DataFrame =
-      refEdge(name, child, key, parent, pkey)
-    Seq(
-      edge("lineitem.l_orderkey->orders", Tables.lineitem(spark, dir),
-        "l_orderkey", Tables.orders(spark, dir), "o_orderkey"),
-      edge("lineitem.l_suppkey->supplier", Tables.lineitem(spark, dir),
-        "l_suppkey", Tables.supplier(spark, dir), "s_suppkey"),
-      edge("lineitem.l_partkey->part", Tables.lineitem(spark, dir),
-        "l_partkey", Tables.part(spark, dir), "p_partkey"),
-      edge("orders.o_custkey->customer", Tables.orders(spark, dir),
-        "o_custkey", Tables.customer(spark, dir), "c_custkey"),
-      edge("customer.c_nationkey->nation", Tables.customer(spark, dir),
-        "c_nationkey", Tables.nation(spark, dir), "n_nationkey"),
-      edge("supplier.s_nationkey->nation", Tables.supplier(spark, dir),
-        "s_nationkey", Tables.nation(spark, dir), "n_nationkey"),
-      edge("nation.n_regionkey->region", Tables.nation(spark, dir),
-        "n_regionkey", Tables.region(spark, dir), "r_regionkey"),
-      edge("events.user_id->customer", Tables.events(spark, dir),
-        "user_id", Tables.customer(spark, dir), "c_custkey"))
-      .reduce(_ unionByName _)
+    // edges grouped by CHILD so each child table's base stats (row count +
+    // per-key null counts) come from ONE aggregate — the fact table must
+    // not be rescanned once per outgoing FK. Orphan checks stay one anti-
+    // join per edge (each is its own exchange regardless).
+    val edges: Seq[(String, DataFrame, Seq[(String, DataFrame, String)])] = Seq(
+      ("lineitem", Tables.lineitem(spark, dir), Seq(
+        ("l_orderkey", Tables.orders(spark, dir), "o_orderkey"),
+        ("l_suppkey", Tables.supplier(spark, dir), "s_suppkey"),
+        ("l_partkey", Tables.part(spark, dir), "p_partkey"))),
+      ("orders", Tables.orders(spark, dir), Seq(
+        ("o_custkey", Tables.customer(spark, dir), "c_custkey"))),
+      ("customer", Tables.customer(spark, dir), Seq(
+        ("c_nationkey", Tables.nation(spark, dir), "n_nationkey"))),
+      ("supplier", Tables.supplier(spark, dir), Seq(
+        ("s_nationkey", Tables.nation(spark, dir), "n_nationkey"))),
+      ("nation", Tables.nation(spark, dir), Seq(
+        ("n_regionkey", Tables.region(spark, dir), "r_regionkey"))),
+      ("events", Tables.events(spark, dir), Seq(
+        ("user_id", Tables.customer(spark, dir), "c_custkey"))))
+    edges.flatMap { case (childName, child, fks) =>
+      val baseAgg = child.agg(
+        count(lit(1)).as("n_child"),
+        fks.map { case (k, _, _) =>
+          sum(col(k).isNull.cast("long")).as(s"null__$k") }: _*)
+      // materialize the 1-row stats when several edges share them —
+      // three lazily-reused plans would each rescan the fact otherwise
+      val base = if (fks.size > 1) baseAgg.localCheckpoint() else baseAgg
+      fks.map { case (key, parent, pkey) =>
+        val orphans = child.select(col(key)).filter(col(key).isNotNull)
+          .join(parent.select(col(pkey)), col(key) === col(pkey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        base.crossJoin(orphans)
+          .select(lit(s"$childName.$key->${parentName(pkey)}").as("relation"),
+            col("n_child"), col(s"null__$key").as("n_null_keys"),
+            col("n_orphans"),
+            (col(s"null__$key") === 0 && col("n_orphans") === 0).as("intact"))
+      }
+    }.reduce(_ unionByName _)
+  }
+
+  /** Parent-table display name from its pk column prefix. */
+  private def parentName(pkey: String): String = pkey match {
+    case "o_orderkey" => "orders"; case "s_suppkey" => "supplier"
+    case "p_partkey" => "part"; case "c_custkey" => "customer"
+    case "n_nationkey" => "nation"; case "r_regionkey" => "region"
+    case other => other
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
