@@ -173,28 +173,82 @@ object Multimodal {
         md5(col("frame_bytes")).as("frame_sig"),
         length(col("frame_bytes")).cast("long").as("n_bytes"))
 
+  /** Minimum shared (distinct) frame signatures for a candidate pair. */
+  val MinSharedFrames = 2L
+
+  /** A frame signature shared by more than this many items is dropped
+    * before pair generation — the MaxShingleDf device: a boilerplate
+    * block (silence, black frames, a house intro) contributes df² pairs
+    * and zero discrimination. */
+  val MaxFrameSigDf = 64L
+
+  /** PARTIAL-overlap copy detection across the binary corpus: item pairs
+    * sharing ≥ [[MinSharedFrames]] distinct frame signatures — where
+    * [[qMmDedup]] catches only byte-identical payloads, this catches the
+    * re-container/clip/prefix relationships a video pipeline actually
+    * hunts (two files sharing a run of identical keyframes), off the
+    * SAME frame artifact as mm_frames. The same posting-list discipline
+    * as the text dedup family: (item, sig) deduped first so repeated
+    * blocks inside one item can't inflate the count, df-capped sigs so
+    * a boilerplate block never explodes pair generation, candidate mass
+    * keyed by actual duplication.
+    *
+    * Shape: one sig-keyed exchange builds the posting frame, the
+    * df-capped self-join explodes only co-signature pairs, and the pair
+    * aggregate is match-sized. At real scale this IS dedup_ngram_capped
+    * over frame sigs instead of shingle hashes — same plan, same caps. */
+  def qFramesDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fr = qFrames(spark, dir).select(col("id"), col("frame_sig")).distinct()
+    val ok = fr.groupBy(col("frame_sig")).agg(count(lit(1)).as("sig_df"))
+      .filter(col("sig_df") <= MaxFrameSigDf).select(col("frame_sig"))
+    val kept = fr.join(ok, Seq("frame_sig"))
+    kept.select(col("frame_sig"), col("id").as("id_a"))
+      .join(kept.select(col("frame_sig"), col("id").as("id_b")), Seq("frame_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared_frames"))
+      .filter(col("n_shared_frames") >= MinSharedFrames)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta"     -> (qMeta _),
     "mm_features" -> (qFeatures _),
     "mm_frames"   -> (qFrames _),
+    "mm_frames_dedup" -> (qFramesDedup _),
     "mm_dedup"    -> (qMmDedup _))
 
+  // BatchSize-byte blocks, 0-based index, every FrameEveryNth-th kept;
+  // char slicing ≡ byte slicing on this pure-ASCII corpus. Shared by the
+  // mm_frames oracle and the frame-dedup oracle built on it — one truth.
+  private lazy val framesSql: String =
+    s"""WITH m AS (SELECT doc_id, coalesce(text, '') AS b FROM documents),
+       |idx AS (
+       |  SELECT doc_id, b, unnest(generate_series(1,
+       |    CAST(ceil(CAST(length(b) AS DOUBLE) / $BatchSize) AS BIGINT))) AS i
+       |  FROM m),
+       |fr AS (
+       |  SELECT doc_id, i - 1 AS frame_idx,
+       |    substr(b, (i - 1) * $BatchSize + 1, $BatchSize) AS fb
+       |  FROM idx)
+       |SELECT doc_id AS id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |  md5(fb) AS frame_sig, CAST(length(fb) AS BIGINT) AS n_bytes
+       |FROM fr WHERE frame_idx % $FrameEveryNth = 0""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // BatchSize-byte blocks, 0-based index, every FrameEveryNth-th kept;
-    // char slicing ≡ byte slicing on this pure-ASCII corpus
-    "mm_frames" ->
-      s"""WITH m AS (SELECT doc_id, coalesce(text, '') AS b FROM documents),
-         |idx AS (
-         |  SELECT doc_id, b, unnest(generate_series(1,
-         |    CAST(ceil(CAST(length(b) AS DOUBLE) / $BatchSize) AS BIGINT))) AS i
-         |  FROM m),
-         |fr AS (
-         |  SELECT doc_id, i - 1 AS frame_idx,
-         |    substr(b, (i - 1) * $BatchSize + 1, $BatchSize) AS fb
-         |  FROM idx)
-         |SELECT doc_id AS id, CAST(frame_idx AS BIGINT) AS frame_idx,
-         |  md5(fb) AS frame_sig, CAST(length(fb) AS BIGINT) AS n_bytes
-         |FROM fr WHERE frame_idx % $FrameEveryNth = 0""".stripMargin,
+    "mm_frames" -> framesSql,
+    // the frames statement nests verbatim; (item, sig) deduped before the
+    // df cap and the self-join, so the pair count is distinct shared sigs
+    "mm_frames_dedup" ->
+      s"""WITH f AS (
+         |$framesSql
+         |),
+         |d AS (SELECT DISTINCT id, frame_sig FROM f),
+         |c AS (SELECT frame_sig FROM d GROUP BY 1
+         |      HAVING count(*) <= $MaxFrameSigDf),
+         |k AS (SELECT d.id, d.frame_sig FROM d JOIN c USING (frame_sig))
+         |SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared_frames
+         |FROM k a JOIN k b ON a.frame_sig = b.frame_sig AND a.id < b.id
+         |GROUP BY 1, 2 HAVING count(*) >= $MinSharedFrames""".stripMargin,
     "mm_dedup" ->
       """SELECT md5(coalesce(text, '')) AS checksum,
         |  min(doc_id) AS keeper_id, count(*) AS n_copies,

@@ -610,6 +610,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows.keys.forall(_._2 % Multimodal.FrameEveryNth == 0))
   }
 
+  test("mm_frames_dedup: pairs equal a driver posting replay; repeats and hot sigs excluded") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sigsByItem = Multimodal.corpus(spark, sf).collect().map { m =>
+      val sigs = m.content.grouped(Multimodal.BatchSize).zipWithIndex
+        .filter(_._2 % Multimodal.FrameEveryNth == 0)
+        .map { case (b, _) => md.reset(); md.digest(b).map("%02x".format(_)).mkString }
+        .toSet // DISTINCT sigs per item — intra-item repeats score once
+      m.id -> sigs
+    }.toMap
+    val df = sigsByItem.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val keep = (sig: String) => df(sig) <= Multimodal.MaxFrameSigDf
+    val ids = sigsByItem.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      shared = (sigsByItem(a).filter(keep) & sigsByItem(b).filter(keep)).size
+      if shared >= Multimodal.MinSharedFrames
+    } yield (a, b, shared.toLong)).toSet
+    val got = Multimodal.qFramesDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("langid predicts a language for every doc; quality score in [0,1]") {
     val lang = TextQueries.qLangId(spark, sf)
     assert(lang.filter($"predicted_lang".isNull).isEmpty)
