@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ext.dedup.DedupQueries
 import graft.ext.dedup.DedupQueries.{cosine, quantized}
 import graft.functions.{Exact, VectorFunctions}
 
@@ -373,7 +374,32 @@ object SimQueries {
         expr("1000 * n_hits DIV greatest(n_retrieved, 1)").as("precision_milli"))
   }
 
+  /** Embedding sanity gate — the audit a deployment runs BEFORE pointing
+    * any cosine operator at a new embedding drop: per label, the vector
+    * count, the dimension envelope (ragged dims break every dot-product
+    * kernel), the zero-vector count (cosine is undefined on them — the
+    * one input class the similarity family cannot tolerate), and the
+    * squared-norm envelope with its min/max ratio in milli —
+    * spread ≈ 1000 says the vectors arrive normalized (cosine ≡ dot, the
+    * cheaper kernel is safe); a wide spread says normalize first or stay
+    * with cosine. Same ⌊x·10⁶⌋ quantization as every other vector gate,
+    * so the audit is exact-integer end to end.
+    *
+    * Shape: one narrow quantize projection + one label-keyed aggregate —
+    * scan bandwidth at any scale, |labels| output rows. */
+  def qEmbNormAudit(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(size(col("v"))).cast("long").as("dim_min"),
+        max(size(col("v"))).cast("long").as("dim_max"),
+        sum((col("nsq") === 0L).cast("long")).as("n_zero"),
+        min(col("nsq")).as("min_nsq"), max(col("nsq")).as("max_nsq"))
+      .withColumn("spread_milli",
+        when(col("max_nsq") > 0, expr("(1000 * min_nsq) DIV max_nsq")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_norm_audit"  -> (qEmbNormAudit _),
     "knn_brute"       -> (qKnnBrute _),
     "knn_filtered"    -> (qKnnFiltered _),
     "knn_ivf"         -> (qKnnIvf _),
@@ -472,6 +498,18 @@ object SimQueries {
        |QUALIFY rank <= $K""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the shared quantize CTE (one truth with every cosine gate); sums
+    // and list lengths cast back from HUGEINT per the oracle discipline
+    "emb_norm_audit" ->
+      s"""WITH ${DedupQueries.quantizedSql}
+         |SELECT label, count(*) AS n_vecs,
+         |  CAST(min(len(v)) AS BIGINT) AS dim_min,
+         |  CAST(max(len(v)) AS BIGINT) AS dim_max,
+         |  CAST(sum(CASE WHEN nsq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |  min(nsq) AS min_nsq, max(nsq) AS max_nsq,
+         |  CASE WHEN max(nsq) > 0 THEN (1000 * min(nsq)) // max(nsq) END
+         |    AS spread_milli
+         |FROM q GROUP BY 1""".stripMargin,
     "knn_brute" -> knnBruteSql,
     // label-carrying query CTE; the filter is the equi-join predicate,
     // exactly as in the Spark plan

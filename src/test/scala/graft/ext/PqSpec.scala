@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 import graft.ext.sim.{PqQueries, SimQueries}
+import graft.sources.Tables
 
 /** Compressed-domain search quality and int8 quantization invariants. */
 class PqSpec extends SparkSpec {
@@ -39,5 +40,30 @@ class PqSpec extends SparkSpec {
     assert(out.filter(col("n_saturated") > n).count() == 0)
     assert(out.filter(col("amax") <= 0).count() == 0)
     out.unpersist()
+  }
+
+  test("emb_norm_audit equals a driver census; this corpus certifies as normalized") {
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val expected = rows.groupBy(_._1).map { case (lab, vs) =>
+      val quant = vs.map(_._2.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong))
+      val nsqs = quant.map(q => q.map(y => y * y).sum)
+      (lab, vs.length.toLong, quant.map(_.length.toLong).min,
+        quant.map(_.length.toLong).max, nsqs.count(_ == 0L).toLong,
+        nsqs.min, nsqs.max,
+        if (nsqs.max > 0) Some(1000L * nsqs.min / nsqs.max) else None)
+    }.toSet
+    val got = SimQueries.qEmbNormAudit(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)))).toSet
+    assert(got == expected && got.nonEmpty)
+    // the gate's verdicts on THIS corpus: uniform 64-dim, no zero
+    // vectors, norms within 1% of each other — cosine ≡ dot is safe
+    got.foreach { case (lab, _, dMin, dMax, nZero, _, _, spread) =>
+      assert(dMin == 64L && dMax == 64L && nZero == 0L, s"label $lab")
+      assert(spread.exists(_ >= 990L), s"label $lab spread $spread")
+    }
   }
 }
