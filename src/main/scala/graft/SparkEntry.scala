@@ -38,6 +38,7 @@ object SparkEntry {
       batch.MvQueries.queries ++
       batch.PrivacyQueries.queries ++
       batch.DqQueries.queries ++
+      batch.BasketQueries.queries ++
       batch.StatsQueries.queries ++
       batch.LayoutQueries.queries ++
       ext.text.TextQueries.queries ++
@@ -70,6 +71,7 @@ object SparkEntry {
       batch.MvQueries.oracles ++
       batch.PrivacyQueries.oracles ++
       batch.DqQueries.oracles ++
+      batch.BasketQueries.oracles ++
       batch.StatsQueries.oracles ++
       batch.LayoutQueries.oracles ++
       ext.text.TextQueries.oracles ++

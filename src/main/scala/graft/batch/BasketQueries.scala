@@ -1,0 +1,123 @@
+package graft.batch
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/**
+ * Market-basket association mining over the order fact — the classic
+ * co-occurrence analysis (which item families sell together, which
+ * event types co-fire per session) every analytics deployment of the
+ * reference's order feed (kafka_spark_etl.py's enriched events grouped
+ * per key) eventually asks for. Two grains:
+ *
+ *  - [[qBasketPairs]]: unordered brand pairs with co-occurrence count and
+ *    integer support (pairs of p_brand within one order).
+ *  - [[qBasketRules]]: directed association rules a→b with exact integer
+ *    confidence and lift, the Apriori output at the pair level.
+ *
+ * All ratios are cleared-denominator integer milli values (the q_drift_tv
+ * discipline), so every rule score is engine-identical:
+ *
+ *   support_milli(a,b) = 1000·n_ab DIV N
+ *   conf_milli(a→b)    = 1000·n_ab DIV n_a
+ *   lift_milli(a→b)    = 1000·n_ab·N DIV (n_a·n_b)   (1000 ≡ independence)
+ *
+ * Scale shape: the only full-data passes are the dim-join (brand lookup —
+ * broadcast here; a shuffle join on l_partkey at dim sizes beyond memory,
+ * either way standard) and the distinct to basket grain. Pair generation
+ * self-joins the (order, brand) frame on the order key: co-partitioned on
+ * one shuffle, and the blow-up is Σ_orders k², bounded by the basket
+ * width k (≤ 7 lines in TPC-H shapes, tens in retail carts) — the
+ * textbook market-basket bound, never |brands|² × orders. Everything
+ * after the pair count is |brands|²-bounded (625 rows here); the corpus
+ * total N is a 1-row broadcast. At 100 TB the same plan holds: one
+ * basket-keyed self-join plus kilobyte aggregates.
+ */
+object BasketQueries {
+
+  /** Minimum co-occurrence count for a pair/rule to be reported — the
+    * Apriori min-support gate (noise pairs below it are not evidence). */
+  val MinPairSupport = 5L
+
+  /** The basket frame: one row per (order, brand) — baskets are DISTINCT
+    * brand sets, so a 3-line order of one brand counts that brand once. */
+  private def baskets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+
+  /** Unordered co-occurrence pairs: brand_a < brand_b, the number of
+    * orders holding both, and integer support against all orders. */
+  def qBasketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val b = baskets(spark, dir)
+    val n = b.agg(countDistinct(col("okey")).as("n_orders"))
+    b.join(b.select(col("okey"), col("brand").as("brand_b")), "okey")
+      .filter(col("brand") < col("brand_b"))
+      .groupBy(col("brand").as("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= MinPairSupport)
+      .crossJoin(broadcast(n))
+      .select(col("brand_a"), col("brand_b"), col("n_both"), col("n_orders"),
+        expr("(1000 * n_both) DIV n_orders").as("support_milli"))
+  }
+
+  /** Directed rules a→b (both directions of every surviving pair) with
+    * exact confidence and lift. lift_milli = 1000 reads "independent";
+    * above it, positive association. */
+  def qBasketRules(spark: SparkSession, dir: String): DataFrame = {
+    val b = baskets(spark, dir)
+    val n = b.agg(countDistinct(col("okey")).as("n_orders"))
+    val counts = b.groupBy(col("brand")).agg(count(lit(1)).as("n_brand"))
+    val pairs = b.join(b.select(col("okey"), col("brand").as("brand_b")), "okey")
+      .filter(col("brand") =!= col("brand_b"))
+      .groupBy(col("brand").as("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= MinPairSupport)
+    pairs
+      .join(broadcast(counts.select(col("brand").as("brand_a"), col("n_brand").as("n_a"))), "brand_a")
+      .join(broadcast(counts.select(col("brand").as("brand_b"), col("n_brand").as("n_b"))), "brand_b")
+      .crossJoin(broadcast(n))
+      .select(col("brand_a"), col("brand_b"), col("n_both"), col("n_a"), col("n_b"),
+        expr("(1000 * n_both) DIV n_a").as("conf_milli"),
+        expr("CAST((1000 * CAST(n_both AS DECIMAL(38,0)) * n_orders) DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("lift_milli"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_basket_pairs" -> (qBasketPairs _),
+    "q_basket_rules" -> (qBasketRules _))
+
+  /** Shared basket/count CTEs — one truth for both gates. */
+  private val basketCtes: String =
+    s"""b AS (
+       |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+       |n AS (SELECT count(DISTINCT okey) AS n_orders FROM b)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_basket_pairs" ->
+      s"""WITH $basketCtes
+         |SELECT a.brand AS brand_a, c.brand AS brand_b,
+         |  count(*) AS n_both, max(n.n_orders) AS n_orders,
+         |  (1000 * count(*)) // max(n.n_orders) AS support_milli
+         |FROM b a JOIN b c ON a.okey = c.okey AND a.brand < c.brand, n
+         |GROUP BY 1, 2 HAVING count(*) >= $MinPairSupport""".stripMargin,
+    "q_basket_rules" ->
+      s"""WITH $basketCtes,
+         |cnt AS (SELECT brand, count(*) AS n_brand FROM b GROUP BY 1),
+         |p AS (
+         |  SELECT a.brand AS brand_a, c.brand AS brand_b, count(*) AS n_both
+         |  FROM b a JOIN b c ON a.okey = c.okey AND a.brand <> c.brand
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinPairSupport)
+         |SELECT p.brand_a, p.brand_b, p.n_both,
+         |  ca.n_brand AS n_a, cb.n_brand AS n_b,
+         |  (1000 * p.n_both) // ca.n_brand AS conf_milli,
+         |  CAST((1000 * CAST(p.n_both AS HUGEINT) * n.n_orders)
+         |    // (CAST(ca.n_brand AS HUGEINT) * cb.n_brand) AS BIGINT) AS lift_milli
+         |FROM p
+         |JOIN cnt ca ON ca.brand = p.brand_a
+         |JOIN cnt cb ON cb.brand = p.brand_b, n""".stripMargin)
+}

@@ -261,6 +261,64 @@ object DqQueries {
       .select(col("event_type"), col("n_ref"), col("n_cur"), col("tv_milli"))
   }
 
+  /** Kolmogorov–Smirnov drift monitor — the SECOND scoring rule over the
+    * SAME mergeable bucket-count state as [[qDriftTv]]:
+    *
+    *   KS = max_b |C_cur(b)/N_cur − C_ref(b)/N_ref|
+    *      ⇒ ks_milli = (1000 · max_b |c_cur·N_ref − c_ref·N_cur|)
+    *                   DIV (N_ref · N_cur)
+    *
+    * over CUMULATIVE bucket counts c = Σ_{b'≤b} o. Where TV (½·L1) reads
+    * total mass displaced anywhere, KS reads the largest one-sided CDF
+    * gap — a location shift that TV spreads across many buckets
+    * concentrates into one KS gap, so the two catch different drift
+    * shapes from one state. Denominators cleared as in TV: exact integer
+    * end to end (decimal(38,0) / HUGEINT products), and KS ≤ TV always
+    * (the max of partial sums of signed terms is bounded by half their
+    * absolute sum) — DqSpec pins that ordering on the corpus.
+    *
+    * Shape: nothing new touches the fact — the cumulative window runs
+    * over the (type × [[DriftBuckets]]) count frame (≤ tens of rows), so
+    * a deployment keeps ONE standing count state and rescores both
+    * monitors per micro-batch for kilobytes of work. */
+  def qDriftKs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val cut = lit(DriftCutoff).cast("timestamp")
+    driftKs(Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), Exact.cents(col("value")).as("x"),
+        (col("ts") < cut).cast("long").as("is_ref")))
+  }
+
+  /** The KS kernel over an (event_type, x: long, is_ref: 0|1) frame —
+    * same envelope rule as [[driftTv]], shared [[driftCounts]] state. */
+  def driftKs(e: DataFrame): DataFrame =
+    ksFromCounts(driftCounts(e,
+      e.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))))
+
+  /** The KS score over a (type, bucket, o_ref, o_cur) count frame. The
+    * cumulative window partitions by type over ≤ [[DriftBuckets]] rows —
+    * bounded, never data-sized. */
+  private[graft] def ksFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val totals = counts.groupBy(col("event_type"))
+      .agg(sum(col("o_ref")).as("n_ref"), sum(col("o_cur")).as("n_cur"))
+    counts
+      .withColumn("c_ref", sum(col("o_ref")).over(w))
+      .withColumn("c_cur", sum(col("o_cur")).over(w))
+      .join(broadcast(totals), "event_type")
+      .withColumn("gap",
+        abs(d(col("c_cur")) * d(col("n_ref")) - d(col("c_ref")) * d(col("n_cur"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        max(col("gap")).as("num"))
+      .withColumn("ks_milli",
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          expr("CAST((1000 * num) DIV (n_ref * n_cur) AS BIGINT)")))
+      .select(col("event_type"), col("n_ref"), col("n_cur"), col("ks_milli"))
+  }
+
   /** Daily-volume anomaly gate: for each (event_type, day), is that day's
     * event COUNT anomalous against the type's daily history? The same
     * median/MAD rule as [[qMadOutliers]] applied at the day grain — the
@@ -417,6 +475,7 @@ object DqQueries {
     "q_outliers" -> (qOutliers _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_drift_tv" -> (qDriftTv _),
+    "q_drift_ks" -> (qDriftKs _),
     "q_anomaly_days" -> (qAnomalyDays _),
     "q_skew_metrics" -> (qSkewMetrics _))
 
@@ -552,6 +611,41 @@ object DqQueries {
          |    THEN CAST((1000 * sum(term))
          |      // (2 * CAST(max(n_ref) AS HUGEINT) * max(n_cur)) AS BIGINT)
          |  END AS tv_milli
+         |FROM j GROUP BY 1""".stripMargin,
+    // the q_drift_tv statement's e/b/c/t CTEs verbatim (one truth for the
+    // shared count state), with the scoring tail swapped: cumulative
+    // counts via a per-type ordered window, max gap instead of half-sum
+    "q_drift_ks" ->
+      s"""WITH e AS (
+         |  SELECT event_type, ${graft.functions.Exact.centsSql("value")} AS x,
+         |    CASE WHEN ts < TIMESTAMP '$DriftCutoff' THEN 1 ELSE 0 END AS is_ref
+         |  FROM events WHERE value IS NOT NULL),
+         |b AS (SELECT min(x) AS lo, max(x) AS hi FROM e),
+         |c AS (
+         |  SELECT event_type,
+         |    ((x - lo) * $DriftBuckets) // (hi - lo + 1) AS bucket,
+         |    CAST(sum(is_ref) AS BIGINT) AS o_ref,
+         |    CAST(sum(1 - is_ref) AS BIGINT) AS o_cur
+         |  FROM e, b GROUP BY 1, 2),
+         |t AS (
+         |  SELECT event_type, CAST(sum(o_ref) AS BIGINT) AS n_ref,
+         |    CAST(sum(o_cur) AS BIGINT) AS n_cur
+         |  FROM c GROUP BY 1),
+         |cum AS (
+         |  SELECT event_type, bucket,
+         |    sum(o_ref) OVER w AS c_ref, sum(o_cur) OVER w AS c_cur
+         |  FROM c
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+         |j AS (
+         |  SELECT cum.event_type, t.n_ref, t.n_cur,
+         |    abs(CAST(cum.c_cur AS HUGEINT) * t.n_ref
+         |        - CAST(cum.c_ref AS HUGEINT) * t.n_cur) AS gap
+         |  FROM cum JOIN t ON cum.event_type = t.event_type)
+         |SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+         |  CASE WHEN max(n_ref) > 0 AND max(n_cur) > 0
+         |    THEN CAST((1000 * max(gap))
+         |      // (CAST(max(n_ref) AS HUGEINT) * max(n_cur)) AS BIGINT)
+         |  END AS ks_milli
          |FROM j GROUP BY 1""".stripMargin,
     // the q_mad_outliers rank rule at the (type, day) count grain
     "q_anomaly_days" ->

@@ -76,9 +76,35 @@ object PrivacyQueries {
         when(col("anon_level") <= 0, col("band")).as("rel_band"))
   }
 
+  /** Minimum distinct sensitive values per releasable QI group. */
+  val AnonL = 3L
+
+  /** The l-diversity census — the homogeneity gate k-anonymity misses: a
+    * group can hold ≥ K members yet reveal everything about them when all
+    * K share ONE sensitive value (knowing someone is in the group leaks
+    * the value without identifying the row). Sensitive attribute here:
+    * the document's exact-content fingerprint ([[graft.functions.Exact.md5Long]]
+    * of the text — the dedup family's content identity), so l counts how
+    * many DISTINCT document contents a QI group blends across; l = 1
+    * means group membership alone discloses the member's content.
+    *
+    * Output is the k-census frame widened with `l_distinct` and the
+    * combined verdict (`n_docs ≥ K AND l ≥ L`). Shape: one two-level
+    * aggregate (distinct-within-group), bounded (langs × sources × bands)
+    * output — same kilobyte census at any corpus size. */
+  def qLDiversity(spark: SparkSession, dir: String): DataFrame =
+    withBand(Tables.documents(spark, dir))
+      .withColumn("fp", graft.functions.Exact.md5Long(col("text")))
+      .groupBy(col("lang"), col("source"), col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("l_distinct"))
+      .withColumn("releasable",
+        col("n_docs") >= AnonK && col("l_distinct") >= AnonL)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_k_anonymity" -> (qKAnonymity _),
-    "q_anon_generalize" -> (qAnonGeneralize _))
+    "q_anon_generalize" -> (qAnonGeneralize _),
+    "q_l_diversity" -> (qLDiversity _))
 
   val oracles: Map[String, String] = Map(
     "q_k_anonymity" ->
@@ -107,5 +133,15 @@ object PrivacyQueries {
          |  CASE WHEN anon_level <= 2 THEN lang END AS rel_lang,
          |  CASE WHEN anon_level <= 1 THEN source END AS rel_source,
          |  CASE WHEN anon_level <= 0 THEN band END AS rel_band
-         |FROM lv""".stripMargin)
+         |FROM lv""".stripMargin,
+    // the k-census grain with the distinct-fingerprint count and the
+    // combined k AND l verdict — same md5-based content identity
+    "q_l_diversity" ->
+      s"""SELECT lang, source, n_chars // $BandChars AS band,
+         |  count(*) AS n_docs,
+         |  count(DISTINCT ${graft.functions.Exact.md5LongSql("text")}) AS l_distinct,
+         |  count(*) >= $AnonK
+         |    AND count(DISTINCT ${graft.functions.Exact.md5LongSql("text")}) >= $AnonL
+         |    AS releasable
+         |FROM documents GROUP BY 1, 2, 3""".stripMargin)
 }

@@ -568,7 +568,74 @@ object TextQueries {
         col("ids_sig"))
   }
 
+  /** Percent of docs forming the LM training split (hash-deterministic —
+    * the sample_split / ErBasePct discipline). */
+  val LmTrainPct = 80L
+
+  /** Bigram-LM familiarity score — the engine's CCNet-shaped quality
+    * filter: score each document by how familiar its token BIGRAMS are to
+    * a language model trained on a held-out split of the corpus, so
+    * word-salad and boilerplate-mangled text (rare transitions) scores low
+    * while fluent text (frequent transitions) scores high. The usual
+    * deployment trains on a trusted corpus (Wikipedia in CCNet) and
+    * filters the crawl by perplexity band; here the trusted split is the
+    * deterministic [[LmTrainPct]] hash split of the same table.
+    *
+    * Exactness: real perplexity sums float log-probs — engine-unhashable.
+    * This gate uses the LOG2-QUANTIZED familiarity
+    *
+    *   fam(b) = floor(log2(1 + count_train(b))) = length(bin(1+cnt)) − 1
+    *
+    * (exact in both engines via the binary-string length — no float log
+    * anywhere), and scores lm_milli = 1000·Σfam DIV n_bigrams. Monotone
+    * in the true log-probability numerator, integer end to end; unseen
+    * bigrams contribute 0, the add-one floor of smoothing.
+    *
+    * Shape: bigram rows are one narrow zip-slice projection per doc (the
+    * shingleRows build at width 2, multiset — LM counts weigh repeats);
+    * the train aggregate is vocabulary-sized with map-side combine; the
+    * scoring join is keyed by bigram — the canonical LM-scoring shuffle,
+    * linear in corpus tokens. At 100 TB the count table is the persisted
+    * artifact and the score pass is one join + one doc-keyed aggregate;
+    * a df-cap on mega-hot bigrams is unnecessary because the join
+    * fan-out is 1:1 (counts are unique per bigram). */
+  def qLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.rebalanced(spark, Tables.documents(spark, dir))
+      .withColumn("is_train",
+        pmod(graft.functions.Exact.md5Long(concat(lit("lmb|"), col("doc_id"))),
+          lit(100L)) < LmTrainPct)
+    val bg = bigramRows(docs)
+    val counts = bg.filter(col("is_train"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    bg.join(counts, Seq("bg"), "left")
+      .withColumn("fam", length(bin(lit(1L) + coalesce(col("cnt"), lit(0L)))).cast("long") - 1L)
+      .groupBy(col("doc_id"))
+      .agg(max(col("is_train")).as("is_train"),
+        count(lit(1)).as("n_bigrams"), sum(col("fam")).as("fam_sum"))
+      .withColumn("lm_milli", expr("(1000 * fam_sum) DIV n_bigrams"))
+      .select(col("doc_id"), col("is_train"), col("n_bigrams"), col("fam_sum"),
+        col("lm_milli"))
+  }
+
+  /** Multiset (doc_id, is_train, bg) bigram rows — the shingleRows
+    * zip-slice build at width 2: two staggered slices of the token array
+    * zipped and exploded in ONE narrow projection, no lambda, no shuffle.
+    * Docs with < 2 tokens emit no bigram (nothing to score). */
+  private def bigramRows(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val t = TextNorm.toks(col("text"))
+    val withT = docs.select(col("doc_id"), col("is_train"), t.as("t"))
+    val len = greatest(size(col("t")) - 1, lit(0))
+    val zipped = arrays_zip(
+      slice(col("t"), lit(1), len).as("w1"),
+      slice(col("t"), lit(2), len).as("w2"))
+    withT
+      .select(col("doc_id"), col("is_train"), explode(zipped).as("z"))
+      .select(col("doc_id"), col("is_train"),
+        concat_ws(" ", col("z.w1"), col("z.w2")).as("bg"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score"      -> (qLmScore _),
     "text_langid"        -> (qLangId _),
     "text_vocab"         -> (qVocab _),
     "text_token_ids"     -> (qTokenIds _),
@@ -689,6 +756,29 @@ object TextQueries {
   lazy val oracles: Map[String, String] = Map(
     "text_langid" -> langIdSql,
     "text_vocab" -> vocabSql,
+    // same hash split, same width-2 comprehension over the shared token
+    // definition, same length(bin(1+cnt))−1 integer log2 — the quantized
+    // familiarity is engine-identical with no float log anywhere
+    "text_lm_score" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    ${graft.functions.Exact.md5LongSql("'lmb|' || CAST(doc_id AS VARCHAR)")}
+         |      % 100 < $LmTrainPct AS is_train,
+         |    $toksSql AS t
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, is_train,
+         |    unnest([array_to_string(t[i:i+1], ' ')
+         |            for i in generate_series(1, len(t)-1)]) AS bg
+         |  FROM d WHERE len(t) >= 2),
+         |c AS (SELECT bg, count(*) AS cnt FROM bg WHERE is_train GROUP BY 1)
+         |SELECT b.doc_id, max(b.is_train) AS is_train,
+         |  count(*) AS n_bigrams,
+         |  CAST(sum(length(bin(1 + coalesce(c.cnt, 0))) - 1) AS BIGINT) AS fam_sum,
+         |  CAST((1000 * sum(length(bin(1 + coalesce(c.cnt, 0))) - 1))
+         |    // count(*) AS BIGINT) AS lm_milli
+         |FROM bg b LEFT JOIN c USING (bg)
+         |GROUP BY 1""".stripMargin,
     // parallel unnests zip positionally in DuckDB, giving each token its
     // ordinal; string_agg(... ORDER BY pos) replays the engine's
     // position-sorted id sequence byte-for-byte under md5

@@ -245,4 +245,43 @@ class DqSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == expected && got.nonEmpty)
   }
+
+  test("driftKs: boundary cases, KS <= TV on the corpus, same standing count state") {
+    import spark.implicits._
+    // identical ref/cur distributions ⇒ every cumulative gap is 0
+    val same = (1L to 50L).flatMap(i =>
+      Seq(("a", i % 7 * 100, 1L), ("a", i % 7 * 100, 0L)))
+    val s = DqQueries.driftKs(same.toDF("event_type", "x", "is_ref")).collect().head
+    assert(s.getLong(3) == 0L, s"identical windows must read 0: $s")
+    // disjoint support ⇒ some bucket boundary separates the windows
+    // completely ⇒ KS = 1 ⇒ 1000 milli
+    val disjoint = (1L to 30L).map(i => ("a", 0L + i % 3, 1L)) ++
+      (1L to 20L).map(i => ("a", 100000L + i % 3, 0L))
+    val dj = DqQueries.driftKs(disjoint.toDF("event_type", "x", "is_ref")).collect().head
+    assert(dj.getLong(3) == 1000L, s"disjoint windows must read 1000: $dj")
+    // a pure location shift: KS sees the full gap where TV sees the same —
+    // but on mixed corpus drift the mathematical ordering KS ≤ TV holds
+    // per type (max partial sum of signed terms ≤ half the absolute sum;
+    // integer floors can differ by at most the truncation, hence +1)
+    val tv = DqQueries.qDriftTv(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val ks = DqQueries.qDriftKs(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(ks.keySet == tv.keySet && ks.nonEmpty)
+    ks.foreach { case (t, k) =>
+      assert(k <= tv(t) + 1L, s"KS must be <= TV per type: $t ks=$k tv=${tv(t)}")
+    }
+    // both monitors score the SAME count frame: rescoring driftCounts
+    // state matches the end-to-end operator (the standing-stream regime)
+    val e = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_type"), graft.functions.Exact.cents(col("value")).as("x"),
+        (col("ts") < lit(DqQueries.DriftCutoff).cast("timestamp")).cast("long").as("is_ref"))
+    val counts = DqQueries.driftCounts(e,
+      e.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))).localCheckpoint()
+    val rescored = DqQueries.ksFromCounts(counts).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val direct = DqQueries.qDriftKs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rescored == direct)
+  }
 }

@@ -66,4 +66,28 @@ class PrivacySpec extends SparkSpec {
     // the ladder is actually used: multiple levels occur on this corpus
     assert(got.map(_._2).distinct.length >= 2)
   }
+
+  test("q_l_diversity: widens the k-census with distinct-content counts; l <= n always") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("source"),
+        expr(s"n_chars DIV ${PrivacyQueries.BandChars}").as("band"),
+        col("text"))
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getLong(2)), r.getString(3)))
+    val expected = docs.groupBy(_._1).map { case (k, g) =>
+      val l = g.map(_._2).distinct.length.toLong
+      (k._1, k._2, k._3, g.length.toLong, l,
+        g.length >= PrivacyQueries.AnonK && l >= PrivacyQueries.AnonL)
+    }.toSet
+    val got = PrivacyQueries.qLDiversity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    assert(got == expected)
+    // the gate discriminates beyond group size alone on this corpus is not
+    // guaranteed (synthetic texts are near-unique), but the invariants are:
+    got.foreach { case (_, _, _, n, l, _) => assert(l >= 1L && l <= n) }
+    // k-census and l-census agree on the group populations (same grain)
+    val kc = PrivacyQueries.qKAnonymity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+    got.foreach { case (la, so, b, n, _, _) => assert(kc((la, so, b)) == n) }
+  }
 }

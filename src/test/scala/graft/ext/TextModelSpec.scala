@@ -107,4 +107,34 @@ class TextModelSpec extends SparkSpec {
     assert(phraseHits <= bagHits,
       s"phrase hits $phraseHits cannot exceed bag-of-words hits $bagHits")
   }
+
+  test("text_lm_score: driver replay of the quantized familiarity; train scores above unseen-heavy") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // driver replay: same hash split via the engine's own md5 (one batch
+    // call), same bigram multiset, same floor(log2(1+cnt))
+    val splitMap = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        (pmod(graft.functions.Exact.md5Long(concat(lit("lmb|"), col("doc_id"))),
+          lit(100L)) < TextQueries.LmTrainPct).as("tr"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val bigrams = docs.map { case (id, t) =>
+      id -> toksRef(t).sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    }.toMap
+    val counts = bigrams.toSeq.filter(kv => splitMap(kv._1))
+      .flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def log2floor(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
+    val expected = bigrams.filter(_._2.nonEmpty).map { case (id, bgs) =>
+      val famSum = bgs.map(b => log2floor(1L + counts.getOrElse(b, 0L))).sum
+      (id, splitMap(id), bgs.length.toLong, famSum,
+        1000L * famSum / bgs.length)
+    }.toSet
+    val got = TextQueries.qLmScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected && got.nonEmpty)
+    // the filter discriminates: scores vary across the corpus
+    assert(got.map(_._5).toSeq.distinct.length > 1)
+  }
 }
