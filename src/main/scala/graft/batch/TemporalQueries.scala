@@ -184,11 +184,58 @@ object TemporalQueries {
         expr("gap_total_us DIV n").as("mean_gap_us"))
   }
 
+  /** Activity-interval width in days for [[qIntervalCoverage]]. */
+  val IntervalDays = 30
+
+  /** Interval union (merge-overlaps) coverage — the classic
+    * gaps-and-islands kernel at the INTERVAL grain: each order opens a
+    * [o_orderdate, o_orderdate + [[IntervalDays]]) activity window; per
+    * customer, overlapping-or-abutting windows merge into maximal islands
+    * (half-open, so a window starting exactly where the previous ends is
+    * CONTIGUOUS coverage and merges), and the report is the per-customer
+    * coverage summary: order count, merged-island count, total covered
+    * days, longest island. The relational form of "total time under
+    * contract / on treatment / in session" — a union of intervals, which
+    * naive SUM(width) double-counts.
+    *
+    * Mechanics: one window pass per customer ordered by start — the
+    * running max of PRIOR interval ends detects island starts
+    * (start > prior running max ⇒ gap ⇒ new island), a running sum of
+    * the island flags numbers islands, then two bounded aggregates
+    * (per-island, per-customer). Equal starts are benign: width is fixed,
+    * so tied rows carry identical ends and the flags are order-insensitive.
+    *
+    * Scale: one shuffle on the customer key; windows run inside
+    * per-customer partitions (tens of orders); output is |customers|.
+    * The same plan at 100 TB — no self-join, no driver loop. */
+  def qIntervalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey").orderBy(col("start"))
+    val prior = byCust.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("start"))
+      .withColumn("end", date_add(col("start"), IntervalDays))
+      .withColumn("prior_max", max(col("end")).over(prior))
+      .withColumn("new_island",
+        (col("prior_max").isNull || col("start") > col("prior_max")).cast("long"))
+      .withColumn("island", sum(col("new_island"))
+        .over(byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("o_custkey"), col("island"))
+      .agg(min(col("start")).as("i_start"), max(col("end")).as("i_end"),
+        count(lit(1)).as("n_orders"))
+    islands
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        count(lit(1)).as("n_islands"),
+        sum(datediff(col("i_end"), col("i_start")).cast("long")).as("covered_days"),
+        max(datediff(col("i_end"), col("i_start")).cast("long")).as("max_island_days"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel"      -> (qFunnel _),
     "q_retention"   -> (qRetention _),
     "q_scd2"        -> (qScd2 _),
     "q_gap_fill"    -> (qGapFill _),
+    "q_interval_coverage" -> (qIntervalCoverage _),
     "q_transitions" -> (qTransitions _))
 
   /** Shared prefix-window clause for the funnel oracle's three chained
@@ -267,6 +314,37 @@ object TemporalQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS locf_revenue,
          |  rev_cents IS NULL AS is_gap
          |FROM j""".stripMargin,
+    // same island detection: running max of PRIOR ends, gap ⇒ new island,
+    // running flag sum numbers islands; day arithmetic is exact DATE math
+    "q_interval_coverage" ->
+      s"""WITH iv AS (
+         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS s,
+         |    CAST(o_orderdate AS DATE) + $IntervalDays AS e
+         |  FROM orders),
+         |m AS (
+         |  SELECT o_custkey, s, e,
+         |    max(e) OVER (PARTITION BY o_custkey ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+         |  FROM iv),
+         |f AS (
+         |  SELECT o_custkey, s, e,
+         |    CASE WHEN prior_max IS NULL OR s > prior_max THEN 1 ELSE 0 END AS ni
+         |  FROM m),
+         |isl AS (
+         |  SELECT o_custkey, s, e,
+         |    sum(ni) OVER (PARTITION BY o_custkey ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM f),
+         |g AS (
+         |  SELECT o_custkey, island, min(s) AS i_start, max(e) AS i_end,
+         |    count(*) AS n_orders
+         |  FROM isl GROUP BY 1, 2)
+         |SELECT o_custkey,
+         |  CAST(sum(n_orders) AS BIGINT) AS n_orders,
+         |  count(*) AS n_islands,
+         |  CAST(sum(date_diff('day', i_start, i_end)) AS BIGINT) AS covered_days,
+         |  CAST(max(date_diff('day', i_start, i_end)) AS BIGINT) AS max_island_days
+         |FROM g GROUP BY 1""".stripMargin,
     // sum(BIGINT) in DuckDB widens to HUGEINT — cast the window total and
     // gap sum back so integer division matches Spark's LONG DIV exactly
     "q_transitions" ->

@@ -138,4 +138,44 @@ class TemporalSpec extends SparkSpec {
     assert(cell.getAs[Long]("gap_total_us") == gaps.sum)
     assert(cell.getAs[Long]("mean_gap_us") == gaps.sum / gaps.length)
   }
+
+  test("q_interval_coverage: equals a driver-side interval merge; abutting windows fuse") {
+    val w = TemporalQueries.IntervalDays.toLong
+    // driver replay: sort starts, sweep with a running max end
+    def merge(starts: Seq[Long]): (Long, Long, Long) = { // (islands, covered, maxIsland)
+      var islands = 0L; var covered = 0L; var maxIsl = 0L
+      var curS = Long.MinValue; var curE = Long.MinValue
+      starts.sorted.foreach { s =>
+        if (s > curE || islands == 0L) {
+          if (islands > 0L) { covered += curE - curS; maxIsl = maxIsl.max(curE - curS) }
+          islands += 1L; curS = s; curE = s + w
+        } else curE = curE.max(s + w)
+      }
+      if (islands > 0L) { covered += curE - curS; maxIsl = maxIsl.max(curE - curS) }
+      (islands, covered, maxIsl)
+    }
+    val byCust = Tables.orders(spark, sf)
+      .select(col("o_custkey"), datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val expected = byCust.map { case (ck, starts) =>
+      val (isl, cov, mx) = merge(starts)
+      (ck, starts.length.toLong, isl, cov, mx)
+    }.toSet
+    val got = TemporalQueries.qIntervalCoverage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected && got.nonEmpty)
+    // both behaviors occur on the corpus: some customers merge orders
+    // into fewer islands, some have every order isolated
+    assert(got.exists(t => t._3 < t._2) && got.exists(t => t._3 == t._2))
+    // the union never exceeds the naive sum (double-counting bound) and
+    // reaches it exactly when no orders merged
+    got.foreach { case (ck, n, isl, cov, mx) =>
+      assert(cov <= n * w, s"cust $ck covered $cov > naive ${n * w}")
+      // islands == orders ⇔ nothing merged ⇔ coverage is exactly naive
+      if (isl == n) assert(cov == n * w, s"cust $ck isolated islands")
+      assert(mx >= w && cov >= w, s"cust $ck bounds")
+    }
+  }
 }
