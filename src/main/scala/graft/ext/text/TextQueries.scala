@@ -600,14 +600,34 @@ object TextQueries {
     * a df-cap on mega-hot bigrams is unnecessary because the join
     * fan-out is 1:1 (counts are unique per bigram). */
   def qLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val (docs, counts) = lmArtifacts(spark, dir)
+    scoreAgainstCounts(docs, counts)
+  }
+
+  /** The LM lifecycle split (the corpusIndex / screenAgainstIndex shape
+    * of the dedup and ER families): (tagged doc frame, trained bigram
+    * count table). At deployment the count table is the persisted
+    * artifact of the last training run; here it rebuilds from the hash
+    * split so the batch query and its streaming twin score against the
+    * SAME model (StreamPipelineSpec drives the twin through this hook). */
+  private[graft] def lmArtifacts(spark: SparkSession,
+                                 dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val docs = Tables.rebalanced(spark, Tables.documents(spark, dir))
       .withColumn("is_train",
         pmod(graft.functions.Exact.md5Long(concat(lit("lmb|"), col("doc_id"))),
           lit(100L)) < LmTrainPct)
-    val bg = bigramRows(docs)
-    val counts = bg.filter(col("is_train"))
+    val counts = bigramRows(docs).filter(col("is_train"))
       .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
-    bg.join(counts, Seq("bg"), "left")
+    (docs, counts)
+  }
+
+  /** The scoring pass given the PERSISTED count table — per-doc scores
+    * are independent given the model, so micro-batch outputs union to
+    * the one-shot answer (the streaming-twin contract). `batch` needs
+    * (doc_id, is_train, text). */
+  private[graft] def scoreAgainstCounts(batch: org.apache.spark.sql.DataFrame,
+                                        counts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bigramRows(batch).join(counts, Seq("bg"), "left")
       .withColumn("fam", length(bin(lit(1L) + coalesce(col("cnt"), lit(0L)))).cast("long") - 1L)
       .groupBy(col("doc_id"))
       .agg(max(col("is_train")).as("is_train"),
@@ -615,7 +635,6 @@ object TextQueries {
       .withColumn("lm_milli", expr("(1000 * fam_sum) DIV n_bigrams"))
       .select(col("doc_id"), col("is_train"), col("n_bigrams"), col("fam_sum"),
         col("lm_milli"))
-  }
 
   /** Multiset (doc_id, is_train, bg) bigram rows — the shingleRows
     * zip-slice build at width 2: two staggered slices of the token array

@@ -363,6 +363,37 @@ class StreamPipelineSpec extends SparkSpec {
         s"diff=${(streamed -- expected).take(3)} / ${(expected -- streamed).take(3)}")
   }
 
+  test("LM quality screen runs UNCHANGED on a document stream (batch ≡ stream)") {
+    import graft.ext.text.TextQueries
+    implicit val sqlCtx = spark.sqlContext
+    val sf01 = "/root/testdata/sf0.01"
+    val expected = TextQueries.queries("text_lm_score")(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // the persisted model a deployment scores new crawl batches against —
+    // the SAME count table the batch query uses, materialized once
+    val (docs, counts0) = TextQueries.lmArtifacts(spark, sf01)
+    val counts = counts0.localCheckpoint()
+    val incoming = docs.select("doc_id", "is_train", "text").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq.sortBy(_._1)
+    val (half1, half2) = incoming.splitAt(incoming.length / 2)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean, Long, Long, Long)]()
+    val ms = MemoryStream[(Long, Boolean, String)]
+    val q = StreamPipeline.start(ms.toDF().toDF("doc_id", "is_train", "text"),
+      StreamPipeline.ForeachBatch((batch, _) =>
+        TextQueries.scoreAgainstCounts(batch, counts).collect()
+          .foreach(r => out.add((r.getLong(0), r.getBoolean(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))))))
+    ms.addData(half1: _*)
+    q.processAllAvailable()
+    ms.addData(half2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = out.toArray(Array.empty[(Long, Boolean, Long, Long, Long)]).toSet
+    assert(streamed == expected,
+      s"stream=${streamed.size} rows, batch=${expected.size} rows")
+  }
+
   test("kafka source/sink wiring constructs (connector needed only at runtime)") {
     // no connector jar in this image: constructing the plan must still work
     val cfg = StreamPipeline.Kafka("broker:9092", "events")
