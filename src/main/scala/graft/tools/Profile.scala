@@ -395,6 +395,49 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.lift(1).contains("scale10d")) {
+      // 10x multiplier probes for the round-10-continuation additions:
+      // text_lm_score + q_l_diversity (documents x10), q_drift_ks
+      // (events x10 — grain-bounded like the TV monitor),
+      // q_interval_coverage (orders x10 with customers remapped: more
+      // partitions, constant per-partition depth — the scale axis the
+      // window plan claims), q_basket_rules (lineitem+orders x10 with
+      // order keys remapped: more baskets at constant basket width — the
+      // Apriori bound's own axis). Same copy-union method as scale10b/c.
+      val out = "/tmp/graft_scale10d"
+      Tables.events(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+        .select((col("event_id") * 10 + col("copy")).as("event_id"), col("ts"),
+          (col("user_id") * 10 + col("copy")).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      Tables.documents(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+        .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      Tables.orders(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+        .select((col("o_orderkey") * 10 + col("copy")).as("o_orderkey"),
+          (col("o_custkey") * 10 + col("copy")).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      Tables.lineitem(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+        .select((col("l_orderkey") * 10 + col("copy")).as("l_orderkey"),
+          col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+          col("l_shipdate"))
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      Tables.part(spark, dir)
+        .write.mode("overwrite").parquet(s"$out/part.parquet")
+      val qs = Seq("q_drift_ks", "q_l_diversity", "q_interval_coverage",
+        "q_basket_rules", "text_lm_score")
+      for (d <- Seq(dir, out); name <- qs) {
+        val fn = graft.SparkEntry.queries(name)
+        fn(spark, d).count() // warm
+        time(s"$name @ $d")(fn(spark, d).count())
+      }
+      spark.stop(); return
+    }
     if (args.lift(1).contains("scale10c")) {
       // 10x multiplier probes for the round-10 additions: the monitor
       // family + MV merge (events x10), phrase search (documents x10),
