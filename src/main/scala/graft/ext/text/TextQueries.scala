@@ -363,6 +363,114 @@ object TextQueries {
       .limit(BpeK)
   }
 
+  /** Number of merge rounds [[qBpeTrain]] runs — like the k-means
+    * trainer's fixed 3 Lloyd iterations, a fixed oracle-able prefix of
+    * the training loop (production runs to a vocab-size budget). */
+  val BpeMerges = 4
+
+  /** Iterative BPE TRAINING — the actual merge loop, where [[qBpePairs]]
+    * is only round one's census: each round counts adjacent symbol pairs
+    * over the word vocabulary (weighted by word frequency), elects the
+    * most frequent pair (ties: count desc, left asc, right asc — total
+    * order, so the elected merge replays bit-identically), and rewrites
+    * every word with the pair fused GREEDILY LEFT-TO-RIGHT (the BPE
+    * convention: "o o o" under (o,o) becomes "oo o", not "o oo").
+    * Output is the merge TABLE — (round, merge_left, merge_right,
+    * pair_count), the artifact a BPE tokenizer ships — and each round's
+    * count depends on every prior round's rewrite, so one wrong merge
+    * anywhere fails the later rows of the oracle.
+    *
+    * The greedy rewrite is RELATIONAL, not a lambda scan: mark match
+    * positions (lead over the word's symbol sequence), group consecutive
+    * matches into runs (gaps-and-islands — runs longer than 1 occur only
+    * for self-pairs like (o,o)), merge at ODD run offsets, drop consumed
+    * positions, reassemble with an ordered collect. Window partitions
+    * are single words (≤ word-length rows).
+    *
+    * Scale shape: the bpe_pairs contraction does the heavy lifting — the
+    * corpus collapses to its Zipf-bounded VOCABULARY before the loop, so
+    * every round's passes are vocab × word-length rows, never
+    * corpus-sized; the driver holds one elected pair per round (the
+    * k-means centroid-collect pattern, K=1); vocabulary re-checkpoints
+    * per round to truncate lineage like the components loop. */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeTrainLoop(spark, dir)._1
+      .toDF("round", "merge_left", "merge_right", "pair_count")
+  }
+
+  /** The merged vocabulary AFTER the [[qBpeTrain]] loop — exposed for the
+    * spec's driver replay (the merge table alone does not show the final
+    * word segmentations). */
+  private[graft] def bpeFinalVocab(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainLoop(spark, dir)._2
+
+  private val byWord =
+    org.apache.spark.sql.expressions.Window.partitionBy("sym").orderBy("i")
+
+  /** The loop: (merge table rows, final vocabulary). */
+  private def bpeTrainLoop(spark: SparkSession,
+                           dir: String): (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    var vocab = Tables.rebalanced(spark, Tables.documents(spark, dir))
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sym"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= BpeMerges && !exhausted) {
+      val best = bpePositions(vocab).filter(col("nx").isNotNull)
+        .groupBy(col("s").as("l"), col("nx").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (bl, br, bc) = (best.head.getString(0), best.head.getString(1),
+          best.head.getLong(2))
+        merges += ((round.toLong, bl, br, bc))
+        vocab = bpeApplyMerge(vocab, bl, br).localCheckpoint()
+        round += 1
+      }
+    }
+    (merges.toSeq, vocab)
+  }
+
+  /** (sym, freq, i, s, nx) — each word's symbol sequence with its
+    * successor, the frame both the census and the rewrite read. */
+  private def bpePositions(vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    vocab.select(col("sym"), col("freq"),
+      posexplode(split(col("sym"), " ")).as(Seq("i", "s")))
+      .withColumn("nx", lead(col("s"), 1).over(byWord))
+
+  /** One greedy left-to-right merge pass of pair (bl, br) over every
+    * word. Runs of consecutive match positions (possible only for
+    * self-pairs) merge at ODD run offsets — the BPE scan order. */
+  private def bpeApplyMerge(vocab: org.apache.spark.sql.DataFrame,
+                            bl: String, br: String): org.apache.spark.sql.DataFrame = {
+    val m = bpePositions(vocab)
+      .withColumn("m", col("s") === bl && col("nx") === br)
+    val starts = m.filter(col("m"))
+      .withColumn("rn", row_number().over(byWord))
+      .withColumn("off", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("sym"), col("i") - col("rn")).orderBy("i")))
+      .select(col("sym").as("sym2"), col("i").as("i2"),
+        (col("off") % 2 === 1).as("start"))
+    m.join(starts, col("sym") === col("sym2") && col("i") === col("i2"), "left")
+      .withColumn("st", coalesce(col("start"), lit(false)))
+      .withColumn("cons", coalesce(lag(col("st"), 1).over(byWord), lit(false)))
+      .withColumn("out", when(col("st"), lit(bl + br))
+        .when(col("cons"), lit(null).cast("string")).otherwise(col("s")))
+      .filter(col("out").isNotNull)
+      .groupBy(col("sym"), col("freq"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("i"), col("out")))),
+        x => x.getField("out"))).as("sym2"))
+      .select(col("sym2").as("sym"), col("freq"))
+  }
+
   /** Integer weights of the quality model, in micro-logit units: keep
     * score = [[QmBias]] + [[QmWAlpha]]·alpha_micro + [[QmWStop]]·stop_micro
     * + [[QmWLen]]·len_ok, where the ratio features are floored integer
@@ -654,6 +762,7 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_train"          -> (qBpeTrain _),
     "text_lm_score"      -> (qLmScore _),
     "text_langid"        -> (qLangId _),
     "text_vocab"         -> (qVocab _),
@@ -772,9 +881,68 @@ object TextQueries {
        |  GROUP BY 1)
        |ORDER BY n_occurrences DESC, token LIMIT $VocabK""".stripMargin
 
+  /** One training round of the bpe_train oracle, unrolled per round k
+    * (the k-means oracle discipline — the iterative loop replayed as
+    * generated CTEs, one truth for election AND rewrite): census the
+    * adjacent pairs of v_k, elect b_k by (count desc, l, r), rewrite
+    * with the same odd-run-offset greedy rule as the engine. */
+  private def bpeRoundCtes(k: Int): String =
+    s"""p$k AS (
+       |  SELECT split_part(pr, ' ', 1) AS l, split_part(pr, ' ', 2) AS r,
+       |    CAST(sum(freq) AS BIGINT) AS c
+       |  FROM (SELECT freq,
+       |          unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]) AS pr
+       |        FROM (SELECT freq, string_split(sym, ' ') AS t FROM v$k))
+       |  GROUP BY 1, 2),
+       |b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+       |x$k AS (
+       |  SELECT sym AS w, freq, unnest(string_split(sym, ' ')) AS s,
+       |    unnest(generate_series(1, len(string_split(sym, ' ')))) AS i
+       |  FROM v$k),
+       |n$k AS (
+       |  SELECT w, freq, i, s, lead(s) OVER (PARTITION BY w ORDER BY i) AS nx
+       |  FROM x$k),
+       |m$k AS (
+       |  SELECT w, freq, i, s,
+       |    (s = (SELECT l FROM b$k) AND nx = (SELECT r FROM b$k)) AS m
+       |  FROM n$k),
+       |st$k AS (
+       |  SELECT w, i,
+       |    (row_number() OVER (PARTITION BY w, grp ORDER BY i) % 2 = 1) AS start
+       |  FROM (SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+       |        FROM m$k WHERE m)),
+       |g$k AS (
+       |  SELECT m.w, m.freq, m.i, m.s,
+       |    coalesce(st.start, false) AS st,
+       |    coalesce(lag(coalesce(st.start, false))
+       |      OVER (PARTITION BY m.w ORDER BY m.i), false) AS cons
+       |  FROM m$k m LEFT JOIN st$k st ON st.w = m.w AND st.i = m.i),
+       |v${k + 1} AS (
+       |  SELECT string_agg(
+       |      CASE WHEN st THEN (SELECT l FROM b$k) || (SELECT r FROM b$k)
+       |           WHEN cons THEN NULL ELSE s END, ' ' ORDER BY i) AS sym,
+       |    freq
+       |  FROM g$k GROUP BY w, freq)""".stripMargin
+
   lazy val oracles: Map[String, String] = Map(
     "text_langid" -> langIdSql,
     "text_vocab" -> vocabSql,
+    // the iterative loop unrolled: BpeMerges generated round blocks, each
+    // electing from the PREVIOUS round's rewrite — a wrong merge anywhere
+    // shifts every later round's counts
+    "bpe_train" ->
+      s"""WITH v0 AS (
+         |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym, freq
+         |  FROM (SELECT w, count(*) AS freq
+         |        FROM (SELECT unnest($toksSql) AS w FROM documents)
+         |        GROUP BY 1)),
+         |${(0 until BpeMerges).map(bpeRoundCtes).mkString(",\n")}
+         |SELECT * FROM (
+         |${(0 until BpeMerges).map(k =>
+              s"SELECT CAST(${k + 1} AS BIGINT) AS round, l AS merge_left, " +
+                s"r AS merge_right, c AS pair_count FROM b$k")
+              .mkString("\nUNION ALL\n")}
+         |) ORDER BY round""".stripMargin,
     // same hash split, same width-2 comprehension over the shared token
     // definition, same length(bin(1+cnt))−1 integer log2 — the quantized
     // familiarity is engine-identical with no float log anywhere

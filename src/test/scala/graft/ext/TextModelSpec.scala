@@ -137,4 +137,46 @@ class TextModelSpec extends SparkSpec {
     // the filter discriminates: scores vary across the corpus
     assert(got.map(_._5).toSeq.distinct.length > 1)
   }
+
+  test("bpe_train: merge table AND final vocabulary equal a driver-side greedy BPE") {
+    // independent reference: greedy left-to-right merge over char tuples
+    val words = Tables.documents(spark, sf)
+      .select(col("text")).collect().map(r => r.getString(0))
+      .flatMap(toksRef).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var vocab: Map[Vector[String], Long] =
+      words.map { case (w, f) => w.toVector.map(_.toString) -> f }
+    var table = Vector.empty[(Long, String, String, Long)]
+    for (round <- 1 to TextQueries.BpeMerges) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + f)
+      }
+      val ((bl, br), c) = pc.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+      table :+= ((round.toLong, bl, br, c))
+      vocab = vocab.toSeq.map { case (syms, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == bl && syms(i + 1) == br) {
+            out += bl + br; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), f)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    }
+    val got = TextQueries.queries("bpe_train")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toVector
+    assert(got == table, s"merge table:\n got=$got\n exp=$table")
+    // the END STATE matches too: every word's final segmentation agrees
+    val gotVocab = TextQueries.bpeFinalVocab(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expVocab = vocab.map { case (syms, f) => syms.mkString(" ") -> f }
+    assert(gotVocab == expVocab)
+    // merges genuinely applied: later rounds can elect pairs containing
+    // merged symbols, and counts are non-increasing is NOT guaranteed —
+    // but the elected pair must exist with positive weighted count
+    got.foreach { case (_, _, _, c) => assert(c > 0L) }
+  }
 }
