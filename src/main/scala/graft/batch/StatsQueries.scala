@@ -202,13 +202,61 @@ object StatsQueries {
       .select(col("f_milli"), col("est_rows"), col("actual_rows"), col("err_milli"))
   }
 
+  /** Exact WEIGHTED lower median — per return flag, the smallest price
+    * (cents) whose cumulative QUANTITY weight reaches half the group's
+    * total (2·cumw ≥ W): the "median unit sold at" statistic, where the
+    * row median answers a different question (median line). Weighted
+    * quantiles are what sampling/packing decisions actually need (token
+    * budgets weight documents by length, not count).
+    *
+    * Shape: the count-of-COUNTS discipline — the fact collapses to the
+    * (flag, value)-grain weight frame FIRST (one map-side-combinable
+    * aggregate, the only fact-sized pass), the cumulative window runs
+    * over that value-distinct frame, and the answer reads off the first
+    * crossing via a min aggregate. Quantities are integral in this
+    * schema, so the weights and the crossing rule are exact integers. */
+  def qWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+        Exact.cents(col("l_extendedprice")).as("v"),
+        col("l_quantity").cast("long").as("wt"))
+      .groupBy(col("flag"), col("v")).agg(sum(col("wt")).as("w"))
+    val byFlag = Window.partitionBy("flag").orderBy("v")
+    val totals = vals.groupBy(col("flag")).agg(sum(col("w")).as("total_w"))
+    vals
+      .withColumn("cumw", sum(col("w"))
+        .over(byFlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(totals), "flag")
+      .filter(col("cumw") * 2 >= col("total_w"))
+      .groupBy(col("flag"))
+      .agg(max(col("total_w")).as("total_weight"),
+        min(col("v")).as("weighted_median_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_profile" -> (qStatsProfile _),
     "stats_histogram" -> (qStatsHist _),
     "stats_histogram_depth" -> (qStatsHistDepth _),
-    "stats_hist_eval" -> (qStatsHistEval _))
+    "stats_hist_eval" -> (qStatsHistEval _),
+    "q_weighted_median" -> (qWeightedMedian _))
 
   val oracles: Map[String, String] = Map(
+    // same value-grain contraction, same 2·cumw >= W lower-median rule
+    "q_weighted_median" ->
+      s"""WITH vals AS (
+         |  SELECT l_returnflag AS flag, ${Exact.centsSql("l_extendedprice")} AS v,
+         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+         |  FROM lineitem GROUP BY 1, 2),
+         |c AS (
+         |  SELECT flag, v, w,
+         |    CAST(sum(w) OVER (PARTITION BY flag ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw,
+         |    CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS total_w
+         |  FROM vals)
+         |SELECT flag, max(total_w) AS total_weight,
+         |  min(v) AS weighted_median_cents
+         |FROM c WHERE cumw * 2 >= total_w GROUP BY 1""".stripMargin,
     "stats_profile" -> {
       val m = profiledSql.map { case (n, e) =>
         s"""|    sum(CASE WHEN ($e) IS NULL THEN 1 ELSE 0 END) AS "null__$n",

@@ -184,6 +184,34 @@ object TemporalQueries {
         expr("gap_total_us DIV n").as("mean_gap_us"))
   }
 
+  /** Sequential-pattern mining one order up from [[qTransitions]]: the
+    * per-user ordered event-type TRIGRAM census — which 3-step behavior
+    * paths actually occur, with the conditional probability of the third
+    * step given the first two (milli, cleared-denominator). The 2-step
+    * transition matrix cannot distinguish view→click→purchase from
+    * error→click→purchase; the trigram frame can, and it is the frame a
+    * next-step model or a funnel designer reads. Grain is bounded by
+    * |types|³ (125 here) regardless of corpus size.
+    *
+    * Shape: TWO stacked lags on the SAME (user, ts, event_id) window
+    * sort — one shuffle on the user key, no self-joins — then a
+    * map-side-combinable aggregate to the |types|³ frame; the
+    * conditional total is a window over that bounded frame. */
+  def qEventTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lag(col("event_type"), 1).over(byUser))
+      .withColumn("t1", lag(col("event_type"), 2).over(byUser))
+      .filter(col("t1").isNotNull)
+    val byPrefix = Window.partitionBy("t1", "t2")
+    steps.groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prefix_total", sum(col("n")).over(byPrefix))
+      .select(col("t1"), col("t2"), col("t3"), col("n"), col("prefix_total"),
+        expr("1000 * n DIV prefix_total").as("prob_milli"))
+  }
+
   /** Activity-interval width in days for [[qIntervalCoverage]]. */
   val IntervalDays = 30
 
@@ -236,6 +264,7 @@ object TemporalQueries {
     "q_scd2"        -> (qScd2 _),
     "q_gap_fill"    -> (qGapFill _),
     "q_interval_coverage" -> (qIntervalCoverage _),
+    "q_event_trigrams" -> (qEventTrigrams _),
     "q_transitions" -> (qTransitions _))
 
   /** Shared prefix-window clause for the funnel oracle's three chained
@@ -345,6 +374,22 @@ object TemporalQueries {
          |  CAST(sum(date_diff('day', i_start, i_end)) AS BIGINT) AS covered_days,
          |  CAST(max(date_diff('day', i_start, i_end)) AS BIGINT) AS max_island_days
          |FROM g GROUP BY 1""".stripMargin,
+    // the q_transitions window sort with TWO stacked lags; the
+    // conditional total runs over the bounded |types|^3 frame
+    "q_event_trigrams" ->
+      """WITH steps AS (
+        |  SELECT event_type AS t3,
+        |    lag(event_type, 1) OVER w AS t2,
+        |    lag(event_type, 2) OVER w AS t1
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT t1, t2, t3, count(*) AS n
+        |  FROM steps WHERE t1 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT t1, t2, t3, n,
+        |  CAST(sum(n) OVER (PARTITION BY t1, t2) AS BIGINT) AS prefix_total,
+        |  (1000 * n) // CAST(sum(n) OVER (PARTITION BY t1, t2) AS BIGINT) AS prob_milli
+        |FROM c""".stripMargin,
     // sum(BIGINT) in DuckDB widens to HUGEINT — cast the window total and
     // gap sum back so integer division matches Spark's LONG DIV exactly
     "q_transitions" ->

@@ -103,4 +103,26 @@ class StatsSpec extends SparkSpec {
     assert(byF.map(_._2) == byF.map(_._2).sorted)
     assert(byF.forall(_._4 <= 100L), s"estimator badly off: $byF")
   }
+
+  test("q_weighted_median: equals a driver weighted-median sweep; differs from the row median") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        graft.functions.Exact.cents(col("l_extendedprice")),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).map { case (f, g) =>
+      val total = g.map(_._3).sum
+      var cum = 0L
+      val med = g.map(t => (t._2, t._3)).groupBy(_._1).toSeq
+        .map { case (v, ws) => (v, ws.map(_._2).sum) }.sortBy(_._1)
+        .find { case (_, w) => cum += w; cum * 2 >= total }.get._1
+      (f, total, med)
+    }.toSet
+    val got = StatsQueries.qWeightedMedian(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected && got.nonEmpty)
+    // sanity: the weighted median is a genuine value of the column
+    val vals = rows.map(t => (t._1, t._2)).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    got.foreach { case (f, _, m) => assert(vals(f).contains(m)) }
+  }
 }

@@ -139,6 +139,30 @@ class TemporalSpec extends SparkSpec {
     assert(cell.getAs[Long]("mean_gap_us") == gaps.sum / gaps.length)
   }
 
+  test("q_event_trigrams: step conservation against transitions; conditional rows sum to 1000-ish") {
+    val tri = TemporalQueries.qEventTrigrams(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(tri.nonEmpty)
+    // conservation: trigram counts collapsed over t1 equal the transition
+    // counts restricted to users with >= 3 events... the cheap exact form:
+    // total trigram steps = total events - 2 * users with >= 3 events
+    // (every user contributes max(n_u - 2, 0) trigrams)
+    val perUser = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(_.getLong(1))
+    val expectedSteps = perUser.map(n => math.max(n - 2L, 0L)).sum
+    assert(tri.map(_._2).sum == expectedSteps)
+    // prefix totals: per (t1, t2), rows share the total and counts sum to it
+    tri.groupBy(t => (t._1._1, t._1._2)).foreach { case (p, rows) =>
+      val tot = rows.head._3
+      assert(rows.forall(_._3 == tot), s"prefix $p totals disagree")
+      assert(rows.map(_._2).sum == tot, s"prefix $p counts don't sum")
+      // floored probabilities sum to within |rows| of 1000
+      val probSum = rows.map(_._4).sum
+      assert(probSum <= 1000 && probSum > 1000 - rows.length, s"prefix $p prob sum $probSum")
+    }
+  }
+
   test("q_interval_coverage: equals a driver-side interval merge; abutting windows fuse") {
     val w = TemporalQueries.IntervalDays.toLong
     // driver replay: sort starts, sweep with a running max end
