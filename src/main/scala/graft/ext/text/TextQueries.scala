@@ -744,6 +744,44 @@ object TextQueries {
       .select(col("doc_id"), col("is_train"), col("n_bigrams"), col("fam_sum"),
         col("lm_milli"))
 
+  /** Calibration card for the LM screen — the family discipline (every
+    * scored screen ships its eval): cross-tabulate [[qLmScore]]'s
+    * familiarity verdict against the INDEPENDENT [[qQualityModel]] keep
+    * decision, so a deployment sees whether the two quality signals
+    * agree before wiring either as a gate. "Low by LM" = lm_milli below
+    * the corpus lower median, computed exactly through the value-grain
+    * contraction (lm_milli is bounded, so the cumulative window runs
+    * over ≤ |distinct scores| rows — never doc-sized; the same
+    * count-of-COUNTS rule as q_skew_metrics' quantiles).
+    *
+    * One summary row: doc count, the median threshold, the 2×2 confusion
+    * counts, and agreement in milli — all exact integers. Disagreement
+    * is not an error: the two screens measure different things (fluency
+    * vs feature heuristics); the card makes the overlap a number. */
+  def qLmEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lm = qLmScore(spark, dir).select(col("doc_id"), col("lm_milli"))
+    val qm = qQualityModel(spark, dir).select(col("doc_id"), col("keep"))
+    val joined = lm.join(qm, "doc_id")
+    val vals = joined.groupBy(col("lm_milli")).agg(count(lit(1)).as("c"))
+    val med = vals
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy("lm_milli").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(joined.agg(count(lit(1)).as("n"))))
+      .filter(col("cum") * 2 >= col("n"))
+      .agg(min(col("lm_milli")).as("lm_median"))
+    joined.crossJoin(broadcast(med))
+      .withColumn("above", col("lm_milli") >= col("lm_median"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("lm_median")).as("lm_median"),
+        sum((col("keep") && col("above")).cast("long")).as("n_keep_above"),
+        sum((col("keep") && !col("above")).cast("long")).as("n_keep_below"),
+        sum((!col("keep") && col("above")).cast("long")).as("n_drop_above"),
+        sum((!col("keep") && !col("above")).cast("long")).as("n_drop_below"))
+      .withColumn("agree_milli",
+        expr("(1000 * (n_keep_above + n_drop_below)) DIV n_docs"))
+  }
+
   /** Multiset (doc_id, is_train, bg) bigram rows — the shingleRows
     * zip-slice build at width 2: two staggered slices of the token array
     * zipped and exploded in ONE narrow projection, no lambda, no shuffle.
@@ -764,6 +802,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_train"          -> (qBpeTrain _),
     "text_lm_score"      -> (qLmScore _),
+    "text_lm_eval"       -> (qLmEval _),
     "text_langid"        -> (qLangId _),
     "text_vocab"         -> (qVocab _),
     "text_token_ids"     -> (qTokenIds _),
@@ -924,6 +963,52 @@ object TextQueries {
        |    freq
        |  FROM g$k GROUP BY w, freq)""".stripMargin
 
+  /** The text_quality_model statement — shared verbatim by its own oracle
+    * and the LM eval that cross-tabulates against it. */
+  private lazy val qualityModelSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, lang,
+       |    CAST(length(coalesce(text,'')) AS BIGINT) AS n_chars,
+       |    CAST(length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+       |    ${scoreSql(profiles.head._2)} AS n_stopwords
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, lang,
+       |    n_alpha * 1000000 // greatest(n_chars, 1) AS alpha_micro,
+       |    n_stopwords * 1000000 // greatest(n_tokens, 1) AS stop_micro,
+       |    CAST(CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1 ELSE 0 END AS BIGINT) AS len_ok
+       |  FROM m)
+       |SELECT doc_id, lang, alpha_micro, stop_micro, len_ok,
+       |  $QmBias + $QmWAlpha * alpha_micro + $QmWStop * stop_micro
+       |    + $QmWLen * len_ok AS logit_micro,
+       |  ($QmBias + $QmWAlpha * alpha_micro + $QmWStop * stop_micro
+       |    + $QmWLen * len_ok) > 0 AS keep
+       |FROM f""".stripMargin
+
+  /** The text_lm_score statement — shared verbatim by its own oracle and
+    * the eval that calibrates it. */
+  private lazy val lmScoreSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    ${graft.functions.Exact.md5LongSql("'lmb|' || CAST(doc_id AS VARCHAR)")}
+       |      % 100 < $LmTrainPct AS is_train,
+       |    $toksSql AS t
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, is_train,
+       |    unnest([array_to_string(t[i:i+1], ' ')
+       |            for i in generate_series(1, len(t)-1)]) AS bg
+       |  FROM d WHERE len(t) >= 2),
+       |c AS (SELECT bg, count(*) AS cnt FROM bg WHERE is_train GROUP BY 1)
+       |SELECT b.doc_id, max(b.is_train) AS is_train,
+       |  count(*) AS n_bigrams,
+       |  CAST(sum(length(bin(1 + coalesce(c.cnt, 0))) - 1) AS BIGINT) AS fam_sum,
+       |  CAST((1000 * sum(length(bin(1 + coalesce(c.cnt, 0))) - 1))
+       |    // count(*) AS BIGINT) AS lm_milli
+       |FROM bg b LEFT JOIN c USING (bg)
+       |GROUP BY 1""".stripMargin
+
   lazy val oracles: Map[String, String] = Map(
     "text_langid" -> langIdSql,
     "text_vocab" -> vocabSql,
@@ -946,26 +1031,38 @@ object TextQueries {
     // same hash split, same width-2 comprehension over the shared token
     // definition, same length(bin(1+cnt))−1 integer log2 — the quantized
     // familiarity is engine-identical with no float log anywhere
-    "text_lm_score" ->
-      s"""WITH d AS (
-         |  SELECT doc_id,
-         |    ${graft.functions.Exact.md5LongSql("'lmb|' || CAST(doc_id AS VARCHAR)")}
-         |      % 100 < $LmTrainPct AS is_train,
-         |    $toksSql AS t
-         |  FROM documents),
-         |bg AS (
-         |  SELECT doc_id, is_train,
-         |    unnest([array_to_string(t[i:i+1], ' ')
-         |            for i in generate_series(1, len(t)-1)]) AS bg
-         |  FROM d WHERE len(t) >= 2),
-         |c AS (SELECT bg, count(*) AS cnt FROM bg WHERE is_train GROUP BY 1)
-         |SELECT b.doc_id, max(b.is_train) AS is_train,
-         |  count(*) AS n_bigrams,
-         |  CAST(sum(length(bin(1 + coalesce(c.cnt, 0))) - 1) AS BIGINT) AS fam_sum,
-         |  CAST((1000 * sum(length(bin(1 + coalesce(c.cnt, 0))) - 1))
-         |    // count(*) AS BIGINT) AS lm_milli
-         |FROM bg b LEFT JOIN c USING (bg)
-         |GROUP BY 1""".stripMargin,
+    "text_lm_score" -> lmScoreSql,
+    // the eval nests the SAME two screen statements it calibrates (the
+    // one-truth discipline), with the exact lower-median threshold via
+    // the value-grain cumulative rule
+    "text_lm_eval" ->
+      s"""WITH lm AS (
+         |$lmScoreSql
+         |),
+         |qm AS (
+         |$qualityModelSql
+         |),
+         |j AS (
+         |  SELECT lm.doc_id, lm.lm_milli, qm.keep
+         |  FROM lm JOIN qm ON lm.doc_id = qm.doc_id),
+         |vals AS (SELECT lm_milli, count(*) AS c FROM j GROUP BY 1),
+         |med AS (
+         |  SELECT min(lm_milli) AS lm_median
+         |  FROM (SELECT lm_milli,
+         |          sum(c) OVER (ORDER BY lm_milli
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |          (SELECT count(*) FROM j) AS n
+         |        FROM vals)
+         |  WHERE cum * 2 >= n)
+         |SELECT count(*) AS n_docs,
+         |  max(med.lm_median) AS lm_median,
+         |  CAST(sum(CASE WHEN keep AND lm_milli >= med.lm_median THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_above,
+         |  CAST(sum(CASE WHEN keep AND lm_milli < med.lm_median THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_below,
+         |  CAST(sum(CASE WHEN NOT keep AND lm_milli >= med.lm_median THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_above,
+         |  CAST(sum(CASE WHEN NOT keep AND lm_milli < med.lm_median THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_below,
+         |  CAST((1000 * sum(CASE WHEN keep = (lm_milli >= med.lm_median) THEN 1 ELSE 0 END))
+         |    // count(*) AS BIGINT) AS agree_milli
+         |FROM j, med""".stripMargin,
     // parallel unnests zip positionally in DuckDB, giving each token its
     // ordinal; string_agg(... ORDER BY pos) replays the engine's
     // position-sorted id sequence byte-for-byte under md5
@@ -1103,26 +1200,7 @@ object TextQueries {
          |LIMIT $BpeK""".stripMargin,
     // `//` on positive BIGINTs ≡ Spark's DIV — both floor; all terms stay
     // integer so the logit sign (the keep decision) cannot drift
-    "text_quality_model" ->
-      s"""WITH m AS (
-         |  SELECT doc_id, lang,
-         |    CAST(length(coalesce(text,'')) AS BIGINT) AS n_chars,
-         |    CAST(length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
-         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
-         |    ${scoreSql(profiles.head._2)} AS n_stopwords
-         |  FROM documents),
-         |f AS (
-         |  SELECT doc_id, lang,
-         |    n_alpha * 1000000 // greatest(n_chars, 1) AS alpha_micro,
-         |    n_stopwords * 1000000 // greatest(n_tokens, 1) AS stop_micro,
-         |    CAST(CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1 ELSE 0 END AS BIGINT) AS len_ok
-         |  FROM m)
-         |SELECT doc_id, lang, alpha_micro, stop_micro, len_ok,
-         |  $QmBias + $QmWAlpha * alpha_micro + $QmWStop * stop_micro
-         |    + $QmWLen * len_ok AS logit_micro,
-         |  ($QmBias + $QmWAlpha * alpha_micro + $QmWStop * stop_micro
-         |    + $QmWLen * len_ok) > 0 AS keep
-         |FROM f""".stripMargin,
+    "text_quality_model" -> qualityModelSql,
     // shingles are already distinct within a document (shinglesSql), so
     // count(*) over the exploded rows IS document frequency
     "text_boilerplate" ->

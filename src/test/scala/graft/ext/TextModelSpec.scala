@@ -138,6 +138,27 @@ class TextModelSpec extends SparkSpec {
     assert(got.map(_._5).toSeq.distinct.length > 1)
   }
 
+  test("text_lm_eval: confusion counts close over the joined docs; median is exact lower-median") {
+    val card = TextQueries.queries("text_lm_eval")(spark, sf).collect().head
+    val (n, med, ka, kb, da, db, agree) = (card.getLong(0), card.getLong(1),
+      card.getLong(2), card.getLong(3), card.getLong(4), card.getLong(5),
+      card.getLong(6))
+    assert(ka + kb + da + db == n && n > 0)
+    assert(agree == 1000L * (ka + db) / n)
+    // driver check of the threshold: exact lower median of the joined scores
+    val scores = TextQueries.queries("text_lm_score")(spark, sf)
+      .select(col("doc_id"), col("lm_milli")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val modelDocs = TextQueries.qQualityModel(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val joined = scores.filter(kv => modelDocs.contains(kv._1)).values.toSeq.sorted
+    assert(joined.length.toLong == n)
+    assert(med == joined((joined.length - 1) / 2),
+      s"median $med vs driver ${joined((joined.length - 1) / 2)}")
+    // the >= threshold split matches the counts
+    assert((ka + da) == joined.count(_ >= med).toLong)
+  }
+
   test("bpe_train: merge table AND final vocabulary equal a driver-side greedy BPE") {
     // independent reference: greedy left-to-right merge over char tuples
     val words = Tables.documents(spark, sf)
