@@ -101,10 +101,54 @@ object PrivacyQueries {
       .withColumn("releasable",
         col("n_docs") >= AnonK && col("l_distinct") >= AnonL)
 
+  /** Percent of customers on the synthetic deletion list. */
+  val DeletePct = 5L
+
+  /** Right-to-be-forgotten impact audit — BEFORE a deletion batch runs,
+    * the cascade census every governed warehouse wants: given a deletion
+    * list of customers (here a deterministic [[DeletePct]]% hash sample —
+    * at deployment, the actual request list), how many rows in each
+    * downstream table are reachable from it through the FK graph
+    * (customer → orders → lineitem; customer → events). One row per
+    * table with total, affected, and affected_milli — the blast-radius
+    * report that sizes the rewrite job and proves completeness (a table
+    * missing from this report is a table the deletion forgot).
+    *
+    * Shape: deletion propagation is a chain of LEFT SEMI joins keyed on
+    * each FK — the list broadcasts while request-sized; the derived
+    * order-key list is materialized once (`localCheckpoint`) because two
+    * counts read it. At 100 TB the same top-down key-list materialization
+    * is exactly how deletion jobs stage their work. */
+  def qForget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val del = Tables.customer(spark, dir).select(col("c_custkey"))
+      .filter(pmod(Exact.md5Long(concat(lit("del|"), col("c_custkey"))),
+        lit(100L)) < DeletePct)
+      .localCheckpoint()
+    val okeys = Tables.orders(spark, dir)
+      .join(broadcast(del), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey")).localCheckpoint()
+    def card(table: String, total: DataFrame, affected: DataFrame): DataFrame =
+      total.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(affected.agg(count(lit(1)).as("n_affected"))))
+        .select(lit(table).as("table_name"), col("n_rows"), col("n_affected"),
+          expr("(1000 * n_affected) DIV n_rows").as("affected_milli"))
+    val cust = card("customer", Tables.customer(spark, dir), del)
+    val ords = card("orders", Tables.orders(spark, dir), okeys)
+    val li = card("lineitem", Tables.lineitem(spark, dir),
+      Tables.lineitem(spark, dir)
+        .join(okeys, col("l_orderkey") === col("o_orderkey"), "left_semi"))
+    val ev = card("events", Tables.events(spark, dir),
+      Tables.events(spark, dir)
+        .join(broadcast(del), col("user_id") === col("c_custkey"), "left_semi"))
+    cust.unionByName(ords).unionByName(li).unionByName(ev)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_k_anonymity" -> (qKAnonymity _),
     "q_anon_generalize" -> (qAnonGeneralize _),
-    "q_l_diversity" -> (qLDiversity _))
+    "q_l_diversity" -> (qLDiversity _),
+    "q_forget" -> (qForget _))
 
   val oracles: Map[String, String] = Map(
     "q_k_anonymity" ->
@@ -143,5 +187,31 @@ object PrivacyQueries {
          |  count(*) >= $AnonK
          |    AND count(DISTINCT ${graft.functions.Exact.md5LongSql("text")}) >= $AnonL
          |    AS releasable
-         |FROM documents GROUP BY 1, 2, 3""".stripMargin)
+         |FROM documents GROUP BY 1, 2, 3""".stripMargin,
+    // same hash-derived deletion list, same FK reachability chain
+    "q_forget" ->
+      s"""WITH del AS (
+         |  SELECT c_custkey FROM customer
+         |  WHERE ${graft.functions.Exact.md5LongSql("'del|' || CAST(c_custkey AS VARCHAR)")}
+         |    % 100 < $DeletePct),
+         |oa AS (
+         |  SELECT o_orderkey FROM orders
+         |  WHERE o_custkey IN (SELECT c_custkey FROM del))
+         |SELECT 'customer' AS table_name,
+         |  (SELECT count(*) FROM customer) AS n_rows,
+         |  (SELECT count(*) FROM del) AS n_affected,
+         |  (1000 * (SELECT count(*) FROM del)) // (SELECT count(*) FROM customer) AS affected_milli
+         |UNION ALL SELECT 'orders',
+         |  (SELECT count(*) FROM orders), (SELECT count(*) FROM oa),
+         |  (1000 * (SELECT count(*) FROM oa)) // (SELECT count(*) FROM orders)
+         |UNION ALL SELECT 'lineitem',
+         |  (SELECT count(*) FROM lineitem),
+         |  (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM oa)),
+         |  (1000 * (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM oa)))
+         |    // (SELECT count(*) FROM lineitem)
+         |UNION ALL SELECT 'events',
+         |  (SELECT count(*) FROM events),
+         |  (SELECT count(*) FROM events WHERE user_id IN (SELECT c_custkey FROM del)),
+         |  (1000 * (SELECT count(*) FROM events WHERE user_id IN (SELECT c_custkey FROM del)))
+         |    // (SELECT count(*) FROM events)""".stripMargin)
 }

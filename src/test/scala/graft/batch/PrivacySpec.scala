@@ -90,4 +90,34 @@ class PrivacySpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
     got.foreach { case (la, so, b, n, _, _) => assert(kc((la, so, b)) == n) }
   }
+
+  test("q_forget: cascade counts equal a driver-side FK walk; every table reported") {
+    val del = Tables.customer(spark, sf)
+      .select(col("c_custkey"),
+        pmod(graft.functions.Exact.md5Long(concat(lit("del|"), col("c_custkey"))),
+          lit(100L)).as("h"))
+      .collect().filter(_.getLong(1) < PrivacyQueries.DeletePct)
+      .map(_.getLong(0)).toSet
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val affOrders = orders.filter(o => del.contains(o._2)).map(_._1).toSet
+    val li = Tables.lineitem(spark, sf).select("l_orderkey").collect().map(_.getLong(0))
+    val ev = Tables.events(spark, sf).select("user_id").collect().map(_.getLong(0))
+    val nCust = Tables.customer(spark, sf).count()
+    val expected = Map(
+      "customer" -> (nCust, del.size.toLong),
+      "orders" -> (orders.length.toLong, affOrders.size.toLong),
+      "lineitem" -> (li.length.toLong, li.count(affOrders.contains).toLong),
+      "events" -> (ev.length.toLong, ev.count(del.contains).toLong))
+    val got = PrivacyQueries.qForget(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (t, (n, aff)) =>
+      val (gn, ga, gm) = got(t)
+      assert(gn == n && ga == aff, s"$t: got ($gn,$ga) want ($n,$aff)")
+      assert(gm == 1000L * aff / n, s"$t milli")
+    }
+    // the list genuinely cascades: affected rows exist beyond the root table
+    assert(got("lineitem")._2 > 0L && got("events")._2 > 0L)
+  }
 }
