@@ -261,6 +261,26 @@ object DqQueries {
       .select(col("event_type"), col("n_ref"), col("n_cur"), col("tv_milli"))
   }
 
+  /** Free-ride DQ counters via Spark's Observation API: attach the audit
+    * metrics to the frame so they come out of the SAME job that produces
+    * the data — zero extra scan. At 100 TB this is the difference between
+    * auditing for free and paying a second full pass: a pipeline wraps
+    * its output frame here, writes it, and reads row/null/negative
+    * counters off the finished job (the streaming twin is
+    * `observedMetrics` in each QueryProgress — same expressions).
+    * The counters mirror the q_dq_audit rules so the two surfaces cannot
+    * disagree about what "violation" means; DqSpec pins the observed
+    * values against direct filter counts from a separate pass. */
+  def observed(df: DataFrame,
+               name: String = "dq"): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    (df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(col("value").isNull.cast("long")).as("n_null_value"),
+      sum((col("value") < 0).cast("long")).as("n_neg_value"),
+      sum(col("event_id").isNull.cast("long")).as("n_null_id")), obs)
+  }
+
   /** Kolmogorov–Smirnov drift monitor — the SECOND scoring rule over the
     * SAME mergeable bucket-count state as [[qDriftTv]]:
     *

@@ -246,6 +246,24 @@ class DqSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("observed: DQ counters ride the producing job and match direct counts") {
+    val events = Tables.events(spark, sf)
+    val (framed, obs) = DqQueries.observed(events)
+    // ONE action drives both the "pipeline output" and the metrics
+    val outRows = framed.count()
+    val m = obs.get
+    assert(m("n_rows") == outRows)
+    assert(m("n_null_value") == events.filter(col("value").isNull).count())
+    assert(m("n_neg_value") == events.filter(col("value") < 0).count())
+    assert(m("n_null_id") == events.filter(col("event_id").isNull).count())
+    // the counters mirror q_dq_audit's rules: same violation totals
+    val audit = DqQueries.qDqAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("n_null_value") == audit("completeness_value"))
+    assert(m("n_null_id") == audit("completeness_event_id"))
+    assert(m("n_neg_value") == audit("non_negative_value"))
+  }
+
   test("driftKs: boundary cases, KS <= TV on the corpus, same standing count state") {
     import spark.implicits._
     // identical ref/cur distributions ⇒ every cumulative gap is 0
