@@ -1209,6 +1209,7 @@ object DedupQueries {
     "dedup_exact"         -> (qExact _),
     "dedup_minhash"       -> (qMinhash _),
     "dedup_minhash_eval"  -> (qMinhashEval _),
+    "dedup_minhash_sweep" -> (qMinhashSweep _),
     "dedup_simhash"       -> (qSimhash _),
     "dedup_simhash_pairs" -> (qSimhashPairs _),
     "dedup_simhash_eval"  -> (qSimhashEval _),
@@ -1275,6 +1276,53 @@ object DedupQueries {
   def qMinhashEval(spark: SparkSession, dir: String): DataFrame =
     pairScreenEval(qMinhash(spark, dir), jaccardPairSnapshot(spark, dir))
 
+  /** Band counts swept by [[qMinhashSweep]] — each must divide
+    * [[MinhashFns]]; rows-per-band = MinhashFns / bands. (4,3) is the
+    * production config of dedup_minhash. */
+  val SweepBands: Seq[Int] = Seq(2, 3, 4, 6)
+
+  /** The banding TUNING CURVE — dedup_minhash_eval generalized from the
+    * one production config to the whole (bands × rows) trade-off over the
+    * SAME 12-slot signatures: more bands of fewer rows = higher collision
+    * probability at any given similarity = higher recall AND more
+    * candidates. One row per config with candidate mass, recall, and
+    * precision against the exact jaccard truth — the measured control law
+    * a deployment reads to pick its operating point (the ann_eval /
+    * er_blocking_eval discipline applied to the banding parameter
+    * itself). The spec pins the monotonicity the S-curve theory predicts:
+    * candidates and hits are both non-decreasing in the band count.
+    *
+    * Shape: signatures materialize ONCE (localCheckpoint) and each config
+    * re-bands that 12-integer-per-doc frame — banding cost is per-doc,
+    * never per-pair; each config's candidates and the shared truth meet
+    * in the pair-frame-sized eval join. */
+  def qMinhashSweep(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir).localCheckpoint()
+    val truth = jaccardPairSnapshot(spark, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    SweepBands.map { b =>
+      val r = MinhashFns / b
+      val bands = sig.select(col("doc_id"),
+        explode(sequence(lit(0), lit(b - 1))).as("band"), col("sig"))
+        .select(col("doc_id"), col("band"),
+          md5(concat_ws(",", transform(
+            slice(col("sig"), col("band") * r + 1, lit(r)),
+            x => x.cast("string")))).as("band_hash"))
+      val posts = bands.groupBy(col("band"), col("band_hash"))
+        .agg(collect_set(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) >= 2)
+      val cand = posts
+        .select(explode(col("ds")).as("doc_a"), col("ds"))
+        .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .distinct()
+      pairScreenEval(cand, truth)
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_true_pairs"), col("n_hits"),
+          col("recall_milli"), col("precision_milli"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The SimHash screen's report card — completing the calibration family
     * (minhash/ANN/blocking all have one): Hamming-≤[[HammingMax]] pairs
     * vs the exact jaccard pair set. Note the asymmetry to minhash_eval:
@@ -1298,14 +1346,20 @@ object DedupQueries {
   /** The minhash band-collision statement — shared by the dedup_minhash
     * gate and the recall/precision eval built on it, so the candidate
     * definition cannot drift between the two. */
-  private[graft] lazy val minhashSql: String =
-    s"""WITH $shingleCtes,
+  /** The signature-building CTE chain (shingles → 28-bit base hash →
+    * universal-hash minima → 12-slot signature list) — ONE definition
+    * shared by the dedup_minhash statement and the banding sweep. */
+  private lazy val sigCtes: String =
+    s"""$shingleCtes,
        |exh AS (SELECT doc_id, ${Exact.md5Long28Sql("s")} AS h FROM ex),
        |sigrows AS (
        |  SELECT doc_id, j, min(($hashASql[j+1] * h + $hashBSql[j+1]) % $HashP) AS mh
        |  FROM exh, (SELECT unnest(generate_series(0, ${MinhashFns - 1})) AS j) js
        |  GROUP BY doc_id, j),
-       |sig AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM sigrows GROUP BY doc_id),
+       |sig AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM sigrows GROUP BY doc_id)""".stripMargin
+
+  private[graft] lazy val minhashSql: String =
+    s"""WITH $sigCtes,
        |bands AS (
        |  SELECT doc_id, sig, b,
        |    md5(array_to_string(list_transform(sig[b*$RowsPerBand+1 : b*$RowsPerBand+$RowsPerBand], y -> CAST(y AS VARCHAR)), ',')) AS bh
@@ -1422,6 +1476,40 @@ object DedupQueries {
     // candidate set = band collisions (minhashSql, verbatim); truth set =
     // the exact pair SQL — the eval nests both shared statements, so it
     // cannot drift from either gate it calibrates
+    // the sig CTE chain once, then one band/cand/hits block per config —
+    // all against the one shared truth
+    "dedup_minhash_sweep" -> {
+      def cfg(b: Int): String = {
+        val r = MinhashFns / b
+        s"""bands$b AS (
+           |  SELECT doc_id, bb,
+           |    md5(array_to_string(list_transform(sig[bb*$r+1 : bb*$r+$r], y -> CAST(y AS VARCHAR)), ',')) AS bh
+           |  FROM sig, (SELECT unnest(generate_series(0, ${b - 1})) AS bb) bs),
+           |cand$b AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands$b x JOIN bands$b y
+           |    ON x.bb = y.bb AND x.bh = y.bh AND x.doc_id < y.doc_id),
+           |hits$b AS (SELECT doc_a, doc_b FROM cand$b
+           |           INTERSECT SELECT doc_a, doc_b FROM truth)""".stripMargin
+      }
+      def row(b: Int): String = {
+        val r = MinhashFns / b
+        s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+           |  CAST((SELECT count(*) FROM cand$b) AS BIGINT) AS n_candidates,
+           |  CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true_pairs,
+           |  CAST((SELECT count(*) FROM hits$b) AS BIGINT) AS n_hits,
+           |  (1000 * CAST((SELECT count(*) FROM hits$b) AS BIGINT))
+           |    // greatest(CAST((SELECT count(*) FROM truth) AS BIGINT), 1) AS recall_milli,
+           |  (1000 * CAST((SELECT count(*) FROM hits$b) AS BIGINT))
+           |    // greatest(CAST((SELECT count(*) FROM cand$b) AS BIGINT), 1) AS precision_milli""".stripMargin
+      }
+      s"""WITH $sigCtes,
+         |truth AS (SELECT doc_a, doc_b FROM (
+         |$ngramJaccardSql
+         |) j),
+         |${SweepBands.map(cfg).mkString(",\n")}
+         |${SweepBands.map(row).mkString("\nUNION ALL\n")}""".stripMargin
+    },
     "dedup_minhash_eval" ->
       s"""WITH cand AS (SELECT doc_a, doc_b FROM (
          |$minhashSql

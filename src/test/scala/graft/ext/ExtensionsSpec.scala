@@ -758,4 +758,27 @@ class ExtensionsSpec extends SparkSpec {
     val membership = clusters.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
     assert(got.forall { case (cid, s, _, _) => membership(cid)(s) })
   }
+
+  test("dedup_minhash_sweep: S-curve monotonicity; production config row equals the eval") {
+    val rows = DedupQueries.qMinhashSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == DedupQueries.SweepBands.map(_.toLong).sorted)
+    // every config shares the one truth
+    assert(rows.map(_._4).distinct.length == 1)
+    // the control law: more bands (shorter bands) can only ADD collisions —
+    // a pair colliding on a band of r rows collides on some sub-band of
+    // any refinement... not literally (bands don't nest across configs),
+    // but on this corpus the monotone trend is the measured fact the
+    // operator exists to show; pin it
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq, s"candidates not monotone: $rows")
+    assert(rows.map(_._5).toSeq == rows.map(_._5).sorted.toSeq, s"hits not monotone: $rows")
+    // the (Bands, RowsPerBand) row IS dedup_minhash_eval's summary
+    val prod = rows.find(_._1 == DedupQueries.Bands.toLong).get
+    val eval = DedupQueries.qMinhashEval(spark, sf).collect().head
+    assert((prod._3, prod._4, prod._5, prod._6, prod._7) ==
+      ((eval.getLong(0), eval.getLong(1), eval.getLong(2), eval.getLong(3),
+        eval.getLong(4))))
+  }
 }
