@@ -184,6 +184,36 @@ object TemporalQueries {
         expr("gap_total_us DIV n").as("mean_gap_us"))
   }
 
+  /** Point-in-time feature join — the feature-store correctness kernel:
+    * each purchase event is joined to the SCD2 dimension version
+    * ([[qScd2]]) that was valid AT the event's timestamp, never a later
+    * one (training-serving skew is exactly the bug of joining "current"
+    * attributes onto historical labels). Interval containment with the
+    * half-open upper bound (`valid_from ≤ ts < valid_to`, open-ended
+    * current row) picks exactly one version per event because the SCD2
+    * intervals tile each user's history (TemporalSpec pins the tiling).
+    *
+    * Shape: the fact and the dimension co-partition on ONE user-keyed
+    * shuffle; the range predicate evaluates inside the join on per-user
+    * candidates (versions-per-user, bounded by that user's change
+    * count) — the standard PIT plan. A broadcast hint is wrong here on
+    * purpose: the SCD2 dim is history-sized, not current-sized. */
+  def qPitFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val dim = qScd2(spark, dir)
+      .select(col("user_id").as("d_user"), col("k"), col("valid_from"),
+        col("valid_to"), col("is_current"))
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .join(dim,
+        col("user_id") === col("d_user") &&
+          col("valid_from") <= col("ts") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")),
+        "left")
+      .select(col("event_id"), col("user_id"), col("k").as("k_at_event"),
+        col("valid_from").as("version_from"), col("is_current"))
+  }
+
   /** Sequential-pattern mining one order up from [[qTransitions]]: the
     * per-user ordered event-type TRIGRAM census — which 3-step behavior
     * paths actually occur, with the conditional probability of the third
@@ -265,7 +295,26 @@ object TemporalQueries {
     "q_gap_fill"    -> (qGapFill _),
     "q_interval_coverage" -> (qIntervalCoverage _),
     "q_event_trigrams" -> (qEventTrigrams _),
+    "q_pit_features" -> (qPitFeatures _),
     "q_transitions" -> (qTransitions _))
+
+  /** The SCD2 statement — shared verbatim by its own oracle and the
+    * point-in-time join built on it. */
+  private val scd2Sql: String =
+    """WITH vals AS (
+      |  SELECT user_id, ts, event_id,
+      |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |    row_number() OVER w AS rn, lag(k) OVER w AS pk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |heads AS (
+      |  SELECT user_id, ts, event_id, k FROM vals
+      |  WHERE rn = 1 OR k IS DISTINCT FROM pk)
+      |SELECT user_id, k, ts AS valid_from,
+      |  lead(ts) OVER w AS valid_to,
+      |  lead(ts) OVER w IS NULL AS is_current
+      |FROM heads
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 
   /** Shared prefix-window clause for the funnel oracle's three chained
     * conditional minima. */
@@ -303,21 +352,21 @@ object TemporalQueries {
          |SELECT cohort_week, wk - cohort_week AS week_offset, count(*) AS n_users
          |FROM uw JOIN coh USING (user_id)
          |GROUP BY 1, 2""".stripMargin,
-    "q_scd2" ->
-      """WITH vals AS (
-        |  SELECT user_id, ts, event_id,
-        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-        |    row_number() OVER w AS rn, lag(k) OVER w AS pk
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |heads AS (
-        |  SELECT user_id, ts, event_id, k FROM vals
-        |  WHERE rn = 1 OR k IS DISTINCT FROM pk)
-        |SELECT user_id, k, ts AS valid_from,
-        |  lead(ts) OVER w AS valid_to,
-        |  lead(ts) OVER w IS NULL AS is_current
-        |FROM heads
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "q_scd2" -> scd2Sql,
+    // the SCD2 statement verbatim as the dimension; interval containment
+    // with the half-open upper bound picks exactly one version per event
+    "q_pit_features" ->
+      s"""WITH scd2 AS (
+         |$scd2Sql
+         |),
+         |p AS (SELECT event_id, user_id, ts FROM events
+         |      WHERE event_type = 'purchase')
+         |SELECT p.event_id, p.user_id, s.k AS k_at_event,
+         |  s.valid_from AS version_from, s.is_current
+         |FROM p LEFT JOIN scd2 s
+         |  ON s.user_id = p.user_id
+         | AND s.valid_from <= p.ts
+         | AND (s.valid_to IS NULL OR p.ts < s.valid_to)""".stripMargin,
     "q_gap_fill" ->
       s"""WITH daily AS (
          |  SELECT n_name, CAST(o_orderdate AS DATE) AS day,

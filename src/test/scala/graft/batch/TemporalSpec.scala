@@ -139,6 +139,36 @@ class TemporalSpec extends SparkSpec {
     assert(cell.getAs[Long]("mean_gap_us") == gaps.sum / gaps.length)
   }
 
+  test("q_pit_features: exactly one version per purchase; never a future version") {
+    val out = TemporalQueries.qPitFeatures(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        Option(r.getTimestamp(3))))
+    val nPurch = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    // grain preserved: the tiling guarantees exactly one match per event
+    assert(out.length.toLong == nPurch && out.nonEmpty)
+    assert(out.map(_._1).distinct.length == out.length, "a purchase matched two versions")
+    assert(out.forall(_._3.isDefined), "every purchase has a valid version (tiling)")
+    // PIT correctness: the joined version is the one a driver as-of scan picks
+    val scd2 = TemporalQueries.qScd2(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getTimestamp(2), Option(r.getTimestamp(3))))
+    val byUser = scd2.groupBy(_._1)
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val expect = purchases.map { case (eid, u, ts) =>
+      val v = byUser(u).filter(iv => !iv._3.after(ts) &&
+        iv._4.forall(to => ts.before(to)))
+      assert(v.length == 1, s"event $eid matched ${v.length} versions")
+      (eid, u, v.head._2, Some(v.head._3))
+    }.toSet
+    assert(out.toSet == expect)
+  }
+
   test("q_event_trigrams: step conservation against transitions; conditional rows sum to 1000-ish") {
     val tri = TemporalQueries.qEventTrigrams(spark, sf).collect()
       .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
