@@ -394,6 +394,40 @@ class StreamPipelineSpec extends SparkSpec {
       s"stream=${streamed.size} rows, batch=${expected.size} rows")
   }
 
+  test("observed DQ counters surface per micro-batch via observedMetrics (the streaming twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // (event_id nullable, value nullable) rows with planted violations
+    val rows = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 10.0), (2L, null), (null, -3.0), (4L, 5.0), (5L, -1.0))
+    val ms = MemoryStream[(Option[Long], Option[Double])]
+    val observed = ms.toDF().toDF("event_id", "value")
+      .observe("dq",
+        count(lit(1)).as("n_rows"),
+        sum(col("value").isNull.cast("long")).as("n_null_value"),
+        sum((col("value") < 0).cast("long")).as("n_neg_value"),
+        sum(col("event_id").isNull.cast("long")).as("n_null_id"))
+    // the sink must EXECUTE the batch — an unconsumed foreachBatch frame
+    // never runs the plan and the observe node never fires
+    val q = StreamPipeline.start(observed,
+      StreamPipeline.ForeachBatch((b, _) => { b.count(); () }))
+    ms.addData(rows.take(3).map(t => (Option(t._1).map(_.toLong), Option(t._2).map(_.toDouble))): _*)
+    q.processAllAvailable()
+    ms.addData(rows.drop(3).map(t => (Option(t._1).map(_.toLong), Option(t._2).map(_.toDouble))): _*)
+    q.processAllAvailable()
+    // sum the per-batch observed metrics across all progress events
+    val metrics = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("dq")))
+    q.stop()
+    assert(metrics.nonEmpty, "no observed metrics surfaced")
+    def total(name: String): Long =
+      metrics.map(r => r.getAs[Long](name)).sum
+    assert(total("n_rows") == 5L)
+    assert(total("n_null_value") == 1L)
+    assert(total("n_neg_value") == 2L)
+    assert(total("n_null_id") == 1L)
+  }
+
   test("kafka source/sink wiring constructs (connector needed only at runtime)") {
     // no connector jar in this image: constructing the plan must still work
     val cfg = StreamPipeline.Kafka("broker:9092", "events")
