@@ -429,8 +429,17 @@ object Profile {
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
       Tables.part(spark, dir)
         .write.mode("overwrite").parquet(s"$out/part.parquet")
+      // customers x10 with remapped keys, consistent with the orders remap
+      // (o_custkey = c_custkey * 10 + copy), so FK reachability and the
+      // per-customer cascade shape survive the growth
+      Tables.customer(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+        .select((col("c_custkey") * 10 + col("copy")).as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
       val qs = Seq("q_drift_ks", "q_l_diversity", "q_interval_coverage",
-        "q_basket_rules", "text_lm_score")
+        "q_basket_rules", "text_lm_score",
+        "q_forget", "q_pit_features", "q_weighted_median",
+        "dedup_minhash_sweep", "bpe_train", "text_lm_eval")
       for (d <- Seq(dir, out); name <- qs) {
         val fn = graft.SparkEntry.queries(name)
         fn(spark, d).count() // warm
