@@ -193,11 +193,14 @@ object TemporalQueries {
     * current row) picks exactly one version per event because the SCD2
     * intervals tile each user's history (TemporalSpec pins the tiling).
     *
-    * Shape: the fact and the dimension co-partition on ONE user-keyed
-    * shuffle; the range predicate evaluates inside the join on per-user
-    * candidates (versions-per-user, bounded by that user's change
-    * count) — the standard PIT plan. A broadcast hint is wrong here on
-    * purpose: the SCD2 dim is history-sized, not current-sized. */
+    * Shape: an equi-join on the user key carrying the interval predicate
+    * as its join condition, so candidates per row are that user's
+    * versions (bounded by the change count). NO hint is forced: Catalyst
+    * broadcasts the SCD2 side while it fits and the SAME plan
+    * shuffle-joins co-partitioned on the user key once the history
+    * outgrows the threshold — history-sized dims are exactly where a
+    * hard-coded broadcast hint goes wrong, so the size decision stays
+    * the optimizer's. */
   def qPitFeatures(spark: SparkSession, dir: String): DataFrame = {
     val dim = qScd2(spark, dir)
       .select(col("user_id").as("d_user"), col("k"), col("valid_from"),

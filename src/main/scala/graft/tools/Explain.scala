@@ -193,7 +193,26 @@ object Explain {
       "combine; the scoring join keys by bigram with 1:1 fan-out " +
       "(counts unique per key) and the per-doc aggregate closes the " +
       "pipeline — the canonical LM shuffle, linear in corpus tokens " +
-      "(3.6x at 10x docs)."))
+      "(3.6x at 10x docs)."),
+    "q_pit_features" -> ("Point-in-time feature join: equi-join on the " +
+      "user key with the interval predicate evaluated as the join " +
+      "condition, so candidates per row are that user's versions. No " +
+      "hint is forced: at this SF Catalyst broadcasts the SCD2 side " +
+      "(size-based, visible below); when the history outgrows the " +
+      "threshold the SAME plan shuffle-joins on the user key — the " +
+      "size decision stays the optimizer's (5.1x at 10x users = " +
+      "linear)."),
+    "q_weighted_median" -> ("Exact weighted median through the " +
+      "value-grain contraction: the only fact-sized pass is the " +
+      "map-side-combinable (flag, cents) weight aggregate; the " +
+      "cumulative window sorts value-DISTINCT rows per flag and the " +
+      "crossing reads off a min — 1.8x at 10x rows because distinct " +
+      "values saturate."),
+    "q_forget" -> ("Deletion cascade: three left-semi joins stage the " +
+      "FK walk with the request list broadcast and the derived " +
+      "order-key list checkpointed once; each per-table card is two " +
+      "1-row aggregates met by a broadcast cross — counts, never " +
+      "row payloads, cross stage boundaries (2.8x at 10x)."))
 
   /** Snapshot-backed registered entries serve a `localCheckpoint`, whose
     * plan is just an RDD scan — audit the underlying BUILD pipeline
