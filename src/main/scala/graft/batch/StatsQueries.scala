@@ -234,12 +234,61 @@ object StatsQueries {
         min(col("v")).as("weighted_median_cents"))
   }
 
+  /** Number of delete-one blocks in [[qJackknife]]. */
+  val JkBlocks = 10L
+
+  /** Deterministic uncertainty quantification — the block jackknife: how
+    * stable is each type's mean value? Rows split into [[JkBlocks]]
+    * deterministic hash blocks; the B leave-one-block-out means m_b are
+    * computed in milli-cents, and the jackknife variance
+    *
+    *   Var = (B−1)/B · Σ(m_b − m̄)²
+    *       = (B−1)·(B·Σm² − (Σm)²) DIV B²        (denominator cleared)
+    *
+    * is exact integer end to end — the error bar a monitoring dashboard
+    * wants next to every mean, with NO randomness (the bootstrap's
+    * resampling noise replaced by the hash split, so the estimate
+    * replays bit-identically). A degenerate corpus (any empty complement)
+    * reports NULL rather than a fabricated number.
+    *
+    * Shape: ONE map-side-combinable aggregate to the (type × B) block
+    * frame is the only fact-sized pass; everything after runs on ≤
+    * |types|·B rows. At 100 TB that is a scan plus kilobytes. */
+  def qJackknife(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val blocks = Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), Exact.cents(col("value")).as("x"),
+        pmod(Exact.md5Long(concat(lit("jk|"), col("event_id"))), lit(JkBlocks)).as("blk"))
+      .groupBy(col("event_type"), col("blk"))
+      .agg(sum(col("x")).as("s_b"), count(lit(1)).as("n_b"))
+    val totals = blocks.groupBy(col("event_type"))
+      .agg(sum(col("s_b")).as("s"), sum(col("n_b")).as("n"),
+        count(lit(1)).as("b_present"))
+    blocks.join(broadcast(totals), "event_type")
+      .withColumn("m_b",
+        when(col("n") > col("n_b"),
+          expr("1000 * (s - s_b) DIV (n - n_b)")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        max(expr("1000 * s DIV n")).as("mean_milli"),
+        max(col("b_present")).as("n_blocks"),
+        count(col("m_b")).as("n_jk"),
+        sum(col("m_b")).as("sm"),
+        sum(expr("m_b * m_b")).as("sm2"))
+      .withColumn("jk_var_milli2",
+        when(col("n_jk") === JkBlocks,
+          expr(s"(($JkBlocks - 1) * ($JkBlocks * sm2 - sm * sm)) DIV (${JkBlocks * JkBlocks})")))
+      .select(col("event_type"), col("n_events"), col("mean_milli"),
+        col("n_blocks"), col("jk_var_milli2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_profile" -> (qStatsProfile _),
     "stats_histogram" -> (qStatsHist _),
     "stats_histogram_depth" -> (qStatsHistDepth _),
     "stats_hist_eval" -> (qStatsHistEval _),
-    "q_weighted_median" -> (qWeightedMedian _))
+    "q_weighted_median" -> (qWeightedMedian _),
+    "q_jackknife" -> (qJackknife _))
 
   val oracles: Map[String, String] = Map(
     // same value-grain contraction, same 2·cumw >= W lower-median rule
