@@ -35,7 +35,12 @@ object Bench {
       val snapT0 = System.nanoTime()
       val (snapSecs, snapDetail) =
         try { val d = graft.ext.dedup.DedupQueries.buildSnapshots(spark, sfDir)
-              ((System.nanoTime() - snapT0) / 1e9, d) }
+              // the r11 basket-frame artifact shared by q_basket_pairs /
+              // q_basket_rules rides the same attributed build
+              val bT0 = System.nanoTime()
+              graft.batch.BasketQueries.basketSnapshot(spark, sfDir)
+              val d2 = d :+ ("baskets" -> (System.nanoTime() - bT0) / 1e9)
+              ((System.nanoTime() - snapT0) / 1e9, d2) }
         catch { case _: Throwable => (-1.0, Seq.empty[(String, Double)]) }
       val entries = ("snapshot_build" -> snapSecs) +: ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -108,15 +113,10 @@ object Bench {
             graft.stream.StreamBench.probe(spark).json }
       catch { case _: Throwable => "null" }
     val record = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"flaky":$flaky,"stream":$stream,"snapshot_detail":$snapDetail,"queries":$qs,"sf":"$sfDir"}"""
-    // The driver parses the LAST line matching "metric" — but sbt prefixes
-    // runMain stdout with [info] and appends a [success] trailer, and its
-    // capture window front-truncated the long record line (BENCH_r08/r09
-    // parsed:null). tools/bench.sh is the fix: it routes every byte of sbt
-    // noise to stderr and prints ONLY this record on stdout, reading it
-    // from target/bench_last.json, written here at EVERY scale (the file
-    // is per-run scratch, not the committed record).
+    // Full 167-entry record → per-run scratch target/bench_full.json (and
+    // the committed BENCH_LOCAL.json below at the artifact's scale).
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_last.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
         (record + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // The committed sf0.1 record additionally lands in repo-root
@@ -134,7 +134,37 @@ object Bench {
         java.nio.file.Files.write(p, (record + "\n").getBytes("UTF-8"))
       } catch { case _: Throwable => () }
     }
-    println(record)
+    // stdout (and target/bench_last.json, which tools/bench.sh emits
+    // verbatim) gets a BOUNDED-SIZE record, not the full one: the driver's
+    // capture window front-truncated the ~5 KB full line for three rounds
+    // running (BENCH_r08–r10 "parsed": null) even though the full record
+    // was correct — the line's HEAD fell outside the window, so no JSON
+    // parsed. A 5 KB single line would front-truncate even through
+    // bench.sh's clean stdout. The compact line pins the contract surface
+    // (total, failures, stream probe, the 40 round-1 BASELINE.md contract
+    // queries) in ~1.5 KB, guaranteed inside any tail window; the full
+    // 167-entry record is committed in BENCH_LOCAL.json (and per-run in
+    // target/bench_full.json).
+    val headline: Set[String] = Set(
+      "curate_pipeline", "dedup_embedding", "dedup_exact", "dedup_minhash",
+      "dedup_ngram_capped", "dedup_ngram_jaccard", "dedup_simhash",
+      "dedup_simhash_pairs", "knn_brute", "knn_ivf", "mm_meta", "pack_shards",
+      "q12_late_lines", "q14_promo_share", "q1_pricing", "q3_top_orders",
+      "q5_nation_revenue", "q6_forecast", "q9_profit", "q_approx_distinct",
+      "q_clean", "q_daily_rank", "q_dedup", "q_enrich", "q_inactive_custs",
+      "q_orders_histogram", "q_percentiles", "q_pivot_pricing",
+      "q_premium_rollup", "q_rollup_pricing", "q_sessionize",
+      "q_top_suppliers", "q_topk_per_nation", "q_user_cohorts",
+      "q_window_agg", "sample_split", "text_fingerprint", "text_langid",
+      "text_quality", "text_tokens", "snapshot_build")
+    val qsCompact = results.collect { case (k, v) if headline(k) =>
+      s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"flaky":$flaky,"stream":$stream,"queries":$qsCompact,"full_record":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_last.json"),
+        (compact + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(compact)
     spark.stop()
   }
 }

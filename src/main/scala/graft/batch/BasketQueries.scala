@@ -43,19 +43,27 @@ object BasketQueries {
 
   /** The basket frame: one row per (order, brand) — baskets are DISTINCT
     * brand sets, so a 3-line order of one brand counts that brand once.
-    * Every consumer reads this frame 2–4 times (self-join + the n_a/N
-    * aggregates), but NOT via recompute: the distinct's exchange is an
-    * identical subplan in each consumer, so Spark's ReusedExchange serves
-    * all of them from one shuffle write (an explicit localCheckpoint was
-    * measured SLOWER at 1× — eager materialization overhead — and no
-    * faster at 10×). The distinct shuffle itself is the operator's honest
-    * dominant cost: ~0.9 basket rows per lineitem on this corpus. */
+    * WITHIN one consumer the frame appears 2–4 times (self-join + the
+    * n_a/N aggregates) and Spark's ReusedExchange serves every arm from
+    * one shuffle write — but ReusedExchange cannot reach ACROSS the two
+    * registered entries, so q_basket_pairs and q_basket_rules each paid
+    * the fact-sized dim-join + distinct independently (VERDICT r10 #3).
+    * Round 11: the frame rides the suite-scoped [[graft.util
+    * .SnapshotCache]] like the jaccard posting lists — first consumer
+    * builds + localCheckpoints, the second reads the materialization. At
+    * 100 TB this is the persisted basket-grain artifact both rule miners
+    * share per corpus version; the distinct shuffle (~0.9 basket rows per
+    * lineitem here) is paid once instead of once per consumer. */
+  private[graft] def basketSnapshot(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SnapshotCache.snapshot("baskets", spark, dir)(
+      Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_brand"))), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+        .distinct())
+
   private def baskets(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)
-        .select(col("p_partkey"), col("p_brand"))), col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
-      .distinct()
+    basketSnapshot(spark, dir)
 
   /** Unordered co-occurrence pairs: brand_a < brand_b, the number of
     * orders holding both, and integer support against all orders. */

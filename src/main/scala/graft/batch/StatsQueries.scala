@@ -326,8 +326,44 @@ object StatsQueries {
          |b AS (SELECT min(x) AS lo, max(x) AS hi FROM x)
          |SELECT ((x - lo) * $HistBuckets) // (hi - lo + 1) AS bucket,
          |  count(*) AS n_rows, min(x) AS lo_cents, max(x) AS hi_cents,
-         |  sum(x) AS sum_cents
+         |  CAST(sum(x) AS BIGINT) AS sum_cents
          |FROM x, b GROUP BY 1""".stripMargin,
+    // identical hash-block split (md5Long % B), identical milli-cent
+    // integer means, identical denominator-cleared variance formula —
+    // every intermediate BIGINT and non-negative, so DuckDB's floor `//`
+    // matches Spark's truncating DIV and the row hashes bit-for-bit
+    "q_jackknife" -> {
+      val blkSql = Exact.md5LongSql("'jk|' || CAST(event_id AS VARCHAR)")
+      s"""WITH r AS (
+         |  SELECT event_type, ${Exact.centsSql("value")} AS x,
+         |    $blkSql % $JkBlocks AS blk
+         |  FROM events WHERE value IS NOT NULL),
+         |blocks AS (
+         |  SELECT event_type, blk, CAST(sum(x) AS BIGINT) AS s_b,
+         |    count(*) AS n_b
+         |  FROM r GROUP BY 1, 2),
+         |totals AS (
+         |  SELECT event_type, CAST(sum(s_b) AS BIGINT) AS s,
+         |    CAST(sum(n_b) AS BIGINT) AS n, count(*) AS b_present
+         |  FROM blocks GROUP BY 1),
+         |jk AS (
+         |  SELECT b.event_type, t.s, t.n, t.b_present,
+         |    CASE WHEN t.n > b.n_b
+         |      THEN (1000 * (t.s - b.s_b)) // (t.n - b.n_b) END AS m_b
+         |  FROM blocks b JOIN totals t USING (event_type)),
+         |agg AS (
+         |  SELECT event_type, max(n) AS n_events,
+         |    max((1000 * s) // n) AS mean_milli,
+         |    max(b_present) AS n_blocks, count(m_b) AS n_jk,
+         |    CAST(sum(m_b) AS BIGINT) AS sm,
+         |    CAST(sum(m_b * m_b) AS BIGINT) AS sm2
+         |  FROM jk GROUP BY 1)
+         |SELECT event_type, n_events, mean_milli, n_blocks,
+         |  CASE WHEN n_jk = $JkBlocks
+         |    THEN ((${JkBlocks - 1} * ($JkBlocks * sm2 - sm * sm))
+         |          // ${JkBlocks * JkBlocks}) END AS jk_var_milli2
+         |FROM agg""".stripMargin
+    },
     "stats_histogram_depth" ->
       s"""WITH r AS (
          |  SELECT ${Exact.centsSql("l_extendedprice")} AS x,

@@ -275,31 +275,16 @@ object DedupQueries {
     * snapshot paths which are content-addressed). If a dir is regenerated
     * in-session, call [[clearSnapshots]] first or the consumers read the
     * stale materialization. */
-  private val pairSnapshots =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, String), DataFrame]()
-
-  /** Release the storage behind one checkpointed snapshot frame (the
-    * localCheckpoint materializes as a persisted LogicalRDD — `unpersist`
-    * on the Dataset would be a no-op since it was never `cache`d). */
+  // Cache mechanics factored to graft.util.SnapshotCache (round 11) so the
+  // basket frame and future shared artifacts ride the same discipline.
   private def releaseSnapshot(df: DataFrame): Unit =
-    scala.util.Try {
-      df.queryExecution.analyzed.foreach {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-        case _ => ()
-      }
-    }
+    graft.util.SnapshotCache.release(df)
 
-  /** Drop every cached pair snapshot and unpersist its blocks. For bench
-    * harnesses (put the build back under the clock) and for the
-    * regenerated-`dir` escape hatch documented on [[pairSnapshots]]. */
-  def clearSnapshots(): Unit = {
-    val it = pairSnapshots.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (!e.getKey._1.sparkContext.isStopped) releaseSnapshot(e.getValue)
-      it.remove()
-    }
-  }
+  /** Drop EVERY cached snapshot (all families, not just dedup pairs) and
+    * unpersist their blocks. For bench harnesses (put the build back under
+    * the clock) and for the regenerated-`dir` escape hatch documented on
+    * [[graft.util.SnapshotCache]]. */
+  def clearSnapshots(): Unit = graft.util.SnapshotCache.clearAll()
 
   /** Eagerly build (or re-touch) every snapshot the registered queries
     * share, so a bench can time the shared pipeline as ONE attributable
@@ -323,22 +308,8 @@ object DedupQueries {
   }
 
   private def snapshot(tag: String, spark: SparkSession, dir: String)
-                      (build: => DataFrame): DataFrame = {
-    // evict entries for stopped sessions (their blocks died with the
-    // executors — nothing left to unpersist)
-    pairSnapshots.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val key = (spark, dir, spark.conf.get("spark.sql.shuffle.partitions"), tag)
-    val cached = pairSnapshots.get(key)
-    if (cached ne null) cached
-    else {
-      // build OUTSIDE the map's bin lock: computeIfAbsent would hold it
-      // for the length of a full Spark job, blocking unrelated builds
-      // that hash to the same bin; on a race the loser's blocks are freed
-      val built = build.localCheckpoint()
-      val winner = pairSnapshots.putIfAbsent(key, built)
-      if (winner ne null) { releaseSnapshot(built); winner } else built
-    }
-  }
+                      (build: => DataFrame): DataFrame =
+    graft.util.SnapshotCache.snapshot(tag, spark, dir)(build)
 
   private[graft] def jaccardPairSnapshot(spark: SparkSession, dir: String): DataFrame =
     snapshot("jaccard", spark, dir)(qNgramJaccard(spark, dir))

@@ -600,7 +600,41 @@ object CurateQueries {
         expr(s"($NPhases * (global_rank - 1)) DIV n_docs").as("phase"))
   }
 
+  /** Maximum documents retained per source. */
+  val CapPerSource = 15L
+
+  /** Per-source document cap with quality prioritization — the C4 /
+    * RefinedWeb "limit any single domain's share" rule: within each
+    * source, rank documents by the trained quality-model score
+    * ([[TextQueries.qQualityModel]]'s logit, doc_id tiebreak) and keep
+    * only the top [[CapPerSource]]. A handful of mega-domains otherwise
+    * dominate a web corpus; the cap bounds any source's contribution
+    * while keeping its BEST documents, not a random subset. Full doc
+    * grain with rank + verdict so downstream consumers can either filter
+    * `kept` or re-cut at a different cap without re-ranking.
+    *
+    * Scale shape: at web scale the partition key is the domain —
+    * millions of groups, so the window parallelizes across the cluster
+    * and per-group state is one running counter; skew is bounded by the
+    * single largest domain (the exact thing the cap exists to punish,
+    * and an AQE-splittable sort spill, not a correctness risk). The
+    * quality attach is a doc-keyed 1:1 join. No corpus-wide ordering
+    * anywhere — contrast [[qGlobalRank]], which needs one and pays the
+    * two-phase kernel for it. */
+  def qSourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("logit_micro").desc, col("doc_id").asc)
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(TextQueries.qQualityModel(spark, dir)
+        .select(col("doc_id"), col("logit_micro")), "doc_id")
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .withColumn("kept", col("src_rank") <= CapPerSource)
+      .select(col("doc_id"), col("source"), col("logit_micro"),
+        col("src_rank"), col("kept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_cap"     -> (qSourceCap _),
     "corpus_report"    -> (qCorpusReport _),
     "curate_pipeline"  -> (qCurate _),
     "curate_clustered" -> (qCurateClustered _),
@@ -636,6 +670,21 @@ object CurateQueries {
   private val clusterSql = DedupQueries.oracles("dedup_clusters")
 
   val oracles: Map[String, String] = Map(
+    // same nested quality-model statement (the one-truth discipline),
+    // same (logit desc, doc_id) deterministic rank, same cap constant
+    "q_source_cap" ->
+      s"""WITH qm AS (
+         |${TextQueries.qualityModelSql}
+         |),
+         |s AS (
+         |  SELECT d.doc_id, d.source, qm.logit_micro
+         |  FROM documents d JOIN qm ON d.doc_id = qm.doc_id)
+         |SELECT doc_id, source, logit_micro,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY logit_micro DESC, doc_id) AS BIGINT) AS src_rank,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY logit_micro DESC, doc_id) AS BIGINT) <= $CapPerSource AS kept
+         |FROM s""".stripMargin,
     "corpus_report" ->
       s"""WITH scored AS (
          |  SELECT lang, source,

@@ -782,6 +782,51 @@ object TextQueries {
         expr("(1000 * (n_keep_above + n_drop_below)) DIV n_docs"))
   }
 
+  /** CCNet's actual OUTPUT partitioning — head/middle/tail perplexity
+    * terciles per language (Wenzek et al. 2020 §4.3: the crawl is split
+    * into three equal buckets by LM perplexity percentile within each
+    * language, and most downstream corpora train on head+middle only).
+    * [[qLmScore]] is the screen; this is the partitioner a deployment
+    * writes its output shards by.
+    *
+    * Exactness: bucket cut-points are RANK-based, not score-based — doc
+    * with tie-group max-rank r (out of the language's N scored docs,
+    * ranked by lm_milli DESCENDING, so most-familiar = lowest perplexity
+    * = head) lands in bucket (3·(r−1)) DIV N ∈ {0,1,2}. Every doc in a
+    * tie group shares r, so ties NEVER straddle a bucket boundary
+    * (bucket sizes flex by at most the tie-group width — the price of
+    * determinism, exactly how CCNet's score cut-points behave). Integer
+    * end to end.
+    *
+    * Shape: the rank never touches doc grain — lm_milli is bounded, so
+    * ranks come from a cumulative count over the (lang × score) VALUE
+    * grain (the q_global_rank two-phase discipline: ≤ |langs|·|scores|
+    * rows under the window, never a doc-sized per-lang sort), and the
+    * bucket map broadcasts back onto docs. Grain = scored docs (< 2
+    * tokens ⇒ no bigrams ⇒ no score ⇒ no row, like qLmScore). At 100 TB
+    * the only fact-sized passes are the score itself and one broadcast
+    * join. */
+  def qPplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = qLmScore(spark, dir).select(col("doc_id"), col("lm_milli"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+    val grain = scored.groupBy(col("lang"), col("lm_milli"))
+      .agg(count(lit(1)).as("c"))
+    val cum = grain.withColumn("cum_ge",
+      sum(col("c")).over(Window.partitionBy("lang").orderBy(col("lm_milli").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perLang = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val buckets = cum.join(broadcast(perLang), "lang")
+      .withColumn("bucket_id", expr("(3 * (cum_ge - 1)) DIV n_lang"))
+      .withColumn("ppl_bucket",
+        when(col("bucket_id") === 0, "head")
+          .when(col("bucket_id") === 1, "middle").otherwise("tail"))
+      .select(col("lang"), col("lm_milli"), col("bucket_id"), col("ppl_bucket"))
+    scored.join(broadcast(buckets), Seq("lang", "lm_milli"))
+      .select(col("doc_id"), col("lang"), col("lm_milli"),
+        col("bucket_id"), col("ppl_bucket"))
+  }
+
   /** Multiset (doc_id, is_train, bg) bigram rows — the shingleRows
     * zip-slice build at width 2: two staggered slices of the token array
     * zipped and exploded in ONE narrow projection, no lambda, no shuffle.
@@ -803,6 +848,7 @@ object TextQueries {
     "bpe_train"          -> (qBpeTrain _),
     "text_lm_score"      -> (qLmScore _),
     "text_lm_eval"       -> (qLmEval _),
+    "text_ppl_buckets"   -> (qPplBuckets _),
     "text_langid"        -> (qLangId _),
     "text_vocab"         -> (qVocab _),
     "text_token_ids"     -> (qTokenIds _),
@@ -963,9 +1009,10 @@ object TextQueries {
        |    freq
        |  FROM g$k GROUP BY w, freq)""".stripMargin
 
-  /** The text_quality_model statement — shared verbatim by its own oracle
-    * and the LM eval that cross-tabulates against it. */
-  private lazy val qualityModelSql: String =
+  /** The text_quality_model statement — shared verbatim by its own oracle,
+    * the LM eval that cross-tabulates against it, and the per-source cap's
+    * priority key (CurateQueries.q_source_cap). */
+  private[graft] lazy val qualityModelSql: String =
     s"""WITH m AS (
        |  SELECT doc_id, lang,
        |    CAST(length(coalesce(text,'')) AS BIGINT) AS n_chars,
@@ -1032,6 +1079,33 @@ object TextQueries {
     // definition, same length(bin(1+cnt))−1 integer log2 — the quantized
     // familiarity is engine-identical with no float log anywhere
     "text_lm_score" -> lmScoreSql,
+    // same rank-based tercile rule over the same nested score statement:
+    // tie-group max-rank from a DESC cumulative count over the
+    // (lang × lm_milli) value grain, bucket = (3·(r−1)) // N — every
+    // intermediate cast to BIGINT so DuckDB's HUGEINT window sums can't
+    // leak into the hashed cells
+    "text_ppl_buckets" ->
+      s"""WITH lm AS (
+         |$lmScoreSql
+         |),
+         |s AS (
+         |  SELECT lm.doc_id, d.lang, lm.lm_milli
+         |  FROM lm JOIN documents d ON lm.doc_id = d.doc_id),
+         |vg AS (SELECT lang, lm_milli, count(*) AS c FROM s GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT lang, lm_milli,
+         |    CAST(sum(c) OVER (PARTITION BY lang ORDER BY lm_milli DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_ge
+         |  FROM vg),
+         |n AS (SELECT lang, count(*) AS n_lang FROM s GROUP BY 1),
+         |b AS (
+         |  SELECT cum.lang, cum.lm_milli,
+         |    (3 * (cum_ge - 1)) // n_lang AS bucket_id
+         |  FROM cum JOIN n USING (lang))
+         |SELECT s.doc_id, s.lang, s.lm_milli, b.bucket_id,
+         |  CASE b.bucket_id WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+         |    ELSE 'tail' END AS ppl_bucket
+         |FROM s JOIN b USING (lang, lm_milli)""".stripMargin,
     // the eval nests the SAME two screen statements it calibrates (the
     // one-truth discipline), with the exact lower-median threshold via
     // the value-grain cumulative rule

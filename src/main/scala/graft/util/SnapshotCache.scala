@@ -1,0 +1,72 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Suite-scoped materialization cache for shared intermediate frames — the
+ * in-process analog of the snapshot artifact a production deployment
+ * persists once per corpus version and shares across consumers (SCALING.md
+ * "snapshot scale"). Factored out of the dedup pair snapshots (round 11)
+ * so other families — first the distinct-basket frame shared by
+ * q_basket_pairs / q_basket_rules — can ride the same discipline instead
+ * of each inventing a cache.
+ *
+ * Keyed by (session, dir, shuffle-partition setting, tag) so a fresh
+ * session or a repartitioned re-run REBUILDS instead of reusing; entries
+ * for stopped sessions are evicted on access. At 100 TB the key is a
+ * snapshot path and the checkpoint is a parquet write — consumers are
+ * unchanged.
+ *
+ * ASSUMPTION: data under `dir` is immutable for the session's lifetime
+ * (true for the driver's generated fixtures and for content-addressed
+ * production snapshot paths). If a dir is regenerated in-session, call
+ * [[clearAll]] first or consumers read the stale materialization.
+ */
+object SnapshotCache {
+
+  private val snapshots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, String), DataFrame]()
+
+  /** Release the storage behind one checkpointed snapshot frame (the
+    * localCheckpoint materializes as a persisted LogicalRDD — `unpersist`
+    * on the Dataset would be a no-op since it was never `cache`d). */
+  def release(df: DataFrame): Unit =
+    scala.util.Try {
+      df.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      }
+    }
+
+  /** Drop every cached snapshot and unpersist its blocks. For bench
+    * harnesses (put the build back under the clock) and for the
+    * regenerated-`dir` escape hatch documented above. */
+  def clearAll(): Unit = {
+    val it = snapshots.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!e.getKey._1.sparkContext.isStopped) release(e.getValue)
+      it.remove()
+    }
+  }
+
+  /** Return the cached materialization of `build` for (spark, dir, tag),
+    * building + localCheckpoint-ing on first use. */
+  def snapshot(tag: String, spark: SparkSession, dir: String)
+              (build: => DataFrame): DataFrame = {
+    // evict entries for stopped sessions (their blocks died with the
+    // executors — nothing left to unpersist)
+    snapshots.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (spark, dir, spark.conf.get("spark.sql.shuffle.partitions"), tag)
+    val cached = snapshots.get(key)
+    if (cached ne null) cached
+    else {
+      // build OUTSIDE the map's bin lock: computeIfAbsent would hold it
+      // for the length of a full Spark job, blocking unrelated builds
+      // that hash to the same bin; on a race the loser's blocks are freed
+      val built = build.localCheckpoint()
+      val winner = snapshots.putIfAbsent(key, built)
+      if (winner ne null) { release(built); winner } else built
+    }
+  }
+}

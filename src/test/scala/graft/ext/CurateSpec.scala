@@ -453,4 +453,30 @@ class CurateSpec extends SparkSpec {
       assert(n != a &&
         !pairSet.contains((math.min(a, n), math.max(a, n))), s"($a,$n)") }
   }
+
+  test("q_source_cap: full grain, dense ranks, kept = the top-cap of the deterministic order") {
+    // sf0.01: 25 docs/source > the 15-doc cap, so the cap genuinely cuts
+    val dir = "/root/testdata/sf0.01"
+    val out = CurateQueries.qSourceCap(spark, dir).cache()
+    assert(out.count() == Tables.documents(spark, dir).count(), "full doc grain")
+    val bySrc = out.groupBy("source").agg(
+      count(lit(1)).as("n"), sum(col("kept").cast("long")).as("k"),
+      max("src_rank").as("maxr")).collect()
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { r =>
+      val (n, k, maxr) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(k == math.min(CurateQueries.CapPerSource, n), s"${r.getString(0)}: k=$k n=$n")
+      assert(maxr == n, "row_number must be dense 1..n per source")
+    }
+    // kept is EXACTLY the first cap rows of the (logit desc, doc_id) order
+    val rows = out.select("source", "logit_micro", "doc_id", "kept")
+      .as[(String, Long, Long, Boolean)].collect()
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val expect = g.sortBy(t => (-t._2, t._3))
+        .take(CurateQueries.CapPerSource.toInt).map(_._3).toSet
+      val gotKept = g.filter(_._4).map(_._3).toSet
+      assert(gotKept == expect, s"$src kept-set mismatch")
+    }
+    out.unpersist()
+  }
 }

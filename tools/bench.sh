@@ -1,10 +1,13 @@
 #!/usr/bin/env bash
 # Bench wrapper for the round driver: every byte of sbt/Spark noise goes to
-# stderr; stdout carries EXACTLY ONE line — the JSON bench record. The bare
-# `sbt 'runMain graft.Bench'` stdout (record line wrapped in [info]/[success]
-# sbt framing) front-truncated the driver's capture window in rounds 8/9
-# (BENCH_r08/r09 "parsed": null); reading the record back from the scratch
-# file Bench writes sidesteps line-framing entirely.
+# stderr; stdout carries EXACTLY ONE line — the COMPACT JSON bench record
+# (total, failures, stream probe, the 40 BASELINE.md contract queries;
+# ~1.5 KB, guaranteed inside any tail-capture window). The bare
+# `sbt 'runMain graft.Bench'` stdout (a ~5 KB record line wrapped in
+# [info]/[success] sbt framing) front-truncated the driver's capture window
+# in rounds 8–10 ("parsed": null). The FULL 167-entry record lands in
+# target/bench_full.json per run and is committed as BENCH_LOCAL.json at
+# sf0.1.
 #
 # Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 tools/bench.sh
 set -u
