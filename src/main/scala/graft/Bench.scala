@@ -18,7 +18,11 @@ object Bench {
     // codegen compilation that would otherwise be misattributed to whichever
     // query ran first.
     spark.range(1000000L).selectExpr("sum(id * 2)").collect()
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // specOnly sketch queries (approx_count_distinct / approx-percentile /
+    // HLL rollup) are real operators with real costs — they skip the
+    // DuckDB gate by design, not the clock. Without them the BASELINE.md
+    // contract query q_approx_distinct had no bench row since round 6.
+    val ordered = (SparkEntry.queries ++ SparkEntry.specOnly).toSeq.sortBy(_._1)
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
@@ -35,11 +39,16 @@ object Bench {
       val snapT0 = System.nanoTime()
       val (snapSecs, snapDetail) =
         try { val d = graft.ext.dedup.DedupQueries.buildSnapshots(spark, sfDir)
-              // the r11 basket-frame artifact shared by q_basket_pairs /
-              // q_basket_rules rides the same attributed build
+              // the r11 shared artifacts ride the same attributed build:
+              // the basket frame (q_basket_pairs / q_basket_rules) and the
+              // LM score frame (text_lm_score / text_lm_eval /
+              // text_ppl_buckets, which also materializes lm_counts)
               val bT0 = System.nanoTime()
               graft.batch.BasketQueries.basketSnapshot(spark, sfDir)
-              val d2 = d :+ ("baskets" -> (System.nanoTime() - bT0) / 1e9)
+              val bT1 = System.nanoTime()
+              graft.ext.text.TextQueries.lmScoreSnapshot(spark, sfDir)
+              val d2 = d :+ ("baskets" -> (bT1 - bT0) / 1e9) :+
+                ("lm_scores" -> (System.nanoTime() - bT1) / 1e9)
               ((System.nanoTime() - snapT0) / 1e9, d2) }
         catch { case _: Throwable => (-1.0, Seq.empty[(String, Double)]) }
       val entries = ("snapshot_build" -> snapSecs) +: ordered.map { case (name, fn) =>

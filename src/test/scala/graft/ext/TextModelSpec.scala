@@ -231,4 +231,36 @@ class TextModelSpec extends SparkSpec {
     }
     out.unpersist()
   }
+
+  test("text_ppl_buckets_incremental: batch-only grain, threshold routing honored, score-monotone") {
+    val dir = "/root/testdata/sf0.01"
+    val inc = graft.ext.dedup.DedupQueries.IncomingSource
+    val out = TextQueries.queries("text_ppl_buckets_incremental")(spark, dir).cache()
+    // grain: exactly the incoming docs with >= 2 tokens (the scoring grain)
+    val incScored = Tables.documents(spark, dir)
+      .filter(col("source") === inc)
+      .filter(size(graft.ext.text.TextNorm.toks(col("text"))) >= 2).count()
+    assert(out.count() == incScored && incScored > 0)
+    // routing honors the frozen thresholds exactly
+    val th = TextQueries.pplArtifacts(spark, dir)._2.collect()
+      .map(r => r.getString(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    out.collect().foreach { r =>
+      val (lang, s, b) = (r.getString(1), r.getLong(2), r.getLong(3))
+      val expect = th.get(lang) match {
+        case Some((Some(h), _)) if s >= h   => 0L
+        case Some((_, Some(m2))) if s >= m2 => 1L
+        case _                              => 2L
+      }
+      assert(b == expect, s"doc ${r.getLong(0)} ($lang, $s): bucket $b != $expect")
+    }
+    // within a lang, a better score never lands in a worse bucket
+    import spark.implicits._
+    out.select("lang", "lm_milli", "bucket_id").as[(String, Long, Long)]
+      .collect().groupBy(_._1).values.foreach { g =>
+        g.sortBy(-_._2).foldLeft(0L) { (prev, t) =>
+          assert(t._3 >= prev, s"bucket regressed at $t"); math.max(prev, t._3) }
+      }
+    out.unpersist()
+  }
 }
