@@ -304,7 +304,8 @@ object DedupQueries {
       timed("span_islands")(spanIslandsSnapshot(spark, dir)),
       timed("inc_corpus_index")(corpusIndex(spark, dir)),
       timed("span_corpus_index")(spanCorpusIndex(spark, dir)),
-      timed("emb_inc_index")(embIncCorpusIndex(spark, dir)))
+      timed("emb_inc_index")(embIncCorpusIndex(spark, dir)),
+      timed("inc_exact_hashes")(corpusHashIndex(spark, dir)))
   }
 
   private def snapshot(tag: String, spark: SparkSession, dir: String)
@@ -325,12 +326,21 @@ object DedupQueries {
     snapshot("emb_lsh", spark, dir)(qEmbeddingDupsLsh(spark, dir))
 
   private def jaccardFromPostings(spark: SparkSession, dir: String,
-                                  dfCap: Option[Int]): DataFrame = {
+                                  dfCap: Option[Int]): DataFrame =
     // 60-bit hash of the shingle, not the string: 8-byte shuffle keys. The
     // oracle hashes identically, so any (vanishingly rare) collision
     // affects both engines the same way.
-    val ex = shingleRows(spark, dir, dedup = false)
-      .select(col("doc_id"), Exact.md5Long(col("s")).as("h"))
+    jaccardPairsOfShingled(
+      shingleRows(spark, dir, dedup = false)
+        .select(col("doc_id"), Exact.md5Long(col("s")).as("h")), dfCap)
+
+  /** The jaccard pair kernel over an ARBITRARY (doc_id, h) shingle-hash
+    * frame — factored out of [[jaccardFromPostings]] (round 11) so the
+    * incremental curation screen can run the identical postings→pairs
+    * plan over a micro-batch (batch-sized posting lists, batch-bounded
+    * candidates) without re-stating the kernel. */
+  private[graft] def jaccardPairsOfShingled(ex: DataFrame,
+                                            dfCap: Option[Int]): DataFrame = {
     val allPosts = ex.groupBy(col("h")).agg(collect_set(col("doc_id")).as("docs"))
     // df cap BEFORE pair generation: a boilerplate shingle contributes df²
     // pairs and zero discrimination. (At 100 TB, compute df with a count
@@ -366,6 +376,86 @@ object DedupQueries {
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Within-batch jaccard near-dup pairs — [[jaccardPairsOfShingled]]
+    * over ONE micro-batch's documents (no df cap: the batch is what
+    * bounds candidate mass; a boilerplate-heavy ingest would pass
+    * [[MaxShingleDf]] like the capped corpus kernel). The within-batch
+    * complement of [[screenAgainstIndex]] in the incremental curation
+    * screen: a batch can duplicate ITSELF as well as the corpus, and a
+    * daily pipeline must catch both without touching corpus×corpus
+    * pairs. */
+  private[graft] def batchJaccardPairs(batchDocs: DataFrame): DataFrame =
+    jaccardPairsOfShingled(
+      shingleRowsOf(batchDocs, dedup = false)
+        .select(col("doc_id"), Exact.md5Long(col("s")).as("h")), dfCap = None)
+
+  /** The corpus's exact-dup fingerprint set — one md5(normalized text)
+    * row per distinct corpus content, the third persisted artifact of the
+    * incremental screen (next to [[corpusIndex]]'s posting lists and
+    * sizes). At 100 TB this is a bucketed-by-hash parquet snapshot and
+    * the batch probe is a bucket-pruned semi-join; the frame is one
+    * 32-char hash per distinct content — far smaller than the corpus. */
+  private[graft] def corpusHashIndex(spark: SparkSession, dir: String): DataFrame =
+    snapshot("inc-exact-hashes", spark, dir)(
+      Tables.documents(spark, dir).filter(col("source") =!= IncomingSource)
+        .select(md5(TextNorm.norm(col("text"))).as("content_hash"))
+        .distinct())
+
+  /** From-scratch build of the three screen artifacts over an ARBITRARY
+    * (doc_id, text) corpus frame — the REBUILD side of the append ≡
+    * rebuild invariant (CurateSpec pins [[indexAppend]] against this),
+    * and the index builder the sequential-lifecycle spec seeds batches
+    * with. Same artifact schemas as [[corpusIndex]]/[[corpusHashIndex]]
+    * (which stay the production entry points: suite-scoped snapshots,
+    * shared-scan discipline). */
+  private[graft] def indexOf(corpusDocs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val ex = shingleRowsOf(corpusDocs)
+      .select(col("doc_id"), Exact.md5Long(col("s")).as("h"))
+      .localCheckpoint()
+    (ex.groupBy(col("h")).agg(collect_set(col("doc_id")).as("docs")),
+      ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_old"))
+        .toDF("old_doc_id", "n_old"),
+      corpusDocs.select(md5(TextNorm.norm(col("text"))).as("content_hash"))
+        .distinct())
+  }
+
+  /** The index APPEND — the lifecycle step AFTER a batch screen: fold the
+    * batch's surviving documents into the three persisted screen
+    * artifacts, producing the index the NEXT batch screens against.
+    * Returns (posting lists, per-doc sizes, content-hash set), each the
+    * same schema as its [[corpusIndex]]/[[corpusHashIndex]] original.
+    *
+    * The merge is a full-outer join on the index key with a list concat —
+    * never an explode+regroup of the corpus side. At 100 TB both sides
+    * bucket on the same key (h / content_hash), so the merge is
+    * co-partitioned: the corpus index never re-shuffles, the batch side
+    * is micro-batch-sized, and a deployment writes it as a merge-on-read
+    * delta (the LSM shape) or a compacted rewrite per corpus version.
+    * Append ≡ rebuild-from-scratch over corpus ∪ survivors is spec-pinned
+    * (CurateSpec), and the curate_index_append ORACLE is the rebuild —
+    * the hash gate itself proves the equivalence. */
+  private[graft] def indexAppend(survivors: DataFrame, posts: DataFrame,
+                                 oldSizes: DataFrame, corpusHashes: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val sh = shingleRowsOf(survivors)
+      .select(col("doc_id"), Exact.md5Long(col("s")).as("h"))
+      .localCheckpoint()
+    val emptyDocs = array().cast("array<bigint>")
+    val batchPosts = sh.groupBy(col("h")).agg(collect_set(col("doc_id")).as("bdocs"))
+    val newPosts = posts.join(batchPosts, Seq("h"), "full_outer")
+      .select(col("h"), concat(
+        coalesce(col("docs"), emptyDocs),
+        coalesce(col("bdocs"), emptyDocs)).as("docs"))
+    val newSizes = oldSizes.union(
+      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_old"))
+        .toDF("old_doc_id", "n_old"))
+    val newHashes = corpusHashes.union(
+      survivors.select(md5(TextNorm.norm(col("text"))).as("content_hash")))
+      .distinct()
+    (newPosts, newSizes, newHashes)
   }
 
   /** Document-frequency cap for the adversarial-corpus variant: shingles

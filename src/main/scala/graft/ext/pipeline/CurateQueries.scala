@@ -633,10 +633,108 @@ object CurateQueries {
         col("src_rank"), col("kept"))
   }
 
+  /** The DAILY curation operation — [[qCurate]]'s stages applied to ONE
+    * incoming batch (the [[DedupQueries.IncomingSource]] slice) against
+    * the FROZEN corpus artifacts, never recomputing anything
+    * corpus×corpus: quality is a narrow per-doc projection of the batch;
+    * exact dedup probes the persisted content-hash set
+    * ([[DedupQueries.corpusHashIndex]]) plus a batch-local min-keeper
+    * group; near-dup runs [[DedupQueries.screenAgainstIndex]] against the
+    * persisted inverted index AND [[DedupQueries.batchJaccardPairs]]
+    * within the batch (a batch can duplicate itself as well as the
+    * corpus). Output grain: EVERY incoming doc with its quality score,
+    * first-failing-stage verdict (low_quality → exact_dup_corpus →
+    * exact_dup_batch → near_dup_corpus → near_dup_batch → kept, the
+    * cheapest-stage-first order the pipeline applies), and the keep bit —
+    * the routing table a daily ingest writes before appending survivors
+    * to the corpus and its indexes (the index append is the
+    * dedup_incremental family's documented next step).
+    *
+    * Scale shape: every probe-side frame is batch-bounded (the verdict
+    * flags broadcast against the batch quality frame); the corpus
+    * contributes only its persisted indexes — posting lists, per-doc
+    * sizes, hash set — exactly what a deployment snapshots between
+    * batches. Cost grows with the batch, not the corpus: the scale10
+    * probe in SCALING.md pins it. */
+  def qCurateIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val inc = DedupQueries.IncomingSource
+    val (posts, oldSizes) = DedupQueries.corpusIndex(spark, dir)
+    val corpusHashes = DedupQueries.corpusHashIndex(spark, dir)
+    val batch = Tables.rebalanced(spark,
+      Tables.documents(spark, dir).filter(col("source") === inc))
+    curateScreen(batch, posts, oldSizes, corpusHashes)
+  }
+
+  /** The screen kernel of [[qCurateIncremental]] over explicit artifact
+    * frames — the foreachBatch-drivable form, and what the sequential
+    * lifecycle (screen → [[DedupQueries.indexAppend]] → screen the next
+    * batch) composes. `batch` needs (doc_id, lang, text). */
+  private[graft] def curateScreen(batch: DataFrame, posts: DataFrame,
+                                  oldSizes: DataFrame,
+                                  corpusHashes: DataFrame): DataFrame = {
+    val hashes = batch.select(col("doc_id"),
+      md5(TextNorm.norm(col("text"))).as("content_hash"))
+    val exactCorpus = hashes.join(corpusHashes, Seq("content_hash"), "left_semi")
+    val batchKeeper = hashes.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val exactBatch = hashes.join(batchKeeper, "content_hash")
+      .filter(col("doc_id") =!= col("keeper"))
+    val nearCorpus = DedupQueries.screenAgainstIndex(batch, posts, oldSizes)
+      .select(col("new_doc_id").as("doc_id"))
+    val nearBatch = DedupQueries.batchJaccardPairs(batch)
+      .select(col("doc_b").as("doc_id"))
+    def flag(df: DataFrame, name: String): DataFrame =
+      broadcast(df.select(col("doc_id")).distinct().withColumn(name, lit(true)))
+    TextQueries.quality(batch)
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+      .join(flag(exactCorpus, "f_ec"), Seq("doc_id"), "left")
+      .join(flag(exactBatch, "f_eb"), Seq("doc_id"), "left")
+      .join(flag(nearCorpus, "f_nc"), Seq("doc_id"), "left")
+      .join(flag(nearBatch, "f_nb"), Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("quality_score") < QualityMin, "low_quality")
+          .when(col("f_ec"), "exact_dup_corpus")
+          .when(col("f_eb"), "exact_dup_batch")
+          .when(col("f_nc"), "near_dup_corpus")
+          .when(col("f_nb"), "near_dup_batch")
+          .otherwise("kept"))
+      .withColumn("keep", col("verdict") === lit("kept"))
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        col("verdict"), col("keep"))
+  }
+
+  /** The index-append GATE query: the posting-list table after folding
+    * the screen's survivors into the corpus index
+    * ([[DedupQueries.indexAppend]]), one row per shingle hash with its
+    * updated document frequency and an order-canonical membership
+    * signature (md5 of the sorted id list — one wrong member anywhere
+    * fails the hash gate). The ORACLE rebuilds the index from scratch
+    * over corpus ∪ survivors, so the gate row-for-row proves the
+    * merge-on-read append ≡ a full rebuild — the invariant an LSM-style
+    * index must honor across corpus versions. */
+  def qIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val inc = DedupQueries.IncomingSource
+    val (posts, oldSizes) = DedupQueries.corpusIndex(spark, dir)
+    val corpusHashes = DedupQueries.corpusHashIndex(spark, dir)
+    val batch = Tables.rebalanced(spark,
+      Tables.documents(spark, dir).filter(col("source") === inc))
+    val kept = curateScreen(batch, posts, oldSizes, corpusHashes)
+      .filter(col("keep")).select(col("doc_id"))
+    val survivors = batch.join(kept, Seq("doc_id"), "left_semi")
+    val (newPosts, _, _) =
+      DedupQueries.indexAppend(survivors, posts, oldSizes, corpusHashes)
+    newPosts.select(col("h"),
+      size(col("docs")).cast("long").as("df"),
+      md5(array_join(transform(sort_array(col("docs")),
+        x => x.cast("string")), ",")).as("docs_sig"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_cap"     -> (qSourceCap _),
     "corpus_report"    -> (qCorpusReport _),
     "curate_pipeline"  -> (qCurate _),
+    "curate_incremental" -> (qCurateIncremental _),
+    "curate_index_append" -> (qIndexAppend _),
     "curate_clustered" -> (qCurateClustered _),
     "sample_split"    -> (qSampleSplit _),
     "pack_shards"     -> (qPackShards _),
@@ -659,6 +757,64 @@ object CurateQueries {
     * twins, so a formula change cannot desynchronize this composed oracle
     * from the per-operator ones it builds on. */
   private val qualityExpr = TextQueries.qualityScoreSql
+
+  /** The curate_incremental screen as one nestable statement — shared by
+    * its own gate entry and the index-append oracle (which rebuilds the
+    * index over corpus ∪ this statement's kept docs). */
+  private lazy val curateIncrementalSql: String = {
+    val inc = DedupQueries.IncomingSource
+    val thr = DedupQueries.JaccardThreshold
+    s"""WITH ${DedupQueries.shingleCtes},
+       |exs AS (SELECT doc_id, ${Exact.md5LongSql("s")} AS h
+       |        FROM (SELECT DISTINCT doc_id, s FROM ex)),
+       |tagged AS (SELECT e.doc_id, e.h, (d.source = '$inc') AS is_new
+       |           FROM exs e JOIN documents d USING (doc_id)),
+       |csizes AS (SELECT doc_id, count(*) AS n FROM tagged GROUP BY 1),
+       |interc AS (
+       |  SELECT a.doc_id AS new_doc_id, b.doc_id AS old_doc_id, count(*) AS i
+       |  FROM tagged a JOIN tagged b ON a.h = b.h AND a.is_new AND NOT b.is_new
+       |  GROUP BY 1, 2),
+       |nearc AS (
+       |  SELECT DISTINCT new_doc_id AS doc_id
+       |  FROM interc JOIN csizes na ON new_doc_id = na.doc_id
+       |              JOIN csizes nb ON old_doc_id = nb.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= $thr),
+       |exb AS (SELECT DISTINCT e.doc_id, ${Exact.md5LongSql("e.s")} AS sh
+       |        FROM ex e JOIN documents d USING (doc_id)
+       |        WHERE d.source = '$inc'),
+       |bsizes AS (SELECT doc_id, count(*) AS n FROM exb GROUP BY 1),
+       |interb AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM exb a JOIN exb b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |nearb AS (
+       |  SELECT DISTINCT doc_b AS doc_id
+       |  FROM interb JOIN bsizes na ON doc_a = na.doc_id
+       |              JOIN bsizes nb ON doc_b = nb.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= $thr),
+       |ch AS (SELECT doc_id, source, md5(${TextNorm.normSql}) AS content_hash
+       |       FROM documents),
+       |corpus_h AS (SELECT DISTINCT content_hash FROM ch WHERE source <> '$inc'),
+       |bmin AS (SELECT content_hash, min(doc_id) AS keeper FROM ch
+       |         WHERE source = '$inc' GROUP BY 1),
+       |verdicts AS (
+       |  SELECT d.doc_id, d.lang, $qualityExpr AS quality_score,
+       |    CASE
+       |      WHEN $qualityExpr < $QualityMin THEN 'low_quality'
+       |      WHEN c.content_hash IN (SELECT content_hash FROM corpus_h)
+       |        THEN 'exact_dup_corpus'
+       |      WHEN d.doc_id <> m.keeper THEN 'exact_dup_batch'
+       |      WHEN d.doc_id IN (SELECT doc_id FROM nearc) THEN 'near_dup_corpus'
+       |      WHEN d.doc_id IN (SELECT doc_id FROM nearb) THEN 'near_dup_batch'
+       |      ELSE 'kept' END AS verdict
+       |  FROM documents d
+       |  JOIN ch c ON d.doc_id = c.doc_id
+       |  JOIN bmin m ON c.content_hash = m.content_hash
+       |  WHERE d.source = '$inc')
+       |SELECT doc_id, lang, quality_score, verdict,
+       |  (verdict = 'kept') AS keep
+       |FROM verdicts""".stripMargin
+  }
 
   private val jaccardPairsSql =
     s"""SELECT doc_a, doc_b FROM (
@@ -722,6 +878,29 @@ object CurateQueries {
          |JOIN keepers k ON d.doc_id = k.doc_id
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
          |  AND $qualityExpr >= $QualityMin""".stripMargin,
+    // the corpus-vs-batch screen mirrors dedup_incremental's oracle
+    // (string-distinct shingles) and the within-batch screen mirrors
+    // dedup_ngram_jaccard's (hash-distinct) — each stage nests its
+    // family's convention so one truth per kernel survives composition
+    "curate_incremental" -> curateIncrementalSql,
+    // the append oracle is the REBUILD over corpus ∪ kept survivors —
+    // the hash gate itself proves append ≡ rebuild (the claim a
+    // merge-on-read index must honor); kept nests the screen verbatim
+    "curate_index_append" -> {
+      val inc = DedupQueries.IncomingSource
+      s"""WITH kept AS (SELECT doc_id FROM (
+         |$curateIncrementalSql
+         |) v WHERE verdict = 'kept'),
+         |alld AS (SELECT doc_id FROM documents WHERE source <> '$inc'
+         |         UNION ALL SELECT doc_id FROM kept),
+         |${DedupQueries.shingleCtes},
+         |exs AS (SELECT DISTINCT doc_id, ${Exact.md5LongSql("s")} AS h
+         |        FROM (SELECT DISTINCT doc_id, s FROM ex)
+         |        WHERE doc_id IN (SELECT doc_id FROM alld))
+         |SELECT h, count(*) AS df,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS docs_sig
+         |FROM exs GROUP BY h""".stripMargin
+    },
     "sample_split" ->
       s"""SELECT lang,
          |  CASE WHEN ${Exact.md5LongSql("'split|' || CAST(doc_id AS VARCHAR)")} % 100 < $TrainPct THEN 'train'

@@ -395,6 +395,56 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.lift(1).contains("scale11")) {
+      // The incremental-screen scale claim, measured on BOTH axes:
+      // cost grows with the BATCH, not the corpus. Two fixtures —
+      // corpus x10 at fixed batch (screen should stay ~flat; only the
+      // amortized index build grows) and batch x10 at fixed corpus
+      // (screen should grow ~linearly). Copies are content-SALTED (every
+      // token suffixed per copy) so growth adds genuinely new content:
+      // exact-copy growth would multiply posting-list dup mass instead,
+      // which is the dup-density axis, not the size axis. Copy 0 keeps
+      // the original text so the batch's true matches survive verbatim.
+      import graft.ext.dedup.DedupQueries
+      import graft.ext.pipeline.CurateQueries
+      import graft.ext.text.TextQueries
+      val inc = DedupQueries.IncomingSource
+      def salted = when(col("copy") === 0, col("text")).otherwise(
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, lit("c"), col("copy").cast("string")))))
+      def grow(df: org.apache.spark.sql.DataFrame) =
+        df.crossJoin(spark.range(10).toDF("copy"))
+          .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
+            salted.as("text"), col("lang"), col("source"),
+            length(salted).cast("long").as("n_chars"))
+      def keep(df: org.apache.spark.sql.DataFrame) =
+        df.select((col("doc_id") * 10).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val docs = Tables.documents(spark, dir)
+      val fixtures = Seq(
+        "corpus_x10" -> "/tmp/graft_scale11_corpus",
+        "batch_x10" -> "/tmp/graft_scale11_batch")
+      grow(docs.filter(col("source") =!= inc))
+        .union(keep(docs.filter(col("source") === inc)))
+        .write.mode("overwrite").parquet(s"${fixtures(0)._2}/documents.parquet")
+      keep(docs.filter(col("source") =!= inc))
+        .union(grow(docs.filter(col("source") === inc)))
+        .write.mode("overwrite").parquet(s"${fixtures(1)._2}/documents.parquet")
+      for ((label, d) <- ("base" -> dir) +: fixtures) {
+        graft.util.SnapshotCache.clearAll()
+        time(s"index build @ $label") {
+          val (posts, sizes) = DedupQueries.corpusIndex(spark, d)
+          val h = DedupQueries.corpusHashIndex(spark, d)
+          val (cnts, th) = TextQueries.pplArtifacts(spark, d)
+          posts.count() + sizes.count() + h.count() + cnts.count() + th.count()
+        }
+        time(s"curate_inc screen @ $label")(
+          CurateQueries.qCurateIncremental(spark, d).count())
+        time(s"ppl_inc screen @ $label")(
+          TextQueries.qPplBucketsIncremental(spark, d).count())
+      }
+      spark.stop(); return
+    }
     if (args.lift(1).contains("scale10d")) {
       // 10x multiplier probes for the round-10-continuation additions:
       // text_lm_score + q_l_diversity (documents x10), q_drift_ks

@@ -50,21 +50,47 @@ object SnapshotCache {
     }
   }
 
+  /** Session conf choosing the materialization tier:
+    * `false` (default) → `localCheckpoint` — executor-local blocks, the
+    * right call on local[n] and for artifacts cheap to rebuild;
+    * `true` → reliable `checkpoint` — survives executor loss, the
+    * SCALING.md deploy swap for a real cluster where a lost executor
+    * would otherwise fail every consumer of the artifact (localCheckpoint
+    * lineage is truncated and CANNOT recompute). One flag, consumers
+    * unchanged; SnapshotCacheSpec pins result equality across tiers. */
+  val ReliableConf = "spark.graft.snapshot.reliable"
+  /** Optional reliable-checkpoint directory (HDFS/S3 path on a cluster);
+    * defaults to a session-scoped temp dir when unset. */
+  val CheckpointDirConf = "spark.graft.snapshot.checkpointDir"
+
+  private def materialize(spark: SparkSession, df: DataFrame): DataFrame =
+    if (spark.conf.getOption(ReliableConf).exists(_.toBoolean)) {
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(
+          spark.conf.getOption(CheckpointDirConf).getOrElse(
+            java.nio.file.Files.createTempDirectory("graft_chk").toString))
+      df.checkpoint()
+    } else df.localCheckpoint()
+
   /** Return the cached materialization of `build` for (spark, dir, tag),
-    * building + localCheckpoint-ing on first use. */
+    * building + checkpointing on first use ([[ReliableConf]] picks the
+    * tier; the tier is part of the cache key so an in-session toggle
+    * rebuilds instead of silently reusing the other tier's blocks). */
   def snapshot(tag: String, spark: SparkSession, dir: String)
               (build: => DataFrame): DataFrame = {
     // evict entries for stopped sessions (their blocks died with the
     // executors — nothing left to unpersist)
     snapshots.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val key = (spark, dir, spark.conf.get("spark.sql.shuffle.partitions"), tag)
+    val tier = spark.conf.getOption(ReliableConf).exists(_.toBoolean).toString
+    val key = (spark, dir,
+      spark.conf.get("spark.sql.shuffle.partitions") + "|" + tier, tag)
     val cached = snapshots.get(key)
     if (cached ne null) cached
     else {
       // build OUTSIDE the map's bin lock: computeIfAbsent would hold it
       // for the length of a full Spark job, blocking unrelated builds
       // that hash to the same bin; on a race the loser's blocks are freed
-      val built = build.localCheckpoint()
+      val built = materialize(spark, build)
       val winner = snapshots.putIfAbsent(key, built)
       if (winner ne null) { release(built); winner } else built
     }

@@ -479,4 +479,130 @@ class CurateSpec extends SparkSpec {
     }
     out.unpersist()
   }
+
+  /** Synthetic corpus+batch exercising all six curate_incremental
+    * verdicts (the real tables only produce kept/near_dup_corpus at test
+    * SF) — built once, shared by the screen test and the sequential-
+    * lifecycle test. */
+  private lazy val incFixtureDir: String = {
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val textA = words("alpha", 25)
+    val textB = words("bravo", 25)
+    val textC = words("charlie", 25)
+    val textD = words("delta", 25)
+    val textE = words("echo", 25)
+    val junk = "000 111 222"
+    val inc = graft.ext.dedup.DedupQueries.IncomingSource
+    val dir = java.nio.file.Files.createTempDirectory("curate_inc").toString
+    Seq(
+      (1L, textA, "en", "src0"),            // corpus
+      (2L, textB, "en", "src0"),
+      (3L, junk, "en", "src0"),
+      (101L, textA, "en", inc),             // exact copy of corpus A
+      (102L, textC, "en", inc),             // batch-dup pair: keeper
+      (103L, textC, "en", inc),             // batch-dup pair: loser
+      (104L, textB + " bravoX", "en", inc), // near-dup of corpus B (j=23/24)
+      (105L, textD, "en", inc),             // within-batch near-dup: keeper
+      (106L, textD + " deltaX", "en", inc), // within-batch near-dup: loser
+      (107L, junk + " 333", "en", inc),     // low quality
+      (108L, junk, "en", inc),              // low quality AND exact corpus dup
+      (109L, textE, "en", inc))             // clean
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("curate_incremental: every verdict branch fires on a crafted batch, precedence holds") {
+    val dir = incFixtureDir
+    val inc = graft.ext.dedup.DedupQueries.IncomingSource
+    val out = CurateQueries.qCurateIncremental(spark, dir)
+      .select("doc_id", "verdict", "keep")
+      .as[(Long, String, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val expect = Map(
+      101L -> ("exact_dup_corpus", false),
+      102L -> ("kept", true),
+      103L -> ("exact_dup_batch", false),
+      104L -> ("near_dup_corpus", false),
+      105L -> ("kept", true),
+      106L -> ("near_dup_batch", false),
+      107L -> ("low_quality", false),
+      108L -> ("low_quality", false),      // precedence over exact_dup_corpus
+      109L -> ("kept", true))
+    assert(out.keySet == expect.keySet, s"batch grain: ${out.keySet}")
+    expect.foreach { case (id, e) =>
+      assert(out(id) == e, s"doc $id: got ${out(id)}, want $e")
+    }
+    // on the REAL tables: grain = full incoming slice, keep ⟺ kept
+    val real = CurateQueries.qCurateIncremental(spark, sf).cache()
+    val incoming = Tables.documents(spark, sf)
+      .filter(col("source") === inc).count()
+    assert(real.count() == incoming && incoming > 0)
+    assert(real.filter(col("keep") =!= (col("verdict") === "kept")).count() == 0)
+    real.unpersist()
+  }
+
+  test("index append ≡ rebuild from scratch over corpus ∪ survivors (real tables)") {
+    import graft.ext.dedup.DedupQueries
+    val inc = DedupQueries.IncomingSource
+    val (posts, sizes) = DedupQueries.corpusIndex(spark, sf)
+    val hashes = DedupQueries.corpusHashIndex(spark, sf)
+    val batch = Tables.documents(spark, sf).filter(col("source") === inc)
+    val kept = CurateQueries.qCurateIncremental(spark, sf)
+      .filter(col("keep")).select("doc_id")
+    val survivors = batch.join(kept, Seq("doc_id"), "left_semi")
+    val (ap, asz, ah) = DedupQueries.indexAppend(survivors, posts, sizes, hashes)
+    val (rp, rsz, rh) = DedupQueries.indexOf(
+      Tables.documents(spark, sf).filter(col("source") =!= inc).union(survivors))
+    def postSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("h"), array_join(transform(sort_array(col("docs")),
+        x => x.cast("string")), ",").as("d")).as[(Long, String)].collect().toSet
+    assert(postSet(ap) == postSet(rp), "posting lists diverge from rebuild")
+    assert(asz.as[(Long, Long)].collect().toSet == rsz.as[(Long, Long)].collect().toSet,
+      "size table diverges from rebuild")
+    assert(ah.as[String].collect().toSet == rh.as[String].collect().toSet,
+      "hash set diverges from rebuild")
+    assert(postSet(ap) != postSet(posts), "append must actually add survivors")
+  }
+
+  test("sequential lifecycle: screen b1 → append survivors → screen b2 ≡ one-shot keep set") {
+    import graft.ext.dedup.DedupQueries
+    val dir = incFixtureDir
+    val inc = DedupQueries.IncomingSource
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("source") =!= inc)
+    val batchAll = docs.filter(col("source") === inc)
+    // cross-batch dups: 103 (exact copy of 102 ∈ b1) and 106 (near-dup of
+    // 105 ∈ b1) arrive in the SECOND batch
+    val b1Ids = Set(101L, 102L, 105L, 107L)
+    val b1 = batchAll.filter(col("doc_id").isin(b1Ids.toSeq: _*))
+    val b2 = batchAll.filter(!col("doc_id").isin(b1Ids.toSeq: _*))
+    val (p0, s0, h0) = DedupQueries.indexOf(corpus)
+    val r1 = CurateQueries.curateScreen(b1, p0, s0, h0).cache()
+    val surv1 = b1.join(r1.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val (p1, s1, h1) = DedupQueries.indexAppend(surv1, p0, s0, h0)
+    val r2 = CurateQueries.curateScreen(b2, p1, s1, h1).cache()
+    val seqVerdicts = (r1.union(r2)).select("doc_id", "verdict", "keep")
+      .as[(Long, String, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // keep set identical to the one-shot screen
+    val oneShot = CurateQueries.qCurateIncremental(spark, dir)
+      .select("doc_id", "verdict", "keep")
+      .as[(Long, String, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(seqVerdicts.keySet == oneShot.keySet)
+    assert(seqVerdicts.filter(_._2._2).keySet == oneShot.filter(_._2._2).keySet,
+      "sequential lifecycle must keep exactly the one-shot survivor set")
+    // cross-batch dups reroute batch-verdicts to corpus-verdicts — the
+    // labels a deployment actually records once earlier survivors are
+    // part of the index
+    assert(oneShot(103L)._1 == "exact_dup_batch" &&
+      seqVerdicts(103L)._1 == "exact_dup_corpus")
+    assert(oneShot(106L)._1 == "near_dup_batch" &&
+      seqVerdicts(106L)._1 == "near_dup_corpus")
+    // all other verdicts are unchanged
+    (seqVerdicts.keySet -- Set(103L, 106L)).foreach { id =>
+      assert(seqVerdicts(id) == oneShot(id), s"doc $id verdict drifted")
+    }
+    r1.unpersist(); r2.unpersist()
+  }
 }
