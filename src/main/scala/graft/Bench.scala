@@ -47,8 +47,18 @@ object Bench {
               graft.batch.BasketQueries.basketSnapshot(spark, sfDir)
               val bT1 = System.nanoTime()
               graft.ext.text.TextQueries.lmScoreSnapshot(spark, sfDir)
+              val bT2 = System.nanoTime()
+              // r11: the trained BPE tokenizer (merge table + final
+              // vocabulary, one training loop shared by bpe_train/encode)
+              graft.ext.text.TextQueries.bpeArtifacts(spark, sfDir)
+              val bT3 = System.nanoTime()
+              // r11: the tokenized corpus (doc-grain token counts +
+              // stream signatures, read by bpe_encode/bpe_eval/pack_sequences)
+              graft.ext.text.TextQueries.bpeEncoded(spark, sfDir)
               val d2 = d :+ ("baskets" -> (bT1 - bT0) / 1e9) :+
-                ("lm_scores" -> (System.nanoTime() - bT1) / 1e9)
+                ("lm_scores" -> (bT2 - bT1) / 1e9) :+
+                ("bpe_tokenizer" -> (bT3 - bT2) / 1e9) :+
+                ("bpe_encoded" -> (System.nanoTime() - bT3) / 1e9)
               ((System.nanoTime() - snapT0) / 1e9, d2) }
         catch { case _: Throwable => (-1.0, Seq.empty[(String, Double)]) }
       val entries = ("snapshot_build" -> snapSecs) +: ordered.map { case (name, fn) =>

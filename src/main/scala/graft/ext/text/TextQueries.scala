@@ -393,17 +393,110 @@ object TextQueries {
     * corpus-sized; the driver holds one elected pair per round (the
     * k-means centroid-collect pattern, K=1); vocabulary re-checkpoints
     * per round to truncate lineage like the components loop. */
-  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    bpeTrainLoop(spark, dir)._1
-      .toDF("round", "merge_left", "merge_right", "pair_count")
-  }
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeArtifacts(spark, dir)._1
 
   /** The merged vocabulary AFTER the [[qBpeTrain]] loop — exposed for the
     * spec's driver replay (the merge table alone does not show the final
     * word segmentations). */
   private[graft] def bpeFinalVocab(spark: SparkSession, dir: String): DataFrame =
-    bpeTrainLoop(spark, dir)._2
+    bpeArtifacts(spark, dir)._2
+
+  /** The trained tokenizer as suite-scoped snapshot artifacts — (merge
+    * table, final word-segmentation vocabulary). The training loop runs
+    * AT MOST ONCE per suite (the corpusIndex shared-build discipline):
+    * both artifacts derive from one [[bpeTrainLoop]] call on a cold
+    * build, and bpe_train / bpe_encode / the spec hooks all read the
+    * same materialization — exactly the deployment shape, where a
+    * tokenizer is trained once per corpus version and shipped to every
+    * consumer. */
+  private[graft] def bpeArtifacts(spark: SparkSession,
+                                  dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    var computed: Option[(Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame)] = None
+    def loop = {
+      if (computed.isEmpty) computed = Some(bpeTrainLoop(spark, dir))
+      computed.get
+    }
+    val mt = graft.util.SnapshotCache.snapshot("bpe_merges", spark, dir)(
+      loop._1.toDF("round", "merge_left", "merge_right", "pair_count"))
+    val fv = graft.util.SnapshotCache.snapshot("bpe_vocab", spark, dir)(loop._2)
+    (mt, fv)
+  }
+
+  /** BPE ENCODING — the trained tokenizer APPLIED to the corpus, closing
+    * the lifecycle ([[qBpePairs]] census → [[qBpeTrain]] merge loop →
+    * encode): every document's token stream under the final
+    * segmentation vocabulary, reported as per-doc word/BPE-token counts
+    * plus an order-exact stream signature (md5 of the position-ordered
+    * segment sequence — one transposed or mis-segmented token anywhere
+    * fails the hash gate; the text_token_ids ids_sig discipline). The
+    * token-budget number a training run actually plans with is
+    * n_bpe_tokens under the REAL tokenizer, not the whitespace proxy.
+    *
+    * Shape: the segmentation vocabulary is Zipf-bounded and broadcasts
+    * (a production 100k-merge vocab is still kilobytes-per-entry); the
+    * corpus pass is one narrow posexplode + broadcast join + one
+    * doc-keyed aggregate — linear in corpus tokens, no corpus-sized
+    * shuffle beyond the doc-key collect. Every corpus word hits the
+    * vocabulary by construction (trained on the same corpus); an
+    * out-of-corpus encode would left-join with a char-fallback instead. */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncoded(spark, dir)
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"), col("seq_sig"))
+
+  /** The doc-grain ENCODED frame behind [[qBpeEncode]] / [[qBpeEval]] /
+    * CurateQueries.qPackSequences, as a suite-scoped snapshot: the
+    * corpus is tokenized ONCE per corpus version and the token-count /
+    * signature stats are what every downstream consumer (budgeting,
+    * packing, fertility audits) reads — the materialized
+    * `tokenized/` table of a production pipeline. Adds `n_word_chars`
+    * (total characters across the doc's words — the denominator of the
+    * compression audit) to the gate columns. */
+  private[graft] def bpeEncoded(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SnapshotCache.snapshot("bpe_encoded", spark, dir) {
+      val segs = bpeArtifacts(spark, dir)._2
+        .select(regexp_replace(col("sym"), " ", "").as("w"), col("sym").as("seg"),
+          size(split(col("sym"), " ")).cast("long").as("nseg"))
+      Tables.rebalanced(spark, Tables.documents(spark, dir))
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
+        .join(broadcast(segs), Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("nseg")).as("n_bpe_tokens"),
+          sum(length(col("w")).cast("long")).as("n_word_chars"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("seg")))),
+            x => x.getField("seg")))).as("seq_sig"))
+    }
+
+  /** Tokenizer CALIBRATION CARD — the eval every trained artifact ships
+    * before its numbers drive decisions (the text_lm_eval / ann_eval
+    * discipline): per source, corpus-weighted FERTILITY (BPE tokens per
+    * 1000 words — the multiplier that converts a word budget into the
+    * token budget a training run is actually priced in) and
+    * CHARS-PER-TOKEN (word characters per 1000 BPE tokens — the
+    * compression the merge table actually bought, the number a tokenizer
+    * bake-off compares). Both integer-milli via exact floor division, so
+    * the card hash-matches the oracle bit-for-bit.
+    *
+    * Shape: a 1:1 doc-keyed join of the snapshotted encode frame against
+    * a two-column documents projection, then a ~|sources|-row aggregate
+    * with map-side combine — probe-side cost only, the trained encode
+    * frame is read, never rebuilt. */
+  def qBpeEval(spark: SparkSession, dir: String): DataFrame =
+    bpeEncoded(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        sum(col("n_word_chars")).as("n_word_chars"))
+      .withColumn("fertility_milli",
+        expr("(1000 * n_bpe_tokens) DIV n_words"))
+      .withColumn("chars_per_token_milli",
+        expr("(1000 * n_word_chars) DIV n_bpe_tokens"))
 
   private val byWord =
     org.apache.spark.sql.expressions.Window.partitionBy("sym").orderBy("i")
@@ -950,6 +1043,8 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_train"          -> (qBpeTrain _),
+    "bpe_encode"         -> (qBpeEncode _),
+    "bpe_eval"           -> (qBpeEval _),
     "text_lm_score"      -> (qLmScore _),
     "text_lm_eval"       -> (qLmEval _),
     "text_ppl_buckets"   -> (qPplBuckets _),
@@ -1076,43 +1171,71 @@ object TextQueries {
     * generated CTEs, one truth for election AND rewrite): census the
     * adjacent pairs of v_k, elect b_k by (count desc, l, r), rewrite
     * with the same odd-run-offset greedy rule as the engine. */
+  /** One unrolled BPE round as DuckDB CTEs. Every CTE is MATERIALIZED:
+    * DuckDB inlines single-reference CTEs by default, and the round
+    * chain references its predecessor several times (census + rewrite +
+    * four scalar reads of the election) — inlined, the re-evaluation
+    * compounds per round (~20 s at sf0.001, unbounded at sf0.01);
+    * materialized, the whole unroll is sub-second at sf0.01. */
   private def bpeRoundCtes(k: Int): String =
-    s"""p$k AS (
+    s"""p$k AS MATERIALIZED (
        |  SELECT split_part(pr, ' ', 1) AS l, split_part(pr, ' ', 2) AS r,
        |    CAST(sum(freq) AS BIGINT) AS c
        |  FROM (SELECT freq,
        |          unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]) AS pr
        |        FROM (SELECT freq, string_split(sym, ' ') AS t FROM v$k))
        |  GROUP BY 1, 2),
-       |b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
-       |x$k AS (
+       |b$k AS MATERIALIZED (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+       |x$k AS MATERIALIZED (
        |  SELECT sym AS w, freq, unnest(string_split(sym, ' ')) AS s,
        |    unnest(generate_series(1, len(string_split(sym, ' ')))) AS i
        |  FROM v$k),
-       |n$k AS (
+       |n$k AS MATERIALIZED (
        |  SELECT w, freq, i, s, lead(s) OVER (PARTITION BY w ORDER BY i) AS nx
        |  FROM x$k),
-       |m$k AS (
+       |m$k AS MATERIALIZED (
        |  SELECT w, freq, i, s,
        |    (s = (SELECT l FROM b$k) AND nx = (SELECT r FROM b$k)) AS m
        |  FROM n$k),
-       |st$k AS (
+       |st$k AS MATERIALIZED (
        |  SELECT w, i,
        |    (row_number() OVER (PARTITION BY w, grp ORDER BY i) % 2 = 1) AS start
        |  FROM (SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
        |        FROM m$k WHERE m)),
-       |g$k AS (
+       |g$k AS MATERIALIZED (
        |  SELECT m.w, m.freq, m.i, m.s,
        |    coalesce(st.start, false) AS st,
        |    coalesce(lag(coalesce(st.start, false))
        |      OVER (PARTITION BY m.w ORDER BY m.i), false) AS cons
        |  FROM m$k m LEFT JOIN st$k st ON st.w = m.w AND st.i = m.i),
-       |v${k + 1} AS (
+       |v${k + 1} AS MATERIALIZED (
        |  SELECT string_agg(
        |      CASE WHEN st THEN (SELECT l FROM b$k) || (SELECT r FROM b$k)
        |           WHEN cons THEN NULL ELSE s END, ' ' ORDER BY i) AS sym,
        |    freq
        |  FROM g$k GROUP BY w, freq)""".stripMargin
+
+  /** The full encode-side CTE chain — character-split vocabulary, the
+    * [[BpeMerges]] unrolled rewrite rounds, the final segmentation table
+    * (`wseg`: word → trained segmentation + per-word token count), and
+    * the corpus at word grain with positions (`dw`). Shared verbatim by
+    * the bpe_encode / bpe_eval oracles and CurateQueries' pack_sequences
+    * — one truth for the trained tokenizer across every consumer. */
+  private[graft] lazy val bpeSegCtes: String =
+    s"""v0 AS MATERIALIZED (
+       |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym, freq
+       |  FROM (SELECT w, count(*) AS freq
+       |        FROM (SELECT unnest($toksSql) AS w FROM documents)
+       |        GROUP BY 1)),
+       |${(0 until BpeMerges).map(bpeRoundCtes).mkString(",\n")},
+       |wseg AS MATERIALIZED (
+       |  SELECT replace(sym, ' ', '') AS w, sym AS seg,
+       |    CAST(len(string_split(sym, ' ')) AS BIGINT) AS nseg
+       |  FROM v$BpeMerges),
+       |dw AS MATERIALIZED (
+       |  SELECT doc_id, unnest(t) AS w,
+       |    unnest(generate_series(1, len(t))) AS pos
+       |  FROM (SELECT doc_id, $toksSql AS t FROM documents))""".stripMargin
 
   /** The text_quality_model statement — shared verbatim by its own oracle,
     * the LM eval that cross-tabulates against it, and the per-source cap's
@@ -1168,7 +1291,7 @@ object TextQueries {
     // electing from the PREVIOUS round's rewrite — a wrong merge anywhere
     // shifts every later round's counts
     "bpe_train" ->
-      s"""WITH v0 AS (
+      s"""WITH v0 AS MATERIALIZED (
          |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym, freq
          |  FROM (SELECT w, count(*) AS freq
          |        FROM (SELECT unnest($toksSql) AS w FROM documents)
@@ -1180,6 +1303,37 @@ object TextQueries {
                 s"r AS merge_right, c AS pair_count FROM b$k")
               .mkString("\nUNION ALL\n")}
          |) ORDER BY round""".stripMargin,
+    // the same unrolled rounds, but read at the FINAL vocabulary state:
+    // words rejoin their trained segmentations (1:1 — the vocab is the
+    // corpus's own), and the position-ordered segment stream hashes so
+    // any segmentation or ordering slip anywhere fails the gate
+    "bpe_encode" ->
+      s"""WITH $bpeSegCtes
+         |SELECT d.doc_id, count(*) AS n_words,
+         |  CAST(sum(s.nseg) AS BIGINT) AS n_bpe_tokens,
+         |  md5(string_agg(s.seg, ' ' ORDER BY d.pos)) AS seq_sig
+         |FROM dw d JOIN wseg s USING (w)
+         |GROUP BY 1""".stripMargin,
+    // the encode chain nested verbatim (one truth with bpe_encode), the
+    // per-source sums as exact BIGINTs, the same floor divisions
+    "bpe_eval" ->
+      s"""WITH $bpeSegCtes,
+         |perdoc AS MATERIALIZED (
+         |  SELECT d.doc_id, count(*) AS n_words,
+         |    CAST(sum(s.nseg) AS BIGINT) AS n_bpe_tokens,
+         |    CAST(sum(length(d.w)) AS BIGINT) AS n_word_chars
+         |  FROM dw d JOIN wseg s USING (w)
+         |  GROUP BY 1)
+         |SELECT doc.source, count(*) AS n_docs,
+         |  CAST(sum(p.n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(p.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(p.n_word_chars) AS BIGINT) AS n_word_chars,
+         |  (1000 * CAST(sum(p.n_bpe_tokens) AS BIGINT))
+         |    // CAST(sum(p.n_words) AS BIGINT) AS fertility_milli,
+         |  (1000 * CAST(sum(p.n_word_chars) AS BIGINT))
+         |    // CAST(sum(p.n_bpe_tokens) AS BIGINT) AS chars_per_token_milli
+         |FROM perdoc p JOIN documents doc ON p.doc_id = doc.doc_id
+         |GROUP BY 1""".stripMargin,
     // same hash split, same width-2 comprehension over the shared token
     // definition, same length(bin(1+cnt))−1 integer log2 — the quantized
     // familiarity is engine-identical with no float log anywhere

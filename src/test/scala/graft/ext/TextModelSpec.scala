@@ -201,6 +201,61 @@ class TextModelSpec extends SparkSpec {
     got.foreach { case (_, _, _, c) => assert(c > 0L) }
   }
 
+  test("bpe_encode: per-doc counts and stream signature equal a driver replay") {
+    // one-truth chain: bpeFinalVocab is pinned ≡ an independent driver
+    // BPE by the bpe_train test above; the encode replay reads THAT map
+    val segMap = TextQueries.bpeFinalVocab(spark, sf).collect()
+      .map(r => r.getString(0).replace(" ", "") -> r.getString(0)).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> toksRef(r.getString(1)))
+      .filter(_._2.nonEmpty)
+      .map { case (id, ts) =>
+        val segs = ts.map(segMap)
+        id -> ((ts.size.toLong,
+          segs.map(_.split(" ").length.toLong).sum,
+          md5hex(segs.mkString(" "))))
+      }.toMap
+    assert(expect.nonEmpty)
+    val got = TextQueries.queries("bpe_encode")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == expect)
+    // the merges genuinely compress: strictly fewer BPE tokens than
+    // characters corpus-wide (at least one of the 4 trained merges fires)
+    val totalSegs = got.values.map(_._2).sum
+    val totalChars = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => toksRef(r.getString(0))).map(_.length.toLong).sum
+    assert(totalSegs > 0 && totalSegs < totalChars,
+      s"no compression: $totalSegs segs vs $totalChars chars")
+  }
+
+  test("bpe_eval: per-source fertility/compression card equals a driver replay") {
+    // same one-truth chain as the encode test: the replay reads the
+    // independently-pinned bpeFinalVocab segmentations
+    val segMap = TextQueries.bpeFinalVocab(spark, sf).collect()
+      .map(r => r.getString(0).replace(" ", "") -> r.getString(0)).toMap
+    val rows = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), toksRef(r.getString(1))))
+      .filter(_._2.nonEmpty)
+    val expect = rows.groupBy(_._1).map { case (src, ds) =>
+      val words = ds.map(_._2.size.toLong).sum
+      val toks = ds.flatMap(_._2).map(w => segMap(w).split(" ").length.toLong).sum
+      val chars = ds.flatMap(_._2).map(_.length.toLong).sum
+      src -> ((ds.size.toLong, words, toks, chars,
+        1000L * toks / words, 1000L * chars / toks))
+    }
+    val got = TextQueries.queries("bpe_eval")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expect)
+    // floors: a word is ≥ 1 token, a token is ≥ 1 character
+    got.values.foreach { case (_, _, _, _, fert, cpt) =>
+      assert(fert >= 1000L && cpt >= 1000L,
+        s"fertility $fert / chars-per-token $cpt below floor")
+    }
+  }
+
   test("text_ppl_buckets: scored-doc grain, legal ids, ordered non-overlapping terciles, ties intact") {
     val dir = "/root/testdata/sf0.01"
     val out = TextQueries.qPplBuckets(spark, dir).cache()
