@@ -305,7 +305,8 @@ object DedupQueries {
       timed("inc_corpus_index")(corpusIndex(spark, dir)),
       timed("span_corpus_index")(spanCorpusIndex(spark, dir)),
       timed("emb_inc_index")(embIncCorpusIndex(spark, dir)),
-      timed("inc_exact_hashes")(corpusHashIndex(spark, dir)))
+      timed("inc_exact_hashes")(corpusHashIndex(spark, dir)),
+      timed("inc_doc_hashes")(corpusDocHashes(spark, dir)))
   }
 
   private def snapshot(tag: String, spark: SparkSession, dir: String)
@@ -456,6 +457,45 @@ object DedupQueries {
       survivors.select(md5(TextNorm.norm(col("text"))).as("content_hash")))
       .distinct()
     (newPosts, newSizes, newHashes)
+  }
+
+  /** DOC-GRAIN content-hash table of the corpus — (doc_id, content_hash),
+    * one row per corpus document. The distinct set ([[corpusHashIndex]])
+    * is the probe-side optimization a screen joins against; the doc
+    * grain is what a deployment PERSISTS, because deletion needs it: a
+    * hash may be shared by several docs, so removing one doc must not
+    * remove the hash unless no survivor carries it ([[indexForget]]). */
+  private[graft] def corpusDocHashes(spark: SparkSession, dir: String): DataFrame =
+    snapshot("inc-doc-hashes", spark, dir)(
+      Tables.documents(spark, dir).filter(col("source") =!= IncomingSource)
+        .select(col("doc_id"), md5(TextNorm.norm(col("text"))).as("content_hash")))
+
+  /** The index FORGET — the right-to-be-forgotten step on the persisted
+    * screen artifacts: remove a REQUEST LIST of documents from the
+    * posting lists, size table, and content-hash table without touching
+    * the corpus (at 100 TB, re-deriving the index from the documents is
+    * exactly the scan a deletion SLA cannot afford — the index must be
+    * editable in place). The request list is human-initiated and bounded
+    * (the q_forget convention), so it travels as a literal array /
+    * broadcast: the posting rewrite is ONE narrow `array_except` pass
+    * over the index (no explode/regroup, no shuffle — the compaction
+    * form; a merge-on-read deployment writes the list as tombstones and
+    * applies it at read time, same semantics), emptied postings drop,
+    * and sizes/hashes anti-filter. Content hashes need the DOC GRAIN
+    * ([[corpusDocHashes]]): a hash survives iff a surviving document
+    * still carries it. Forget ≡ rebuild-over-remaining is the gate —
+    * CurateSpec pins all three artifacts against [[indexOf]], and the
+    * curate_index_forget ORACLE is the rebuild. */
+  private[graft] def indexForget(forgetIds: Seq[Long], posts: DataFrame,
+                                 oldSizes: DataFrame, docHashes: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val arr = typedlit(forgetIds.sorted)
+    val newPosts = posts
+      .select(col("h"), array_except(col("docs"), arr).as("docs"))
+      .filter(size(col("docs")) > 0)
+    val newSizes = oldSizes.filter(!col("old_doc_id").isin(forgetIds: _*))
+    val newDocHashes = docHashes.filter(!col("doc_id").isin(forgetIds: _*))
+    (newPosts, newSizes, newDocHashes)
   }
 
   /** Document-frequency cap for the adversarial-corpus variant: shingles

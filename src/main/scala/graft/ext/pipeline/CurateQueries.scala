@@ -145,6 +145,60 @@ object CurateQueries {
         col("n_tokens"), col("lang_offset"))
   }
 
+  /** Fixed context length of the GPT-style packed training sequences. */
+  val PackSeqLen = 256L
+  /** Contiguous hash-range buckets for the two-phase prefix sum (2^60-bit
+    * hash space split into 2^6 equal ranges). */
+  private val PackBuckets = 64L
+
+  /** GPT-style SEQUENCE PACKING under the REAL tokenizer — the step that
+    * turns a curated corpus into the fixed-length training sequences a
+    * loader feeds the model: documents are laid out in a deterministic
+    * hash-shuffled order (the loader's reproducible shuffle), their BPE
+    * token streams concatenated, and the stream cut every [[PackSeqLen]]
+    * tokens (docs span cuts; the loader resets attention at doc
+    * boundaries — the standard pretraining packing, zero padding waste
+    * vs the first-fit alternative). Output is doc grain: each doc's
+    * global token offset and the first/last/count of the sequences it
+    * lands in — the index a loader seeks by, and the join key for
+    * attributing a training batch back to documents. Token counts come
+    * from the SNAPSHOTTED encode frame ([[TextQueries.bpeEncoded]] — the
+    * trained tokenizer, not the whitespace proxy), so budget = layout by
+    * construction.
+    *
+    * Scale shape: the global running offset is an EXCLUSIVE PREFIX SUM
+    * over a total order — the corpus-sized global window Spark would
+    * naively run on one partition. Two-phase kernel instead (the
+    * q_global_rank discipline): the 60-bit hash key splits into
+    * [[PackBuckets]] CONTIGUOUS ranges, each bucket cumsums internally
+    * (parallel windows over corpus/64-sized partitions), and the
+    * cross-bucket offsets are one window over a 64-row aggregate. At
+    * 100 TB raise PackBuckets to O(partitions) — the bucket frame stays
+    * kilobytes. */
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val enc = TextQueries.bpeEncoded(spark, dir)
+      .select(col("doc_id"), col("n_bpe_tokens"),
+        Exact.md5Long(concat(lit("pack|"), col("doc_id"))).as("k"))
+      .withColumn("b", expr(s"k DIV ${(1L << 60) / PackBuckets}"))
+    val inBucket = Window.partitionBy("b").orderBy("k", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val acrossBuckets = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = enc.groupBy(col("b"))
+      .agg(sum(col("n_bpe_tokens")).as("b_tokens"))
+      .select(col("b"), coalesce(sum(col("b_tokens")).over(acrossBuckets),
+        lit(0L)).as("b_off"))
+    enc
+      .withColumn("in_off",
+        coalesce(sum(col("n_bpe_tokens")).over(inBucket), lit(0L)))
+      .join(broadcast(bucketOffsets), Seq("b"))
+      .withColumn("tok_offset", col("b_off") + col("in_off"))
+      .select(col("doc_id"), col("n_bpe_tokens"), col("tok_offset"),
+        expr(s"tok_offset DIV $PackSeqLen").as("seq_first"),
+        expr(s"(tok_offset + n_bpe_tokens - 1) DIV $PackSeqLen").as("seq_last"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + lit(1L))
+  }
+
   /** Benchmark-contamination check: for each held-out (test-split) doc,
     * the fraction of its distinct 3-gram shingles that appear anywhere in
     * the train split — the standard train/test leakage audit before a
@@ -729,16 +783,53 @@ object CurateQueries {
         x => x.cast("string")), ",")).as("docs_sig"))
   }
 
+  /** Percent of corpus documents on the synthetic deletion list — at
+    * deployment, the actual RTBF request list (q_forget's convention). */
+  val ForgetPct = 5L
+
+  /** The deterministic deletion list: corpus docs (never the incoming
+    * batch — you can't forget what isn't indexed yet) whose salted hash
+    * lands under [[ForgetPct]]%. Collected to the driver BY DESIGN: a
+    * deletion list is human-initiated and bounded, and the posting-list
+    * rewrite needs it as a literal ([[DedupQueries.indexForget]]). */
+  private def forgetList(spark: SparkSession, dir: String): Seq[Long] =
+    Tables.documents(spark, dir)
+      .filter(col("source") =!= DedupQueries.IncomingSource)
+      .filter(pmod(Exact.md5Long(concat(lit("forget|"), col("doc_id"))),
+        lit(100L)) < ForgetPct)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+
+  /** The index-forget GATE query — [[qIndexAppend]]'s inverse lifecycle
+    * step: the posting table AFTER deleting the request list from the
+    * persisted artifacts in place, same (h, df, docs_sig) projection.
+    * The ORACLE rebuilds the index from scratch over corpus MINUS the
+    * request list, so the hash gate row-for-row proves in-place forget
+    * ≡ full rebuild — the deletion-completeness invariant a GDPR audit
+    * actually checks (a doc id lingering in ANY posting list flips that
+    * row's membership signature). */
+  def qIndexForget(spark: SparkSession, dir: String): DataFrame = {
+    val (posts, sizes) = DedupQueries.corpusIndex(spark, dir)
+    val docHashes = DedupQueries.corpusDocHashes(spark, dir)
+    val (newPosts, _, _) =
+      DedupQueries.indexForget(forgetList(spark, dir), posts, sizes, docHashes)
+    newPosts.select(col("h"),
+      size(col("docs")).cast("long").as("df"),
+      md5(array_join(transform(sort_array(col("docs")),
+        x => x.cast("string")), ",")).as("docs_sig"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_cap"     -> (qSourceCap _),
     "corpus_report"    -> (qCorpusReport _),
     "curate_pipeline"  -> (qCurate _),
     "curate_incremental" -> (qCurateIncremental _),
     "curate_index_append" -> (qIndexAppend _),
+    "curate_index_forget" -> (qIndexForget _),
     "curate_clustered" -> (qCurateClustered _),
     "sample_split"    -> (qSampleSplit _),
     "pack_shards"     -> (qPackShards _),
     "pack_manifest"   -> (qPackManifest _),
+    "pack_sequences"  -> (qPackSequences _),
     "q_contamination" -> (qContamination _),
     "q_decontam_scrub" -> (qDecontamScrub _),
     "q_global_rank"   -> (qGlobalRank _),
@@ -893,6 +984,22 @@ object CurateQueries {
          |) v WHERE verdict = 'kept'),
          |alld AS (SELECT doc_id FROM documents WHERE source <> '$inc'
          |         UNION ALL SELECT doc_id FROM kept),
+         |${DedupQueries.shingleCtes},
+         |exs AS (SELECT DISTINCT doc_id, ${Exact.md5LongSql("s")} AS h
+         |        FROM (SELECT DISTINCT doc_id, s FROM ex)
+         |        WHERE doc_id IN (SELECT doc_id FROM alld))
+         |SELECT h, count(*) AS df,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS docs_sig
+         |FROM exs GROUP BY h""".stripMargin
+    },
+    // the forget oracle is the REBUILD over corpus MINUS the request
+    // list (same salted-hash selection) — the gate proves the in-place
+    // artifact edit leaves no forgotten id in any posting list
+    "curate_index_forget" -> {
+      val inc = DedupQueries.IncomingSource
+      val fkey = Exact.md5LongSql("'forget|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH alld AS (SELECT doc_id FROM documents
+         |  WHERE source <> '$inc' AND $fkey % 100 >= $ForgetPct),
          |${DedupQueries.shingleCtes},
          |exs AS (SELECT DISTINCT doc_id, ${Exact.md5LongSql("s")} AS h
          |        FROM (SELECT DISTINCT doc_id, s FROM ex)
@@ -1106,6 +1213,30 @@ object CurateQueries {
          |    AS BIGINT) AS position,
          |  doc_id, n_tokens, lang_offset
          |FROM packed""".stripMargin,
+    // the encode chain nested verbatim (one truth with bpe_encode), the
+    // exclusive prefix sum replayed as ONE global window over the same
+    // (hash, doc_id) total order — the single-window statement the
+    // two-phase Spark kernel must equal row-for-row
+    "pack_sequences" -> {
+      val packKey = Exact.md5LongSql("'pack|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH ${TextQueries.bpeSegCtes},
+         |perdoc AS MATERIALIZED (
+         |  SELECT d.doc_id, CAST(sum(s.nseg) AS BIGINT) AS n
+         |  FROM dw d JOIN wseg s USING (w)
+         |  GROUP BY 1),
+         |o AS (
+         |  SELECT doc_id, n,
+         |    CAST(coalesce(sum(n) OVER (ORDER BY $packKey, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS tok_offset
+         |  FROM perdoc)
+         |SELECT doc_id, n AS n_bpe_tokens, tok_offset,
+         |  tok_offset // $PackSeqLen AS seq_first,
+         |  (tok_offset + n - 1) // $PackSeqLen AS seq_last,
+         |  (tok_offset + n - 1) // $PackSeqLen
+         |    - tok_offset // $PackSeqLen + 1 AS n_seqs
+         |FROM o""".stripMargin
+    },
     // the cluster statement nests verbatim (one truth with the
     // dedup_clusters gate); 1000 // n is DuckDB integer division, the
     // twin of Spark's 1000 DIV n_dups on BIGINT operands

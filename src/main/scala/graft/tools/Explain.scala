@@ -212,7 +212,41 @@ object Explain {
       "FK walk with the request list broadcast and the derived " +
       "order-key list checkpointed once; each per-table card is two " +
       "1-row aggregates met by a broadcast cross — counts, never " +
-      "row payloads, cross stage boundaries (2.8x at 10x)."))
+      "row payloads, cross stage boundaries (2.8x at 10x)."),
+    "curate_incremental" -> ("The daily screen, probe-side end to end: " +
+      "the corpus appears ONLY as RDD scans of its three persisted " +
+      "artifacts (posting lists, sizes, hash set); every batch-derived " +
+      "frame — quality projection, content hashes, candidate " +
+      "intersections, verdict flags — is micro-batch-sized, and all " +
+      "four verdict flags broadcast into the final projection. Screen " +
+      "cost flat under corpus x10 (scale11)."),
+    "curate_index_append" -> ("Index append as a co-partitioned merge: " +
+      "the corpus posting table meets the batch's postings in ONE " +
+      "full-outer SortMergeJoin on the index key with a list concat — " +
+      "no explode/regroup of the corpus side, so at 100 TB (bucketed " +
+      "by h) the corpus index never re-shuffles; the membership " +
+      "signature is a narrow projection over the merged lists."),
+    "text_ppl_buckets_incremental" -> ("Threshold routing against " +
+      "frozen artifacts: the batch scores through the persisted bigram " +
+      "count table (RDD scan) in the one bigram-keyed join, then the " +
+      "per-language cut scores attach as a <=|langs|-row broadcast — " +
+      "no corpus pass, no window anywhere in the probe plan."),
+    "bpe_encode" -> ("Tokenizer application: the Zipf-bounded trained " +
+      "segmentation vocabulary rides a BroadcastHashJoin against the " +
+      "narrow posexplode of the corpus (no shuffle to meet the vocab), " +
+      "then ONE doc-keyed aggregate reassembles counts + the ordered " +
+      "stream signature — linear in corpus tokens."),
+    "pack_sequences" -> ("Exclusive prefix sum WITHOUT the global " +
+      "window: contiguous hash-range buckets cumsum in PARALLEL window " +
+      "partitions, the 64-row bucket-total frame takes the only global " +
+      "(tiny) window, offsets attach by broadcast — the corpus-sized " +
+      "'WindowExec: No Partition Defined' trap never appears " +
+      "(spec-pinned vs a driver cumsum)."),
+    "curate_index_forget" -> ("RTBF on the persisted index: the request " +
+      "list is a literal array, the posting rewrite is one narrow " +
+      "array_except projection over the RDD-scanned artifact — zero " +
+      "exchanges, zero corpus scans; the oracle proves the in-place " +
+      "edit equals a full rebuild."))
 
   /** Snapshot-backed registered entries serve a `localCheckpoint`, whose
     * plan is just an RDD scan — audit the underlying BUILD pipeline

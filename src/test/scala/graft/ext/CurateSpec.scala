@@ -98,6 +98,33 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("pack_sequences: two-phase offsets equal a driver cumsum over the hash order") {
+    def md5l(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    val enc = graft.ext.text.TextQueries.bpeEncoded(spark, sf)
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect()
+    val ordered = enc.sortBy { case (id, _) => (md5l(s"pack|$id"), id) }
+    var cum = 0L
+    val expectOff = ordered.map { case (id, n) =>
+      val o = cum; cum += n; id -> ((n, o))
+    }.toMap
+    val b = CurateQueries.PackSeqLen
+    val got = CurateQueries.qPackSequences(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == expectOff.keySet)
+    got.foreach { case (id, (n, off, first, last, nseqs)) =>
+      val (en, eo) = expectOff(id)
+      assert(n == en && off == eo, s"doc $id: ($n,$off) != ($en,$eo)")
+      assert(first == off / b && last == (off + n - 1) / b
+        && nseqs == last - first + 1, s"doc $id chunk math")
+    }
+    // conservation: the layout ends exactly at the corpus token total
+    assert(cum == enc.map(_._2).sum)
+  }
+
   test("CurateRunner materializes the curated corpus partitioned by (split, lang)") {
     val out = java.nio.file.Files.createTempDirectory("graft_curated").toString
     val n = CurateRunner.run(spark, sf, out)
@@ -604,5 +631,58 @@ class CurateSpec extends SparkSpec {
       assert(seqVerdicts(id) == oneShot(id), s"doc $id verdict drifted")
     }
     r1.unpersist(); r2.unpersist()
+  }
+
+  test("index forget ≡ rebuild from scratch over corpus minus the request list (real tables)") {
+    import graft.ext.dedup.DedupQueries
+    val inc = DedupQueries.IncomingSource
+    val corpus = Tables.documents(spark, sf).filter(col("source") =!= inc)
+    // deterministic request list, the qIndexForget selection
+    val ids = corpus
+      .filter(pmod(graft.functions.Exact.md5Long(
+        concat(lit("forget|"), col("doc_id"))), lit(100L)) < CurateQueries.ForgetPct)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(ids.nonEmpty, "fixture must put at least one doc on the list")
+    val (posts, sizes) = DedupQueries.corpusIndex(spark, sf)
+    val docHashes = DedupQueries.corpusDocHashes(spark, sf)
+    val (fp, fsz, fdh) = DedupQueries.indexForget(ids, posts, sizes, docHashes)
+    val (rp, rsz, rh) = DedupQueries.indexOf(
+      corpus.filter(!col("doc_id").isin(ids: _*)))
+    def postSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("h"), array_join(transform(sort_array(col("docs")),
+        x => x.cast("string")), ",").as("d")).as[(Long, String)].collect().toSet
+    assert(postSet(fp) == postSet(rp), "posting lists diverge from rebuild")
+    assert(fsz.as[(Long, Long)].collect().toSet
+      == rsz.as[(Long, Long)].collect().toSet, "size table diverges from rebuild")
+    assert(fdh.select("content_hash").distinct().as[String].collect().toSet
+      == rh.as[String].collect().toSet, "hash set diverges from rebuild")
+    assert(postSet(fp) != postSet(posts), "forget must actually remove members")
+    // deletion completeness: no forgotten id survives in any posting list
+    val lingering = fp.select(explode(col("docs")).as("doc_id"))
+      .filter(col("doc_id").isin(ids: _*)).count()
+    assert(lingering == 0L, s"$lingering forgotten ids linger in the index")
+  }
+
+  test("forget flips a batch doc's verdict: near-dup of a forgotten doc is now kept") {
+    import graft.ext.dedup.DedupQueries
+    val dir = incFixtureDir
+    val inc = DedupQueries.IncomingSource
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("source") =!= inc)
+    val batch = docs.filter(col("doc_id").isin(101L, 104L))
+    val (p0, s0, h0) = DedupQueries.indexOf(corpus)
+    val before = CurateQueries.curateScreen(batch, p0, s0, h0)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(before(101L) == "exact_dup_corpus" && before(104L) == "near_dup_corpus")
+    // forget docs 1 (exact source of 101) and 2 (near source of 104);
+    // the doc-grain hash table is what deletion needs (shared hashes)
+    val docHashes = corpus.select(col("doc_id"),
+      md5(graft.ext.text.TextNorm.norm(col("text"))).as("content_hash"))
+    val (p1, s1, dh1) = DedupQueries.indexForget(Seq(1L, 2L), p0, s0, docHashes)
+    val after = CurateQueries.curateScreen(batch, p1, s1,
+        dh1.select("content_hash").distinct())
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(after(101L) == "kept" && after(104L) == "kept",
+      s"forgetting the dup sources must clear both verdicts: $after")
   }
 }
