@@ -57,16 +57,40 @@ object PqQueries {
   /** PQ-encoded corpus: each vector's [[M]] one-byte codes — the argmin
     * over codebook literals, one narrow codegen'd pass (same shape as the
     * k-means assignment). This is the index-build job; at 100 TB its
-    * output (id + M bytes) is what the ANN serving layer stores. */
+    * output (id + cell + M bytes) is what the ANN serving layer stores —
+    * the `label` cell id rides along so the IVFADC composition can
+    * shard/prune the codes table by cell. */
   private def encoded(spark: SparkSession, dir: String,
                       cb: Array[Array[Array[Long]]]): DataFrame =
-    (0 until M).foldLeft(quantized(spark, dir).select(col("vec_id"), col("v"))) {
+    (0 until M).foldLeft(quantized(spark, dir).select(col("vec_id"), col("label"), col("v"))) {
       (df, m) =>
         df.withColumn(s"code_$m",
           array_min(array(cb(m).zipWithIndex.toIndexedSeq.map { case (c, j) =>
             struct(distTo(col("v"), m, c).as("dist"), lit(j.toLong).as("j"))
           }: _*)).getField("j"))
-    }.select(col("vec_id") +: (0 until M).map(m => col(s"code_$m")): _*)
+    }.select(col("vec_id") +: col("label") +: (0 until M).map(m => col(s"code_$m")): _*)
+
+  /** Per-query ADC lookup tables — [[M]] arrays of [[PqK]] exact subspace
+    * distances to every codebook entry, materialized once per query batch
+    * (the deployment shape: LUT build is per-batch work against codebook
+    * literals). Shared by the flat scan ([[qKnnPq]]) and the cell-pruned
+    * scan ([[qKnnIvfPq]]) so both tiers search with the identical tables. */
+  private def lutsFor(spark: SparkSession, dir: String,
+                      cb: Array[Array[Array[Long]]]): DataFrame =
+    (0 until M).foldLeft(
+      quantized(spark, dir)
+        .filter(col("vec_id") % SimQueries.QueryStride === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nsq").as("qn"))) {
+      (df, m) =>
+        df.withColumn(s"lut_$m",
+          array(cb(m).toIndexedSeq.map(c => distTo(col("qv"), m, c)): _*))
+    }.drop("qv").localCheckpoint()
+
+  /** The ADC score: [[M]] lookups into the per-query tables + ‖q‖². */
+  private def adcCol: Column =
+    (0 until M).map(m =>
+      element_at(col(s"lut_$m"), (col(s"code_$m") + 1).cast("int"))).reduce(_ + _) +
+      col("qn")
 
   /** PQ search with asymmetric distance computation (ADC): queries stay
     * exact; each query precomputes a [[M]]×[[PqK]] lookup table of exact
@@ -91,22 +115,44 @@ object PqQueries {
     // the honest deployment shape: the codes table IS the persisted ANN
     // index artifact, and a query batch's LUTs are built once per batch.
     val codes = encoded(spark, dir, cb).localCheckpoint()
-    val queries = quantized(spark, dir)
-      .filter(col("vec_id") % SimQueries.QueryStride === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nsq").as("qn"))
-    val luts = (0 until M).foldLeft(queries) { (df, m) =>
-      df.withColumn(s"lut_$m",
-        array(cb(m).toIndexedSeq.map(c => distTo(col("qv"), m, c)): _*))
-    }.drop("qv").localCheckpoint()
-    val adc = (0 until M).map(m =>
-      element_at(col(s"lut_$m"), (col(s"code_$m") + 1).cast("int"))).reduce(_ + _) +
-      col("qn")
+    val luts = lutsFor(spark, dir, cb)
     val w = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
     luts.join(codes, col("vec_id") =!= col("query_id"))
-      .withColumn("adc", adc)
+      .withColumn("adc", adcCol)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= SimQueries.K)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("adc"))
+  }
+
+  /** IVFADC — the billion-scale ANN composition (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 §IV): IVF cell
+    * probing bounds WHICH vectors are scored, PQ codes bound WHAT each
+    * score costs. Queries probe the [[SimQueries.NProbe]] nearest cells
+    * (the [[SimQueries.qKnnIvf]] probe stage, shared verbatim), then rank
+    * ONLY the probed cells' members by ADC over the [[M]]-byte codes —
+    * no raw corpus vector is ever read at search time.
+    *
+    * Scale shape: candidate mass drops from O(N) per query (qKnnPq's flat
+    * scan) to O(N·nprobe/cells), and each candidate costs [[M]] lookups
+    * against an M-byte row — the codes table shards by cell id, so a
+    * probe is a partition-pruned scan of a 32×-compressed index. This is
+    * the plan a 10⁹-vector corpus actually serves; the flat-ADC and
+    * exact-IVF tiers remain as its two calibration anchors, and ann_eval
+    * measures all three against brute-force truth. */
+  def qKnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val cb = codebook(spark, dir)
+    val codes = encoded(spark, dir, cb).localCheckpoint()
+    val luts = lutsFor(spark, dir, cb)
+    val cells = SimQueries.ivfProbes(spark, dir).select(col("query_id"), col("label"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+    luts.join(cells, "query_id")
+      .join(codes, Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adcCol)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= SimQueries.K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+        col("rank"), col("adc"))
   }
 
   /** Int8 scalar quantization audit: per-dimension symmetric quantization
@@ -139,6 +185,7 @@ object PqQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_pq"       -> (qKnnPq _),
+    "knn_ivf_pq"   -> (qKnnIvfPq _),
     "emb_quantize" -> (qEmbQuantize _))
 
   // ------------------------------------------------------------- oracles
@@ -166,7 +213,29 @@ object PqQueries {
        |    ${ccSql("s.c")} - 2 * ${SimQueries.dotSql(s"list_slice(qs.qv, s.m * $SubDim + 1, (s.m + 1) * $SubDim)", "s.c")} AS d
        |  FROM qs, cbs s)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** The IVFADC statement — the knn_ivf oracle's probe CTEs composed in
+    * front of the PQ code/LUT CTEs, candidate generation restricted to
+    * probed cells exactly as the Spark plan restricts it. Shared by the
+    * knn_ivf_pq gate and [[SimQueries]]'s ann_eval oracle (lazy for the
+    * cross-object-init reason documented there). */
+  private[sim] lazy val knnIvfPqSql: String =
+    s"""WITH ${SimQueries.baseCtes},
+       |${SimQueries.ivfProbeCtes},
+       |$pqCtes,
+       |adcs AS (
+       |  SELECT p.query_id, c.vec_id, p.label, CAST(sum(l.d) AS BIGINT) AS s
+       |  FROM probes p
+       |  JOIN q c ON c.label = p.label AND c.vec_id <> p.query_id
+       |  JOIN codes x ON x.vec_id = c.vec_id
+       |  JOIN luts l ON l.query_id = p.query_id AND l.m = x.m AND l.j = x.code
+       |  GROUP BY 1, 2, 3)
+       |SELECT a.query_id, a.vec_id AS neighbor_id, a.label,
+       |  row_number() OVER (PARTITION BY a.query_id ORDER BY a.s + qs.qn, a.vec_id) AS rank,
+       |  a.s + qs.qn AS adc
+       |FROM adcs a JOIN qs ON qs.query_id = a.query_id
+       |QUALIFY rank <= ${SimQueries.K}""".stripMargin
+
+  lazy val oracles: Map[String, String] = Map(
     "knn_pq" ->
       s"""WITH ${SimQueries.baseCtes},
          |$pqCtes,
@@ -180,6 +249,7 @@ object PqQueries {
          |  a.s + qs.qn AS adc
          |FROM adcs a JOIN qs ON qs.query_id = a.query_id
          |QUALIFY rank <= ${SimQueries.K}""".stripMargin,
+    "knn_ivf_pq" -> knnIvfPqSql,
     "emb_quantize" ->
       s"""WITH ${graft.ext.dedup.DedupQueries.quantizedSql},
          |ex AS (

@@ -41,7 +41,7 @@ object SimQueries {
   /** every 20th vector is a query — a deterministic sample. */
   val QueryStride = 20
 
-  private def queriesDf(spark: SparkSession, dir: String): DataFrame =
+  private[sim] def queriesDf(spark: SparkSession, dir: String): DataFrame =
     quantized(spark, dir).filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nsq").as("qn"))
 
@@ -105,18 +105,27 @@ object SimQueries {
         t => t.getField("c")).as("csum"))
       .withColumn("cn", graft.functions.VectorFunctions.arrayDotLong(col("csum"), col("csum")))
 
-  /** IVF search: probe the NProbe most-similar cells per query, exact
-    * top-K within the probed cells only. */
-  def qKnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** The IVF probe stage — (query_id, qv, qn, probed label), [[NProbe]]
+    * rows per query: queries rank the broadcast cell centroids by cosine
+    * and keep the top cells. Factored out so [[qKnnIvf]] (exact re-rank
+    * within cells) and [[PqQueries.qKnnIvfPq]] (ADC re-rank over the
+    * compressed codes — the IVFADC composition) share ONE probe
+    * definition, exactly as their oracles share [[ivfProbeCtes]]. */
+  private[sim] def ivfProbes(spark: SparkSession, dir: String): DataFrame = {
     val probeW = Window.partitionBy("query_id").orderBy(col("cscore").desc, col("label"))
-    val probes = queriesDf(spark, dir)
+    queriesDf(spark, dir)
       .join(broadcast(centroids(spark, dir)))
       .withColumn("cscore", cosine(col("qv"), col("csum"), col("qn"), col("cn")))
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= NProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("label"))
+  }
+
+  /** IVF search: probe the NProbe most-similar cells per query, exact
+    * top-K within the probed cells only. */
+  def qKnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
-    probes
+    ivfProbes(spark, dir)
       .join(quantized(spark, dir), Seq("label"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("qv"), col("v"), col("qn"), col("nsq")))
@@ -357,8 +366,10 @@ object SimQueries {
           col("query_id"), col("neighbor_id"), lit(1L).as("is_cand"))
         .unionByName(qKnnLsh(spark, dir).select(lit("lsh").as("method"),
           col("query_id"), col("neighbor_id"), lit(1L).as("is_cand")))
+        .unionByName(PqQueries.qKnnIvfPq(spark, dir).select(lit("ivfpq").as("method"),
+          col("query_id"), col("neighbor_id"), lit(1L).as("is_cand")))
     import spark.implicits._
-    val methods = Seq("ivf", "lsh").toDF("method")
+    val methods = Seq("ivf", "lsh", "ivfpq").toDF("method")
     val exact = qKnnBrute(spark, dir)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("is_true"))
       .crossJoin(broadcast(methods))
@@ -398,8 +409,59 @@ object SimQueries {
       .withColumn("spread_milli",
         when(col("max_nsq") > 0, expr("(1000 * min_nsq) DIV max_nsq")))
 
+  /** Embedding-distribution drift by frozen-cell census — the ML-ops
+    * monitor a 100 TB embedding pipeline runs on every new model/data
+    * drop: did the VECTOR distribution move, not just a scalar column?
+    * (q_drift_tv/q_drift_ks watch value columns; embedding drift needs a
+    * partition of the vector space itself.) The cells are integer
+    * per-label centroids computed from the BASE split ONLY — frozen, the
+    * way a deployed index/model version freezes its cells — and BOTH
+    * splits re-assign to their nearest frozen centroid (the k-means
+    * assignment kernel, so a drifted vector genuinely lands in a
+    * different cell than its label). Output per cell: base/incoming
+    * occupancy and the milli-share delta |share_base − share_inc| whose
+    * half-sum is total-variation distance over the cell census. The
+    * incoming batch is the [[graft.ext.dedup.DedupQueries.IncomingVecStride]]
+    * stride split shared with the semantic-dedup screen.
+    *
+    * Shape: one (label × dim)-key aggregate on the base split builds the
+    * centroids (collected — dimension-sized driver state, the k-means
+    * convention); assignment is one narrow codegen'd argmin pass over
+    * literals; the census is one |cells|-key map-combinable aggregate
+    * with totals on a 1-row broadcast. Scan bandwidth at any scale. */
+  def qEmbDrift(spark: SparkSession, dir: String): DataFrame = {
+    val stride = DedupQueries.IncomingVecStride
+    val isInc = (col("vec_id") % stride === 0).cast("long")
+    val cents: Array[(Long, Array[Long])] = quantized(spark, dir)
+      .filter(col("vec_id") % stride =!= 0)
+      .select(col("label").cast("long").as("cl"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("cl"), col("i"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", floor(col("s").cast("double") / col("n")).cast("long"))
+      .groupBy(col("cl"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        t => t.getField("c")).as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val census = quantized(spark, dir)
+      .select(nearestCell(cents).as("cell"), isInc.as("is_inc"))
+      .groupBy(col("cell"))
+      .agg(sum(lit(1L) - col("is_inc")).as("n_base"),
+        sum(col("is_inc")).as("n_incoming"))
+    val totals = census.agg(sum(col("n_base")).as("tb"),
+      sum(col("n_incoming")).as("ti"))
+    census.crossJoin(broadcast(totals))
+      .withColumn("share_base_milli", expr("(1000 * n_base) DIV greatest(tb, 1L)"))
+      .withColumn("share_inc_milli", expr("(1000 * n_incoming) DIV greatest(ti, 1L)"))
+      .select(col("cell"), col("n_base"), col("n_incoming"),
+        col("share_base_milli"), col("share_inc_milli"),
+        abs(col("share_base_milli") - col("share_inc_milli")).as("delta_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_norm_audit"  -> (qEmbNormAudit _),
+    "emb_drift"       -> (qEmbDrift _),
     "knn_brute"       -> (qKnnBrute _),
     "knn_filtered"    -> (qKnnFiltered _),
     "knn_ivf"         -> (qKnnIvf _),
@@ -497,7 +559,11 @@ object SimQueries {
        |FROM qs JOIN q b ON b.vec_id <> query_id
        |QUALIFY rank <= $K""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  // lazy: ann_eval nests PqQueries.knnIvfPqSql, which closes back over
+  // this object's baseCtes/ivfProbeCtes — neither object may force the
+  // other mid-init (a half-built PqQueries would bake SubDim = 0 into
+  // the SQL silently), so the whole map materializes on first use only
+  lazy val oracles: Map[String, String] = Map(
     // the shared quantize CTE (one truth with every cosine gate); sums
     // and list lengths cast back from HUGEINT per the oracle discipline
     "emb_norm_audit" ->
@@ -510,6 +576,38 @@ object SimQueries {
          |  CASE WHEN max(nsq) > 0 THEN (1000 * min(nsq)) // max(nsq) END
          |    AS spread_milli
          |FROM q GROUP BY 1""".stripMargin,
+    // same frozen-base centroid rule, same argmin assignment, same
+    // integer share arithmetic — the drift VERDICT itself hash-matches
+    "emb_drift" -> {
+      val stride = DedupQueries.IncomingVecStride
+      s"""WITH ${DedupQueries.quantizedSql},
+         |crows AS (
+         |  SELECT CAST(label AS BIGINT) AS cl, i,
+         |    CAST(floor(CAST(CAST(sum(v[i]) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |  FROM q, generate_series(1, $Dim) t(i)
+         |  WHERE vec_id % $stride <> 0
+         |  GROUP BY 1, 2),
+         |cent AS (SELECT cl, list(c ORDER BY i) AS c FROM crows GROUP BY cl),
+         |a AS (
+         |  SELECT vec_id, is_inc, cl FROM (
+         |    SELECT q.vec_id,
+         |      CASE WHEN q.vec_id % $stride = 0 THEN 1 ELSE 0 END AS is_inc, s.cl,
+         |      ${dotSql("s.c", "s.c")} - 2 * ${dotSql("q.v", "s.c")} AS dist
+         |    FROM q CROSS JOIN cent s)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) = 1),
+         |census AS (
+         |  SELECT cl AS cell, CAST(sum(1 - is_inc) AS BIGINT) AS n_base,
+         |    CAST(sum(is_inc) AS BIGINT) AS n_incoming
+         |  FROM a GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+         |        CAST(sum(n_incoming) AS BIGINT) AS ti FROM census)
+         |SELECT cell, n_base, n_incoming,
+         |  (1000 * n_base) // greatest(tb, 1) AS share_base_milli,
+         |  (1000 * n_incoming) // greatest(ti, 1) AS share_inc_milli,
+         |  abs((1000 * n_base) // greatest(tb, 1)
+         |    - (1000 * n_incoming) // greatest(ti, 1)) AS delta_milli
+         |FROM census, t""".stripMargin
+    },
     "knn_brute" -> knnBruteSql,
     // label-carrying query CTE; the filter is the equi-join predicate,
     // exactly as in the Spark plan
@@ -536,16 +634,24 @@ object SimQueries {
          |lsh AS (SELECT query_id, neighbor_id FROM (
          |$knnLshSql
          |) xl),
+         |ivfpq AS (SELECT query_id, neighbor_id FROM (
+         |${PqQueries.knnIvfPqSql}
+         |) xp),
          |ivf_h AS (SELECT query_id, neighbor_id FROM ivf
          |          INTERSECT SELECT query_id, neighbor_id FROM exact),
          |lsh_h AS (SELECT query_id, neighbor_id FROM lsh
          |          INTERSECT SELECT query_id, neighbor_id FROM exact),
+         |ivfpq_h AS (SELECT query_id, neighbor_id FROM ivfpq
+         |            INTERSECT SELECT query_id, neighbor_id FROM exact),
          |m AS (
          |  SELECT 'ivf' AS method, (SELECT count(*) FROM ivf) AS nr,
          |    (SELECT count(*) FROM exact) AS ne, (SELECT count(*) FROM ivf_h) AS nh
          |  UNION ALL
          |  SELECT 'lsh', (SELECT count(*) FROM lsh),
-         |    (SELECT count(*) FROM exact), (SELECT count(*) FROM lsh_h))
+         |    (SELECT count(*) FROM exact), (SELECT count(*) FROM lsh_h)
+         |  UNION ALL
+         |  SELECT 'ivfpq', (SELECT count(*) FROM ivfpq),
+         |    (SELECT count(*) FROM exact), (SELECT count(*) FROM ivfpq_h))
          |SELECT method, CAST(nr AS BIGINT) AS n_retrieved,
          |  CAST(ne AS BIGINT) AS n_exact, CAST(nh AS BIGINT) AS n_hits,
          |  (1000 * CAST(nh AS BIGINT)) // greatest(CAST(ne AS BIGINT), 1) AS recall_milli,
@@ -578,10 +684,13 @@ object SimQueries {
          |QUALIFY rank <= $K""".stripMargin,
     "knn_ivf" -> knnIvfSql)
 
-  /** The IVF search statement — shared by the knn_ivf gate and ann_eval. */
-  private lazy val knnIvfSql: String =
-    s"""WITH $baseCtes,
-       |csum_rows AS (
+  /** The [[ivfProbes]] stage as DuckDB CTEs (requires `q` + `qs` in
+    * scope): integer cell centroids from the label column, queries keep
+    * the [[NProbe]] top cells — ONE probe definition shared by the
+    * knn_ivf oracle and [[PqQueries]]'s IVFADC oracle. Lazy for the same
+    * cross-object-init reason as [[lshBandCtes]]. */
+  private[sim] lazy val ivfProbeCtes: String =
+    s"""csum_rows AS (
        |  SELECT label, i,
        |    CAST(floor(CAST(CAST(sum(v[i]) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS c
        |  FROM q, generate_series(1, $Dim) t(i)
@@ -594,7 +703,12 @@ object SimQueries {
        |  SELECT query_id, qv, qn, label
        |  FROM qs CROSS JOIN cent2
        |  QUALIFY row_number() OVER (PARTITION BY query_id
-       |    ORDER BY ${cosSql("qv", "csum", "qn", "cn")} DESC, label) <= $NProbe)
+       |    ORDER BY ${cosSql("qv", "csum", "qn", "cn")} DESC, label) <= $NProbe)""".stripMargin
+
+  /** The IVF search statement — shared by the knn_ivf gate and ann_eval. */
+  private lazy val knnIvfSql: String =
+    s"""WITH $baseCtes,
+       |$ivfProbeCtes
        |SELECT query_id, c.vec_id AS neighbor_id, p.label,
        |  row_number() OVER (PARTITION BY query_id
        |    ORDER BY ${cosSql("p.qv", "c.v", "p.qn", "c.nsq")} DESC, c.vec_id) AS rank,

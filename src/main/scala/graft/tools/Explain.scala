@@ -246,7 +246,20 @@ object Explain {
       "list is a literal array, the posting rewrite is one narrow " +
       "array_except projection over the RDD-scanned artifact — zero " +
       "exchanges, zero corpus scans; the oracle proves the in-place " +
-      "edit equals a full rebuild."))
+      "edit equals a full rebuild."),
+    "knn_ivf_pq" -> ("IVFADC: the probe stage bounds WHICH vectors are " +
+      "scored (NProbe cells per query via the broadcast centroid " +
+      "table), the PQ codes bound WHAT each score costs (M element_at " +
+      "lookups against an M-byte row — the 32x-compressed index is the " +
+      "only corpus-sized input to the search join); at 100 TB the " +
+      "codes table shards by cell id and a probe is a partition-pruned " +
+      "scan."),
+    "emb_drift" -> ("Frozen-cell census drift: base-split centroids " +
+      "collect once (dimension-sized driver state), assignment is one " +
+      "narrow codegen'd argmin pass over literals, the census is a " +
+      "|cells|-key map-combinable aggregate with totals on a 1-row " +
+      "broadcast — scan bandwidth end to end, no window, no join " +
+      "wider than the cell count."))
 
   /** Snapshot-backed registered entries serve a `localCheckpoint`, whose
     * plan is just an RDD scan — audit the underlying BUILD pipeline

@@ -462,7 +462,7 @@ class ExtensionsSpec extends SparkSpec {
   test("ann_eval: per-method counts equal driver-side set arithmetic against exact top-K") {
     val rows = SimQueries.qAnnEval(spark, sf).collect()
       .map(r => r.getAs[String]("method") -> r).toMap
-    assert(rows.keySet == Set("ivf", "lsh"))
+    assert(rows.keySet == Set("ivf", "lsh", "ivfpq"))
     val exact = SimQueries.qKnnBrute(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     def check(method: String, approxDf: org.apache.spark.sql.DataFrame): Unit = {
@@ -477,6 +477,7 @@ class ExtensionsSpec extends SparkSpec {
     }
     check("ivf", SimQueries.qKnnIvf(spark, sf))
     check("lsh", SimQueries.qKnnLsh(spark, sf))
+    check("ivfpq", graft.ext.sim.PqQueries.qKnnIvfPq(spark, sf))
     // the report must be able to distinguish the tiers: on the random
     // fixture the two settings don't coincide exactly
     assert(rows("ivf").getAs[Long]("recall_milli") > 0L)
