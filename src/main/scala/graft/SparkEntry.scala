@@ -41,7 +41,9 @@ object SparkEntry {
       batch.BasketQueries.queries ++
       batch.StatsQueries.queries ++
       batch.LayoutQueries.queries ++
+      batch.SketchQueries.queries ++
       ext.text.TextQueries.queries ++
+      ext.text.DsirQueries.queries ++
       ext.dedup.DedupQueries.queries ++
       ext.sim.SimQueries.queries ++
       ext.sim.PqQueries.queries ++
@@ -74,7 +76,9 @@ object SparkEntry {
       batch.BasketQueries.oracles ++
       batch.StatsQueries.oracles ++
       batch.LayoutQueries.oracles ++
+      batch.SketchQueries.oracles ++
       ext.text.TextQueries.oracles ++
+      ext.text.DsirQueries.oracles ++
       ext.dedup.DedupQueries.oracles ++
       ext.sim.SimQueries.oracles ++
       ext.sim.PqQueries.oracles ++

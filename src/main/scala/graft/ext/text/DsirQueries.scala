@@ -1,0 +1,212 @@
+package graft.ext.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+import graft.sources.Tables
+
+/**
+ * DSIR-shaped data selection — importance resampling on hashed n-gram
+ * features (Xie et al., "Data Selection for Language Models via Importance
+ * Resampling", NeurIPS 2023). The deployment question it answers: given a
+ * raw crawl and a small trusted TARGET corpus, which raw documents look
+ * most like the target? DSIR fits two bag-of-hashed-ngrams models, scores
+ * every raw document by its log importance weight
+ *
+ *   log w(doc) = Σ_features [ log p_target(f) − log p_raw(f) ]
+ *
+ * and resamples the crawl by that weight. Here the target distribution is
+ * the corpus's English slice (the CCNet-style "match the trusted English
+ * data" deployment) and the raw distribution is the whole corpus.
+ *
+ * Exactness: the float log is replaced by the engine's LOG2-QUANTIZED
+ * count surprise (the text_lm_score discipline):
+ *
+ *   lg(c) = floor(log2(1 + c)) = length(bin(1 + c)) − 1
+ *
+ * so the per-doc weight in "log2 units" is
+ *
+ *   w_units = Σ_f [ lg(c_target(f)) − lg(c_raw(f)) ]
+ *           + n_feats · [ lg(N_raw) − lg(N_target) ]
+ *
+ * — the exact quantized form of the likelihood ratio including the
+ * normalizer term, integer end to end (no division anywhere, so the
+ * Spark/DuckDB negative-division mismatch never arises), monotone in the
+ * true log weight. Features are word BIGRAMS hashed into [[NBuckets]]
+ * buckets via md5 — DSIR's hashed feature space, with both count tables
+ * bounded at [[NBuckets]] rows regardless of corpus size.
+ *
+ * Scale shape: the feature pass is one narrow zip-slice projection per
+ * doc; BOTH count tables are ≤ [[NBuckets]]-row aggregates with map-side
+ * combine, broadcast back onto the feature stream (no fact-sized shuffle
+ * for the model attach); scoring is one doc-keyed aggregate. At 100 TB
+ * the count tables are the persisted per-target artifact (kilobytes) and
+ * scoring a new crawl is scan + broadcast join + aggregate — the same
+ * screen-against-artifact lifecycle as the LM and dedup families.
+ */
+object DsirQueries {
+
+  /** Hashed feature-space size — DSIR hashes into 10k buckets; 2^12 keeps
+    * the bucket id comfortably small while the count tables stay
+    * broadcast-sized at ANY corpus scale (the point of hashing). */
+  val NBuckets = 4096L
+
+  /** Target-language slice standing in for the trusted target corpus. */
+  val TargetLang = "en"
+
+  /** Selected-corpus size for [[qDsirSelect]]. */
+  val DsirK = 100
+
+  /** (doc_id, lang, bucket) hashed-bigram feature rows — multiset, like
+    * DSIR's bag-of-ngrams (repeats weigh). Docs with < 2 tokens emit no
+    * feature row and drop out of the weight frame (nothing to score). */
+  private def featureRows(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.rebalanced(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), TextNorm.toks(col("text")).as("t"))
+    val len = greatest(size(col("t")) - 1, lit(0))
+    val zipped = arrays_zip(
+      slice(col("t"), lit(1), len).as("w1"),
+      slice(col("t"), lit(2), len).as("w2"))
+    docs.select(col("doc_id"), col("lang"), explode(zipped).as("z"))
+      .select(col("doc_id"), col("lang"),
+        pmod(Exact.md5Long28(
+          concat(lit("dsirf|"), col("z.w1"), lit(" "), col("z.w2"))),
+          lit(NBuckets)).as("bucket"))
+  }
+
+  /** floor(log2(1+c)) over a count column — exact via binary-string
+    * length in both engines; no float log anywhere. */
+  private def lg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    length(bin(lit(1L) + c)).cast("long") - 1L
+
+  /** Per-document quantized log importance weight vs the target
+    * distribution. Suite-scoped snapshot: three consumers (the weight
+    * frame itself, the selection, the composition eval) read it, and
+    * weights given frozen count tables never change. */
+  private[graft] def weightFrame(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SnapshotCache.snapshot("dsir_weights", spark, dir) {
+      val f = featureRows(spark, dir)
+      val ct = f.filter(col("lang") === TargetLang)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("c_t"))
+      val cr = f.groupBy(col("bucket")).agg(count(lit(1)).as("c_r"))
+      // 1-row normalizer frame: total feature mass of each model
+      val totals = f.groupBy()
+        .agg(count(lit(1)).as("n_r"),
+          sum(when(col("lang") === TargetLang, 1L).otherwise(0L)).as("n_t"))
+      f.join(broadcast(cr), Seq("bucket"))
+        .join(broadcast(ct), Seq("bucket"), "left")
+        .withColumn("fam_diff",
+          lg(coalesce(col("c_t"), lit(0L))) - lg(col("c_r")))
+        .groupBy(col("doc_id"))
+        .agg(max(col("lang")).as("lang"), count(lit(1)).as("n_feats"),
+          sum(col("fam_diff")).as("fam_diff"))
+        .crossJoin(broadcast(totals))
+        .withColumn("w_units",
+          col("fam_diff") + col("n_feats") * (lg(col("n_r")) - lg(col("n_t"))))
+        .select(col("doc_id"), col("lang"), col("n_feats"), col("w_units"))
+    }
+
+  def qDsirWeights(spark: SparkSession, dir: String): DataFrame =
+    weightFrame(spark, dir)
+
+  /** The selected corpus: top-[[DsirK]] docs by importance weight (the
+    * paper's top-k variant of resampling — deterministic, so the selected
+    * set replays bit-identically; ties broken by doc_id, a total order).
+    *
+    * Shape: TakeOrderedAndProject — each partition forwards at most K
+    * rows, the driver merges K; the rank window then runs over the K-row
+    * result only. NEVER a corpus-sized global sort. */
+  def qDsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    weightFrame(spark, dir)
+      .orderBy(col("w_units").desc, col("doc_id")).limit(DsirK)
+      .withColumn("rank",
+        row_number().over(
+          Window.orderBy(col("w_units").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("lang"), col("n_feats"),
+        col("w_units"))
+  }
+
+  /** Composition card — did the selection move toward the target? Per
+    * language: raw docs and per-mille share vs selected docs and share.
+    * The in-engine form of the paper's KL-reduction check: the target
+    * slice's share should rise from its raw fraction toward ~1000. */
+  def qDsirEval(spark: SparkSession, dir: String): DataFrame = {
+    val w = weightFrame(spark, dir)
+    val sel = qDsirSelect(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sel"))
+    val raw = w.groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
+    val totals = w.groupBy().agg(count(lit(1)).as("n_docs"))
+    raw.join(broadcast(sel), Seq("lang"), "left")
+      .withColumn("n_sel", coalesce(col("n_sel"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_raw"),
+        expr("(1000 * n_raw) DIV n_docs").as("raw_milli"),
+        col("n_sel"),
+        expr(s"(1000 * n_sel) DIV $DsirK").as("sel_milli"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsir_weights" -> (qDsirWeights _),
+    "dsir_select"  -> (qDsirSelect _),
+    "dsir_eval"    -> (qDsirEval _))
+
+  private val toksSql = TextNorm.toksSql
+
+  /** Shared weight CTEs — one truth for all three gates (the lmScoreSql
+    * discipline). Identical hash, identical bucket mod, identical
+    * length(bin(1+c))−1 quantized log, identical normalizer term. */
+  private val weightsCtes: String =
+    s"""d AS MATERIALIZED (
+       |  SELECT doc_id, lang, $toksSql AS t FROM documents),
+       |f AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    ${Exact.md5Long28Sql("'dsirf|' || bg")} % $NBuckets AS bucket
+       |  FROM (SELECT doc_id, lang,
+       |          unnest([array_to_string(t[i:i+1], ' ')
+       |                  for i in generate_series(1, len(t)-1)]) AS bg
+       |        FROM d WHERE len(t) >= 2)),
+       |ct AS (SELECT bucket, count(*) AS c_t FROM f
+       |       WHERE lang = '$TargetLang' GROUP BY 1),
+       |cr AS (SELECT bucket, count(*) AS c_r FROM f GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_r,
+       |          CAST(sum(CASE WHEN lang = '$TargetLang' THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_t
+       |        FROM f),
+       |w AS MATERIALIZED (
+       |  SELECT s.doc_id, s.lang, s.n_feats,
+       |    s.fam_diff + s.n_feats *
+       |      ((length(bin(1 + tot.n_r)) - 1) - (length(bin(1 + tot.n_t)) - 1))
+       |      AS w_units
+       |  FROM (
+       |    SELECT f.doc_id, max(f.lang) AS lang, count(*) AS n_feats,
+       |      CAST(sum((length(bin(1 + coalesce(ct.c_t, 0))) - 1)
+       |               - (length(bin(1 + cr.c_r)) - 1)) AS BIGINT) AS fam_diff
+       |    FROM f JOIN cr USING (bucket) LEFT JOIN ct USING (bucket)
+       |    GROUP BY 1) s, tot)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dsir_weights" ->
+      s"""WITH $weightsCtes
+         |SELECT doc_id, lang, n_feats, w_units FROM w""".stripMargin,
+    "dsir_select" ->
+      s"""WITH $weightsCtes
+         |SELECT CAST(row_number() OVER (ORDER BY w_units DESC, doc_id)
+         |         AS BIGINT) AS rank,
+         |  doc_id, lang, n_feats, w_units
+         |FROM w ORDER BY w_units DESC, doc_id LIMIT $DsirK""".stripMargin,
+    "dsir_eval" ->
+      s"""WITH $weightsCtes,
+         |sel AS (SELECT lang, count(*) AS n_sel FROM (
+         |          SELECT lang FROM w
+         |          ORDER BY w_units DESC, doc_id LIMIT $DsirK)
+         |        GROUP BY 1),
+         |raw AS (SELECT lang, count(*) AS n_raw FROM w GROUP BY 1),
+         |tot2 AS (SELECT count(*) AS n_docs FROM w)
+         |SELECT r.lang, r.n_raw,
+         |  (1000 * r.n_raw) // tot2.n_docs AS raw_milli,
+         |  coalesce(s.n_sel, 0) AS n_sel,
+         |  (1000 * coalesce(s.n_sel, 0)) // $DsirK AS sel_milli
+         |FROM raw r LEFT JOIN sel s USING (lang), tot2""".stripMargin)
+}

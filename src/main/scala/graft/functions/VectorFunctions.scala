@@ -10,4 +10,13 @@ object VectorFunctions {
     * hot kernel of every vector-similarity operator. */
   def arrayDotLong(a: Column, b: Column): Column =
     SparkShims.column(ArrayDotLong(SparkShims.expression(a), SparkShims.expression(b)))
+
+  /** Bounded bottom-k distinct (key, value) pairs per group via the native
+    * [[BottomKPairs]] aggregate — O(k) state through partial aggregation,
+    * vs the window idiom's full per-group sort. */
+  def bottomKPairs(key: Column, value: Column, k: Int): Column =
+    SparkShims.column(
+      BottomKPairs(SparkShims.expression(key), SparkShims.expression(value),
+        org.apache.spark.sql.catalyst.expressions.Literal(k))
+        .toAggregateExpression())
 }

@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.arrayDotLongFn)
+    ext.injectFunction(GraftExtensions.bottomKPairsFn)
   }
 }
 
@@ -36,9 +37,24 @@ object GraftExtensions {
       ArrayDotLong(children.head, children(1))
     })
 
+  private[plans] val bottomKPairsFn
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bottom_k_pairs"),
+    new ExpressionInfo(classOf[graft.functions.BottomKPairs].getName, "bottom_k_pairs"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "bottom_k_pairs(key, value, k) takes exactly 3 arguments")
+      // return the raw AggregateFunction — ResolveFunctions wraps it in
+      // an AggregateExpression (the convention every built-in follows)
+      graft.functions.BottomKPairs(children.head, children(1), children(2))
+    })
+
   /** Register into an ALREADY-RUNNING session (the extensions class only
     * applies at build time). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_dot_long", arrayDotLongFn._3, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bottom_k_pairs", bottomKPairsFn._3, "scala_udf")
+  }
 }
