@@ -459,8 +459,50 @@ object SimQueries {
         abs(col("share_base_milli") - col("share_inc_milli")).as("delta_milli"))
   }
 
+  /** k-NN label-prediction eval — the "is this embedding space any good"
+    * card every embedding drop ships with: predict each query vector's
+    * label by MAJORITY VOTE of its [[K]] exact nearest neighbors
+    * ([[qKnnBrute]], so the card measures the SPACE, not an ANN
+    * approximation of it), cross-tabulate against the true label, and
+    * report the confusion matrix with per-true-label shares. High
+    * diagonal ⇒ the metric respects the labels ⇒ centroid/IVF/semantic
+    * operators built on the same metric are trustworthy. Votes and
+    * shares are exact integers; vote ties break on label id (a total
+    * order), so the verdict replays bit-identically.
+    *
+    * Shape: the vote join attaches the corpus id→label map to the
+    * (queries × K) neighbor frame — neighbor-frame-sized, id-keyed (at
+    * deployment the label dictionary broadcasts); the argmax window
+    * partitions by query over ≤ |labels| vote rows; the confusion
+    * aggregate is |labels|²-bounded. Nothing corpus-sized shuffles
+    * beyond what knn_brute already pays. */
+  def qKnnLabelEval(spark: SparkSession, dir: String): DataFrame = {
+    val labels = quantized(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("lbl"))
+    val votes = qKnnBrute(spark, dir)
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .groupBy(col("query_id"), col("lbl"))
+      .agg(count(lit(1)).as("n_votes"))
+    val vw = Window.partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("lbl"))
+    val pred = votes.withColumn("rn", row_number().over(vw))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("lbl").as("pred_label"))
+    val conf = pred
+      .join(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("lbl", "true_label"), "query_id")
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n_queries"))
+    val totals = conf.groupBy(col("true_label"))
+      .agg(sum(col("n_queries")).as("n_true"))
+    conf.join(broadcast(totals), "true_label")
+      .select(col("true_label"), col("pred_label"), col("n_queries"),
+        expr("(1000 * n_queries) DIV n_true").as("share_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_norm_audit"  -> (qEmbNormAudit _),
+    "knn_label_eval"  -> (qKnnLabelEval _),
     "emb_drift"       -> (qEmbDrift _),
     "knn_brute"       -> (qKnnBrute _),
     "knn_filtered"    -> (qKnnFiltered _),
@@ -609,6 +651,31 @@ object SimQueries {
          |FROM census, t""".stripMargin
     },
     "knn_brute" -> knnBruteSql,
+    // nests the shared brute statement verbatim — the eval measures the
+    // same neighbor sets the knn_brute gate hashes; same vote argmax
+    // (count desc, label asc), same integer shares
+    "knn_label_eval" ->
+      s"""WITH x AS (SELECT query_id, neighbor_id FROM (
+         |$knnBruteSql
+         |) xb),
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl FROM embeddings),
+         |votes AS (
+         |  SELECT x.query_id, l.lbl, count(*) AS n_votes
+         |  FROM x JOIN lab l ON l.vec_id = x.neighbor_id
+         |  GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT query_id, lbl AS pred_label FROM votes
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY n_votes DESC, lbl) = 1),
+         |conf AS (
+         |  SELECT t.lbl AS true_label, p.pred_label, count(*) AS n_queries
+         |  FROM pred p JOIN lab t ON t.vec_id = p.query_id
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT true_label, CAST(sum(n_queries) AS BIGINT) AS n_true
+         |        FROM conf GROUP BY 1)
+         |SELECT c.true_label, c.pred_label, c.n_queries,
+         |  (1000 * c.n_queries) // t.n_true AS share_milli
+         |FROM conf c JOIN tot t USING (true_label)""".stripMargin,
     // label-carrying query CTE; the filter is the equi-join predicate,
     // exactly as in the Spark plan
     "knn_filtered" ->

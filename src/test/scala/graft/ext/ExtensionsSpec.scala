@@ -459,6 +459,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(bad.isEmpty, "cosine must be non-increasing in rank")
   }
 
+  test("knn_label_eval: confusion matrix equals driver-side majority vote; shares sum per row") {
+    val labels = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"label".cast("long")).as[(Long, Long)].collect().toMap
+    val knn = SimQueries.qKnnBrute(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    val expected = knn.groupBy(_._1).toSeq.map { case (q, ns) =>
+      val votes = ns.map(n => labels(n._2)).groupBy(identity)
+        .map { case (l, v) => (l, v.length) }
+      val pred = votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      (labels(q), pred)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = SimQueries.qKnnLabelEval(spark, sf)
+      .select($"true_label", $"pred_label", $"n_queries")
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // per-true-label shares are ⌊1000·n/total⌋ of that row's truth mass
+    val shares = SimQueries.qKnnLabelEval(spark, sf)
+      .groupBy($"true_label").agg(sum($"n_queries").as("n"), sum($"share_milli").as("s"))
+      .as[(Long, Long, Long)].collect()
+    shares.foreach { case (_, _, s) => assert(s >= 900 && s <= 1000) }
+  }
+
   test("ann_eval: per-method counts equal driver-side set arithmetic against exact top-K") {
     val rows = SimQueries.qAnnEval(spark, sf).collect()
       .map(r => r.getAs[String]("method") -> r).toMap
