@@ -85,7 +85,12 @@ object DsirQueries {
     * frame itself, the selection, the composition eval) read it, and
     * weights given frozen count tables never change. */
   private[graft] def weightFrame(spark: SparkSession, dir: String): DataFrame =
-    graft.util.SnapshotCache.snapshot("dsir_weights", spark, dir) {
+    graft.util.SnapshotCache.snapshot("dsir_weights", spark, dir)(
+      weightFrameRaw(spark, dir))
+
+  /** The snapshot's BUILD pipeline (audited in PLANS.md — the registered
+    * entry serves a localCheckpoint whose plan is an RDD scan). */
+  private[graft] def weightFrameRaw(spark: SparkSession, dir: String): DataFrame = {
       val f = featureRows(spark, dir)
       val ct = f.filter(col("lang") === TargetLang)
         .groupBy(col("bucket")).agg(count(lit(1)).as("c_t"))

@@ -259,7 +259,31 @@ object Explain {
       "narrow codegen'd argmin pass over literals, the census is a " +
       "|cells|-key map-combinable aggregate with totals on a 1-row " +
       "broadcast — scan bandwidth end to end, no window, no join " +
-      "wider than the cell count."))
+      "wider than the cell count."),
+    "q_group_sample" -> ("Bounded per-group sampling via the native " +
+      "bottom_k_pairs TypedImperativeAggregate: partial ObjectHashAgg " +
+      "carries <= k pairs per group per map partition, so the ONE " +
+      "exchange moves O(groups*k) bytes whatever the fact size — the " +
+      "window idiom this replaces shuffles and sorts every row; the " +
+      "posexplode re-ranking is a narrow projection over k-row arrays."),
+    "q_kmv_merge" -> ("Sketch-artifact rollup: per-day KMV sketches are " +
+      "one bounded aggregate on the day key; the merge explodes only " +
+      "the n_days*k sketch MEMBERS (never raw events) and re-cuts in a " +
+      "single-group aggregate — the plan after the daily aggregate is " +
+      "kilobyte-sized, which is what lets persisted daily sketches " +
+      "answer any date-range cardinality without a rescan."),
+    "dsir_weights" -> ("DSIR importance weights: the hashed-bigram " +
+      "feature pass is one narrow zip-slice projection; BOTH model " +
+      "count tables are <=4096-bucket map-combinable aggregates that " +
+      "BROADCAST back onto the feature stream (the model attach never " +
+      "shuffles the fact); scoring closes with one doc-keyed aggregate " +
+      "plus a 1-row normalizer broadcast."),
+    "knn_label_eval" -> ("Embedding-space label eval: the vote join " +
+      "attaches the id->label map to the (queries x K) neighbor frame " +
+      "on the id key; the argmax window partitions per query over " +
+      "<=|labels| vote rows and the confusion aggregate is " +
+      "|labels|^2-bounded — nothing corpus-sized beyond the knn_brute " +
+      "stage it evaluates."))
 
   /** Snapshot-backed registered entries serve a `localCheckpoint`, whose
     * plan is just an RDD scan — audit the underlying BUILD pipeline
@@ -278,6 +302,8 @@ object Explain {
       ((s, d) => graft.ext.text.TextQueries.noveltyFrom(
         graft.ext.dedup.DedupQueries.shingleRowsOf(
           graft.sources.Tables.rebalanced(s, graft.sources.Tables.documents(s, d))))),
+    "dsir_weights" ->
+      ((s, d) => graft.ext.text.DsirQueries.weightFrameRaw(s, d)),
     "graph_triangles" ->
       ((s, d) => graft.ext.graph.GraphQueries.trianglesFrom(
         graft.ext.dedup.DedupQueries.jaccardPairSnapshot(s, d)

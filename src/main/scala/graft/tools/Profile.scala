@@ -445,6 +445,41 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.lift(1).contains("scale11b")) {
+      // 10x multiplier probes for the round-11 additions: the KMV/sample
+      // family (events x10 with users x10 — the estimator's distinct
+      // axis AND the bounded-aggregate claim: exchange is O(groups*k)
+      // so the agg should track the scan, not the shuffle) and the DSIR
+      // family (documents x10 — count tables stay 4096-bucket-bounded,
+      // so weights should scale with the feature scan). knn_label_eval
+      // needs no probe of its own: past knn_brute (the declared
+      // all-pairs truth anchor) it is a (queries x K)-sized vote join.
+      val out = "/tmp/graft_scale11b"
+      Tables.events(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+        .select((col("event_id") * 10 + col("copy")).as("event_id"), col("ts"),
+          (col("user_id") * 10 + col("copy")).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      Tables.documents(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+        .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      val qs = Seq("q_group_sample", "q_kmv_distinct", "q_kmv_merge",
+        "dsir_select", "dsir_eval")
+      for (d <- Seq(dir, out); name <- qs) {
+        graft.util.SnapshotCache.clearAll()
+        val fn = graft.SparkEntry.queries(name)
+        fn(spark, d).count() // warm (also builds the dsir snapshot)
+        time(s"$name @ $d")(fn(spark, d).count())
+        if (name == "dsir_select") {
+          // attribute the snapshot BUILD itself (the corpus-sized pass)
+          graft.util.SnapshotCache.clearAll()
+          time(s"dsir_weights build @ $d")(
+            graft.ext.text.DsirQueries.weightFrameRaw(spark, d).count())
+        }
+      }
+      spark.stop(); return
+    }
     if (args.lift(1).contains("scale10d")) {
       // 10x multiplier probes for the round-10-continuation additions:
       // text_lm_score + q_l_diversity (documents x10), q_drift_ks
