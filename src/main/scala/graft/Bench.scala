@@ -59,11 +59,16 @@ object Bench {
               // r11: the DSIR importance-weight frame (dsir_weights /
               // dsir_select / dsir_eval share it)
               graft.ext.text.DsirQueries.weightFrame(spark, sfDir)
+              val bT5 = System.nanoTime()
+              // r11: the count-min sketch table (text_cm_counters /
+              // text_cm_eval share it)
+              graft.ext.text.CmSketchQueries.counters(spark, sfDir)
               val d2 = d :+ ("baskets" -> (bT1 - bT0) / 1e9) :+
                 ("lm_scores" -> (bT2 - bT1) / 1e9) :+
                 ("bpe_tokenizer" -> (bT3 - bT2) / 1e9) :+
                 ("bpe_encoded" -> (bT4 - bT3) / 1e9) :+
-                ("dsir_weights" -> (System.nanoTime() - bT4) / 1e9)
+                ("dsir_weights" -> (bT5 - bT4) / 1e9) :+
+                ("cm_counters" -> (System.nanoTime() - bT5) / 1e9)
               ((System.nanoTime() - snapT0) / 1e9, d2) }
         catch { case _: Throwable => (-1.0, Seq.empty[(String, Double)]) }
       val entries = ("snapshot_build" -> snapSecs) +: ordered.map { case (name, fn) =>

@@ -44,6 +44,7 @@ object SparkEntry {
       batch.SketchQueries.queries ++
       ext.text.TextQueries.queries ++
       ext.text.DsirQueries.queries ++
+      ext.text.CmSketchQueries.queries ++
       ext.dedup.DedupQueries.queries ++
       ext.sim.SimQueries.queries ++
       ext.sim.PqQueries.queries ++
@@ -79,6 +80,7 @@ object SparkEntry {
       batch.SketchQueries.oracles ++
       ext.text.TextQueries.oracles ++
       ext.text.DsirQueries.oracles ++
+      ext.text.CmSketchQueries.oracles ++
       ext.dedup.DedupQueries.oracles ++
       ext.sim.SimQueries.oracles ++
       ext.sim.PqQueries.oracles ++

@@ -141,13 +141,65 @@ object SketchQueries {
         col("est_distinct"), col("n_exact"), col("err_milli"))
   }
 
+  /** Estimator rows for the AMS F2 sketch — median over [[F2Rows]]
+    * independent ±1 sums; error decays as 1/√rows. */
+  val F2Rows = 8
+
+  /** AMS "tug-of-war" F2 sketch (Alon, Matias & Szegedy, STOC 1996): the
+    * second frequency moment F2 = Σ_u c_u² of the user-activity
+    * distribution — the self-join size, THE number a query planner wants
+    * before joining a table with itself on a skewed key — estimated in
+    * [[F2Rows]] longs of state: per estimator row j, S_j = Σ_rows
+    * sign_j(user) with md5-derived ±1 signs, E[S_j²] = F2 exactly; the
+    * lower median of the S_j² de-noises. Completes the engine's sketch
+    * algebra: KMV (how many distinct), CM (how often is x), AMS (how
+    * skewed) — all three pure integer, md5-seeded, hash-gateable, and
+    * LINEAR (per-shard S_j vectors add), unlike the engine-private
+    * float sketches they stand in for.
+    *
+    * The card ships its truth anchor: exact F2 via the count-of-counts
+    * contraction (the q_skew_metrics discipline — the |users|-sized
+    * count frame collapses before anything global) and the per-mille
+    * error. BIGINT is exact here (|S_j| ≤ N so S_j² ≤ 10¹⁰ at bench
+    * scale); at trillion-row scale the squares move to decimal(38,0)
+    * accumulators — the q_drift_tv swap, same plan.
+    *
+    * Shape: ONE map-side-combinable aggregate produces all [[F2Rows]]
+    * sums as conditional-sum columns (codegen'd, no explode — the fact
+    * is scanned once, narrow); the exact side is two bounded aggregates;
+    * everything downstream is ≤ [[F2Rows]] rows. */
+  def qF2Sketch(spark: SparkSession, dir: String): DataFrame = {
+    val base = events(spark, dir).filter(col("user_id").isNotNull)
+    val sumCols = count(lit(1)).as("n_rows") +:
+      (0 until F2Rows).map { j =>
+        sum(when(pmod(Exact.md5Long28(
+          concat(lit(s"ams$j|"), col("user_id"))), lit(2L)) === 0L, 1L)
+          .otherwise(-1L)).as(s"s$j")
+      }
+    val sums = base.groupBy().agg(sumCols.head, sumCols.tail: _*)
+    val ests = sums.select(col("n_rows"),
+      sort_array(array((0 until F2Rows).map(j =>
+        col(s"s$j") * col(s"s$j")): _*)).as("e"))
+    val exact = base.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .groupBy().agg(sum(col("c") * col("c")).as("exact_f2"))
+    ests.crossJoin(broadcast(exact))
+      .withColumn("est_f2", element_at(col("e"), F2Rows / 2))
+      .withColumn("err_milli",
+        expr("(1000 * abs(est_f2 - exact_f2)) DIV exact_f2"))
+      .select(col("n_rows"), col("exact_f2"), col("est_f2"), col("err_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_group_sample"  -> (qGroupSample _),
     "q_kmv_distinct"  -> (qKmvDistinct _),
-    "q_kmv_merge"     -> (qKmvMerge _))
+    "q_kmv_merge"     -> (qKmvMerge _),
+    "q_f2_sketch"     -> (qF2Sketch _))
 
   private def hSql(salt: String, expr: String): String =
     Exact.md5Long48Sql(s"'$salt|' || CAST($expr AS VARCHAR)")
+
+  private def hSql28(salt: String, expr: String): String =
+    Exact.md5Long28Sql(s"'$salt|' || CAST($expr AS VARCHAR)")
 
   val oracles: Map[String, String] = Map(
     // the window replay of the bounded aggregate: same hash, same
@@ -185,6 +237,30 @@ object SketchQueries {
          |SELECT event_type, n_exact, n_sketch, h_k, est_distinct,
          |  (1000 * abs(est_distinct - n_exact)) // n_exact AS err_milli
          |FROM est""".stripMargin,
+    // identical ±1 hash signs, identical lower-median pick (OFFSET
+    // rows/2−1 of the ascending squares), identical count-of-counts
+    // exact side
+    "q_f2_sketch" -> {
+      val sCols = (0 until F2Rows).map { j =>
+        s"""CAST(sum(CASE WHEN ${hSql28(s"ams$j", "user_id")} % 2 = 0
+           | THEN 1 ELSE -1 END) AS BIGINT) AS s$j""".stripMargin.replace("\n", "")
+      }.mkString(",\n    ")
+      val squares = (0 until F2Rows).map(j => s"s$j * s$j").mkString(", ")
+      s"""WITH b AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+         |s AS (
+         |  SELECT count(*) AS n_rows,
+         |    $sCols
+         |  FROM b),
+         |e AS (SELECT unnest([$squares]) AS est FROM s),
+         |med AS (SELECT est AS est_f2 FROM e ORDER BY est
+         |        LIMIT 1 OFFSET ${F2Rows / 2 - 1}),
+         |ex AS (
+         |  SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2
+         |  FROM (SELECT count(*) AS c FROM b GROUP BY user_id))
+         |SELECT s.n_rows, ex.exact_f2, med.est_f2,
+         |  (1000 * abs(med.est_f2 - ex.exact_f2)) // ex.exact_f2 AS err_milli
+         |FROM s, ex, med""".stripMargin
+    },
     // per-day cut FIRST, then union + re-cut — replaying the merge path,
     // not just the end state, so the semilattice claim itself is gated
     "q_kmv_merge" ->

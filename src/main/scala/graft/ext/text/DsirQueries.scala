@@ -61,19 +61,55 @@ object DsirQueries {
   /** (doc_id, lang, bucket) hashed-bigram feature rows — multiset, like
     * DSIR's bag-of-ngrams (repeats weigh). Docs with < 2 tokens emit no
     * feature row and drop out of the weight frame (nothing to score). */
-  private def featureRows(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.rebalanced(spark, Tables.documents(spark, dir))
+  private def featureRows(spark: SparkSession, dir: String): DataFrame =
+    featureRowsOf(Tables.rebalanced(spark, Tables.documents(spark, dir)))
+
+  /** [[featureRows]] over an arbitrary (doc_id, lang, text) frame — the
+    * kernel the incremental screen drives with a micro-batch. */
+  private[graft] def featureRowsOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), col("lang"), TextNorm.toks(col("text")).as("t"))
     val len = greatest(size(col("t")) - 1, lit(0))
     val zipped = arrays_zip(
       slice(col("t"), lit(1), len).as("w1"),
       slice(col("t"), lit(2), len).as("w2"))
-    docs.select(col("doc_id"), col("lang"), explode(zipped).as("z"))
+    toks.select(col("doc_id"), col("lang"), explode(zipped).as("z"))
       .select(col("doc_id"), col("lang"),
         pmod(Exact.md5Long28(
           concat(lit("dsirf|"), col("z.w1"), lit(" "), col("z.w2"))),
           lit(NBuckets)).as("bucket"))
   }
+
+  /** The persisted DSIR model of a feature stream: the (bucket, c_r, c_t)
+    * count table (c_t null where the target never hit the bucket — the
+    * target is a subset of the training stream, so c_r covers every
+    * bucket) and the 1-row normalizer totals. BOTH bounded at
+    * [[NBuckets]] rows at any corpus size. */
+  private[graft] def modelOf(f: DataFrame): (DataFrame, DataFrame) = {
+    val ct = f.filter(col("lang") === TargetLang)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c_t"))
+    val cr = f.groupBy(col("bucket")).agg(count(lit(1)).as("c_r"))
+    val totals = f.groupBy()
+      .agg(count(lit(1)).as("n_r"),
+        sum(when(col("lang") === TargetLang, 1L).otherwise(0L)).as("n_t"))
+    (cr.join(ct, Seq("bucket"), "left"), totals)
+  }
+
+  /** Score a feature stream against a FROZEN model — the kernel shared by
+    * the full-corpus weight build and the incremental screen. Buckets the
+    * model never saw score lg(1+0)−lg(1+0) = 0, the add-one floor. */
+  private[graft] def scoreAgainst(f: DataFrame, model: DataFrame,
+                                  totals: DataFrame): DataFrame =
+    f.join(broadcast(model), Seq("bucket"), "left")
+      .withColumn("fam_diff",
+        lg(coalesce(col("c_t"), lit(0L))) - lg(coalesce(col("c_r"), lit(0L))))
+      .groupBy(col("doc_id"))
+      .agg(max(col("lang")).as("lang"), count(lit(1)).as("n_feats"),
+        sum(col("fam_diff")).as("fam_diff"))
+      .crossJoin(broadcast(totals))
+      .withColumn("w_units",
+        col("fam_diff") + col("n_feats") * (lg(col("n_r")) - lg(col("n_t"))))
+      .select(col("doc_id"), col("lang"), col("n_feats"), col("w_units"))
 
   /** floor(log2(1+c)) over a count column — exact via binary-string
     * length in both engines; no float log anywhere. */
@@ -91,26 +127,10 @@ object DsirQueries {
   /** The snapshot's BUILD pipeline (audited in PLANS.md — the registered
     * entry serves a localCheckpoint whose plan is an RDD scan). */
   private[graft] def weightFrameRaw(spark: SparkSession, dir: String): DataFrame = {
-      val f = featureRows(spark, dir)
-      val ct = f.filter(col("lang") === TargetLang)
-        .groupBy(col("bucket")).agg(count(lit(1)).as("c_t"))
-      val cr = f.groupBy(col("bucket")).agg(count(lit(1)).as("c_r"))
-      // 1-row normalizer frame: total feature mass of each model
-      val totals = f.groupBy()
-        .agg(count(lit(1)).as("n_r"),
-          sum(when(col("lang") === TargetLang, 1L).otherwise(0L)).as("n_t"))
-      f.join(broadcast(cr), Seq("bucket"))
-        .join(broadcast(ct), Seq("bucket"), "left")
-        .withColumn("fam_diff",
-          lg(coalesce(col("c_t"), lit(0L))) - lg(col("c_r")))
-        .groupBy(col("doc_id"))
-        .agg(max(col("lang")).as("lang"), count(lit(1)).as("n_feats"),
-          sum(col("fam_diff")).as("fam_diff"))
-        .crossJoin(broadcast(totals))
-        .withColumn("w_units",
-          col("fam_diff") + col("n_feats") * (lg(col("n_r")) - lg(col("n_t"))))
-        .select(col("doc_id"), col("lang"), col("n_feats"), col("w_units"))
-    }
+    val f = featureRows(spark, dir)
+    val (model, totals) = modelOf(f)
+    scoreAgainst(f, model, totals)
+  }
 
   def qDsirWeights(spark: SparkSession, dir: String): DataFrame =
     weightFrame(spark, dir)
@@ -152,10 +172,53 @@ object DsirQueries {
         expr(s"(1000 * n_sel) DIV $DsirK").as("sel_milli"))
   }
 
+  /** The persisted-model artifacts of the incremental screen (the
+    * corpusIndex / screenAgainstIndex lifecycle every incremental family
+    * follows): the DSIR count table and normalizer trained on every doc
+    * OUTSIDE the incoming slice, frozen as suite-scoped snapshots. */
+  private[graft] def incModel(spark: SparkSession,
+                              dir: String): (DataFrame, DataFrame) = {
+    def corpusFeatures = featureRowsOf(
+      Tables.rebalanced(spark, Tables.documents(spark, dir))
+        .filter(col("source") =!=
+          graft.ext.dedup.DedupQueries.IncomingSource))
+    val model = graft.util.SnapshotCache.snapshot("dsir_inc_model", spark, dir)(
+      modelOf(corpusFeatures)._1)
+    val totals = graft.util.SnapshotCache.snapshot("dsir_inc_totals", spark, dir)(
+      modelOf(corpusFeatures)._2)
+    (model, totals)
+  }
+
+  /** Screen a BATCH (doc_id, lang, text) against the frozen model — the
+    * foreachBatch-drivable kernel (per-doc scores are independent given
+    * the model, so micro-batch outputs union to the one-shot answer —
+    * the streaming-twin contract). `keep` = weight ≥ 0: the doc looks
+    * at least as target-like as raw-like, DSIR's acceptance reading of
+    * the likelihood ratio. */
+  private[graft] def screenAgainstModel(batch: DataFrame, model: DataFrame,
+                                        totals: DataFrame): DataFrame =
+    scoreAgainst(featureRowsOf(batch), model, totals)
+      .withColumn("keep", col("w_units") >= 0L)
+
+  /** The DSIR deployment shape: a new crawl slice (the IncomingSource
+    * split) scored against the count tables trained on the existing
+    * corpus — probe-side cost only. The corpus appears ONLY through its
+    * two bounded persisted artifacts (≤ [[NBuckets]]-row model + 1-row
+    * totals, broadcast); every batch-derived frame is micro-batch-sized.
+    * At 100 TB screening a day's crawl is scan + broadcast + one
+    * doc-keyed aggregate, whatever the corpus size. */
+  def qDsirIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val (model, totals) = incModel(spark, dir)
+    val batch = Tables.rebalanced(spark, Tables.documents(spark, dir))
+      .filter(col("source") === graft.ext.dedup.DedupQueries.IncomingSource)
+    screenAgainstModel(batch, model, totals)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dsir_weights" -> (qDsirWeights _),
-    "dsir_select"  -> (qDsirSelect _),
-    "dsir_eval"    -> (qDsirEval _))
+    "dsir_weights"     -> (qDsirWeights _),
+    "dsir_select"      -> (qDsirSelect _),
+    "dsir_eval"        -> (qDsirEval _),
+    "dsir_incremental" -> (qDsirIncremental _))
 
   private val toksSql = TextNorm.toksSql
 
@@ -201,6 +264,44 @@ object DsirQueries {
          |         AS BIGINT) AS rank,
          |  doc_id, lang, n_feats, w_units
          |FROM w ORDER BY w_units DESC, doc_id LIMIT $DsirK""".stripMargin,
+    // the corpus/batch split replayed end to end: model counts from the
+    // non-incoming slice only, the batch scored with the same quantized
+    // log and add-one floor on model-unseen buckets
+    "dsir_incremental" -> {
+      val inc = graft.ext.dedup.DedupQueries.IncomingSource
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, lang, source, $toksSql AS t FROM documents),
+         |f AS MATERIALIZED (
+         |  SELECT doc_id, lang, source,
+         |    ${Exact.md5Long28Sql("'dsirf|' || bg")} % $NBuckets AS bucket
+         |  FROM (SELECT doc_id, lang, source,
+         |          unnest([array_to_string(t[i:i+1], ' ')
+         |                  for i in generate_series(1, len(t)-1)]) AS bg
+         |        FROM d WHERE len(t) >= 2)),
+         |cf AS (SELECT * FROM f WHERE source <> '$inc'),
+         |bf AS (SELECT * FROM f WHERE source = '$inc'),
+         |ct AS (SELECT bucket, count(*) AS c_t FROM cf
+         |       WHERE lang = '$TargetLang' GROUP BY 1),
+         |cr AS (SELECT bucket, count(*) AS c_r FROM cf GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_r,
+         |          CAST(sum(CASE WHEN lang = '$TargetLang' THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_t
+         |        FROM cf),
+         |w AS (
+         |  SELECT s.doc_id, s.lang, s.n_feats,
+         |    s.fam_diff + s.n_feats *
+         |      ((length(bin(1 + tot.n_r)) - 1) - (length(bin(1 + tot.n_t)) - 1))
+         |      AS w_units
+         |  FROM (
+         |    SELECT bf.doc_id, max(bf.lang) AS lang, count(*) AS n_feats,
+         |      CAST(sum((length(bin(1 + coalesce(ct.c_t, 0))) - 1)
+         |               - (length(bin(1 + coalesce(cr.c_r, 0))) - 1))
+         |        AS BIGINT) AS fam_diff
+         |    FROM bf LEFT JOIN cr USING (bucket) LEFT JOIN ct USING (bucket)
+         |    GROUP BY 1) s, tot)
+         |SELECT doc_id, lang, n_feats, w_units, w_units >= 0 AS keep
+         |FROM w""".stripMargin
+    },
     "dsir_eval" ->
       s"""WITH $weightsCtes,
          |sel AS (SELECT lang, count(*) AS n_sel FROM (

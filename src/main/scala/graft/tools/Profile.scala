@@ -465,7 +465,8 @@ object Profile {
           col("text"), col("lang"), col("source"), col("n_chars"))
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       val qs = Seq("q_group_sample", "q_kmv_distinct", "q_kmv_merge",
-        "dsir_select", "dsir_eval")
+        "q_f2_sketch", "dsir_select", "dsir_eval", "dsir_incremental",
+        "text_cm_eval", "text_cm_merge")
       for (d <- Seq(dir, out); name <- qs) {
         graft.util.SnapshotCache.clearAll()
         val fn = graft.SparkEntry.queries(name)

@@ -78,6 +78,27 @@ class BottomKPairsSpec extends SparkSpec {
     }
   }
 
+  test("AMS F2 estimate equals a driver-side sign-sum replay; error bounded") {
+    val r = SketchQueries.qF2Sketch(spark, sf).head()
+    val rows = graft.sources.Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull).select($"user_id").as[Long].collect()
+    assert(r.getLong(0) == rows.length)
+    // exact F2 = sum of squared per-user counts
+    val exact = rows.groupBy(identity).values.map(v => v.size.toLong * v.size).sum
+    assert(r.getLong(1) == exact)
+    // replay the 8 sign sums with the same md5 rule
+    def sign(j: Int, u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ams$j|$u".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(7)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+    }
+    val ests = (0 until SketchQueries.F2Rows)
+      .map(j => { val s = rows.map(sign(j, _)).sum; s * s }).sorted
+    assert(r.getLong(2) == ests(SketchQueries.F2Rows / 2 - 1),
+      s"median mismatch: got ${r.getLong(2)}, replay ${ests.toList}")
+  }
+
   test("KMV merge equals the sketch built directly on the union") {
     val merged = SketchQueries.qKmvMerge(spark, sf)
       .select($"est_distinct", $"n_exact").head()
