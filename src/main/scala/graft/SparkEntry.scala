@@ -48,6 +48,7 @@ object SparkEntry {
       ext.dedup.DedupQueries.queries ++
       ext.sim.SimQueries.queries ++
       ext.sim.PqQueries.queries ++
+      ext.sim.AlignQueries.queries ++
       ext.multimodal.Multimodal.queries ++
       ext.graph.GraphQueries.queries ++
       ext.er.ErQueries.queries ++
@@ -84,6 +85,7 @@ object SparkEntry {
       ext.dedup.DedupQueries.oracles ++
       ext.sim.SimQueries.oracles ++
       ext.sim.PqQueries.oracles ++
+      ext.sim.AlignQueries.oracles ++
       ext.multimodal.Multimodal.oracles ++
       ext.graph.GraphQueries.oracles ++
       ext.er.ErQueries.oracles ++

@@ -1,0 +1,235 @@
+package graft.ext.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.dedup.DedupQueries.{cosine, quantized}
+import graft.sources.Tables
+
+/**
+ * Bitext mining — cross-lingual document alignment by embedding margin
+ * (the CCMatrix/LASER shape, Schwenk et al., "CCMatrix: Mining billions
+ * of high-quality parallel sentences on the web", ACL 2021): for every
+ * non-target-language document, find its best [[TargetLang]] match in
+ * embedding space and score the MARGIN between the best and second-best
+ * cosine — a high margin means the match stands out from the background
+ * (the criterion that separates genuine translations from
+ * nearest-in-a-vacuum noise). The multilingual analog of the dedup
+ * families: where dedup pairs same-content docs, alignment pairs
+ * same-content docs ACROSS languages to build parallel training data.
+ *
+ * Determinism: cosines ride the quantized integer dot products (one
+ * IEEE division at the end, identical bits in both engines — the knn
+ * discipline); the margin is one IEEE subtraction of two such doubles;
+ * ranks break ties on id. The accept verdict compares against a
+ * constant, so the mined pair set replays bit-identically.
+ *
+ * Tiering follows the ANN family: [[qAlignBitext]] is the all-pairs
+ * truth anchor (declared as such — candidate mass |src|·|tgt|);
+ * [[qAlignBitextLsh]] is the production twin with candidates from
+ * shared hyperplane-LSH bands (the identical plane construction as
+ * knn_lsh/dedup_embedding_lsh — ONE signature definition engine-wide);
+ * [[qAlignEval]] measures the twin against the anchor. At 100 TB the
+ * anchor is never run; the twin's band join shuffles 8-byte keys and
+ * the margin window runs over per-query candidate sets.
+ */
+object AlignQueries {
+
+  /** Mining target language (the pivot side of the parallel corpus). */
+  val TargetLang = "en"
+
+  /** Accept threshold on the absolute cosine margin — pairs whose best
+    * match beats the runner-up by less are ambient-noise matches. */
+  val MarginMin = 0.05
+
+  /** Embedding rows tagged with their document's language. The id-keyed
+    * join against the doc-metadata projection; at deployment the lang
+    * column rides the embedding parquet itself. */
+  private def tagged(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+
+  /** Collapse ranked candidate rows (rk ≤ 2) to the per-source margin
+    * card — shared by both tiers so the anchor and the twin cannot
+    * diverge in their scoring tail. */
+  private def marginCard(ranked: DataFrame): DataFrame =
+    ranked.groupBy(col("src_id"), col("src_lang"))
+      .agg(max(when(col("rk") === 1, col("tgt_id"))).as("tgt_id"),
+        max(when(col("rk") === 1, col("cos"))).as("cos_best"),
+        max(when(col("rk") === 2, col("cos"))).as("cos_second"))
+      .withColumn("margin", col("cos_best") - col("cos_second"))
+      .withColumn("accepted",
+        col("margin").isNotNull && col("margin") >= MarginMin)
+      .select(col("src_id"), col("src_lang"), col("tgt_id"),
+        col("cos_best"), col("margin"), col("accepted"))
+
+  private def rankW: org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy("src_id").orderBy(col("cos").desc, col("tgt_id"))
+
+  /** All-pairs truth anchor: every non-target doc scored against every
+    * target doc. Declared anchor — the production twin below bounds the
+    * candidate product; this form exists to gate it. */
+  def qAlignBitext(spark: SparkSession, dir: String): DataFrame = {
+    val t = tagged(spark, dir)
+    val src = t.filter(col("lang") =!= TargetLang)
+      .select(col("vec_id").as("src_id"), col("lang").as("src_lang"),
+        col("v").as("sv"), col("nsq").as("sn"))
+    val tgt = t.filter(col("lang") === TargetLang)
+      .select(col("vec_id").as("tgt_id"), col("v").as("tv"),
+        col("nsq").as("tn"))
+    val ranked = src.crossJoin(tgt)
+      .withColumn("cos", cosine(col("sv"), col("tv"), col("sn"), col("tn")))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= 2)
+    marginCard(ranked)
+  }
+
+  /** Production twin: candidates only where source and target share an
+    * LSH band bucket — the same (band, band-hash) equi-join as the ANN
+    * and semantic-dedup tiers. Sources with no target collision emit no
+    * row (nothing aligned — the operator's semantics, measured by the
+    * eval); margins are computed within the candidate set, the
+    * approximation the eval prices. */
+  def qAlignBitextLsh(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val bands = SimQueries.lshBands(spark, dir).join(langs, "vec_id")
+    val srcB = bands.filter(col("lang") =!= TargetLang)
+      .select(col("band"), col("bh"), col("vec_id").as("src_id"),
+        col("lang").as("src_lang"))
+    val tgtB = bands.filter(col("lang") === TargetLang)
+      .select(col("band"), col("bh"), col("vec_id").as("tgt_id"))
+    val cand = srcB.join(tgtB, Seq("band", "bh"))
+      .select(col("src_id"), col("src_lang"), col("tgt_id")).distinct()
+    val t = quantized(spark, dir)
+    val ranked = cand
+      .join(t.select(col("vec_id").as("src_id"), col("v").as("sv"),
+        col("nsq").as("sn")), "src_id")
+      .join(t.select(col("vec_id").as("tgt_id"), col("v").as("tv"),
+        col("nsq").as("tn")), "tgt_id")
+      .withColumn("cos", cosine(col("sv"), col("tv"), col("sn"), col("tn")))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= 2)
+    marginCard(ranked)
+  }
+
+  /** The twin's report card against the anchor (the ann_eval
+    * discipline): how many sources the bucketed tier aligned at all,
+    * how often its best match agrees with the anchor's, and the
+    * accepted-pair agreement — per-mille, integer. */
+  def qAlignEval(spark: SparkSession, dir: String): DataFrame = {
+    val anchor = qAlignBitext(spark, dir)
+      .select(col("src_id"), col("tgt_id").as("tgt_exact"),
+        col("accepted").as("acc_exact"))
+    val lsh = qAlignBitextLsh(spark, dir)
+      .select(col("src_id"), col("tgt_id").as("tgt_lsh"),
+        col("accepted").as("acc_lsh"))
+    anchor.join(lsh, Seq("src_id"), "left")
+      .groupBy()
+      .agg(count(lit(1)).as("n_src"),
+        sum(when(col("tgt_lsh").isNotNull, 1L).otherwise(0L)).as("n_aligned"),
+        sum(when(col("tgt_lsh") === col("tgt_exact"), 1L).otherwise(0L))
+          .as("n_same_match"),
+        sum(when(col("acc_exact"), 1L).otherwise(0L)).as("n_acc_exact"),
+        sum(when(col("acc_lsh") === true && col("acc_exact"), 1L).otherwise(0L))
+          .as("n_acc_both"))
+      .withColumn("aligned_milli", expr("(1000 * n_aligned) DIV n_src"))
+      .withColumn("match_milli", expr("(1000 * n_same_match) DIV n_src"))
+      .withColumn("acc_recall_milli",
+        expr("(1000 * n_acc_both) DIV greatest(n_acc_exact, 1)"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "align_bitext"     -> (qAlignBitext _),
+    "align_bitext_lsh" -> (qAlignBitextLsh _),
+    "align_eval"       -> (qAlignEval _))
+
+  /** Margin-card SQL tail shared by both tier oracles (same conditional
+    * collapse, same IEEE margin subtraction, same accept constant). */
+  private def marginSql(ranked: String): String =
+    s"""SELECT src_id, src_lang,
+       |  max(CASE WHEN rk = 1 THEN tgt_id END) AS tgt_id,
+       |  max(CASE WHEN rk = 1 THEN cos END) AS cos_best,
+       |  max(CASE WHEN rk = 1 THEN cos END)
+       |    - max(CASE WHEN rk = 2 THEN cos END) AS margin,
+       |  coalesce((max(CASE WHEN rk = 1 THEN cos END)
+       |    - max(CASE WHEN rk = 2 THEN cos END)) >= $MarginMin, FALSE)
+       |    AS accepted
+       |FROM $ranked GROUP BY 1, 2""".stripMargin
+
+  /** Anchor CTE chain (needs `q` from quantizedSql in scope). */
+  private def anchorCtes: String =
+    s"""tq AS (SELECT q.vec_id, d.lang, q.v, q.nsq FROM q
+       |       JOIN documents d ON d.doc_id = q.vec_id),
+       |ranked_a AS (
+       |  SELECT s.vec_id AS src_id, s.lang AS src_lang,
+       |    t.vec_id AS tgt_id,
+       |    ${SimQueries.cosSql("s.v", "t.v", "s.nsq", "t.nsq")} AS cos,
+       |    row_number() OVER (PARTITION BY s.vec_id
+       |      ORDER BY ${SimQueries.cosSql("s.v", "t.v", "s.nsq", "t.nsq")} DESC,
+       |        t.vec_id) AS rk
+       |  FROM tq s CROSS JOIN tq t
+       |  WHERE s.lang <> '$TargetLang' AND t.lang = '$TargetLang')""".stripMargin
+
+  /** LSH-tier CTE chain (needs `q` AND the shared band CTEs in scope) —
+    * the identical plane/band construction as every other LSH gate. */
+  private def lshCtes: String =
+    s"""lb AS (SELECT b.vec_id, b.band, b.bh, d.lang FROM bands b
+       |       JOIN documents d ON d.doc_id = b.vec_id),
+       |cand AS (
+       |  SELECT DISTINCT s.vec_id AS src_id, s.lang AS src_lang,
+       |    t.vec_id AS tgt_id
+       |  FROM lb s JOIN lb t ON s.band = t.band AND s.bh = t.bh
+       |  WHERE s.lang <> '$TargetLang' AND t.lang = '$TargetLang'),
+       |ranked_l AS (
+       |  SELECT c.src_id, c.src_lang, c.tgt_id,
+       |    ${SimQueries.cosSql("sq.v", "tq2.v", "sq.nsq", "tq2.nsq")} AS cos,
+       |    row_number() OVER (PARTITION BY c.src_id
+       |      ORDER BY ${SimQueries.cosSql("sq.v", "tq2.v", "sq.nsq", "tq2.nsq")} DESC,
+       |        c.tgt_id) AS rk
+       |  FROM cand c
+       |  JOIN q sq ON sq.vec_id = c.src_id
+       |  JOIN q tq2 ON tq2.vec_id = c.tgt_id)""".stripMargin
+
+  lazy val oracles: Map[String, String] = Map(
+    "align_bitext" ->
+      s"""WITH ${graft.ext.dedup.DedupQueries.quantizedSql},
+         |$anchorCtes
+         |${marginSql("ranked_a WHERE rk <= 2")}""".stripMargin,
+    "align_bitext_lsh" ->
+      s"""WITH ${graft.ext.dedup.DedupQueries.quantizedSql},
+         |${SimQueries.lshBandCtes},
+         |$lshCtes
+         |${marginSql("ranked_l WHERE rk <= 2")}""".stripMargin,
+    // ONE statement carrying both tiers over the SAME q/bands CTEs —
+    // the eval gates agreement between the frames the other gates hash
+    "align_eval" ->
+      s"""WITH ${graft.ext.dedup.DedupQueries.quantizedSql},
+         |$anchorCtes,
+         |${SimQueries.lshBandCtes},
+         |$lshCtes,
+         |anchor AS (
+         |${marginSql("ranked_a WHERE rk <= 2")}),
+         |lsh AS (
+         |${marginSql("ranked_l WHERE rk <= 2")})
+         |SELECT count(*) AS n_src,
+         |  CAST(sum(CASE WHEN l.tgt_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_aligned,
+         |  CAST(sum(CASE WHEN l.tgt_id = a.tgt_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_same_match,
+         |  CAST(sum(CASE WHEN a.accepted THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_acc_exact,
+         |  CAST(sum(CASE WHEN a.accepted AND coalesce(l.accepted, FALSE)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_acc_both,
+         |  (1000 * CAST(sum(CASE WHEN l.tgt_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT)) // count(*) AS aligned_milli,
+         |  (1000 * CAST(sum(CASE WHEN l.tgt_id = a.tgt_id THEN 1 ELSE 0 END)
+         |    AS BIGINT)) // count(*) AS match_milli,
+         |  (1000 * CAST(sum(CASE WHEN a.accepted AND coalesce(l.accepted, FALSE)
+         |    THEN 1 ELSE 0 END) AS BIGINT))
+         |    // greatest(CAST(sum(CASE WHEN a.accepted THEN 1 ELSE 0 END)
+         |      AS BIGINT), 1) AS acc_recall_milli
+         |FROM anchor a LEFT JOIN lsh l USING (src_id)""".stripMargin)
+}
