@@ -137,6 +137,49 @@ class LayoutSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 
+  test("bucketed tables co-locate the join: zero Exchange in the physical plan") {
+    // the C-family scale claim made physical: two tables bucketed on the
+    // join key produce a SortMergeJoin with NO shuffle on either side —
+    // at 100 TB this is the layout that lets a fact re-join its
+    // co-bucketed dimensions (or itself) every day for free. Broadcast
+    // is disabled for the assertion so the no-exchange proof is about
+    // BUCKETING, not about a small table slipping under the threshold.
+    import graft.sources.Tables
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    ev.write.mode("overwrite").format("parquet")
+      .bucketBy(8, "user_id").sortBy("user_id")
+      .saveAsTable("ev_bucketed")
+    ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "user_id").sortBy("user_id")
+      .saveAsTable("user_stats_bucketed")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("ev_bucketed")
+        .join(spark.table("user_stats_bucketed"), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      // the same join UNBUCKETED shuffles both sides — the cost bucketing
+      // removes, asserted so the comparison is in the suite, not folklore
+      val unbucketed = ev.join(
+        ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events")), "user_id")
+      val uplan = unbucketed.queryExecution.executedPlan.toString
+      assert(uplan.contains("Exchange"), "control: unbucketed join must shuffle")
+      // correctness: identical result sets
+      assert(joined.select("event_id", "n_events")
+        .except(unbucketed.select("event_id", "n_events")).isEmpty)
+      assert(joined.count() == ev.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+      spark.sql("DROP TABLE IF EXISTS user_stats_bucketed")
+    }
+  }
+
   test("writeZOrdered: real file envelopes prune the non-sort dimension; linear layout cannot") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_z").toString
