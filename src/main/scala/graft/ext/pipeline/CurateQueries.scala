@@ -818,7 +818,56 @@ object CurateQueries {
         x => x.cast("string")), ",")).as("docs_sig"))
   }
 
+  /** Deterministic version-2 mutation rates for [[qCorpusDiff]]'s
+    * stand-in corpus versions (the IncomingSource discipline: real
+    * operators need a fixture axis the tables don't ship). */
+  val DiffDeletePeriod = 37L
+  val DiffEditPeriod = 23L
+
+  /** Dataset-version diff — the reproducibility audit every corpus
+    * release ships: given yesterday's corpus v1 and today's v2, classify
+    * every doc id as added / removed / changed / unchanged by CONTENT
+    * HASH (not by metadata — a silent re-crawl edit flips the hash), and
+    * gate the full membership of each class through an id-list
+    * signature, so a single misclassified doc anywhere fails the oracle.
+    * Versions stand in deterministically: v1 = the corpus without the
+    * incoming slice; v2 = v1 minus every [[DiffDeletePeriod]]-th doc
+    * (deletions), with every [[DiffEditPeriod]]-th doc's content salted
+    * (re-crawl edits), plus the incoming slice (additions).
+    *
+    * Shape: two narrow hash projections meet in ONE full-outer join on
+    * doc_id (at deployment: on the content-addressed key of the
+    * manifest); the class census is a 4-row aggregate whose collect_list
+    * runs over class-sized id lists at THIS grain — at 100 TB the
+    * signature column swaps to the xor/md5-merge trick and the card
+    * stays 4 rows. */
+  def qCorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.rebalanced(spark, Tables.documents(spark, dir))
+    val inc = col("source") === DedupQueries.IncomingSource
+    val v1 = docs.filter(!inc)
+      .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h1"))
+    val v2base = docs.filter(!inc)
+      .filter(pmod(col("doc_id"), lit(DiffDeletePeriod)) =!= 0L)
+      .select(col("doc_id"),
+        md5(when(pmod(col("doc_id"), lit(DiffEditPeriod)) === 0L,
+          concat(coalesce(col("text"), lit("")), lit("|v2")))
+          .otherwise(coalesce(col("text"), lit("")))).as("h2"))
+    val v2 = v2base.unionByName(docs.filter(inc)
+      .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h2")))
+    v1.join(v2, Seq("doc_id"), "full")
+      .withColumn("status",
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(array_join(transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",")).as("ids_sig"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_diff"      -> (qCorpusDiff _),
     "q_source_cap"     -> (qSourceCap _),
     "corpus_report"    -> (qCorpusReport _),
     "curate_pipeline"  -> (qCurate _),
@@ -917,6 +966,34 @@ object CurateQueries {
   private val clusterSql = DedupQueries.oracles("dedup_clusters")
 
   val oracles: Map[String, String] = Map(
+    // same content-hash rule, same deterministic delete/edit periods,
+    // same sorted-id-list signature per class
+    "corpus_diff" -> {
+      val inc = DedupQueries.IncomingSource
+      s"""WITH v1 AS (
+         |  SELECT doc_id, md5(coalesce(text, '')) AS h1
+         |  FROM documents WHERE source <> '$inc'),
+         |v2 AS (
+         |  SELECT doc_id,
+         |    md5(CASE WHEN doc_id % $DiffEditPeriod = 0
+         |      THEN coalesce(text, '') || '|v2'
+         |      ELSE coalesce(text, '') END) AS h2
+         |  FROM documents
+         |  WHERE source <> '$inc' AND doc_id % $DiffDeletePeriod <> 0
+         |  UNION ALL
+         |  SELECT doc_id, md5(coalesce(text, '')) AS h2
+         |  FROM documents WHERE source = '$inc'),
+         |j AS (
+         |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+         |    CASE WHEN v1.h1 IS NULL THEN 'added'
+         |         WHEN v2.h2 IS NULL THEN 'removed'
+         |         WHEN v1.h1 <> v2.h2 THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id)
+         |SELECT status, count(*) AS n_docs,
+         |  md5(array_to_string(list_sort(list(doc_id)), ',')) AS ids_sig
+         |FROM j GROUP BY 1""".stripMargin
+    },
     // same nested quality-model statement (the one-truth discipline),
     // same (logit desc, doc_id) deterministic rank, same cap constant
     "q_source_cap" ->

@@ -500,8 +500,63 @@ object SimQueries {
         expr("(1000 * n_queries) DIV n_true").as("share_milli"))
   }
 
+  /** Power-iteration rounds (the oracle-able prefix of the fixpoint, like
+    * pagerank/kcore/k-means) and the per-round direction rescale bound. */
+  val PowerIters = 3
+  val PowerVScale = 1000L
+
+  /** Top principal direction of the embedding corpus by POWER ITERATION —
+    * spectral linear algebra as a relational program: v ← A^T(A·v),
+    * renormalized each round, converges to the top eigenvector of the
+    * Gram matrix A^T A. The direction a deployment uses for PCA
+    * whitening, OPQ-style rotation seeding, or a 1-D spectral ordering of
+    * the corpus — and the third iterative-numerics family next to
+    * k-means (centroids) and pagerank (graphs).
+    *
+    * Exactness: A·v and A^T(·) are integer dot products; the only
+    * non-integers are floor(·/1000) down-scales where both engines
+    * evaluate floor over exactly-representable doubles (every
+    * intermediate ≤ 2^48 ≪ 2^53, so the double sums are exact and
+    * order-independent), and the per-round rescale v[i] =
+    * trunc(w[i]·1000 / max|w|) TRUNCATES TOWARD ZERO on both sides —
+    * DuckDB's integer `//`, Scala's `/`, and Spark's `DIV` all truncate
+    * on negatives (floorDiv would diverge; caught by the gate). The
+    * trajectory replays bit-identically; sign is pinned by the all-ones
+    * start.
+    *
+    * Shape: each round is one narrow literal-dot projection (the frozen
+    * v rides the plan as [[Dim]] literals — the emb_drift discipline), a
+    * (dim)-keyed map-combinable aggregate, and a [[Dim]]-row collect to
+    * the driver (bounded driver state, the k-means contract). Nothing
+    * wider than the embedding scan at any corpus size. */
+  def qEmbPowerIter(spark: SparkSession, dir: String): DataFrame = {
+    val a = quantized(spark, dir).select(col("vec_id"), col("v"))
+    var vec = Array.fill(Dim)(1L)
+    val rounds = scala.collection.mutable.ArrayBuffer[Array[Long]]()
+    for (_ <- 1 to PowerIters) {
+      val dotCol = (0 until Dim)
+        .map(i => element_at(col("v"), i + 1) * lit(vec(i)))
+        .reduce(_ + _)
+      val w = a.withColumn("dot", dotCol)
+        .select(col("dot"), posexplode(col("v")).as(Seq("i0", "x")))
+        .groupBy(col("i0").cast("long").as("i0"))
+        .agg(sum(floor(col("dot") / lit(1000.0)) *
+          floor(col("x") / lit(1000.0))).as("w"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val wArr = (0 until Dim).map(i => w.getOrElse(i.toLong, 0L)).toArray
+      val m = math.max(wArr.map(math.abs).max, 1L)
+      vec = wArr.map(x => x * PowerVScale / m)
+      rounds += vec
+    }
+    import spark.implicits._
+    (0 until Dim).map(i =>
+      (i + 1L, rounds(0)(i), rounds(1)(i), rounds(2)(i)))
+      .toDF("i", "v1", "v2", "v3")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_norm_audit"  -> (qEmbNormAudit _),
+    "emb_power_iter"  -> (qEmbPowerIter _),
     "knn_label_eval"  -> (qKnnLabelEval _),
     "emb_drift"       -> (qEmbDrift _),
     "knn_brute"       -> (qKnnBrute _),
@@ -651,6 +706,37 @@ object SimQueries {
          |FROM census, t""".stripMargin
     },
     "knn_brute" -> knnBruteSql,
+    // the three rounds unrolled (the kmeans oracle discipline): same
+    // all-ones start, same floor(·/1000) down-scales over exactly-
+    // representable doubles, same floored rescale — the whole trajectory
+    // hash-matches, not just the final direction
+    "emb_power_iter" -> {
+      def iter(n: Int, dotCte: String): String =
+        s"""w$n AS (
+           |  SELECT t.i,
+           |    CAST(sum(floor(CAST(d.dot AS DOUBLE) / 1000.0)
+           |      * floor(CAST(q.v[t.i] AS DOUBLE) / 1000.0)) AS BIGINT) AS w
+           |  FROM q JOIN $dotCte d USING (vec_id),
+           |    generate_series(1, $Dim) t(i)
+           |  GROUP BY 1),
+           |m$n AS (SELECT greatest(max(abs(w)), 1) AS m FROM w$n),
+           |v$n AS (SELECT i, (w * $PowerVScale) // m AS val FROM w$n, m$n)""".stripMargin
+      def dotCte(n: Int, prevV: String): String =
+        s"""d$n AS (
+           |  SELECT q.vec_id, CAST(sum(q.v[t.i] * pv.val) AS BIGINT) AS dot
+           |  FROM q, generate_series(1, $Dim) t(i)
+           |  JOIN $prevV pv ON pv.i = t.i
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH ${graft.ext.dedup.DedupQueries.quantizedSql},
+         |d1 AS (SELECT vec_id, CAST(list_sum(v) AS BIGINT) AS dot FROM q),
+         |${iter(1, "d1")},
+         |${dotCte(2, "v1")},
+         |${iter(2, "d2")},
+         |${dotCte(3, "v2")},
+         |${iter(3, "d3")}
+         |SELECT v1.i AS i, v1.val AS v1, v2.val AS v2, v3.val AS v3
+         |FROM v1 JOIN v2 USING (i) JOIN v3 USING (i)""".stripMargin
+    },
     // nests the shared brute statement verbatim — the eval measures the
     // same neighbor sets the knn_brute gate hashes; same vote argmax
     // (count desc, label asc), same integer shares

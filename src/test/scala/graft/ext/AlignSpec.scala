@@ -36,6 +36,43 @@ class AlignSpec extends SparkSpec {
     assert(bad.isEmpty, "candidate-restricted best exceeded the all-pairs best")
   }
 
+  test("emb_power_iter: alignment with the Gram matrix improves across rounds") {
+    import graft.ext.sim.SimQueries
+    val t = SimQueries.qEmbPowerIter(spark, sf)
+      .orderBy($"i").collect()
+    assert(t.length == SimQueries.Dim)
+    val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1e6 + 0.5)).toArray)
+    def rayleigh(v: Array[Double]): Double = {
+      val num = vecs.map(x => { val d = x.zip(v).map(p => p._1 * p._2).sum; d * d }).sum
+      num / v.map(x => x * x).sum
+    }
+    val v1 = t.map(_.getLong(1).toDouble)
+    val v3 = t.map(_.getLong(3).toDouble)
+    assert(rayleigh(v3) >= rayleigh(v1) * 0.999,
+      s"power iteration went backwards: ${rayleigh(v1)} -> ${rayleigh(v3)}")
+    // the direction is normalized to the vscale bound each round
+    assert(t.map(r => math.abs(r.getLong(3))).max == SimQueries.PowerVScale)
+  }
+
+  test("corpus_diff: classes partition the id space; replay matches") {
+    import graft.ext.pipeline.CurateQueries
+    val d = CurateQueries.qCorpusDiff(spark, sf)
+      .select($"status", $"n_docs").as[(String, Long)].collect().toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val inc = docs.filter(_._2 == graft.ext.dedup.DedupQueries.IncomingSource)
+    val base = docs.filter(_._2 != graft.ext.dedup.DedupQueries.IncomingSource)
+    val removed = base.count(_._1 % CurateQueries.DiffDeletePeriod == 0)
+    val changed = base.count(t => t._1 % CurateQueries.DiffDeletePeriod != 0 &&
+      t._1 % CurateQueries.DiffEditPeriod == 0)
+    assert(d.getOrElse("added", 0L) == inc.length)
+    assert(d.getOrElse("removed", 0L) == removed)
+    assert(d.getOrElse("changed", 0L) == changed)
+    assert(d.values.sum == base.length + inc.length)
+  }
+
   test("align_eval counts equal driver-side set arithmetic over both frames") {
     val a = AlignQueries.qAlignBitext(spark, sf)
       .select($"src_id", $"tgt_id", $"accepted")
