@@ -866,8 +866,86 @@ object CurateQueries {
           x => x.cast("string")), ",")).as("ids_sig"))
   }
 
+  /** Docs per training batch for the length-grouped loader. */
+  val BatchDocs = 8L
+
+  /** Token lengths at the whitespace-token grain (one token definition
+    * suite-wide), the input to both batching strategies. */
+  private def docLens(spark: SparkSession, dir: String): DataFrame =
+    Tables.rebalanced(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        size(TextNorm.toks(col("text"))).cast("long").as("n_tokens"))
+
+  /** Length-grouped batching — the sorted-batching trick every trainer
+    * with padded batches uses: order docs by token length (desc, doc_id
+    * tiebreak — a total order), cut into [[BatchDocs]]-doc batches, and
+    * report each batch's padding cost (docs padded to the batch max).
+    * Similar-length neighbors ⇒ tiny max−len gaps ⇒ compute spent on
+    * tokens, not padding. Full batch grain so a loader manifest can
+    * consume it directly.
+    *
+    * Scale shape: the total order pays the q_global_rank two-phase
+    * kernel (range exchange + partition-size counts pass — never a
+    * single-partition window); the batch census is one bounded-key
+    * aggregate on ⌈n/B⌉ keys. */
+  def qPackLengthBatches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ranked = docLens(spark, dir)
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+      .rdd.zipWithIndex
+      .map { case (r, i) => (r.getLong(0), r.getLong(1), i + 1L) }
+      .toDF("doc_id", "n_tokens", "rank")
+    ranked
+      .withColumn("batch_id", expr(s"(rank - 1) DIV $BatchDocs"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("pad_tokens",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+  }
+
+  /** The strategy card that justifies the sort: total padding of
+    * length-grouped batches vs HASH-assigned batches (the random-order
+    * baseline a naive loader gets) over the identical corpus — per-mille
+    * of the padded compute, so the win is a measured number (the
+    * ann_eval discipline). Hash batching assigns each doc to one of the
+    * same ⌈n/B⌉ batch ids by md5 — batch sizes uneven, exactly like a
+    * shuffled loader's tail. */
+  def qPackBatchEval(spark: SparkSession, dir: String): DataFrame = {
+    val sorted = qPackLengthBatches(spark, dir)
+      .groupBy().agg(count(lit(1)).as("n_batches"),
+        sum(col("pad_tokens")).as("pad_tokens"),
+        sum(col("sum_tokens")).as("sum_tokens"))
+      .withColumn("strategy", lit("length_sorted"))
+    val nBatches = docLens(spark, dir)
+      .agg(expr(s"CAST(ceil(count(1) / CAST($BatchDocs AS DOUBLE)) AS BIGINT)")
+        .as("nb"))
+    val hashed = docLens(spark, dir)
+      .crossJoin(broadcast(nBatches))
+      .withColumn("batch_id",
+        pmod(Exact.md5Long(concat(lit("lb|"), col("doc_id"))), col("nb")))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("pad_tokens",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+      .groupBy().agg(count(lit(1)).as("n_batches"),
+        sum(col("pad_tokens")).as("pad_tokens"),
+        sum(col("sum_tokens")).as("sum_tokens"))
+      .withColumn("strategy", lit("hashed"))
+    sorted.unionByName(hashed)
+      .withColumn("pad_milli",
+        expr("(1000 * pad_tokens) DIV (pad_tokens + sum_tokens)"))
+      .select(col("strategy"), col("n_batches"), col("sum_tokens"),
+        col("pad_tokens"), col("pad_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_diff"      -> (qCorpusDiff _),
+    "pack_length_batches" -> (qPackLengthBatches _),
+    "pack_batch_eval"  -> (qPackBatchEval _),
     "q_source_cap"     -> (qSourceCap _),
     "corpus_report"    -> (qCorpusReport _),
     "curate_pipeline"  -> (qCurate _),
@@ -994,6 +1072,56 @@ object CurateQueries {
          |  md5(array_to_string(list_sort(list(doc_id)), ',')) AS ids_sig
          |FROM j GROUP BY 1""".stripMargin
     },
+    // same (n_tokens desc, doc_id) total order replayed as one window —
+    // the oracle may use the naive plan; the Spark side may not
+    "pack_length_batches" ->
+      s"""WITH lens AS (
+         |  SELECT doc_id, CAST(len(${TextNorm.toksSql}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_tokens,
+         |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rank
+         |  FROM lens)
+         |SELECT (rank - 1) // $BatchDocs AS batch_id,
+         |  count(*) AS n_docs,
+         |  max(n_tokens) AS max_tokens,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  count(*) * max(n_tokens) - CAST(sum(n_tokens) AS BIGINT)
+         |    AS pad_tokens
+         |FROM r GROUP BY 1""".stripMargin,
+    "pack_batch_eval" ->
+      s"""WITH lens AS (
+         |  SELECT doc_id, CAST(len(${TextNorm.toksSql}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_tokens,
+         |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rank
+         |  FROM lens),
+         |sb AS (
+         |  SELECT (rank - 1) // $BatchDocs AS batch_id, count(*) AS n_docs,
+         |    max(n_tokens) AS mx, CAST(sum(n_tokens) AS BIGINT) AS sm
+         |  FROM r GROUP BY 1),
+         |nb AS (SELECT CAST(ceil(count(*) / CAST($BatchDocs AS DOUBLE))
+         |         AS BIGINT) AS nb FROM lens),
+         |hb AS (
+         |  SELECT ${Exact.md5LongSql("'lb|' || CAST(doc_id AS VARCHAR)")}
+         |      % nb.nb AS batch_id,
+         |    count(*) AS n_docs, max(n_tokens) AS mx,
+         |    CAST(sum(n_tokens) AS BIGINT) AS sm
+         |  FROM lens, nb GROUP BY 1),
+         |card AS (
+         |  SELECT 'length_sorted' AS strategy, count(*) AS n_batches,
+         |    CAST(sum(sm) AS BIGINT) AS sum_tokens,
+         |    CAST(sum(n_docs * mx - sm) AS BIGINT) AS pad_tokens
+         |  FROM sb
+         |  UNION ALL
+         |  SELECT 'hashed', count(*),
+         |    CAST(sum(sm) AS BIGINT),
+         |    CAST(sum(n_docs * mx - sm) AS BIGINT)
+         |  FROM hb)
+         |SELECT strategy, n_batches, sum_tokens, pad_tokens,
+         |  (1000 * pad_tokens) // (pad_tokens + sum_tokens) AS pad_milli
+         |FROM card""".stripMargin,
     // same nested quality-model statement (the one-truth discipline),
     // same (logit desc, doc_id) deterministic rank, same cap constant
     "q_source_cap" ->

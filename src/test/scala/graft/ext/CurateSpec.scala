@@ -685,4 +685,19 @@ class CurateSpec extends SparkSpec {
     assert(after(101L) == "kept" && after(104L) == "kept",
       s"forgetting the dup sources must clear both verdicts: $after")
   }
+
+  test("pack_length_batches: batches tile the corpus; sorted beats hashed on padding") {
+    val b = CurateQueries.qPackLengthBatches(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(b.map(_.getLong(1)).sum == nDocs, "batches must tile every doc")
+    b.foreach { r =>
+      assert(r.getLong(1) <= CurateQueries.BatchDocs)
+      assert(r.getLong(4) >= 0L, "padding cannot be negative")
+      assert(r.getLong(4) == r.getLong(1) * r.getLong(2) - r.getLong(3))
+    }
+    val card = CurateQueries.qPackBatchEval(spark, sf)
+      .select($"strategy", $"pad_milli").as[(String, Long)].collect().toMap
+    assert(card("length_sorted") < card("hashed"),
+      s"sorting must beat random batching: $card")
+  }
 }
