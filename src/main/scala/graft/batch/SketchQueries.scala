@@ -141,6 +141,32 @@ object SketchQueries {
         col("est_distinct"), col("n_exact"), col("err_milli"))
   }
 
+  /** History depth for [[qRecentEvents]]. */
+  val RecentK = 16
+
+  /** Last-[[RecentK]] events per user — the feature-store "recent history
+    * per entity" primitive every sequence-feature pipeline materializes
+    * (recommender interaction histories, fraud velocity windows, session
+    * prefill). key = NEGATED event-time micros, so the bottom-k buffer
+    * holds the LATEST k with the same bounded state: this is the raw-grain
+    * workload where the native aggregate's shape pays — the fact table
+    * never sorts, and the exchange carries ≤ k (time, id) pairs per user
+    * per map partition instead of every event a user ever produced. The
+    * window twin (which the oracle replays) must move and per-group sort
+    * the full history. Ties (same micro) break on event_id — a total
+    * order, so the history replays bit-identically. */
+  def qRecentEvents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), (-unix_micros(col("ts"))).as("negts"),
+        col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(VectorFunctions.bottomKPairs(col("negts"), col("event_id"), RecentK)
+        .as("hist"))
+      .select(col("user_id"), posexplode(col("hist")).as(Seq("pos", "p")))
+      .select(col("user_id"), (col("pos") + 1L).cast("long").as("rank"),
+        col("p.value").as("event_id"), (-col("p.key")).as("ts_micros"))
+
   /** Estimator rows for the AMS F2 sketch — median over [[F2Rows]]
     * independent ±1 sums; error decays as 1/√rows. */
   val F2Rows = 8
@@ -191,6 +217,7 @@ object SketchQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_group_sample"  -> (qGroupSample _),
+    "q_recent_events" -> (qRecentEvents _),
     "q_kmv_distinct"  -> (qKmvDistinct _),
     "q_kmv_merge"     -> (qKmvMerge _),
     "q_f2_sketch"     -> (qF2Sketch _))
@@ -237,6 +264,16 @@ object SketchQueries {
          |SELECT event_type, n_exact, n_sketch, h_k, est_distinct,
          |  (1000 * abs(est_distinct - n_exact)) // n_exact AS err_milli
          |FROM est""".stripMargin,
+    // the window replay of the latest-k history: same (ts desc, id asc)
+    // total order, same k cut, same micro epoch
+    "q_recent_events" ->
+      s"""WITH r AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_micros,
+         |    CAST(row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts) DESC, event_id) AS BIGINT) AS rank
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+         |SELECT user_id, rank, event_id, ts_micros
+         |FROM r WHERE rank <= $RecentK""".stripMargin,
     // identical ±1 hash signs, identical lower-median pick (OFFSET
     // rows/2−1 of the ascending squares), identical count-of-counts
     // exact side

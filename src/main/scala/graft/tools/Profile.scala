@@ -464,9 +464,10 @@ object Profile {
         .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
           col("text"), col("lang"), col("source"), col("n_chars"))
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
-      val qs = Seq("q_group_sample", "q_kmv_distinct", "q_kmv_merge",
-        "q_f2_sketch", "dsir_select", "dsir_eval", "dsir_incremental",
-        "text_cm_eval", "text_cm_merge")
+      val qs = Seq("q_group_sample", "q_recent_events", "q_kmv_distinct",
+        "q_kmv_merge", "q_f2_sketch", "dsir_select", "dsir_eval",
+        "dsir_incremental", "text_cm_eval", "text_cm_merge",
+        "pack_length_batches", "pack_batch_eval", "corpus_diff")
       for (d <- Seq(dir, out); name <- qs) {
         graft.util.SnapshotCache.clearAll()
         val fn = graft.SparkEntry.queries(name)
