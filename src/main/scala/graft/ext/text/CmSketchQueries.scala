@@ -76,8 +76,12 @@ object CmSketchQueries {
 
   private[graft] def counters(spark: SparkSession, dir: String): DataFrame =
     graft.util.SnapshotCache.snapshot("cm_counters", spark, dir)(
-      cells(spark, dir)
-        .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("n")))
+      countersRaw(spark, dir))
+
+  /** The snapshot's BUILD pipeline (audited in PLANS.md). */
+  private[graft] def countersRaw(spark: SparkSession, dir: String): DataFrame =
+    cells(spark, dir)
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("n"))
 
   /** Calibration card: the [[EvalTopK]] exact-top bigrams point-queried
     * through the sketch. est = min over rows of the addressed counter;

@@ -283,7 +283,28 @@ object Explain {
       "on the id key; the argmax window partitions per query over " +
       "<=|labels| vote rows and the confusion aggregate is " +
       "|labels|^2-bounded — nothing corpus-sized beyond the knn_brute " +
-      "stage it evaluates."))
+      "stage it evaluates."),
+    "q_recent_events" -> ("Latest-k history at raw grain: the fact " +
+      "table never sorts — the partial bottom_k_pairs buffers carry at " +
+      "most k (negated-time, id) pairs per user per map partition " +
+      "through the ONE exchange; flat at 10x events in the scale11b " +
+      "probe where the window twin re-sorts every user's full history."),
+    "text_cm_counters" -> ("Count-Min build: the bigram feature stream " +
+      "stays narrow (zip-slice projection, Depth-way literal explode), " +
+      "then ONE map-side-combinable aggregate onto the (Depth x Width)-" +
+      "bounded cell space — the exchange carries at most 1024 counter " +
+      "rows per map partition at ANY corpus size."),
+    "pack_length_batches" -> ("Length-grouped batching: the corpus-wide " +
+      "length order pays the two-phase rank kernel (range exchange + " +
+      "partition-size counts pass — NO single-partition window " +
+      "anywhere), and the batch census aggregates on the bounded " +
+      "ceil(n/B) batch-id space."),
+    "align_bitext_lsh" -> ("Bitext mining, production tier: candidate " +
+      "pairs come from an EQUI join of source and target band " +
+      "signatures on (band, band-hash) — 8-byte keys, never |src|x|tgt| " +
+      "— and the margin window partitions per source over its " +
+      "candidate set only; the all-pairs anchor exists solely to gate " +
+      "this plan's recall."))
 
   /** Snapshot-backed registered entries serve a `localCheckpoint`, whose
     * plan is just an RDD scan — audit the underlying BUILD pipeline
@@ -304,6 +325,8 @@ object Explain {
           graft.sources.Tables.rebalanced(s, graft.sources.Tables.documents(s, d))))),
     "dsir_weights" ->
       ((s, d) => graft.ext.text.DsirQueries.weightFrameRaw(s, d)),
+    "text_cm_counters" ->
+      ((s, d) => graft.ext.text.CmSketchQueries.countersRaw(s, d)),
     "graph_triangles" ->
       ((s, d) => graft.ext.graph.GraphQueries.trianglesFrom(
         graft.ext.dedup.DedupQueries.jaccardPairSnapshot(s, d)
