@@ -68,4 +68,32 @@ class KmvStreamSpec extends SparkSpec {
     assert(streamed("click")._1 == SketchQueries.KmvK)
     q.stop()
   }
+
+  test("streaming latest-k history equals the batch history over all micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long)] // (user_id, ts_micros, event_id)
+    def hist(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"))
+      .agg(VectorFunctions.bottomKPairs(col("negts"), col("event_id"), 4).as("h"))
+      .select(col("user_id"), expr("transform(h, p -> p.value)").as("ids"))
+    val q = hist(ms.toDF().toDF("user_id", "tsm", "event_id")
+      .select(col("user_id"), (-col("tsm")).as("negts"), col("event_id")))
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode(OutputMode.Complete()).start()
+    // out-of-order arrival across batches: newest events in the FIRST
+    // batch — the latest-k fold is order-independent, so it must not matter
+    val b1 = Seq((1L, 900L, 9L), (1L, 800L, 8L), (2L, 100L, 1L))
+    val b2 = Seq((1L, 100L, 1L), (1L, 200L, 2L), (1L, 300L, 3L), (1L, 850L, 85L))
+    ms.addData(b1: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable()
+    val streamed = spark.table("hist_stream")
+      .as[(Long, Seq[Long])].collect().toMap
+    q.stop()
+    val batch = hist((b1 ++ b2).toDF("user_id", "tsm", "event_id")
+      .select(col("user_id"), (-col("tsm")).as("negts"), col("event_id")))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(streamed == batch)
+    // user 1: latest 4 of 6 events by time desc = ids 9, 85, 8, 3
+    assert(streamed(1L) == Seq(9L, 85L, 8L, 3L))
+  }
 }
