@@ -46,6 +46,7 @@ object SparkEntry {
       ext.text.DsirQueries.queries ++
       ext.text.CmSketchQueries.queries ++
       ext.dedup.DedupQueries.queries ++
+      ext.dedup.KMinHashQueries.queries ++
       ext.sim.SimQueries.queries ++
       ext.sim.PqQueries.queries ++
       ext.sim.AlignQueries.queries ++
@@ -83,6 +84,7 @@ object SparkEntry {
       ext.text.DsirQueries.oracles ++
       ext.text.CmSketchQueries.oracles ++
       ext.dedup.DedupQueries.oracles ++
+      ext.dedup.KMinHashQueries.oracles ++
       ext.sim.SimQueries.oracles ++
       ext.sim.PqQueries.oracles ++
       ext.sim.AlignQueries.oracles ++

@@ -1,0 +1,119 @@
+package graft.ext.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Exact, VectorFunctions}
+
+/**
+ * Bottom-k sketch near-dup detection — ONE-PERMUTATION MinHash (Broder's
+ * bottom-k sketches; Cohen & Kaplan, "Summarizing data using bottom-k
+ * sketches", PODC 2007): instead of [[DedupQueries]]' 12 independent hash
+ * functions, keep the 12 SMALLEST values of a single hash over each doc's
+ * shingle set, and estimate Jaccard as
+ *
+ *   Ĵ(a,b) = |S ∩ B(a) ∩ B(b)| / |S|,  S = bottom-k(B(a) ∪ B(b))
+ *
+ * — unbiased because S is a uniform sample of the union and membership in
+ * both sketches ⇔ membership in the intersection. The modern default
+ * (one hash evaluation per shingle instead of k) built directly on the
+ * engine's native bounded aggregate: the sketch IS `bottom_k_pairs` with
+ * key = value = shingle hash, and the union re-cut is the same
+ * semilattice the KMV sketch gates. Everything integer; ties impossible
+ * (distinct 60-bit hashes); the estimate is an exact milli-ratio.
+ *
+ * Scale shape: the sketch build is the bounded aggregate (≤ k longs per
+ * doc through partial aggregation — the signature path's only exchange);
+ * candidates come from posting lists over sketch MEMBERS, so candidate
+ * mass is bounded by docs·k postings, never all pairs; the estimator is
+ * a per-pair array expression over two 12-element sketches. The classic
+ * 12-function minhash (dedup_minhash) stays as the banded-LSH path —
+ * this family trades banding for direct sketch-overlap estimation.
+ */
+object KMinHashQueries {
+
+  /** Sketch size (matches the classic family's 12 hash slots). */
+  val BkK = 12
+
+  /** Keep pairs whose estimated jaccard is at least this (milli). */
+  val KeepMilli = 500L
+
+  /** Per-doc bottom-k sketch as a sorted hash array. Built on the
+    * NON-deduped shingle rows — the aggregate's SET semantics dedup
+    * per-key at O(log k), so the distinct shuffle buys nothing. */
+  private def sketches(spark: SparkSession, dir: String): DataFrame =
+    DedupQueries.shingleRows(spark, dir, dedup = false)
+      .select(col("doc_id"), Exact.md5Long(col("s")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(VectorFunctions.bottomKPairs(col("h"), col("h"), BkK).as("skp"))
+      .select(col("doc_id"), expr("transform(skp, p -> p.key)").as("sk"))
+
+  /** Near-dup pairs by bottom-k sketch overlap: candidates share ≥ 1
+    * sketch member; the estimate re-cuts the sketch union and counts
+    * members common to both sketches. Docs with fewer than k distinct
+    * shingles carry their whole hash set (|S| < k) — the estimator's
+    * denominator is |S|, so short docs stay unbiased. */
+  def qKminhash(spark: SparkSession, dir: String): DataFrame = {
+    val sk = sketches(spark, dir)
+    val posts = sk
+      .select(col("doc_id"), explode(col("sk")).as("m"))
+      .groupBy(col("m")).agg(collect_set(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val pairs = posts
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+    pairs
+      .join(sk.toDF("doc_a", "sk_a"), "doc_a")
+      .join(sk.toDF("doc_b", "sk_b"), "doc_b")
+      .withColumn("u", expr(s"slice(array_sort(array_union(sk_a, sk_b)), 1, $BkK)"))
+      .withColumn("n_common",
+        expr("size(filter(u, x -> array_contains(sk_a, x) AND array_contains(sk_b, x)))")
+          .cast("long"))
+      .withColumn("n_s", size(col("u")).cast("long"))
+      .withColumn("est_milli", expr("(1000 * n_common) DIV n_s"))
+      .filter(col("est_milli") >= KeepMilli)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_s"),
+        col("est_milli"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_kminhash" -> (qKminhash _))
+
+  val oracles: Map[String, String] = Map(
+    // same single-hash bottom-k sketch (row_number cut), same union
+    // re-cut, same |S∩A∩B| / |S| milli estimator, same keep threshold
+    "dedup_kminhash" ->
+      s"""WITH ${DedupQueries.shingleCtes},
+         |hh AS (SELECT DISTINCT doc_id, ${Exact.md5LongSql("s")} AS h FROM ex),
+         |rk AS (
+         |  SELECT doc_id, h,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY h) AS r
+         |  FROM hh),
+         |sk AS (SELECT doc_id, list(h ORDER BY h) AS sk
+         |       FROM rk WHERE r <= $BkK GROUP BY 1),
+         |posts AS (
+         |  SELECT m, list(doc_id) AS ds
+         |  FROM (SELECT doc_id, unnest(sk) AS m FROM sk)
+         |  GROUP BY 1 HAVING count(*) >= 2),
+         |pairs AS (
+         |  SELECT DISTINCT a.d AS doc_a, b.d AS doc_b
+         |  FROM (SELECT m, unnest(ds) AS d FROM posts) a
+         |  JOIN (SELECT m, unnest(ds) AS d FROM posts) b USING (m)
+         |  WHERE a.d < b.d),
+         |est AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CAST(len(list_filter(
+         |      list_sort(list_distinct(sa.sk || sb.sk))[1:$BkK],
+         |      x -> list_contains(sa.sk, x) AND list_contains(sb.sk, x)))
+         |      AS BIGINT) AS n_common,
+         |    CAST(len(list_sort(list_distinct(sa.sk || sb.sk))[1:$BkK])
+         |      AS BIGINT) AS n_s
+         |  FROM pairs p
+         |  JOIN sk sa ON sa.doc_id = p.doc_a
+         |  JOIN sk sb ON sb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, n_common, n_s,
+         |  (1000 * n_common) // n_s AS est_milli
+         |FROM est WHERE (1000 * n_common) // n_s >= $KeepMilli""".stripMargin)
+}

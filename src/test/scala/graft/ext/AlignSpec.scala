@@ -73,6 +73,27 @@ class AlignSpec extends SparkSpec {
     assert(d.values.sum == base.length + inc.length)
   }
 
+  test("dedup_kminhash: every exact-dup pair surfaces at est=1000; bounds hold") {
+    import graft.ext.dedup.KMinHashQueries
+    val got = KMinHashQueries.qKminhash(spark, sf)
+      .select($"doc_a", $"doc_b", $"est_milli").as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, e) =>
+      assert(a < b); assert(e >= KMinHashQueries.KeepMilli && e <= 1000)
+    }
+    // exact text duplicates share every shingle ⇒ identical sketches ⇒
+    // est exactly 1000 — none may be missed
+    val dupGroups = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", md5(coalesce($"text", lit(""))).as("h"))
+      .as[(Long, String)].collect().groupBy(_._2).values
+      .filter(_.length >= 2).map(_.map(_._1).sorted)
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    val perfect = got.filter(_._3 == 1000L).map(t => (t._1, t._2)).toSet
+    for (g <- dupGroups; i <- g.indices; j <- i + 1 until g.length) {
+      assert(perfect.contains((g(i), g(j))),
+        s"exact-dup pair (${g(i)}, ${g(j)}) missing or est<1000; have ${pairs.size} pairs")
+    }
+  }
+
   test("align_eval counts equal driver-side set arithmetic over both frames") {
     val a = AlignQueries.qAlignBitext(spark, sf)
       .select($"src_id", $"tgt_id", $"accepted")
