@@ -445,6 +445,31 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.lift(1).contains("bk")) {
+      // stage attribution for the bottom-k sketch dedup
+      import graft.ext.dedup.DedupQueries
+      import graft.functions.VectorFunctions
+      val hashed = DedupQueries.shingleRows(spark, dir, dedup = false)
+        .select(col("doc_id"), Exact.md5Long(col("s")).as("h"))
+      time("hash rows")(hashed.count())
+      val sk = hashed.groupBy(col("doc_id"))
+        .agg(VectorFunctions.bottomKPairs(col("h"), col("h"), 12).as("skp"))
+        .select(col("doc_id"), expr("transform(skp, p -> p.key)").as("sk"))
+      time("sketch agg")(sk.count())
+      val skC = sk.localCheckpoint()
+      val posts = skC.select(col("doc_id"), explode(col("sk")).as("m"))
+        .groupBy(col("m")).agg(collect_set(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) >= 2)
+      time("posts (from ckpt)")(posts.count())
+      posts.select(size(col("ds")).as("n")).orderBy(col("n").desc)
+        .limit(10).collect().foreach(r => println(s"  post size ${r.getInt(0)}"))
+      val cand = posts.select(explode(col("ds")).as("a"), col("ds"))
+        .select(col("a"), explode(col("ds")).as("b")).filter(col("a") < col("b"))
+      time("raw candidate pairs")(cand.count())
+      time("distinct pairs")(cand.distinct().count())
+      time("full query")(graft.ext.dedup.KMinHashQueries.qKminhash(spark, dir).count())
+      spark.stop(); return
+    }
     if (args.lift(1).contains("scale11b")) {
       // 10x multiplier probes for the round-11 additions: the KMV/sample
       // family (events x10 with users x10 — the estimator's distinct
