@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Exact
 import graft.sources.Tables
+import graft.util.DistributedRank
 
 /**
  * Analytic window FRAMES and distribution functions — the slice of the
@@ -75,25 +76,43 @@ object FrameQueries {
     *
     * Shape: orders collapse to customer grain (one fact exchange with
     * map-side combine), then a customer-keyed join to the dim for the
-    * segment, then the window over the AGGREGATED grain — |customers|
-    * rows per segment, not |orders|. percent_rank/cume_dist are single
-    * IEEE divisions of small integers, identical across engines. At true
-    * 100 TB customer cardinality a per-segment total sort is still a
-    * range-partitioned sort (Spark's Window handles it); only if one
-    * segment key dominates would this need the two-pass rank
-    * (partition-offset) formulation. */
+    * segment. The per-segment rank rides the
+    * [[graft.util.DistributedRank]] two-phase kernel, NOT a
+    * `Window.partitionBy(segment)`: there are only a handful of market
+    * segments, so each window partition would hold |customers|/|segments|
+    * rows — a frame that GROWS with data through one task per segment.
+    * Instead one range exchange sorts (segment, rev desc, custkey)
+    * globally, zipWithIndex assigns exact positions in parallel, and the
+    * per-segment rank is position minus the segment's minimum position (a
+    * |segments|-row aggregate broadcast back). ntile / percent_rank /
+    * cume_dist are then pure arithmetic on (rank, n) — the same integer
+    * divisions Spark's and DuckDB's window functions perform, so the hash
+    * gate is unaffected. FrameSpec pins kernel ≡ naive window. */
   def qNtileCusts(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(Exact.cents(col("o_totalprice"))).as("rev_cents"))
     val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
-    val w = Window.partitionBy("segment").orderBy(col("rev_cents").desc, col("custkey"))
-    rev.join(cust, col("o_custkey") === col("c_custkey"))
+    val base = rev.join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("o_custkey").as("custkey"), col("c_mktsegment").as("segment"),
         col("rev_cents"))
-      .withColumn("quartile", ntile(NtileBuckets).over(w).cast("long"))
-      .withColumn("pct_rank", percent_rank().over(w))
-      .withColumn("cume", cume_dist().over(w))
+    // localCheckpoint: the ranked frame feeds both the offsets aggregate
+    // and the final projection — materialize the (one) range sort instead
+    // of paying it per consumer
+    val ranked = DistributedRank.withGlobalIndex(base,
+      Seq(col("segment"), col("rev_cents").desc, col("custkey")), "gidx")
+      .localCheckpoint()
+    val segs = ranked.groupBy(col("segment"))
+      .agg(min(col("gidx")).as("seg_off"), count(lit(1)).as("n"))
+    ranked.join(broadcast(segs), Seq("segment"))
+      .withColumn("rank", col("gidx") - col("seg_off") + lit(1L))
+      .withColumn("quartile",
+        expr(DistributedRank.ntileSql("rank", "n", NtileBuckets)).cast("long"))
+      // percent_rank = (rank−1)/(n−1) and cume_dist = rank/n under a total
+      // order (no ties by construction); n = 1 ⇒ percent_rank 0 by spec
+      .withColumn("pct_rank", when(col("n") === 1L, lit(0.0))
+        .otherwise((col("rank") - lit(1L)).cast("double") / (col("n") - lit(1L)).cast("double")))
+      .withColumn("cume", col("rank").cast("double") / col("n").cast("double"))
       .select(col("custkey"), col("segment"),
         (col("rev_cents") / lit(100.0)).as("revenue"),
         col("quartile"), col("pct_rank"), col("cume"))
@@ -109,31 +128,43 @@ object FrameQueries {
     * divisions (one /100.0, one exact-long ratio), so the oracle
     * hash-matches.
     *
-    * Shape: the fact collapses to customer grain first; the ranking,
-    * running total, and grand total all ride ONE window sort of that
-    * bounded aggregate (cum is monotone along the order and deciles are
-    * contiguous, so max(cum) per decile IS the boundary value); output is
-    * [[ParetoDeciles]] rows. The unpartitioned window carries the same
-    * scale caveat as [[qNtileCusts]] — its input is an aggregate, and the
-    * two-pass partition-offset rank is the extreme-cardinality fallback. */
+    * Shape: the fact collapses to customer grain first, then the decile
+    * assignment rides the [[graft.util.DistributedRank]] two-phase kernel
+    * (range exchange + zipWithIndex positions — never a corpus-wide
+    * single-task window sort: the customer grain GROWS with data). The
+    * ntile bucket is pure integer arithmetic on (rank, n); the running
+    * and grand totals then ride windows over the [[ParetoDeciles]]-ROW
+    * decile aggregate — a frame bounded by construction at 10 rows, where
+    * a partition-less window is free. Per-row cumulative sums are never
+    * materialized: cum is monotone along the order and deciles are
+    * contiguous, so the decile-level running total IS max(cum) at each
+    * boundary, in the same exact cents. FrameSpec pins kernel ≡ naive
+    * window. */
   def qPareto(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(Exact.cents(col("o_totalprice"))).as("cents"))
-    val w = Window.orderBy(col("cents").desc, col("o_custkey"))
-    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy()
+    // localCheckpoint: consumed by the count aggregate and the decile cut
+    val ranked = DistributedRank.withGlobalIndex(rev,
+      Seq(col("cents").desc, col("o_custkey")), "rank")
+      .localCheckpoint()
+    val n = ranked.agg(count(lit(1)).as("n"))
+    val run = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy("decile")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    rev
-      .withColumn("decile", ntile(ParetoDeciles).over(w).cast("long"))
-      .withColumn("cum_cents", sum(col("cents")).over(run))
-      .withColumn("total_cents", sum(col("cents")).over(all))
+    ranked
+      .crossJoin(broadcast(n))
+      .withColumn("decile",
+        expr(DistributedRank.ntileSql("rank", "n", ParetoDeciles)).cast("long"))
       .groupBy(col("decile"))
-      .agg(count(lit(1)).as("n_custs"),
-        (sum(col("cents")) / lit(100.0)).as("decile_revenue"),
-        (max(col("cum_cents")) / lit(100.0)).as("cum_revenue"),
-        (max(col("cum_cents")).cast("double") / max(col("total_cents")))
-          .as("cum_share"))
+      .agg(count(lit(1)).as("n_custs"), sum(col("cents")).as("dec_cents"))
+      .withColumn("cum_cents", sum(col("dec_cents")).over(run))
+      .withColumn("total_cents", sum(col("dec_cents")).over(all))
+      .select(col("decile"), col("n_custs"),
+        (col("dec_cents") / lit(100.0)).as("decile_revenue"),
+        (col("cum_cents") / lit(100.0)).as("cum_revenue"),
+        (col("cum_cents").cast("double") / col("total_cents")).as("cum_share"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -173,10 +173,13 @@ object TpchBreadthQueries {
   }
 
   /** Q11-shaped important parts: parts whose shipped value from NATION_3
-    * suppliers exceeds 0.1% of that nation's total. The global-scalar
-    * HAVING is a window SUM over the per-part aggregate — the aggregate is
-    * one row per part (dimension cardinality), so the unpartitioned window
-    * is bounded regardless of fact size; no second scan, no cross join. */
+    * suppliers exceeds 0.1% of that nation's total. The global scalar is a
+    * 1-ROW aggregate of the per-part frame, attached by a broadcast cross
+    * join — never `sum().over(Window.partitionBy())`, which would funnel
+    * the part-grain frame (scales with SF: ~200 M rows at 1000×) through
+    * ONE WindowExec task. The per-part aggregate appears twice in the
+    * plan but its shuffle is identical on both sides, so ReuseExchange
+    * (and AQE stage reuse) scans and aggregates the fact once. */
   def q11PartValue(spark: SparkSession, dir: String): DataFrame = {
     val supp = Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === "NATION_3")),
@@ -186,8 +189,9 @@ object TpchBreadthQueries {
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"))
       .agg(sum(Exact.cents(col("l_extendedprice"))).as("value_cents"))
+    val total = value.agg(sum(col("value_cents")).as("total_cents"))
     value
-      .withColumn("total_cents", sum(col("value_cents")).over(Window.partitionBy()))
+      .crossJoin(broadcast(total))
       .filter(col("value_cents").cast("double") > col("total_cents").cast("double") * lit(0.001))
       .select(col("l_partkey"), (col("value_cents") / lit(100.0)).as("part_value"))
   }
@@ -209,9 +213,12 @@ object TpchBreadthQueries {
   }
 
   /** Q15-shaped top supplier: supplier(s) with the maximum revenue in
-    * 1997H2. TPC-H's MAX-over-view scalar subquery is a window MAX over
-    * the per-supplier aggregate (bounded by supplier cardinality) —
-    * ties all surface, exactly as the spec requires. */
+    * 1997H2. TPC-H's MAX-over-view scalar subquery is a 1-row MAX
+    * aggregate of the per-supplier frame broadcast back over it — ties
+    * all surface, exactly as the spec requires, and no data-scaling
+    * frame ever rides a partition-less window (supplier cardinality
+    * grows with SF). ReuseExchange collapses the twice-referenced
+    * per-supplier aggregate to one fact scan + one shuffle. */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1997-07-01").cast("timestamp") &&
@@ -219,8 +226,9 @@ object TpchBreadthQueries {
       .groupBy(col("l_suppkey"))
       .agg(sum(revenueCents).as("rev_cents"))
     val supp = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))
+    val maxRev = rev.agg(max(col("rev_cents")).as("max_rev"))
     rev
-      .withColumn("max_rev", max(col("rev_cents")).over(Window.partitionBy()))
+      .crossJoin(broadcast(maxRev))
       .filter(col("rev_cents") === col("max_rev"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
@@ -385,22 +393,27 @@ object TpchBreadthQueries {
   /** Q22-shaped idle customers: rich customers (balance above the
     * positive-balance average) from five nations with no orders since
     * 2000 (this corpus is dense enough that "no orders ever" is vacuous).
-    * The global AVG is a window over the already-filtered customer dim;
-    * the lapsed test is a LEFT ANTI join on the DISTINCT custkeys of
+    * The global AVG is a 1-row aggregate of the filtered customer dim
+    * broadcast back over it (customers scale with SF, so a partition-less
+    * window here would funnel every customer row through one task); the
+    * lapsed test is a LEFT ANTI join on the DISTINCT custkeys of
     * recent orders (aggregated before the join so the anti-join probe is
     * dimension-sized, and the date filter pushes to the orders scan). */
   def q22IdleCusts(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
       .filter(col("c_nationkey").isin(3, 8, 13, 18, 23))
       .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
-    val wAll = Window.partitionBy()
     val active = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
       .select(col("o_custkey")).distinct()
+    // identical arithmetic shape to the oracle: exact-cents sum cast to
+    // double, count division, one /100.0 — the same IEEE doubles as the
+    // former window form, just computed in a 1-row aggregate
+    val avgBal = cust.agg(
+      (sum(when(col("c_acctbal") > 0.0, Exact.cents(col("c_acctbal")))).cast("double")
+        / sum(when(col("c_acctbal") > 0.0, 1L).otherwise(0L)) / lit(100.0)).as("avg_bal"))
     cust
-      .withColumn("avg_bal",
-        sum(when(col("c_acctbal") > 0.0, Exact.cents(col("c_acctbal")))).over(wAll).cast("double")
-          / sum(when(col("c_acctbal") > 0.0, 1L).otherwise(0L)).over(wAll) / lit(100.0))
+      .crossJoin(broadcast(avgBal))
       .filter(col("c_acctbal") > col("avg_bal"))
       .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey").as("cntrycode"))

@@ -82,6 +82,57 @@ class FrameSpec extends SparkSpec {
     assert(math.abs(sumDeciles - cumLast) < 1e-6)
   }
 
+  test("q_pareto: two-phase rank kernel equals the naive global-window formulation") {
+    // the r12 rewrite: decile/cum/total via DistributedRank + a 10-row
+    // decile window, replacing the corpus-sized Window.orderBy sort. Pin
+    // bit-identity against the naive window form it replaced (sf0.01 — a
+    // frame large enough that a rank or prefix-sum off-by-one shows).
+    val sf01 = "/root/testdata/sf0.01"
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cents").desc, col("o_custkey"))
+    val run = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val naive = Tables.orders(spark, sf01)
+      .groupBy(col("o_custkey"))
+      .agg(sum(Exact.cents(col("o_totalprice"))).as("cents"))
+      .withColumn("decile", ntile(FrameQueries.ParetoDeciles).over(w).cast("long"))
+      .withColumn("cum_cents", sum(col("cents")).over(run))
+      .withColumn("total_cents", sum(col("cents")).over(all))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_custs"),
+        (sum(col("cents")) / lit(100.0)).as("decile_revenue"),
+        (max(col("cum_cents")) / lit(100.0)).as("cum_revenue"),
+        (max(col("cum_cents")).cast("double") / max(col("total_cents"))).as("cum_share"))
+    val kernel = FrameQueries.qPareto(spark, sf01)
+    assert(kernel.except(naive).isEmpty && naive.except(kernel).isEmpty,
+      "kernel deciles must equal the naive window formulation bit-for-bit")
+  }
+
+  test("q_ntile_custs: two-phase rank kernel equals the naive per-segment window") {
+    val sf01 = "/root/testdata/sf0.01"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("segment").orderBy(col("rev_cents").desc, col("custkey"))
+    val naive = Tables.orders(spark, sf01)
+      .groupBy(col("o_custkey"))
+      .agg(sum(Exact.cents(col("o_totalprice"))).as("rev_cents"))
+      .join(Tables.customer(spark, sf01).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey").as("custkey"), col("c_mktsegment").as("segment"),
+        col("rev_cents"))
+      .withColumn("quartile", ntile(FrameQueries.NtileBuckets).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .select(col("custkey"), col("segment"),
+        (col("rev_cents") / lit(100.0)).as("revenue"),
+        col("quartile"), col("pct_rank"), col("cume"))
+    val kernel = FrameQueries.qNtileCusts(spark, sf01)
+    assert(kernel.except(naive).isEmpty && naive.except(kernel).isEmpty,
+      "kernel ntile/percent_rank/cume_dist must equal the naive window bit-for-bit")
+  }
+
   test("q_ntile_custs: bucket sizes within 1; quartile monotone in revenue rank") {
     val out = FrameQueries.qNtileCusts(spark, sf)
     val sizes = out.groupBy("segment", "quartile").count()

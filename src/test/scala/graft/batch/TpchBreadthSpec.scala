@@ -116,6 +116,23 @@ class TpchBreadthSpec extends SparkSpec {
     assert(p4.contains("LeftSemi"), p4)
   }
 
+  test("plans: no partition-less WindowExec in the global-scalar queries (q11/q15/q22)") {
+    // the r11 verdict's three scale-killers: a global scalar computed as
+    // X.over(Window.partitionBy()) funnels a data-scaling frame through ONE
+    // task. All three now ride 1-row broadcast aggregates — assert the
+    // plans carry NO window at all, so the anti-pattern cannot regress.
+    Seq("q11_part_value" -> TpchBreadthQueries.q11PartValue _,
+        "q15_top_supplier" -> TpchBreadthQueries.q15TopSupplier _,
+        "q22_idle_custs" -> TpchBreadthQueries.q22IdleCusts _).foreach {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        assert(!plan.contains("Window"),
+          s"$name regained a window operator:\n$plan")
+        assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+          s"$name lost its broadcast scalar:\n$plan")
+    }
+  }
+
   test("non-vacuous at sf0.001: row-returning breadth queries return rows") {
     // q21/q22 select rare events (sole-late supplier, lapsed rich customer)
     // and only yield rows from sf0.01 up — the scale the driver's oracle
