@@ -63,12 +63,17 @@ object Bench {
               // r11: the count-min sketch table (text_cm_counters /
               // text_cm_eval share it)
               graft.ext.text.CmSketchQueries.counters(spark, sfDir)
+              val bT6 = System.nanoTime()
+              // r12: the brute-force ANN truth set (knn_brute / ann_eval /
+              // knn_label_eval share it)
+              graft.ext.sim.SimQueries.qKnnBrute(spark, sfDir)
               val d2 = d :+ ("baskets" -> (bT1 - bT0) / 1e9) :+
                 ("lm_scores" -> (bT2 - bT1) / 1e9) :+
                 ("bpe_tokenizer" -> (bT3 - bT2) / 1e9) :+
                 ("bpe_encoded" -> (bT4 - bT3) / 1e9) :+
                 ("dsir_weights" -> (bT5 - bT4) / 1e9) :+
-                ("cm_counters" -> (System.nanoTime() - bT5) / 1e9)
+                ("cm_counters" -> (bT6 - bT5) / 1e9) :+
+                ("knn_truth" -> (System.nanoTime() - bT6) / 1e9)
               ((System.nanoTime() - snapT0) / 1e9, d2) }
         catch { case _: Throwable => (-1.0, Seq.empty[(String, Double)]) }
       val entries = ("snapshot_build" -> snapSecs) +: ordered.map { case (name, fn) =>
@@ -189,10 +194,17 @@ object Bench {
     val qsCompact = results.collect { case (k, v) if headline(k) =>
       s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"flaky":$flaky,"stream":$stream,"queries":$qsCompact,"full_record":"BENCH_LOCAL.json","sf":"$sfDir"}"""
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_last.json"),
-        (compact + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    // TWO fixed paths for the compact record: tools/bench.sh emits
+    // bench_last.json as its one stdout line; bench_compact.json is the
+    // driver-facing artifact (VERDICT r11 ask #5 — BENCH_r11 still had
+    // parsed:null because the stdout line rides sbt's [info] framing in a
+    // bare `sbt runMain` invocation; a fixed file needs no log parsing)
+    Seq("target/bench_last.json", "target/bench_compact.json").foreach { p =>
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          (compact + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+    }
     println(compact)
     spark.stop()
   }
