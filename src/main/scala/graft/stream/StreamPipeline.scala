@@ -40,14 +40,44 @@ object StreamPipeline {
   /** Synthetic rate source (smoke/load tests without any infra). */
   final case class Rate(rowsPerSecond: Int) extends Source
 
+  /** The exact reader options [[read]] sets for a Kafka source — factored
+    * out so the deploy contract is spec-assertable without the connector
+    * jar (which plan RESOLUTION needs; the deploy-gate test pins that
+    * failure mode). An option-name typo here would otherwise surface only
+    * on a real cluster. */
+  def kafkaSourceOptions(cfg: Kafka): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> cfg.bootstrapServers,
+    "subscribe" -> cfg.topic,
+    "startingOffsets" -> cfg.startingOffsets)
+
+  /** The schema the kafka connector presents after load() (public contract
+    * of spark-sql-kafka-0-10, stable across 3.x/4.x): `value` is BINARY —
+    * [[graft.etl.RefPipeline.parse]]'s cast-from-binary is written against
+    * this, and KafkaContractSpec feeds a frame of THIS shape through the
+    * real parse path so a drift in either side fails in-sandbox. */
+  val kafkaSourceSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("topic",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("partition",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("offset",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("timestamp",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("timestampType",
+        org.apache.spark.sql.types.IntegerType)))
+
   /** Raw stream with a `value` column, whatever the source. */
   def read(spark: SparkSession, src: Source): DataFrame = src match {
-    case Kafka(servers, topic, offsets) =>
-      spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", offsets)
-        .load()                                  // key,value,topic,partition,offset,timestamp
+    case cfg: Kafka =>
+      kafkaSourceOptions(cfg).foldLeft(spark.readStream.format("kafka")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load()                                   // [[kafkaSourceSchema]]
     case JsonFiles(path) =>
       spark.readStream.text(path)   // the text source's column IS `value`
     case Rate(rps) =>
@@ -118,6 +148,13 @@ object StreamPipeline {
                                 outputMode: String = "update",
                                 trigger: Trigger = Trigger.ProcessingTime(0L)) extends Sink
 
+  /** K4's value serialization (reference kafka write-back): every column
+    * folded into one JSON `value` string — the shape the kafka sink
+    * requires. Factored out so KafkaContractSpec can run it on a batch
+    * frame and assert the round-trip without a broker. */
+  def kafkaPayload(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+
   def writer(df: DataFrame, sink: Sink): DataStreamWriter[Row] = sink match {
     case ParquetSink(path, chk, trig) =>
       df.writeStream.outputMode("append").format("parquet")
@@ -129,7 +166,7 @@ object StreamPipeline {
     case Memory(name, mode, trig) =>
       df.writeStream.outputMode(mode).format("memory").queryName(name).trigger(trig)
     case KafkaSink(servers, topic, chk) =>
-      df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+      kafkaPayload(df)
         .writeStream.outputMode("append").format("kafka")
         .option("kafka.bootstrap.servers", servers)
         .option("topic", topic).option("checkpointLocation", chk)
