@@ -7,6 +7,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // runtime bloom injection OFF — misinformed on stats-less snapshot
+      // LogicalRDDs; rationale in graft.SparkSessions
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")   // same workload shape as Verify on any host
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -23,6 +23,19 @@ import org.apache.spark.sql.SparkSession
  *    JVM heap. NOTE: the provider is recorded in the checkpoint and cannot
  *    change across restarts — it only takes effect for NEW checkpoints.
  *  - UTC session timezone: zone-independent, oracle-comparable timestamps.
+ *  - runtime bloom-filter injection OFF: the rule sizes the application
+ *    side from plan statistics, and this engine's shared snapshot
+ *    artifacts (checkpointed LogicalRDDs — SnapshotCache) carry NO stats,
+ *    so every snapshot-probing join looks like a multi-TB scan and gets a
+ *    fixed 8M-bit bloom that rides every downstream task binary (~1 MiB
+ *    per stage, the r11 "large task binary" bench warnings) while pruning
+ *    nothing (the probes are FK-complete by construction — measured on
+ *    knn_label_eval, the only injection across all 200+ registered
+ *    queries). Where a semi-join reduction IS profitable this engine
+ *    writes it explicitly (left_semi dims, posting-list prefilters,
+ *    broadcast hints), so the automatic rule only ever fires on the
+ *    misinformed cases. Re-enable per-deployment if a workload relies on
+ *    inferred reductions over well-statted scans.
  */
 object SparkSessions {
 
@@ -50,6 +63,7 @@ object SparkSessions {
       // a loader side effect — see Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
       .config("spark.ui.enabled", "false")
     // only set the master when spark-submit didn't already provide one
     val withMaster =

@@ -230,13 +230,19 @@ object SketchQueries {
 
   val oracles: Map[String, String] = Map(
     // the window replay of the bounded aggregate: same hash, same
-    // (h, id) total order, same k cut
+    // (h, id) total order, same k cut. DISTINCT makes the SET semantics
+    // explicit: the Spark aggregate ranks distinct (h, event_id) pairs,
+    // so a duplicated event ROW must not shift oracle ranks (r11 ADVICE
+    // — the fixture happens to have unique event_ids, but the contract
+    // should not lean on that)
     "q_group_sample" ->
       s"""WITH r AS (
-         |  SELECT event_type, ${hSql("gs", "event_id")} AS h, event_id,
+         |  SELECT event_type, h, event_id,
          |    CAST(row_number() OVER (PARTITION BY event_type
-         |      ORDER BY ${hSql("gs", "event_id")}, event_id) AS BIGINT) AS rank
-         |  FROM events)
+         |      ORDER BY h, event_id) AS BIGINT) AS rank
+         |  FROM (SELECT DISTINCT event_type,
+         |          ${hSql("gs", "event_id")} AS h, event_id
+         |        FROM events) d)
          |SELECT event_type, rank, h, event_id
          |FROM r WHERE rank <= $SampleK""".stripMargin,
     "q_kmv_distinct" ->

@@ -68,19 +68,28 @@ object KMinHashQueries {
     // localCheckpoint pattern of the posting-list builds): without it the
     // shingle scan + sketch aggregate re-run per consumer
     val sk = sketches(spark, dir).localCheckpoint()
+    // posting lists under the same MaxWindowDf cap as every other dedup
+    // family: a sketch member appearing in > 50 docs is boilerplate and
+    // contributes |ds|² candidate rows with no near-dup signal — without
+    // the cap ONE hot low-hash shingle makes candidate generation
+    // quadratic in its df, and the count prefilter below only prunes
+    // AFTER that explosion. Both the cap and the prefilter replay in the
+    // oracle, so the capped semantics is the declared operation.
     val posts = sk
       .select(col("doc_id"), explode(col("sk")).as("m"))
       .groupBy(col("m")).agg(collect_set(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) >= 2)
-    // shared-member COUNT prefilter, provably lossless for the keep
-    // threshold: n_s = |bottom-k(A∪B)| ≥ max(|A|,|B|) and every member
-    // counted by n_common is a shared member, so est ≥ 500‰ forces
-    // 2·shared ≥ max(|A|,|B|). At sf0.1 this prunes 194k candidate pairs
-    // (docs sharing ANY one member — one-permutation sketches collide far
-    // more than banded LSH) to the ~hundreds that can possibly pass,
-    // BEFORE the per-pair array estimator — measured 4.6 s → 1.6 s. The
-    // losslessness is itself under the gate: the oracle computes the
-    // unfiltered form.
+      .filter(size(col("ds")).between(2, DedupQueries.MaxWindowDf))
+    // shared-member COUNT admission: est ≥ 500‰ forces n_common ≥
+    // max(|A|,|B|)/2 (n_s = |bottom-k(A∪B)| ≥ max(|A|,|B|)), and absent
+    // the df cap every member counted by n_common sits in some posting
+    // list, so the filter was provably lossless — at sf0.1 it prunes
+    // 194k candidate pairs (docs sharing ANY one member) to the
+    // ~hundreds that can possibly pass, BEFORE the per-pair array
+    // estimator (measured 4.6 s → 1.6 s). UNDER the cap a common member
+    // with corpus df > MaxWindowDf is invisible to n_shared, so a pair
+    // overlapping mostly through boilerplate no longer admits — the
+    // intended semantics (boilerplate overlap is not near-duplication),
+    // mirrored in the oracle's shared CTE rather than claimed lossless.
     val shared = posts
       .select(explode(col("ds")).as("doc_a"), col("ds"))
       .select(col("doc_a"), explode(col("ds")).as("doc_b"))
@@ -112,7 +121,8 @@ object KMinHashQueries {
     "dedup_kminhash" -> (qKminhash _))
 
   val oracles: Map[String, String] = Map(
-    // same single-hash bottom-k sketch (row_number cut), same union
+    // same single-hash bottom-k sketch (row_number cut), same df-capped
+    // posting lists, same shared-member admission threshold, same union
     // re-cut, same |S∩A∩B| / |S| milli estimator, same keep threshold
     "dedup_kminhash" ->
       s"""WITH ${DedupQueries.shingleCtes},
@@ -126,12 +136,18 @@ object KMinHashQueries {
          |posts AS (
          |  SELECT m, list(doc_id) AS ds
          |  FROM (SELECT doc_id, unnest(sk) AS m FROM sk)
-         |  GROUP BY 1 HAVING count(*) >= 2),
-         |pairs AS (
-         |  SELECT DISTINCT a.d AS doc_a, b.d AS doc_b
+         |  GROUP BY 1 HAVING count(*) BETWEEN 2 AND ${DedupQueries.MaxWindowDf}),
+         |shared AS (
+         |  SELECT a.d AS doc_a, b.d AS doc_b, count(*) AS n_shared
          |  FROM (SELECT m, unnest(ds) AS d FROM posts) a
          |  JOIN (SELECT m, unnest(ds) AS d FROM posts) b USING (m)
-         |  WHERE a.d < b.d),
+         |  WHERE a.d < b.d GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT s.doc_a, s.doc_b
+         |  FROM shared s
+         |  JOIN sk za ON za.doc_id = s.doc_a
+         |  JOIN sk zb ON zb.doc_id = s.doc_b
+         |  WHERE s.n_shared * 1000 >= $KeepMilli * greatest(len(za.sk), len(zb.sk))),
          |est AS (
          |  SELECT p.doc_a, p.doc_b,
          |    CAST(len(list_filter(

@@ -479,16 +479,25 @@ object SimQueries {
     * order), so the verdict replays bit-identically.
     *
     * Shape: the vote join attaches the corpus id→label map to the
-    * (queries × K) neighbor frame — neighbor-frame-sized, id-keyed (at
-    * deployment the label dictionary broadcasts); the argmax window
-    * partitions by query over ≤ |labels| vote rows; the confusion
-    * aggregate is |labels|²-bounded. Nothing corpus-sized shuffles
-    * beyond what knn_brute already pays. */
+    * (queries × K) neighbor frame — neighbor-frame-sized, id-keyed, and
+    * the label dictionary is an EXPLICIT broadcast: the probe side is
+    * the knn_truth snapshot (a checkpointed LogicalRDD with no stats,
+    * which the optimizer sizes at its worst-case default), so without
+    * the hint InjectRuntimeFilter reads "huge probe ⋈ parquet dim" and
+    * injects a fixed 8M-bit bloom filter that rides EVERY downstream
+    * task binary (~1–2 MiB each, the r11 bench-log warnings) yet can
+    * never prune — every neighbor_id exists in the dictionary by
+    * construction. The hint both pins the intended plan and makes the
+    * runtime-filter rule skip the join. The argmax window partitions by
+    * query over ≤ |labels| vote rows; the confusion aggregate is
+    * |labels|²-bounded. Nothing corpus-sized shuffles beyond what
+    * knn_brute already pays. */
   def qKnnLabelEval(spark: SparkSession, dir: String): DataFrame = {
     val labels = quantized(spark, dir)
       .select(col("vec_id"), col("label").cast("long").as("lbl"))
     val votes = qKnnBrute(spark, dir)
-      .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .join(broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+        "neighbor_id")
       .groupBy(col("query_id"), col("lbl"))
       .agg(count(lit(1)).as("n_votes"))
     val vw = Window.partitionBy("query_id")
@@ -497,8 +506,8 @@ object SimQueries {
       .filter(col("rn") === 1)
       .select(col("query_id"), col("lbl").as("pred_label"))
     val conf = pred
-      .join(labels.withColumnRenamed("vec_id", "query_id")
-        .withColumnRenamed("lbl", "true_label"), "query_id")
+      .join(broadcast(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("lbl", "true_label")), "query_id")
       .groupBy(col("true_label"), col("pred_label"))
       .agg(count(lit(1)).as("n_queries"))
     val totals = conf.groupBy(col("true_label"))
@@ -717,13 +726,18 @@ object SimQueries {
     // the three rounds unrolled (the kmeans oracle discipline): same
     // all-ones start, same floor(·/1000) down-scales over exactly-
     // representable doubles, same floored rescale — the whole trajectory
-    // hash-matches, not just the final direction
+    // hash-matches, not just the final direction. The per-dimension sum
+    // accumulates BIGINT-cast products (Spark's floor(double) is LONG,
+    // so its sum is exact integer; a DOUBLE-accumulated oracle sum would
+    // silently depend on staying under 2^53 — r11 ADVICE). The remaining
+    // shared envelope is |dot| ≤ 2^53 for the one double division both
+    // engines perform identically.
     "emb_power_iter" -> {
       def iter(n: Int, dotCte: String): String =
         s"""w$n AS (
            |  SELECT t.i,
-           |    CAST(sum(floor(CAST(d.dot AS DOUBLE) / 1000.0)
-           |      * floor(CAST(q.v[t.i] AS DOUBLE) / 1000.0)) AS BIGINT) AS w
+           |    CAST(sum(CAST(floor(CAST(d.dot AS DOUBLE) / 1000.0) AS BIGINT)
+           |      * CAST(floor(CAST(q.v[t.i] AS DOUBLE) / 1000.0) AS BIGINT)) AS BIGINT) AS w
            |  FROM q JOIN $dotCte d USING (vec_id),
            |    generate_series(1, $Dim) t(i)
            |  GROUP BY 1),

@@ -310,6 +310,9 @@ object StreamBench extends Serializable {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // runtime bloom injection OFF — misinformed on stats-less snapshot
+      // LogicalRDDs; rationale in graft.SparkSessions
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

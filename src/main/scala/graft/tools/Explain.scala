@@ -337,6 +337,9 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // runtime bloom injection OFF — misinformed on stats-less snapshot
+      // LogicalRDDs; rationale in graft.SparkSessions
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()

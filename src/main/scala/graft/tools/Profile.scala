@@ -12,6 +12,9 @@ object Profile {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // runtime bloom injection OFF — misinformed on stats-less snapshot
+      // LogicalRDDs; rationale in graft.SparkSessions
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -21,6 +24,54 @@ object Profile {
       println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     spark.range(100).count()
+    if (args.lift(1).contains("taskbin")) {
+      // attribute "large task binary" / "task of very large size" warnings
+      // (a multi-MB serialized stage = some plan embeds a huge literal or
+      // closure) to the query that triggers them: a log4j2 appender on the
+      // root logger records the scheduler warnings, each registered query
+      // runs alone, and any query whose run emitted one is printed with
+      // the sizes. Snapshots build first so their stages are attributed
+      // to "snapshot_build", not to whichever consumer runs first.
+      import org.apache.logging.log4j.{Level, LogManager}
+      import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+      import org.apache.logging.log4j.core.appender.AbstractAppender
+      val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val app = new AbstractAppender(
+        "taskbin", null, null, true, Array.empty) {
+        override def append(e: LogEvent): Unit = {
+          val m = e.getMessage.getFormattedMessage
+          if (m.contains("large task binary") || m.contains("very large size"))
+            captured.add(m)
+        }
+      }
+      app.start()
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      ctx.getConfiguration.getRootLogger.addAppender(app, Level.WARN, null)
+      ctx.updateLoggers()
+      def drain(label: String): Unit = {
+        val sizes = Iterator.continually(captured.poll()).takeWhile(_ != null)
+          .map(m => m.substring(m.lastIndexOf("size") + 5)).toSeq
+        if (sizes.nonEmpty)
+          println(s"TASKBIN $label: ${sizes.size} warnings [${sizes.mkString(", ")}]")
+      }
+      graft.ext.dedup.DedupQueries.buildSnapshots(spark, dir)
+      graft.batch.BasketQueries.basketSnapshot(spark, dir)
+      graft.ext.text.TextQueries.lmScoreSnapshot(spark, dir)
+      graft.ext.text.TextQueries.bpeArtifacts(spark, dir)
+      graft.ext.text.TextQueries.bpeEncoded(spark, dir)
+      graft.ext.text.DsirQueries.weightFrame(spark, dir)
+      graft.ext.text.CmSketchQueries.counters(spark, dir)
+      graft.ext.sim.SimQueries.qKnnBrute(spark, dir)
+      drain("snapshot_build")
+      (graft.SparkEntry.queries.toSeq.sortBy(_._1) ++
+        graft.SparkEntry.specOnly.toSeq.sortBy(_._1)).foreach {
+        case (name, fn) =>
+          try { fn(spark, dir).count() } catch { case _: Throwable => () }
+          drain(name)
+      }
+      println("TASKBIN sweep done")
+      spark.stop(); return
+    }
     if (args.lift(1).contains("q")) {
       // steady-state timing of named registered queries:
       //   runMain graft.tools.Profile <sfDir> q <name> [<name> ...]
@@ -493,16 +544,25 @@ object Profile {
         "q_kmv_merge", "q_f2_sketch", "dsir_select", "dsir_eval",
         "dsir_incremental", "text_cm_eval", "text_cm_merge",
         "pack_length_batches", "pack_batch_eval", "corpus_diff")
-      for (d <- Seq(dir, out); name <- qs) {
+      // snapshots build ONCE per dataset before the timed loop (the Bench
+      // discipline — r11 ADVICE: a per-query clearAll re-timed snapshot
+      // rebuilds inside snapshot-backed entries, overstating their
+      // steady-state numbers), cleared only between datasets; the builds
+      // are timed as their own attributable lines
+      for (d <- Seq(dir, out)) {
         graft.util.SnapshotCache.clearAll()
-        val fn = graft.SparkEntry.queries(name)
-        fn(spark, d).count() // warm (also builds the dsir snapshot)
-        time(s"$name @ $d")(fn(spark, d).count())
-        if (name == "dsir_select") {
-          // attribute the snapshot BUILD itself (the corpus-sized pass)
-          graft.util.SnapshotCache.clearAll()
-          time(s"dsir_weights build @ $d")(
-            graft.ext.text.DsirQueries.weightFrameRaw(spark, d).count())
+        time(s"dsir_weights build @ $d")(
+          graft.ext.text.DsirQueries.weightFrame(spark, d).count())
+        time(s"cm_counters build @ $d")(
+          graft.ext.text.CmSketchQueries.counters(spark, d).count())
+        time(s"bpe_encoded build @ $d") {
+          graft.ext.text.TextQueries.bpeArtifacts(spark, d)
+          graft.ext.text.TextQueries.bpeEncoded(spark, d).count()
+        }
+        for (name <- qs) {
+          val fn = graft.SparkEntry.queries(name)
+          fn(spark, d).count() // warm (plan + codegen, snapshots prebuilt)
+          time(s"$name @ $d")(fn(spark, d).count())
         }
       }
       spark.stop(); return

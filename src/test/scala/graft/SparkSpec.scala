@@ -20,6 +20,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // mirror the engine's recommended optimizer profile (bloom injection
+      // misfires on stats-less snapshot LogicalRDDs — graft.SparkSessions)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
       .config("spark.sql.warehouse.dir", s"$wh/warehouse")
       .config("javax.jdo.option.ConnectionURL",
         s"jdbc:derby:;databaseName=$wh/metastore_db;create=true")

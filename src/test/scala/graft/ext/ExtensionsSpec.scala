@@ -482,6 +482,21 @@ class ExtensionsSpec extends SparkSpec {
     shares.foreach { case (_, _, s) => assert(s >= 900 && s <= 1000) }
   }
 
+  test("knn_label_eval plan: label attaches broadcast, no runtime bloom dead-weight") {
+    // the knn_truth snapshot is a stats-less LogicalRDD, so without the
+    // explicit broadcast hints InjectRuntimeFilter sizes the probe at its
+    // worst-case default and injects a fixed 8M-bit bloom that can never
+    // prune (every neighbor_id exists in the label dictionary) but rides
+    // every downstream task binary (~1-2 MiB each — the r11 bench-log
+    // "large task binary" warnings). Pin the intended plan.
+    val plan = SimQueries.qKnnLabelEval(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("might_contain"),
+      "runtime bloom filter injected into the label-eval plan — a label " +
+        "attach lost its broadcast hint")
+    assert(plan.contains("BroadcastHashJoin"),
+      "label dictionary attach is no longer a broadcast join")
+  }
+
   test("ann_eval: per-method counts equal driver-side set arithmetic against exact top-K") {
     val rows = SimQueries.qAnnEval(spark, sf).collect()
       .map(r => r.getAs[String]("method") -> r).toMap
