@@ -14,6 +14,17 @@ object Explain {
     "q1_pricing" -> ("Scan→agg baseline: the shipdate predicate in " +
       "PushedFilters, ReadSchema pruned to the 7 referenced columns of an " +
       "11-column table; partial/final hash agg on a bounded key."),
+    "q22_idle_custs" -> ("Broadcast-scalar discipline (r12): the global " +
+      "average balance is a 1-ROW aggregate attached by " +
+      "BroadcastNestedLoopJoin — no partition-less WindowExec anywhere, " +
+      "so no customer-scaling frame ever funnels through one task; the " +
+      "lapsed test is a LEFT ANTI against the distinct recent-order keys. " +
+      "WindowDisciplineSpec enforces this suite-wide."),
+    "q_pareto" -> ("Two-phase global-rank kernel (r12): customer-grain " +
+      "revenue ranks via range Exchange + per-partition zipWithIndex " +
+      "positions (the q_global_rank kernel), NEVER a corpus-wide " +
+      "single-task window sort; the only partition-less windows ride the " +
+      "10-row decile aggregate, where they are free."),
     "q5_nation_revenue" -> ("6-table star: every dimension joins as " +
       "BroadcastHashJoin; lineitem⋈orders is the ONE wide exchange."),
     "q6_forecast" -> ("Pushdown showcase: every predicate reaches the " +
