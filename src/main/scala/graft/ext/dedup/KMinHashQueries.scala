@@ -62,12 +62,18 @@ object KMinHashQueries {
     * members common to both sketches. Docs with fewer than k distinct
     * shingles carry their whole hash set (|S| < k) — the estimator's
     * denominator is |S|, so short docs stay unbiased. */
-  def qKminhash(spark: SparkSession, dir: String): DataFrame = {
+  def qKminhash(spark: SparkSession, dir: String): DataFrame =
     // three consumers (posting build + both pair-side attaches) read the
     // doc-grain sketch frame — materialize it once (the intra-query
     // localCheckpoint pattern of the posting-list builds): without it the
     // shingle scan + sketch aggregate re-run per consumer
-    val sk = sketches(spark, dir).localCheckpoint()
+    kminhashFrom(sketches(spark, dir).localCheckpoint())
+
+  /** The pair stage over a prepared (doc_id, sk) sketch frame — split out
+    * so AlignSpec can drive a synthetic HOT-member fixture through the df
+    * cap (no member in the generated corpus exceeds [[DedupQueries.MaxWindowDf]],
+    * so the capped path would otherwise be green-by-vacuity). */
+  private[graft] def kminhashFrom(sk: DataFrame): DataFrame = {
     // posting lists under the same MaxWindowDf cap as every other dedup
     // family: a sketch member appearing in > 50 docs is boilerplate and
     // contributes |ds|² candidate rows with no near-dup signal — without

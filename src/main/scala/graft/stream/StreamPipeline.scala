@@ -155,6 +155,14 @@ object StreamPipeline {
   def kafkaPayload(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
 
+  /** The exact writer options [[writer]] sets for a [[KafkaSink]] — the
+    * sink-side twin of [[kafkaSourceOptions]], spec-assertable without
+    * the connector (DataStreamWriter keeps its option map private). */
+  def kafkaSinkOptions(sink: KafkaSink): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> sink.bootstrapServers,
+    "topic" -> sink.topic,
+    "checkpointLocation" -> sink.checkpoint)
+
   def writer(df: DataFrame, sink: Sink): DataStreamWriter[Row] = sink match {
     case ParquetSink(path, chk, trig) =>
       df.writeStream.outputMode("append").format("parquet")
@@ -165,11 +173,11 @@ object StreamPipeline {
         .option("truncate", "false").trigger(trig)
     case Memory(name, mode, trig) =>
       df.writeStream.outputMode(mode).format("memory").queryName(name).trigger(trig)
-    case KafkaSink(servers, topic, chk) =>
-      kafkaPayload(df)
-        .writeStream.outputMode("append").format("kafka")
-        .option("kafka.bootstrap.servers", servers)
-        .option("topic", topic).option("checkpointLocation", chk)
+    case s: KafkaSink =>
+      kafkaSinkOptions(s).foldLeft(
+        kafkaPayload(df).writeStream.outputMode("append").format("kafka")) {
+        case (w, (k, v)) => w.option(k, v)
+      }
     case ForeachBatch(fn, mode, trig) =>
       df.writeStream.outputMode(mode)
         .foreachBatch((batch: org.apache.spark.sql.Dataset[Row], id: Long) => fn(batch.toDF(), id))

@@ -94,6 +94,35 @@ class AlignSpec extends SparkSpec {
     }
   }
 
+  test("dedup_kminhash df cap: hot-member-only overlap is dropped, normal dups survive") {
+    import graft.ext.dedup.{DedupQueries, KMinHashQueries}
+    // the generated corpus has no sketch member above MaxWindowDf, so the
+    // capped code path is green-by-vacuity there — this fixture makes the
+    // cap BIND. Hot members h1-h3 appear in 60 docs (> cap 50); docs 10
+    // and 11 overlap ONLY through them with raw est = 3/5 = 600‰ ≥ keep
+    // (driver-side arithmetic below), so WITHOUT the cap the pair would
+    // surface; WITH it, the hot posting lists are dropped and the pair
+    // must not. Docs 1 and 2 share three df=2 members — a normal exact
+    // dup that must still surface at est = 1000.
+    val cap = DedupQueries.MaxWindowDf
+    assert(cap == 50)
+    val h = Seq(11L, 12L, 13L)
+    val hotDocs = (10L until 70L).map { i =>
+      val filler = 1000L + i
+      (i, (h :+ filler).sorted.toArray)
+    }
+    val dupDocs = Seq((1L, Array(501L, 502L, 503L)), (2L, Array(501L, 502L, 503L)))
+    // raw (uncapped) estimate of the hot pair (10, 11): union re-cut
+    // {11,12,13,1010,1011} → n_common 3, n_s 5 → 600‰ ≥ KeepMilli — the
+    // estimator alone would NOT have dropped it
+    assert(1000L * 3 / 5 >= KMinHashQueries.KeepMilli)
+    val sk = (dupDocs ++ hotDocs).toDF("doc_id", "sk")
+    val got = KMinHashQueries.kminhashFrom(sk)
+      .select($"doc_a", $"doc_b", $"est_milli").as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1000L)),
+      s"expected exactly the normal dup pair; got ${got.mkString(", ")}")
+  }
+
   test("align_eval counts equal driver-side set arithmetic over both frames") {
     val a = AlignQueries.qAlignBitext(spark, sf)
       .select($"src_id", $"tgt_id", $"accepted")

@@ -39,6 +39,15 @@ class KafkaContractSpec extends SparkSpec {
     assert(StreamPipeline.Kafka("b:9092", "t").startingOffsets == "earliest")
   }
 
+  test("kafka sink options carry servers, topic, and a per-query checkpoint") {
+    val opts = StreamPipeline.kafkaSinkOptions(
+      StreamPipeline.KafkaSink("b:9092", "out-topic", "/chk/out"))
+    assert(opts === Map(
+      "kafka.bootstrap.servers" -> "b:9092",
+      "topic" -> "out-topic",
+      "checkpointLocation" -> "/chk/out"))
+  }
+
   test("binary kafka value parses through the real P1-P3 path") {
     val schema = StreamPipeline.kafkaSourceSchema
     assert(schema("value").dataType == BinaryType,
