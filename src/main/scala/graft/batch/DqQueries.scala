@@ -434,7 +434,7 @@ object DqQueries {
     val orphans = child.select(col(key)).filter(col(key).isNotNull)
       .join(parent.select(col(pkey)), col(key) === col(pkey), "left_anti")
       .agg(count(lit(1)).as("n_orphans"))
-    base.crossJoin(orphans)
+    base.crossJoin(broadcast(orphans))
       .select(lit(name).as("relation"), col("n_child"),
         col("n_null_keys"), col("n_orphans"),
         (col("n_null_keys") === 0 && col("n_orphans") === 0).as("intact"))
@@ -472,7 +472,7 @@ object DqQueries {
         val orphans = child.select(col(key)).filter(col(key).isNotNull)
           .join(parent.select(col(pkey)), col(key) === col(pkey), "left_anti")
           .agg(count(lit(1)).as("n_orphans"))
-        base.crossJoin(orphans)
+        base.crossJoin(broadcast(orphans))
           .select(lit(s"$childName.$key->${parentName(pkey)}").as("relation"),
             col("n_child"), col(s"null__$key").as("n_null_keys"),
             col("n_orphans"),

@@ -306,7 +306,10 @@ object ErQueries {
       .agg(count(lit(1)).as("m"))
       .agg(coalesce(sum(expr("m * (m - 1) DIV 2")), lit(0L)).as("n_cand_firstchar"))
     val allPairs = names.agg(expr("count(*) * (count(*) - 1) DIV 2").as("n_all_pairs"))
-    quality.crossJoin(mass).crossJoin(firstChar).crossJoin(allPairs)
+    // each side is a 1-row aggregate — broadcast explicitly so the plan
+    // never rests on size estimates (CrossJoinDisciplineSpec)
+    quality.crossJoin(broadcast(mass)).crossJoin(broadcast(firstChar))
+      .crossJoin(broadcast(allPairs))
       .select(col("n_true_pairs"), col("n_blocked_pairs"), col("n_hits"),
         expr("1000 * n_hits DIV greatest(n_true_pairs, 1)").as("recall_milli"),
         expr("1000 * n_hits DIV greatest(n_blocked_pairs, 1)").as("precision_milli"),

@@ -117,7 +117,11 @@ object PqQueries {
     val codes = encoded(spark, dir, cb).localCheckpoint()
     val luts = lutsFor(spark, dir, cb)
     val w = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
-    luts.join(codes, col("vec_id") =!= col("query_id"))
+    // broadcast the LUT side EXPLICITLY: it is bounded by the query batch
+    // (the docstring's deployment shape), and without the hint the
+    // nested-loop direction rests on size estimates — at scale the codes
+    // table must stream, never shuffle into a cartesian
+    broadcast(luts).join(codes, col("vec_id") =!= col("query_id"))
       .withColumn("adc", adcCol)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= SimQueries.K)

@@ -163,7 +163,9 @@ object SimQueries {
     * ([[graft.functions.ArrayDotLong]]), not a dims×planes row blow-up. */
   private def planes(spark: SparkSession, nPlanes: Int): DataFrame =
     spark.range(nPlanes).toDF("p")
-      .crossJoin(spark.range(1, Dim + 1).toDF("d"))
+      // explicit broadcast: a 64-row literal range, but without the hint
+      // the planner's choice rests on size estimates (CrossJoinDisciplineSpec)
+      .crossJoin(broadcast(spark.range(1, Dim + 1).toDF("d")))
       .withColumn("sgn",
         when(pmod(Exact.md5Long28(concat(
           lit("rh|"), col("p").cast("string"), lit("|"), col("d").cast("string"))),

@@ -1,0 +1,62 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/**
+ * Suite-wide enforcement of the broadcast-cross-join discipline (the r11
+ * verdict's manual anti-pattern audit, mechanized): a cross join whose
+ * build side is not explicitly `broadcast()` plans as a
+ * `CartesianProduct` — n·m row pairs through a full shuffle product, the
+ * at-scale killer. In this engine every cross join must be either a
+ * broadcast of a provably tiny frame (1-row scalar aggregates, bounded
+ * rate/centroid tables) or one of the DECLARED all-pairs truth anchors
+ * that exist solely to gate their bucketed production twins.
+ *
+ * Method: with `autoBroadcastJoinThreshold = -1` the planner cannot
+ * rescue an unhinted cross join by noticing the test fixture is small —
+ * only an explicit hint (scale-independent) or a declared anchor
+ * survives, so the sweep tests the PLAN SHAPE contract, not fixture
+ * luck. Window discipline has the same structure in
+ * [[WindowDisciplineSpec]]; the two sweeps together pin the only two
+ * single-task / all-pairs plan classes this engine ever flagged.
+ */
+class CrossJoinDisciplineSpec extends SparkSpec {
+
+  /** query name → why its cartesian product is the declared operation.
+    * Smaller than the declared-anchor FAMILY because most anchors hide
+    * their all-pairs product: knn_brute materializes through the
+    * knn_truth snapshot (the cartesian runs in the BUILD, consumers scan
+    * a LogicalRDD), dedup_semantic/dedup_embedding ride the emb-pair
+    * snapshots the same way, and knn_filtered's label predicate is an
+    * equi-key so it never plans cartesian at all. */
+  private val DeclaredAnchors: Map[String, String] = Map(
+    "align_bitext" ->
+      ("the all-pairs margin-criterion anchor; align_bitext_lsh is the " +
+        "production tier it gates"),
+    "align_eval" ->
+      "scores the anchor against the LSH tier, so it pays the anchor once")
+
+  test("every cross join is an explicit broadcast or a declared all-pairs anchor") {
+    val conf = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(conf)
+    val offenders = scala.collection.mutable.Map.empty[String, Int]
+    try {
+      spark.conf.set(conf, "-1")
+      (graft.SparkEntry.queries ++ graft.SparkEntry.specOnly).foreach {
+        case (name, fn) =>
+          val plan = fn(spark, sf).queryExecution.executedPlan.toString
+          val n = "CartesianProduct".r.findAllIn(plan).length
+          if (n > 0) offenders(name) = n
+      }
+    } finally spark.conf.set(conf, prev)
+    val unexplained = offenders.keySet -- DeclaredAnchors.keySet
+    assert(unexplained.isEmpty,
+      s"CartesianProduct in non-anchor queries: ${unexplained.toSeq.sorted.mkString(", ")} — " +
+        "broadcast() the tiny side explicitly (scale-independent), or " +
+        "declare the query an all-pairs anchor in DeclaredAnchors with " +
+        "the production tier it gates")
+    val stale = DeclaredAnchors.keySet -- offenders.keySet
+    assert(stale.isEmpty,
+      s"stale DeclaredAnchors entries (no cartesian left): ${stale.toSeq.sorted.mkString(", ")}")
+  }
+}
