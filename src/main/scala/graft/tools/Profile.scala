@@ -567,6 +567,43 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.lift(1).contains("scale12")) {
+      // 10x multiplier probe for the embedding families without one:
+      // the PQ tiers (knn_pq's ADC codes scan claims linear-in-corpus at
+      // a fixed query batch; knn_ivf_pq adds cell pruning in front), the
+      // spectral kernel (emb_power_iter claims nothing wider than the
+      // embedding scan per round), the drift monitor, and the kmeans
+      // trainer (K centroids on the driver, corpus-linear assignment).
+      // Same generator as scale10b: rotated copies (norm-preserving,
+      // decorrelated), copies > 0 remapped OFF the query stride so the
+      // query set stays fixed while the corpus grows 10x.
+      import graft.ext.sim.SimQueries
+      val out = "/tmp/graft_scale12"
+      Tables.embeddings(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+        .select(
+          when(col("copy") === 0, col("vec_id"))
+            .otherwise(col("copy") * 1000000L + col("vec_id") * lit(SimQueries.QueryStride.toLong) + 1)
+            .as("vec_id"),
+          when(col("copy") === 0, col("embedding")).otherwise(
+            concat(slice(col("embedding"), col("copy").cast("int") * 6 + 1,
+                lit(SimQueries.Dim)),
+              slice(col("embedding"), lit(1), col("copy").cast("int") * 6)))
+            .as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      val qs = Seq("knn_pq", "knn_ivf_pq", "knn_ivf_trained",
+        "emb_power_iter", "emb_drift", "kmeans_train")
+      for (d <- Seq(dir, out)) {
+        graft.util.SnapshotCache.clearAll()
+        time(s"knn_truth build @ $d")(SimQueries.qKnnBrute(spark, d).count())
+        for (name <- qs) {
+          val fn = graft.SparkEntry.queries(name)
+          fn(spark, d).count() // warm (plan + codegen + codebook/centroid snapshots)
+          time(s"$name @ $d")(fn(spark, d).count())
+        }
+      }
+      spark.stop(); return
+    }
     if (args.lift(1).contains("scale10d")) {
       // 10x multiplier probes for the round-10-continuation additions:
       // text_lm_score + q_l_diversity (documents x10), q_drift_ks
