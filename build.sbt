@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output goes STRAIGHT to stdout/stderr — no [info]
+// framing. A bare `sbt runMain graft.Bench` then prints the bench JSON
+// line unwrapped (the driver's BENCH_rN parse failed on sbt framing in
+// rounds 8–11); the same record also lands at target/bench_compact.json.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
