@@ -140,35 +140,54 @@ object DqQueries {
     * type at one value) flags every deviating row — the strictest
     * consistent reading, pinned in DqSpec.
     *
-    * Shape: two type-partitioned window sorts (median, then MAD over
-    * deviations) + one broadcast-stats flag pass — the per-type sort is
-    * the exact-median price, consciously traded as in q_len_quantiles vs
-    * q_percentiles; at 100 TB swap both medians for
-    * `approx_percentile(0.5)` (mergeable KLL, no sort) and keep this
-    * exact form as its oracle anchor. Hot-type skew is the salted-agg
-    * family's territory; output is |types| rows at any scale. */
+    * Shape: two count-of-counts medians (see [[lowerMedian]] — the fact
+    * collapses to the (type, value)-grain count frame before any window
+    * forms, so the exact-median sort runs over distinct cents, not rows)
+    * + one broadcast-stats flag pass. The medians are exact at any row
+    * count for the price of a domain-bounded frame; if the VALUE domain
+    * itself ever grew unbounded, swap both for `approx_percentile(0.5)`
+    * (mergeable KLL) and keep this exact form as its oracle anchor.
+    * Output is |types| rows at any scale. */
   def qMadOutliers(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Exact
     madOutliers(Tables.events(spark, dir).filter(col("value").isNotNull)
       .select(col("event_type"), Exact.cents(col("value")).as("x")))
   }
 
-  /** The kernel over an (event_type, x: long) frame — DqSpec drives it
-    * over crafted fixtures (MAD = 0, masking) the corpus can't express. */
   /** Per-group lower median: the element at rank ⌊(n+1)/2⌋ (1-based) of
     * each event_type partition's sort on `c` — ties are benign because
     * only the VALUE at the rank survives. Shared by the MAD gate and the
-    * daily-volume anomaly gate. */
+    * daily-volume anomaly gate.
+    *
+    * Shape: the count-of-counts contraction (the q_weighted_median
+    * discipline, [[graft.batch.StatsQueries]]): the input collapses to
+    * the (event_type, value)-grain count frame FIRST — one map-side
+    * combinable aggregate, the only input-sized pass — and the
+    * cumulative window runs over that value-distinct frame, where the
+    * lower median is the smallest value whose cumulative count reaches
+    * rank ⌊(n+1)/2⌋. The previous form windowed RAW rows partitioned by
+    * ~10 event_types, funneling n/|types| rows through each WindowExec
+    * task — a single-task-class sort at 100× scale; here the window's
+    * input is domain-bounded (distinct cents / distinct daily counts),
+    * not data-bounded. DqSpec pins the plan shape (every Window sits
+    * above an Aggregate). */
   private def lowerMedian(df: DataFrame, c: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    df.withColumn("rn",
-        row_number().over(Window.partitionBy("event_type").orderBy(col(c))))
-      .withColumn("n",
-        count(lit(1)).over(Window.partitionBy("event_type")))
-      .filter(expr("rn = (n + 1) DIV 2"))
-      .select(col("event_type"), col(c).as(s"med_$c"))
+    val counts = df.groupBy(col("event_type"), col(c))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+    counts
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy("event_type").orderBy(col(c))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(totals), "event_type")
+      .filter(col("cum") >= expr("(n + 1) DIV 2"))
+      .groupBy(col("event_type"))
+      .agg(min(col(c)).as(s"med_$c"))
   }
 
+  /** The kernel over an (event_type, x: long) frame — DqSpec drives it
+    * over crafted fixtures (MAD = 0, masking) the corpus can't express. */
   def madOutliers(e: DataFrame): DataFrame = {
     val med = lowerMedian(e, "x")
     val dev = e.join(broadcast(med), "event_type")

@@ -95,24 +95,53 @@ object CurateQueries {
       .agg(count(lit(1)).as("n_docs"))
   }
 
-  /** Pack documents into ~[[ShardTokens]]-token shards per language: a
-    * running-total window (rowsBetween frame) assigns each doc the shard
-    * its starting offset falls in. Deterministic (ordered by doc_id),
-    * exact-integer, and the one place the engine exercises an explicit
-    * window FRAME spec. */
-  def qPackShards(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-(lang, doc_id)-ordered inclusive running token totals — the
+    * shared kernel of [[qPackShards]] and [[qPackManifest]], as a
+    * TWO-PHASE prefix sum (the [[qPackSequences]] / q_global_rank
+    * discipline, applied per language): doc_id splits into
+    * [[PackBuckets]] CONTIGUOUS ranges (monotone in doc_id, so the
+    * (lang, bucket, doc_id) order IS the (lang, doc_id) order), each
+    * (lang, bucket) cell cumsums internally in parallel, and the
+    * cross-bucket offsets ride one window over the |langs|×[[PackBuckets]]
+    * aggregate. The pre-r13 form ran ONE window task per language over
+    * full doc grain — an n/|langs| funnel; here per-task input is
+    * n/(|langs|·buckets), and at 100 TB PackBuckets grows to
+    * O(partitions) while the offset frame stays kilobytes. The bucket
+    * bound (max doc_id) stays IN the plan as a 1-row broadcast aggregate
+    * (ids are non-negative, so `(doc_id·B) DIV (max+1)` lands in
+    * [0, B)). */
+  private def packedTokens(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir).select(
       col("doc_id"), col("lang"),
       size(TextNorm.toks(col("text"))).cast("long").as("n_tokens"))
-    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val mx = toks.agg(max(col("doc_id")).as("max_id"))
+    val bucketed = toks.crossJoin(broadcast(mx))
+      .withColumn("b", expr(s"(doc_id * $PackBuckets) DIV (max_id + 1)"))
+    val inBucket = Window.partitionBy("lang", "b").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    toks
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    val acrossBuckets = Window.partitionBy("lang").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = bucketed.groupBy(col("lang"), col("b"))
+      .agg(sum(col("n_tokens")).as("b_tokens"))
+      .select(col("lang"), col("b"),
+        coalesce(sum(col("b_tokens")).over(acrossBuckets), lit(0L)).as("b_off"))
+    bucketed
+      .withColumn("in_cum", sum(col("n_tokens")).over(inBucket))
+      .join(broadcast(bucketOffsets), Seq("lang", "b"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("b_off") + col("in_cum")).as("cum_tokens"))
+  }
+
+  /** Pack documents into ~[[ShardTokens]]-token shards per language: the
+    * [[packedTokens]] running total assigns each doc the shard its
+    * starting offset falls in. Deterministic (ordered by doc_id) and
+    * exact-integer. */
+  def qPackShards(spark: SparkSession, dir: String): DataFrame =
+    packedTokens(spark, dir)
       .withColumn("shard",
         floor((col("cum_tokens") - col("n_tokens")).cast("double") / lit(ShardTokens.toDouble)).cast("long"))
       .groupBy(col("lang"), col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
-  }
 
   /** The loader MANIFEST of [[qPackShards]]' packing: one row per
     * (lang, shard, position) naming the doc at that slot, its token
@@ -124,17 +153,12 @@ object CurateQueries {
     * and offsets are exact integers and the whole table replays
     * bit-identically — the reproducible-run property again.
     *
-    * Shape: identical to pack_shards (one per-lang window sort) plus a
-    * second window at the (lang, shard) grain for the slot number —
-    * both ride the same exchange. */
+    * Shape: identical to pack_shards (the [[packedTokens]] two-phase
+    * prefix sum) plus a second window at the (lang, shard) grain for the
+    * slot number — shard count GROWS with data (tokens/ShardTokens), so
+    * that window's parallelism scales. */
   def qPackManifest(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir).select(
-      col("doc_id"), col("lang"),
-      size(TextNorm.toks(col("text"))).cast("long").as("n_tokens"))
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    toks
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    packedTokens(spark, dir)
       .withColumn("shard",
         floor((col("cum_tokens") - col("n_tokens")).cast("double") / lit(ShardTokens.toDouble)).cast("long"))
       .withColumn("lang_offset", col("cum_tokens") - col("n_tokens"))
@@ -243,24 +267,29 @@ object CurateQueries {
     * the bit (`percentile_approx` could not be oracled this way). Ties
     * are harmless: any tie order yields the same VALUE at a given rank.
     *
-    * Scale shape: one exchange partitions by lang; the per-language sort
-    * is the cost (this is the exact-quantile price — the sketch
-    * alternative trades it for error). Languages are few and the window
-    * carries only (lang, n_tokens), so the sort input is narrow; a
-    * pathologically hot language is the same skew the salted-agg family
-    * handles. */
+    * Scale shape: the count-of-counts contraction (the q_weighted_median
+    * / lowerMedian discipline): documents collapse to the
+    * (lang, n_tokens)-grain count frame FIRST — one map-side-combinable
+    * aggregate, the only doc-sized pass — and the cumulative window runs
+    * over that value-distinct frame, where the rank-r element is the
+    * smallest value whose cumulative count reaches r. The window input
+    * is domain-bounded (distinct token lengths), never doc grain — the
+    * pre-r13 form ranked raw documents per language, an n/|langs| funnel
+    * flagged by the bounded-key sweep. */
   def qLenQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir).select(col("lang"),
       size(TextNorm.toks(col("text"))).cast("long").as("n"))
-    val byLang = Window.partitionBy("lang")
-    val ranked = toks
-      .withColumn("rn", row_number().over(byLang.orderBy("n")))
-      .withColumn("cnt", count(lit(1)).over(byLang))
-    ranked.groupBy(col("lang"))
-      .agg(max(col("cnt")).as("n_docs"),
-        max(when(col("rn") === expr("(cnt + 1) div 2"), col("n"))).as("p50_tokens"),
-        max(when(col("rn") === expr("(9 * cnt + 9) div 10"), col("n"))).as("p90_tokens"),
-        max(when(col("rn") === expr("(99 * cnt + 99) div 100"), col("n"))).as("p99_tokens"))
+    val counts = toks.groupBy(col("lang"), col("n")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("lang")).agg(sum(col("cnt")).as("n_docs"))
+    counts
+      .withColumn("cum", sum(col("cnt")).over(Window.partitionBy("lang")
+        .orderBy("n").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(totals), "lang")
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        min(when(col("cum") >= expr("(n_docs + 1) div 2"), col("n"))).as("p50_tokens"),
+        min(when(col("cum") >= expr("(9 * n_docs + 9) div 10"), col("n"))).as("p90_tokens"),
+        min(when(col("cum") >= expr("(99 * n_docs + 99) div 100"), col("n"))).as("p99_tokens"))
   }
 
   /** SPAN-LEVEL decontamination — the scrubbing complement of

@@ -481,24 +481,24 @@ object SimQueries {
     * order), so the verdict replays bit-identically.
     *
     * Shape: the vote join attaches the corpus id→label map to the
-    * (queries × K) neighbor frame — neighbor-frame-sized, id-keyed, and
-    * the label dictionary is an EXPLICIT broadcast: the probe side is
-    * the knn_truth snapshot (a checkpointed LogicalRDD with no stats,
-    * which the optimizer sizes at its worst-case default), so without
-    * the hint InjectRuntimeFilter reads "huge probe ⋈ parquet dim" and
-    * injects a fixed 8M-bit bloom filter that rides EVERY downstream
-    * task binary (~1–2 MiB each, the r11 bench-log warnings) yet can
-    * never prune — every neighbor_id exists in the dictionary by
-    * construction. The hint both pins the intended plan and makes the
-    * runtime-filter rule skip the join. The argmax window partitions by
-    * query over ≤ |labels| vote rows; the confusion aggregate is
-    * |labels|²-bounded. Nothing corpus-sized shuffles beyond what
-    * knn_brute already pays. */
+    * (queries × K) neighbor frame — neighbor-frame-sized and id-keyed,
+    * with NO broadcast hint: the label map is one row per CORPUS vector,
+    * so forcing a broadcast (which ignores autoBroadcastJoinThreshold)
+    * would collect the whole dictionary to the driver at exactly the
+    * scales this family defends against (ADVICE r12). The optimizer
+    * auto-broadcasts it while the parquet stats say it is small and
+    * falls back to a shuffled hash join when it is not — the correct
+    * plan at both ends. (The r11 bloom-filter misfire this hint once
+    * guarded against is closed at the session level:
+    * runtime.bloomFilter.enabled=false in every builder —
+    * graft.SparkSessions.) The argmax window partitions by query over
+    * ≤ |labels| vote rows; the confusion aggregate is |labels|²-bounded.
+    * Nothing corpus-sized shuffles beyond what knn_brute already pays. */
   def qKnnLabelEval(spark: SparkSession, dir: String): DataFrame = {
     val labels = quantized(spark, dir)
       .select(col("vec_id"), col("label").cast("long").as("lbl"))
     val votes = qKnnBrute(spark, dir)
-      .join(broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id"),
         "neighbor_id")
       .groupBy(col("query_id"), col("lbl"))
       .agg(count(lit(1)).as("n_votes"))
@@ -508,8 +508,8 @@ object SimQueries {
       .filter(col("rn") === 1)
       .select(col("query_id"), col("lbl").as("pred_label"))
     val conf = pred
-      .join(broadcast(labels.withColumnRenamed("vec_id", "query_id")
-        .withColumnRenamed("lbl", "true_label")), "query_id")
+      .join(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("lbl", "true_label"), "query_id")
       .groupBy(col("true_label"), col("pred_label"))
       .agg(count(lit(1)).as("n_queries"))
     val totals = conf.groupBy(col("true_label"))

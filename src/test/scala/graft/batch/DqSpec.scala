@@ -110,6 +110,21 @@ class DqSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("median kernels window only contracted value-grain frames (VERDICT r12 #1)") {
+    // lowerMedian's count-of-counts contraction: every WindowExec input
+    // must be a (key, value)-grain aggregate, never raw event rows — the
+    // pre-r13 form funneled n/|types| rows through each window task
+    Seq("q_mad_outliers" -> DqQueries.qMadOutliers(spark, sf),
+        "q_anomaly_days" -> DqQueries.qAnomalyDays(spark, sf)).foreach {
+      case (n, df) =>
+        val ws = df.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+        assert(ws.nonEmpty, s"$n: median windows expected in the plan")
+        ws.foreach(w => assert(graft.plans.PlanWalk.contracted(w.child),
+          s"$n: Window over an uncontracted frame:\n$w"))
+    }
+  }
+
   test("madOutliers: MAD=0 flags every deviant; median gate survives the tail that masks 3σ") {
     import spark.implicits._
     // over half the type at one value ⇒ MAD = 0 ⇒ any deviation flags

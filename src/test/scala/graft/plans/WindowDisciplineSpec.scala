@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Window => LogicalWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
 
 import graft.SparkSpec
 
@@ -56,17 +56,26 @@ class WindowDisciplineSpec extends SparkSpec {
         "O(sqrt(n)) of them (~10^6 rows at 10^12 events, Zipf-far fewer) " +
         "— sub-linear by arithmetic, never the |keys|-sized frame; the " +
         "literal key_col partition key folds away in the optimizer, " +
-        "which is why the sweep sees an empty partitionSpec"))
+        "which is why the sweep sees an empty partitionSpec"),
+    "text_hybrid" ->
+      ("the fusion windows run over the BM25 top-K candidate frame: " +
+        "LimitPushDownThroughWindow rewrites qBm25's rank<=K filter into " +
+        "a Limit BELOW its window, and the embedding attach is a " +
+        "key-unique inner join on doc_id that cannot inflate K — the " +
+        "strict both-sides walk stops at that join (corpus side), so the " +
+        "bound is argued here instead"))
 
   test("no partition-less Window over an unbounded frame in any registered query") {
-    def hasLimitBelow(p: LogicalPlan): Boolean =
-      p.collectFirst { case _: GlobalLimit | _: LocalLimit => () }.isDefined
+    // limitBounded walks the DIRECT input path (a collectFirst over the
+    // whole subtree would admit a limit re-inflated by a join/explode
+    // above it — ADVICE r12)
     val offenders = scala.collection.mutable.Map.empty[String, Int]
     (graft.SparkEntry.queries ++ graft.SparkEntry.specOnly).foreach {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.optimizedPlan
         val unbounded = plan.collect {
-          case w: LogicalWindow if w.partitionSpec.isEmpty && !hasLimitBelow(w.child) => w
+          case w: LogicalWindow
+              if w.partitionSpec.isEmpty && !PlanWalk.limitBounded(w.child) => w
         }
         if (unbounded.nonEmpty) offenders(name) = unbounded.size
     }
@@ -78,5 +87,102 @@ class WindowDisciplineSpec extends SparkSpec {
     val stale = BoundedAggInput.keySet -- offenders.keySet
     assert(stale.isEmpty,
       s"stale BoundedAggInput entries (no partition-less window left): ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
+  /** Column names known to be bounded-cardinality dimensions in this
+    * corpus (types, languages, nations, flags, date-of-corpus days,
+    * fixed bucket ids). A Window PARTITIONED by only these keys has
+    * O(|domain|) tasks, so if its input is still raw fact/document grain
+    * each task sorts n/|domain| rows — the q_mad_outliers funnel
+    * (VERDICT r12 #2). Name-based, so a future bounded column must be
+    * added here to be policed — the sweep errs loose on unknown names,
+    * never strict. */
+  private val BoundedKeyNames: Set[String] = Set(
+    "event_type", "event_date", "prev_type", "t1", "t2", "key_col",
+    "lang", "split", "source", "country", "device", "segment",
+    "n_name", "r_name", "flag", "l_returnflag", "l_linestatus",
+    "day", "b", "bucket", "side", "method", "sym")
+
+  /** query name → why its bounded-key window's uncontracted input is an
+    * acceptable trade (same contract as [[BoundedAggInput]]: stale
+    * entries fail). */
+  private val BoundedKeyWindowOk: Map[String, String] = Map(
+    "pack_shards" ->
+      ("two-phase prefix sum (packedTokens): the (lang, b) in-bucket " +
+        "cumsum is |langs|x64-way parallel and PackBuckets grows to " +
+        "O(partitions) at scale; cross-bucket offsets ride the bounded " +
+        "aggregate"),
+    "pack_manifest" ->
+      "same packedTokens two-phase kernel as pack_shards",
+    "pack_sequences" ->
+      ("two-phase global prefix sum: the in-bucket (b) cumsum is " +
+        "PackBuckets-way parallel, PackBuckets -> O(partitions) at " +
+        "scale; cross-bucket offsets ride the 64-row aggregate"),
+    "q_gap_fill" ->
+      ("the LOCF window rides the |nations|x|days| dense calendar grid " +
+        "— domain-bounded, generated by sequence/explode over a " +
+        "per-nation [min,max] aggregate (the Generate is why the " +
+        "mechanical contraction walk cannot see it)"),
+    "q_source_cap" ->
+      ("at web scale the partition key is the DOMAIN — millions of " +
+        "groups, cluster-wide parallelism; rank<=cap becomes a partial " +
+        "WindowGroupLimit (running counter, only cap rows survive each " +
+        "map task), so the exchange never carries raw doc grain; the " +
+        "corpus' handful of sources is a fixture artifact"),
+    "q_topk_per_nation" ->
+      ("the window rides the per-customer revenue Aggregate (orders " +
+        "contract to one row per customer FIRST — the documented W1 " +
+        "aggregate-first trade); the dim attaches are key-unique " +
+        "broadcasts that cannot inflate it, and rank<=3 becomes a " +
+        "partial WindowGroupLimit so each map task emits at most 3 rows " +
+        "per nation into the exchange"))
+
+  test("no bounded-key Window over an uncontracted raw-grain frame in any registered query") {
+    val offenders = scala.collection.mutable.Map.empty[String, Int]
+    (graft.SparkEntry.queries ++ graft.SparkEntry.specOnly).foreach {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.optimizedPlan
+        val funnels = plan.collect {
+          case w: LogicalWindow if w.partitionSpec.nonEmpty && {
+            val refs = w.partitionSpec.flatMap(_.references.map(_.name))
+            refs.nonEmpty && refs.forall(BoundedKeyNames) &&
+              !PlanWalk.contracted(w.child)
+          } => w
+        }
+        if (funnels.nonEmpty) offenders(name) = funnels.size
+    }
+    val unexplained = offenders.keySet -- BoundedKeyWindowOk.keySet
+    assert(unexplained.isEmpty,
+      s"bounded-key Window over an uncontracted frame in: ${unexplained.toSeq.sorted.mkString(", ")} — " +
+        "contract to (key, value)-grain counts first (the q_weighted_median " +
+        "count-of-counts shape) or document the trade in BoundedKeyWindowOk")
+    val stale = BoundedKeyWindowOk.keySet -- offenders.keySet
+    assert(stale.isEmpty,
+      s"stale BoundedKeyWindowOk entries: ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("the contraction walk flags the pre-r13 lowerMedian shape and admits the count-of-counts form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val e = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("event_type", "x")
+    val med = e.groupBy("event_type").agg(max("x").as("med"))
+    // pre-fix q_mad_outliers: window over RAW rows joined to a tiny
+    // aggregate — an Aggregate exists in the subtree (which a collectFirst
+    // would wrongly admit), but the frame is raw grain
+    val preFix = e.join(broadcast(med), "event_type")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("event_type").orderBy("x")))
+    val pre = preFix.queryExecution.optimizedPlan.collect { case w: LogicalWindow => w }
+    assert(pre.nonEmpty && pre.forall(w => !PlanWalk.contracted(w.child)),
+      "the pre-fix raw-grain window must be flagged")
+    // post-fix: the window rides the (key, value)-grain count frame
+    val postFix = e.groupBy("event_type", "x").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt")
+        .over(Window.partitionBy("event_type").orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val post = postFix.queryExecution.optimizedPlan.collect { case w: LogicalWindow => w }
+    assert(post.nonEmpty && post.forall(w => PlanWalk.contracted(w.child)),
+      "the contracted count-of-counts window must be admitted")
   }
 }
