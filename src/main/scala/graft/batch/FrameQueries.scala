@@ -98,7 +98,9 @@ object FrameQueries {
         col("rev_cents"))
     // localCheckpoint: the ranked frame feeds both the offsets aggregate
     // and the final projection — materialize the (one) range sort instead
-    // of paying it per consumer
+    // of paying it per consumer. NOTE: withGlobalIndex executes its
+    // range-sort job at CONSTRUCTION (zipWithIndex offsets — documented
+    // on the kernel), so even plan-only inspection of this query runs it
     val ranked = DistributedRank.withGlobalIndex(base,
       Seq(col("segment"), col("rev_cents").desc, col("custkey")), "gidx")
       .localCheckpoint()
@@ -144,7 +146,10 @@ object FrameQueries {
     val rev = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(Exact.cents(col("o_totalprice"))).as("cents"))
-    // localCheckpoint: consumed by the count aggregate and the decile cut
+    // localCheckpoint: consumed by the count aggregate and the decile cut.
+    // NOTE: withGlobalIndex executes its range-sort job at CONSTRUCTION
+    // (zipWithIndex offsets — documented on the kernel), so even plan-only
+    // inspection of this query runs it
     val ranked = DistributedRank.withGlobalIndex(rev,
       Seq(col("cents").desc, col("o_custkey")), "rank")
       .localCheckpoint()

@@ -111,9 +111,15 @@ object CurateQueries {
     * (ids are non-negative, so `(doc_id·B) DIV (max+1)` lands in
     * [0, B)). */
   private def packedTokens(spark: SparkSession, dir: String): DataFrame = {
+    // materialized ONCE (the qBm25 discipline): the bucket bound, the
+    // in-bucket cumsum, and the offsets aggregate each reference this
+    // frame, and tokenization dominates the scan — un-checkpointed, the
+    // tokenize would run three times (measured 2.3x the pre-split cost
+    // at sf0.1; checkpointed it is back under it)
     val toks = Tables.documents(spark, dir).select(
       col("doc_id"), col("lang"),
       size(TextNorm.toks(col("text"))).cast("long").as("n_tokens"))
+      .localCheckpoint()
     val mx = toks.agg(max(col("doc_id")).as("max_id"))
     val bucketed = toks.crossJoin(broadcast(mx))
       .withColumn("b", expr(s"(doc_id * $PackBuckets) DIV (max_id + 1)"))

@@ -579,10 +579,19 @@ object Profile {
       // query set stays fixed while the corpus grows 10x.
       import graft.ext.sim.SimQueries
       val out = "/tmp/graft_scale12"
+      // copy stride derived from the ACTUAL max id (ADVICE r12): a fixed
+      // 1e6 offset collides across copies once vec_id*20+1 >= 1e6. With
+      // span = max*20+2, copy c's remapped range [c*span+1, (c+1)*span-1]
+      // is disjoint from every other copy and from copy 0's [0, max]; and
+      // span % 20 = 2 keeps every remapped id at 2c+1 (mod 20) — odd, so
+      // never on the query stride, at ANY corpus size.
+      val maxVecId = Tables.embeddings(spark, dir)
+        .agg(max(col("vec_id"))).head.getLong(0)
+      val copySpan = maxVecId * SimQueries.QueryStride.toLong + 2
       Tables.embeddings(spark, dir).crossJoin(spark.range(10).toDF("copy"))
         .select(
           when(col("copy") === 0, col("vec_id"))
-            .otherwise(col("copy") * 1000000L + col("vec_id") * lit(SimQueries.QueryStride.toLong) + 1)
+            .otherwise(col("copy") * copySpan + col("vec_id") * lit(SimQueries.QueryStride.toLong) + 1)
             .as("vec_id"),
           when(col("copy") === 0, col("embedding")).otherwise(
             concat(slice(col("embedding"), col("copy").cast("int") * 6 + 1,

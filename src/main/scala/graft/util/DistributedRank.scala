@@ -30,8 +30,21 @@ object DistributedRank {
 
   /** The input frame with a 1-based global position column appended,
     * positioned by `order` (which must be a TOTAL order for deterministic
-    * output). Triggers zipWithIndex's partition-count job eagerly, per
-    * the kernel contract above. */
+    * output).
+    *
+    * PLAN-TIME EXECUTION SIDE EFFECT (ADVICE r12): `zipWithIndex`
+    * computes its per-partition offsets EAGERLY, so merely CONSTRUCTING a
+    * DataFrame through this method runs the full range-sort job — a
+    * plan-only consumer (Explain, the discipline sweeps, any
+    * queryExecution inspection of q_pareto / q_ntile_custs) executes a
+    * corpus-scale sort as a side effect, and the result stage runs again
+    * at consumption. This is inherent to the offsets pass (any exact
+    * contiguous numbering needs the counts); the trade is accepted
+    * because consumers of this kernel are terminal analytics queries, not
+    * frequently-re-planned fragments. If plan-only inspection ever
+    * matters, the alternative is the bucket-window two-phase form
+    * (CurateQueries.qPackSequences), which is fully lazy but keys on a
+    * value range rather than an arbitrary total order. */
   def withGlobalIndex(df: DataFrame, order: Seq[Column], idxName: String): DataFrame = {
     val sorted = df.orderBy(order: _*)
     val schema = StructType(sorted.schema.fields :+
