@@ -175,12 +175,14 @@ object DqQueries {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col("event_type"), col(c))
       .agg(count(lit(1)).as("cnt"))
-    val totals = counts.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+    // the group total rides the SAME WindowExec as the running sum (same
+    // partition key, whole-partition frame) — a groupBy+join twin would
+    // recompute the count frame from the scan a second time
+    val byType = Window.partitionBy("event_type")
     counts
-      .withColumn("cum", sum(col("cnt")).over(
-        Window.partitionBy("event_type").orderBy(col(c))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(totals), "event_type")
+      .withColumn("cum", sum(col("cnt")).over(byType.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(byType))
       .filter(col("cum") >= expr("(n + 1) DIV 2"))
       .groupBy(col("event_type"))
       .agg(min(col(c)).as(s"med_$c"))
@@ -263,12 +265,17 @@ object DqQueries {
       .agg(sum(col("is_ref")).as("o_ref"),
         sum(lit(1L) - col("is_ref")).as("o_cur"))
 
-  /** The TV score over a (type, bucket, o_ref, o_cur) count frame. */
+  /** The TV score over a (type, bucket, o_ref, o_cur) count frame. The
+    * per-type totals ride a whole-partition window over the (bounded)
+    * count frame — a groupBy+join twin would recompute the counts (a
+    * full scan in the batch monitors) a second time (r13). */
   private[graft] def tvFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-    val totals = counts.groupBy(col("event_type"))
-      .agg(sum(col("o_ref")).as("n_ref"), sum(col("o_cur")).as("n_cur"))
-    counts.join(broadcast(totals), "event_type")
+    val byType = Window.partitionBy("event_type")
+    counts
+      .withColumn("n_ref", sum(col("o_ref")).over(byType))
+      .withColumn("n_cur", sum(col("o_cur")).over(byType))
       .withColumn("term",
         abs(d(col("o_cur")) * d(col("n_ref")) - d(col("o_ref")) * d(col("n_cur"))))
       .groupBy(col("event_type"))
@@ -341,12 +348,14 @@ object DqQueries {
     import org.apache.spark.sql.expressions.Window
     def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
-    val totals = counts.groupBy(col("event_type"))
-      .agg(sum(col("o_ref")).as("n_ref"), sum(col("o_cur")).as("n_cur"))
+    // totals ride the SAME WindowExec (whole-partition frame) instead of
+    // a groupBy+join that would recompute the count frame (r13)
+    val byType = Window.partitionBy(col("event_type"))
     counts
       .withColumn("c_ref", sum(col("o_ref")).over(w))
       .withColumn("c_cur", sum(col("o_cur")).over(w))
-      .join(broadcast(totals), "event_type")
+      .withColumn("n_ref", sum(col("o_ref")).over(byType))
+      .withColumn("n_cur", sum(col("o_cur")).over(byType))
       .withColumn("gap",
         abs(d(col("c_cur")) * d(col("n_ref")) - d(col("c_ref")) * d(col("n_cur"))))
       .groupBy(col("event_type"))

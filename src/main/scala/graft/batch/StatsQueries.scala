@@ -222,12 +222,15 @@ object StatsQueries {
         Exact.cents(col("l_extendedprice")).as("v"),
         col("l_quantity").cast("long").as("wt"))
       .groupBy(col("flag"), col("v")).agg(sum(col("wt")).as("w"))
-    val byFlag = Window.partitionBy("flag").orderBy("v")
-    val totals = vals.groupBy(col("flag")).agg(sum(col("w")).as("total_w"))
+    // the group total rides the SAME WindowExec as the running sum (same
+    // partition key, whole-partition frame) — a groupBy+join twin would
+    // scan lineitem a second time for the totals (r13, the lowerMedian
+    // discipline)
+    val byFlag = Window.partitionBy("flag")
     vals
-      .withColumn("cumw", sum(col("w"))
-        .over(byFlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(totals), "flag")
+      .withColumn("cumw", sum(col("w")).over(byFlag.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total_w", sum(col("w")).over(byFlag))
       .filter(col("cumw") * 2 >= col("total_w"))
       .groupBy(col("flag"))
       .agg(max(col("total_w")).as("total_weight"),
@@ -261,10 +264,14 @@ object StatsQueries {
         pmod(Exact.md5Long(concat(lit("jk|"), col("event_id"))), lit(JkBlocks)).as("blk"))
       .groupBy(col("event_type"), col("blk"))
       .agg(sum(col("x")).as("s_b"), count(lit(1)).as("n_b"))
-    val totals = blocks.groupBy(col("event_type"))
-      .agg(sum(col("s_b")).as("s"), sum(col("n_b")).as("n"),
-        count(lit(1)).as("b_present"))
-    blocks.join(broadcast(totals), "event_type")
+    // per-type totals ride a whole-partition window over the (type × B)
+    // block frame — a groupBy+join twin would run the events scan twice
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy("event_type")
+    blocks
+      .withColumn("s", sum(col("s_b")).over(byType))
+      .withColumn("n", sum(col("n_b")).over(byType))
+      .withColumn("b_present", count(lit(1)).over(byType))
       .withColumn("m_b",
         when(col("n") > col("n_b"),
           expr("1000 * (s - s_b) DIV (n - n_b)")))

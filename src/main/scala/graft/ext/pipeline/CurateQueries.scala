@@ -286,11 +286,14 @@ object CurateQueries {
     val toks = Tables.documents(spark, dir).select(col("lang"),
       size(TextNorm.toks(col("text"))).cast("long").as("n"))
     val counts = toks.groupBy(col("lang"), col("n")).agg(count(lit(1)).as("cnt"))
-    val totals = counts.groupBy(col("lang")).agg(sum(col("cnt")).as("n_docs"))
+    // per-lang totals ride the SAME WindowExec as the running sum (same
+    // partition key, whole-partition frame) — a groupBy+join twin would
+    // run the tokenize scan a second time
+    val byLang = Window.partitionBy("lang")
     counts
-      .withColumn("cum", sum(col("cnt")).over(Window.partitionBy("lang")
-        .orderBy("n").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(totals), "lang")
+      .withColumn("cum", sum(col("cnt")).over(byLang.orderBy("n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_docs", sum(col("cnt")).over(byLang))
       .groupBy(col("lang"))
       .agg(max(col("n_docs")).as("n_docs"),
         min(when(col("cum") >= expr("(n_docs + 1) div 2"), col("n"))).as("p50_tokens"),

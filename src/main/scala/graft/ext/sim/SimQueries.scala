@@ -512,9 +512,12 @@ object SimQueries {
         .withColumnRenamed("lbl", "true_label"), "query_id")
       .groupBy(col("true_label"), col("pred_label"))
       .agg(count(lit(1)).as("n_queries"))
-    val totals = conf.groupBy(col("true_label"))
-      .agg(sum(col("n_queries")).as("n_true"))
-    conf.join(broadcast(totals), "true_label")
+    // per-true-label totals ride a whole-partition window over the
+    // |labels|²-bounded confusion frame — a groupBy+join twin would run
+    // the prediction pipeline a second time (r13)
+    conf
+      .withColumn("n_true",
+        sum(col("n_queries")).over(Window.partitionBy("true_label")))
       .select(col("true_label"), col("pred_label"), col("n_queries"),
         expr("(1000 * n_queries) DIV n_true").as("share_milli"))
   }

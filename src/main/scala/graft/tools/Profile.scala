@@ -613,6 +613,88 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.lift(1).contains("scale13")) {
+      // 10x multiplier probes for the last families without a measured
+      // curve (VERDICT r12 #6/#7):
+      //  - graph_{pagerank,triangles,kcore} + the privacy ladder over
+      //    documents x10 (content-SALTED copies, the scale11 generator:
+      //    each copy replicates the original near-dup structure without
+      //    inflating posting-list dup mass, so edges and nodes both grow
+      //    ~10x — the size axis). The jaccard pair snapshot the graph
+      //    family iterates over is timed separately, like scale12's
+      //    knn_truth.
+      //  - er_{fuzzy,canonical,resolve} over part x10 with copies > 0
+      //    suffixed by pairwise-DISTANT tokens (lev > ErMaxDist across
+      //    copies and vs originals), so the vocabulary and the match
+      //    graph grow 10x WITHOUT cross-copy merges — new entities, not
+      //    new duplicates.
+      //  - q_weighted_median over lineitem x10 with prices perturbed
+      //    +copy cents: the adversarial axis for the count-of-counts
+      //    contraction — the (flag, value) window frame itself grows
+      //    ~10x, not just the scan (a pure copy would hold it constant).
+      val out = "/tmp/graft_scale13"
+      def salted = when(col("copy") === 0, col("text")).otherwise(
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, lit("c"), col("copy").cast("string")))))
+      Tables.documents(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+        .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
+          salted.as("text"), col("lang"), col("source"),
+          length(salted).cast("long").as("n_chars"))
+        .write.mode("overwrite").parquet(s"$out/docs/documents.parquet")
+      Tables.part(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+        .withColumn("p_partkey", col("p_partkey") * 10 + col("copy"))
+        .withColumn("p_name", when(col("copy") === 0, col("p_name"))
+          .otherwise(concat(col("p_name"), lit(" "),
+            expr("repeat(chr(96 + copy), 4)"), col("copy").cast("string"))))
+        .drop("copy")
+        .write.mode("overwrite").parquet(s"$out/er/part.parquet")
+      Tables.lineitem(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+        .withColumn("l_orderkey", col("l_orderkey") * 10 + col("copy"))
+        .withColumn("l_extendedprice",
+          col("l_extendedprice") + col("copy").cast("double") / 100.0)
+        .drop("copy")
+        .write.mode("overwrite").parquet(s"$out/li/lineitem.parquet")
+      // q_forget spans all four fact tables (deletion list from customer,
+      // cascade cardinalities through orders/lineitem/events) — its own
+      // x10 fixture with consistent key remaps
+      Tables.customer(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+        .withColumn("c_custkey", col("c_custkey") * 10 + col("copy"))
+        .drop("copy")
+        .write.mode("overwrite").parquet(s"$out/facts/customer.parquet")
+      Tables.orders(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+        .withColumn("o_orderkey", col("o_orderkey") * 10 + col("copy"))
+        .withColumn("o_custkey", col("o_custkey") * 10 + col("copy"))
+        .drop("copy")
+        .write.mode("overwrite").parquet(s"$out/facts/orders.parquet")
+      Tables.lineitem(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+        .withColumn("l_orderkey", col("l_orderkey") * 10 + col("copy"))
+        .drop("copy")
+        .write.mode("overwrite").parquet(s"$out/facts/lineitem.parquet")
+      Tables.events(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+        .withColumn("user_id", col("user_id") * 10 + col("copy"))
+        .drop("copy")
+        .write.mode("overwrite").parquet(s"$out/facts/events.parquet")
+      def probe(label: String, d: String, names: Seq[String]): Unit =
+        names.foreach { name =>
+          val fn = graft.SparkEntry.queries(name)
+          fn(spark, d).count() // warm (plan + codegen)
+          time(s"$name @ $label")(fn(spark, d).count())
+        }
+      for ((label, d) <- Seq("base" -> dir, "docs_x10" -> s"$out/docs")) {
+        graft.util.SnapshotCache.clearAll()
+        time(s"jaccard_pairs build @ $label")(
+          graft.ext.dedup.DedupQueries.jaccardPairSnapshot(spark, d).count())
+        probe(label, d, Seq("graph_pagerank", "graph_triangles", "graph_kcore",
+          "q_k_anonymity", "q_anon_generalize", "q_l_diversity"))
+      }
+      for ((label, d) <- Seq("base" -> dir, "part_x10" -> s"$out/er"))
+        probe(label, d, Seq("er_fuzzy", "er_canonical", "er_resolve"))
+      for ((label, d) <- Seq("base" -> dir, "li_x10" -> s"$out/li"))
+        probe(label, d, Seq("q_weighted_median"))
+      for ((label, d) <- Seq("base" -> dir, "facts_x10" -> s"$out/facts"))
+        probe(label, d, Seq("q_forget"))
+      spark.stop(); return
+    }
     if (args.lift(1).contains("scale10d")) {
       // 10x multiplier probes for the round-10-continuation additions:
       // text_lm_score + q_l_diversity (documents x10), q_drift_ks
