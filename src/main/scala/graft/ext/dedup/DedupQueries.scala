@@ -1196,15 +1196,19 @@ object DedupQueries {
     * source) — "which sources copy from each other", the provenance view
     * that decides which feeds to drop or down-weight. Pairs come from the
     * jaccard query (posting-list path, materialized once); sources attach
-    * via two broadcast lookups against the doc→source projection; the
-    * matrix is canonicalized upper-triangular (least/greatest) so A→B and
-    * B→A collapse. Output is at most |sources|² rows regardless of corpus
-    * size. */
+    * via two UNHINTED joins against the doc→source projection: the
+    * projection is one row per CORPUS doc while the pair graph is
+    * typically far smaller, so forcing the doc side to broadcast was
+    * backwards (the r12 knn_label_eval class — dropped in r13; the
+    * optimizer broadcasts whichever side stats say is small and shuffles
+    * at scale). The matrix is canonicalized upper-triangular
+    * (least/greatest) so A→B and B→A collapse. Output is at most
+    * |sources|² rows regardless of corpus size. */
   def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
     val pairs = jaccardPairSnapshot(spark, dir)
-      .join(broadcast(src.toDF("doc_a", "src_a")), "doc_a")
-      .join(broadcast(src.toDF("doc_b", "src_b")), "doc_b")
+      .join(src.toDF("doc_a", "src_a"), "doc_a")
+      .join(src.toDF("doc_b", "src_b"), "doc_b")
     pairs
       .groupBy(least(col("src_a"), col("src_b")).as("source_x"),
         greatest(col("src_a"), col("src_b")).as("source_y"))

@@ -91,11 +91,12 @@ object Explain {
       "post-filter of a global top-K anywhere in the plan, and the " +
       "partial-then-final WindowGroupLimit pair prunes to K before the " +
       "one rank exchange."),
-    "q_len_quantiles" -> ("Exact distributed quantiles without a sketch: " +
-      "one exchange partitions by lang, ONE Window node computes " +
-      "row_number and count over the same sort, and the rank arithmetic " +
-      "is integer-only — the aggregate picks ranked elements, no " +
-      "second pass over the data."),
+    "q_len_quantiles" -> ("Exact distributed quantiles without a sketch " +
+      "(r13 count-of-counts): docs collapse to the (lang, n_tokens) " +
+      "count frame FIRST — the only doc-sized pass — and ONE Window " +
+      "node computes both the running and whole-partition sums over the " +
+      "value-grain frame; the rank arithmetic is integer-only and the " +
+      "aggregate reads the crossings off with min."),
     "text_hybrid" -> ("Candidate-bounded re-ranking: the BM25 arm drops " +
       "to query-term hits before any aggregate, the cosine arm scores " +
       "only the K-row candidate frame (broadcast joins on both the " +
@@ -156,11 +157,12 @@ object Explain {
       "the merge exchange carries days x types rows, never events; in " +
       "deployment the base branch is a read of the persisted view, so " +
       "history is never rescanned."),
-    "q_mad_outliers" -> ("Robust outlier gate: two event_type-" +
-      "partitioned Window sorts (median, then MAD over deviations) — " +
-      "the exact-median price, with approx_percentile as the documented " +
-      "at-scale swap — then the per-type thresholds broadcast back onto " +
-      "the value frame for the flag pass; output |types| rows."),
+    "q_mad_outliers" -> ("Robust outlier gate (r13 count-of-counts): " +
+      "both medians (median, then MAD over deviations) contract to " +
+      "(type, value) counts before any Window forms, so the sorts run " +
+      "over distinct cents, never rows; the per-type thresholds " +
+      "broadcast back onto the value frame for the flag pass; output " +
+      "|types| rows."),
     "q_drift_tv" -> ("Drift monitor: ONE scan with the window side as a " +
       "conditional-sum pivot (no per-side self-join), global bounds as " +
       "a 1-row broadcast, and every frame after the (type x bucket) " +
@@ -216,9 +218,9 @@ object Explain {
     "q_weighted_median" -> ("Exact weighted median through the " +
       "value-grain contraction: the only fact-sized pass is the " +
       "map-side-combinable (flag, cents) weight aggregate; the " +
-      "cumulative window sorts value-DISTINCT rows per flag and the " +
-      "crossing reads off a min — 1.8x at 10x rows because distinct " +
-      "values saturate."),
+      "cumulative AND total sums ride one WindowExec over " +
+      "value-DISTINCT rows per flag (r13 — the totals join that " +
+      "re-scanned lineitem is gone) and the crossing reads off a min."),
     "q_forget" -> ("Deletion cascade: three left-semi joins stage the " +
       "FK walk with the request list broadcast and the derived " +
       "order-key list checkpointed once; each per-table card is two " +

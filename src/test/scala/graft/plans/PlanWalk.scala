@@ -40,4 +40,27 @@ object PlanWalk {
       case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: Deduplicate => true
       case _ => false
     }
+
+  /** Column names that mark a grouping key as DATA-SCALING (one group per
+    * document / vector / user / order / hash): an Aggregate keyed on one
+    * of these contracts the grain but NOT the cardinality — its output is
+    * still corpus-sized, so it must never sit behind a forced broadcast. */
+  val UnboundedIdNames: Set[String] = Set(
+    "doc_id", "vec_id", "doc_a", "doc_b", "vec_a", "vec_b",
+    "old_doc_id", "new_doc_id", "new_vec_id", "corpus_vec_id",
+    "user_id", "event_id", "o_orderkey", "l_orderkey",
+    "o_custkey", "c_custkey", "query_id", "neighbor_id",
+    "h", "bh", "content_hash")
+
+  /** Bounded enough to FORCE-broadcast: a Limit on the path, or an
+    * Aggregate none of whose grouping keys is a data-scaling id. An
+    * id-keyed Aggregate does not stop the walk — a Limit beneath it
+    * still bounds the group count. */
+  val broadcastBounded: LogicalPlan => Boolean =
+    boundedBy {
+      case _: GlobalLimit | _: LocalLimit => true
+      case a: Aggregate if !a.groupingExpressions
+        .flatMap(_.references.map(_.name)).exists(UnboundedIdNames) => true
+      case _ => false
+    }
 }

@@ -1,0 +1,72 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Hash-gate for the concurrent artifact build (VERDICT r12 #3's done
+ * condition): [[SnapshotBuild.all]] must produce artifacts IDENTICAL to
+ * the sequential build it replaced — same rows, same attribution keys —
+ * with concurrency changing only wall time. Frames are digested with an
+ * order-independent row-hash sum so nondeterministic partition order
+ * can't mask or fake a difference.
+ */
+class SnapshotBuildSpec extends SparkSpec {
+
+  /** Order-independent content digest: (row count, Σ xxhash64(row)) —
+    * the sum accumulates in decimal(38,0) because a LongType sum of
+    * full-range hashes overflows under ANSI. */
+  private def digest(df: DataFrame): (Long, BigDecimal) = {
+    val r = df.select(
+      count(lit(1)).as("n"),
+      sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")).as("h")).head
+    (r.getLong(0),
+      if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+  }
+
+  /** The artifacts sampled for content equality — one per family wired
+    * through [[SnapshotBuild]], including both ends of the bpe chain. */
+  private def sample(): Map[String, (Long, BigDecimal)] = Map(
+    "jaccard_pairs" -> digest(
+      graft.ext.dedup.DedupQueries.jaccardPairSnapshot(spark, sf)),
+    "emb_lsh_pairs" -> digest(
+      graft.ext.dedup.DedupQueries.embeddingLshPairSnapshot(spark, sf)),
+    "baskets" -> digest(graft.batch.BasketQueries.basketSnapshot(spark, sf)),
+    "lm_scores" -> digest(graft.ext.text.TextQueries.lmScoreSnapshot(spark, sf)),
+    "bpe_encoded" -> digest(graft.ext.text.TextQueries.bpeEncoded(spark, sf)),
+    "dsir_weights" -> digest(graft.ext.text.DsirQueries.weightFrame(spark, sf)),
+    "cm_counters" -> digest(graft.ext.text.CmSketchQueries.counters(spark, sf)),
+    "knn_truth" -> digest(graft.ext.sim.SimQueries.qKnnBrute(spark, sf)))
+
+  test("concurrent build produces the sequential build's artifacts, keys, and content") {
+    SnapshotCache.clearAll()
+    val concurrent = SnapshotBuild.all(spark, sf)
+    val concurrentDigests = sample() // cache hits — the concurrent build's frames
+    SnapshotCache.clearAll()
+    // sequential rebuild: the pre-r13 shape (buildSnapshots + the singles)
+    graft.ext.dedup.DedupQueries.buildSnapshots(spark, sf)
+    graft.batch.BasketQueries.basketSnapshot(spark, sf)
+    graft.ext.text.TextQueries.lmScoreSnapshot(spark, sf)
+    graft.ext.text.TextQueries.bpeArtifacts(spark, sf)
+    graft.ext.text.TextQueries.bpeEncoded(spark, sf)
+    graft.ext.text.DsirQueries.weightFrame(spark, sf)
+    graft.ext.text.CmSketchQueries.counters(spark, sf)
+    graft.ext.sim.SimQueries.qKnnBrute(spark, sf)
+    val sequentialDigests = sample()
+    assert(concurrentDigests == sequentialDigests,
+      s"concurrent vs sequential artifact content diverged:\n" +
+        s"  concurrent: $concurrentDigests\n  sequential: $sequentialDigests")
+    // attribution keys are the exact pre-r13 record keys, in order
+    assert(concurrent.map(_._1) == Seq(
+      "jaccard_pairs", "emb_pairs", "emb_lsh_pairs", "span_islands",
+      "inc_corpus_index", "span_corpus_index", "emb_inc_index",
+      "inc_exact_hashes", "inc_doc_hashes", "baskets", "lm_scores",
+      "bpe_tokenizer", "bpe_encoded", "dsir_weights", "cm_counters",
+      "knn_truth"))
+    // every build actually ran under the clock (no zero-cost phantom)
+    assert(concurrent.forall(_._2 >= 0.0))
+    SnapshotCache.clearAll()
+  }
+}
