@@ -835,10 +835,17 @@ object Profile {
       // corpus grows 10x — the deployment shape (fixed query workload,
       // growing corpus). An id map that multiplied queries too would
       // measure q·n growth, not corpus growth.
+      // copy span derived from the ACTUAL max id, as in scale12 (ADVICE
+      // r12): a fixed 1e6 offset collides across copies once
+      // vec_id*20+1 >= 1e6. span = max*20+2 keeps copy ranges disjoint
+      // and every remapped id odd — off the query stride at any size.
+      val maxVecId10b = Tables.embeddings(spark, dir)
+        .agg(max(col("vec_id"))).head.getLong(0)
+      val copySpan10b = maxVecId10b * SimQueries.QueryStride.toLong + 2
       Tables.embeddings(spark, dir).crossJoin(spark.range(10).toDF("copy"))
         .select(
           when(col("copy") === 0, col("vec_id"))
-            .otherwise(col("copy") * 1000000L + col("vec_id") * lit(SimQueries.QueryStride.toLong) + 1)
+            .otherwise(col("copy") * copySpan10b + col("vec_id") * lit(SimQueries.QueryStride.toLong) + 1)
             .as("vec_id"),
           when(col("copy") === 0, col("embedding")).otherwise(
             concat(slice(col("embedding"), col("copy").cast("int") * 6 + 1,

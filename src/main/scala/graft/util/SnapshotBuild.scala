@@ -60,7 +60,11 @@ object SnapshotBuild {
         timed("bpe_encoded")(TextQueries.bpeEncoded(spark, dir))),
       Future(timed("dsir_weights")(DsirQueries.weightFrame(spark, dir))),
       Future(timed("cm_counters")(CmSketchQueries.counters(spark, dir))),
-      Future(timed("knn_truth")(graft.ext.sim.SimQueries.qKnnBrute(spark, dir))))
+      Future(timed("knn_truth")(graft.ext.sim.SimQueries.qKnnBrute(spark, dir))),
+      // the PQ index pair shares one task (both read the same 16-row
+      // codebook seed; separate tasks would just race two cheap collects)
+      Future(timed("pq_codes")(graft.ext.sim.PqQueries.codesSnapshot(spark, dir)) ++
+        timed("pq_luts")(graft.ext.sim.PqQueries.lutSnapshot(spark, dir))))
     try Await.result(Future.sequence(tasks), Duration.Inf).flatten
     finally pool.shutdown()
   }

@@ -38,7 +38,9 @@ class SnapshotBuildSpec extends SparkSpec {
     "bpe_encoded" -> digest(graft.ext.text.TextQueries.bpeEncoded(spark, sf)),
     "dsir_weights" -> digest(graft.ext.text.DsirQueries.weightFrame(spark, sf)),
     "cm_counters" -> digest(graft.ext.text.CmSketchQueries.counters(spark, sf)),
-    "knn_truth" -> digest(graft.ext.sim.SimQueries.qKnnBrute(spark, sf)))
+    "knn_truth" -> digest(graft.ext.sim.SimQueries.qKnnBrute(spark, sf)),
+    "pq_codes" -> digest(graft.ext.sim.PqQueries.codesSnapshot(spark, sf)),
+    "pq_luts" -> digest(graft.ext.sim.PqQueries.lutSnapshot(spark, sf)))
 
   test("concurrent build produces the sequential build's artifacts, keys, and content") {
     SnapshotCache.clearAll()
@@ -54,17 +56,20 @@ class SnapshotBuildSpec extends SparkSpec {
     graft.ext.text.DsirQueries.weightFrame(spark, sf)
     graft.ext.text.CmSketchQueries.counters(spark, sf)
     graft.ext.sim.SimQueries.qKnnBrute(spark, sf)
+    graft.ext.sim.PqQueries.codesSnapshot(spark, sf)
+    graft.ext.sim.PqQueries.lutSnapshot(spark, sf)
     val sequentialDigests = sample()
     assert(concurrentDigests == sequentialDigests,
       s"concurrent vs sequential artifact content diverged:\n" +
         s"  concurrent: $concurrentDigests\n  sequential: $sequentialDigests")
-    // attribution keys are the exact pre-r13 record keys, in order
+    // attribution keys are the sequential-era record keys plus the
+    // round-13 PQ index pair, in order
     assert(concurrent.map(_._1) == Seq(
       "jaccard_pairs", "emb_pairs", "emb_lsh_pairs", "span_islands",
       "inc_corpus_index", "span_corpus_index", "emb_inc_index",
       "inc_exact_hashes", "inc_doc_hashes", "baskets", "lm_scores",
       "bpe_tokenizer", "bpe_encoded", "dsir_weights", "cm_counters",
-      "knn_truth"))
+      "knn_truth", "pq_codes", "pq_luts"))
     // every build actually ran under the clock (no zero-cost phantom)
     assert(concurrent.forall(_._2 >= 0.0))
     SnapshotCache.clearAll()
