@@ -331,6 +331,25 @@ object Profile {
       time("components @ 10x (9.2k edges)")(comps(10))
       spark.stop(); return
     }
+    if (args.lift(1).contains("snapbuild")) {
+      // pool-width probe for the concurrent snapshot_build section: wall
+      // time of SnapshotBuild.all at each width, one discarded warm round
+      // first so codegen/classload doesn't bill the first width measured.
+      val widths = args.drop(2).map(_.toInt) match {
+        case w if w.nonEmpty => w.toSeq
+        case _ => Seq(4, 8, 12, 16)
+      }
+      graft.util.SnapshotCache.clearAll()
+      graft.util.SnapshotBuild.all(spark, dir) // warm (discarded)
+      for (p <- widths) {
+        graft.util.SnapshotCache.clearAll()
+        val t0 = System.nanoTime()
+        val d = graft.util.SnapshotBuild.all(spark, dir, p)
+        println(f"snapbuild parallelism=$p%-3d wall=${(System.nanoTime() - t0) / 1e9}%6.2f s" +
+          s"  slowest=${d.maxBy(_._2)}")
+      }
+      spark.stop(); return
+    }
     if (args.lift(1).contains("pq")) {
       import graft.ext.sim.{PqQueries, SimQueries}
       import graft.ext.dedup.DedupQueries.quantized

@@ -25,22 +25,37 @@ import scala.concurrent.duration.Duration
 object SnapshotBuild {
 
   /** Thread-pool width: enough tasks in flight to fill scheduler gaps,
-    * few enough that individual jobs keep multi-core stages. */
-  val Parallelism = 8
+    * few enough that individual jobs keep multi-core stages. Measured by
+    * the `snapbuild` probe at sf0.1: 8 → 11.5 s, 12 → 9.3 s, 16 → 8.9 s,
+    * 24 → 15.5 s (oversubscription thrash) — 16 sits at the floor set by
+    * the bpe tokenizer→encode chain, the longest sequential task. */
+  val Parallelism = 16
 
   /** Build (or re-touch) all shared artifacts; returns per-artifact build
     * seconds in a fixed order. Throws if any build throws (the caller's
-    * failure handling is unchanged from the sequential form). */
-  def all(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+    * failure handling is unchanged from the sequential form).
+    * `parallelism` is overridable for the pool-width probe
+    * (`graft.tools.Profile <dir> snapbuild`); production callers use the
+    * default. */
+  def all(spark: SparkSession, dir: String,
+          parallelism: Int = Parallelism): Seq[(String, Double)] = {
     import graft.ext.dedup.DedupQueries
     import graft.ext.text.{CmSketchQueries, DsirQueries, TextQueries}
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(Parallelism)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     def timed(name: String)(b: => Any): Seq[(String, Double)] = {
       val t0 = System.nanoTime(); b
       Seq(name -> (System.nanoTime() - t0) / 1e9)
     }
     val tasks: Seq[Future[Seq[(String, Double)]]] = Seq(
+      // the bpe tokenizer→encode chain is the longest task and sets the
+      // section's critical path — submit it FIRST so it never queues
+      // behind short tasks at any pool width (the one dependency chain:
+      // the tokenized corpus reads the trained tokenizer, so the two stay
+      // sequential WITHIN this task; separate tasks would race both into
+      // building the tokenizer, one build discarded)
+      Future(timed("bpe_tokenizer")(TextQueries.bpeArtifacts(spark, dir)) ++
+        timed("bpe_encoded")(TextQueries.bpeEncoded(spark, dir))),
       Future(timed("jaccard_pairs")(DedupQueries.jaccardPairSnapshot(spark, dir))),
       Future(timed("emb_pairs")(DedupQueries.embeddingPairSnapshot(spark, dir))),
       Future(timed("emb_lsh_pairs")(DedupQueries.embeddingLshPairSnapshot(spark, dir))),
@@ -52,12 +67,6 @@ object SnapshotBuild {
       Future(timed("inc_doc_hashes")(DedupQueries.corpusDocHashes(spark, dir))),
       Future(timed("baskets")(graft.batch.BasketQueries.basketSnapshot(spark, dir))),
       Future(timed("lm_scores")(TextQueries.lmScoreSnapshot(spark, dir))),
-      // the one dependency chain: the tokenized corpus reads the trained
-      // tokenizer, so the two stay sequential WITHIN this task (running
-      // them as separate tasks would race both into building the
-      // tokenizer, one build discarded)
-      Future(timed("bpe_tokenizer")(TextQueries.bpeArtifacts(spark, dir)) ++
-        timed("bpe_encoded")(TextQueries.bpeEncoded(spark, dir))),
       Future(timed("dsir_weights")(DsirQueries.weightFrame(spark, dir))),
       Future(timed("cm_counters")(CmSketchQueries.counters(spark, dir))),
       Future(timed("knn_truth")(graft.ext.sim.SimQueries.qKnnBrute(spark, dir))),

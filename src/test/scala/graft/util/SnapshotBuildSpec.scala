@@ -65,10 +65,11 @@ class SnapshotBuildSpec extends SparkSpec {
     // attribution keys are the sequential-era record keys plus the
     // round-13 PQ index pair, in order
     assert(concurrent.map(_._1) == Seq(
+      "bpe_tokenizer", "bpe_encoded",
       "jaccard_pairs", "emb_pairs", "emb_lsh_pairs", "span_islands",
       "inc_corpus_index", "span_corpus_index", "emb_inc_index",
       "inc_exact_hashes", "inc_doc_hashes", "baskets", "lm_scores",
-      "bpe_tokenizer", "bpe_encoded", "dsir_weights", "cm_counters",
+      "dsir_weights", "cm_counters",
       "knn_truth", "pq_codes", "pq_luts"))
     // every build actually ran under the clock (no zero-cost phantom)
     assert(concurrent.forall(_._2 >= 0.0))
