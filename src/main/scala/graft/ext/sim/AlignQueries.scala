@@ -70,8 +70,20 @@ object AlignQueries {
 
   /** All-pairs truth anchor: every non-target doc scored against every
     * target doc. Declared anchor — the production twin below bounds the
-    * candidate product; this form exists to gate it. */
-  def qAlignBitext(spark: SparkSession, dir: String): DataFrame = {
+    * candidate product; this form exists to gate it. The margin card is
+    * a suite-scoped snapshot (`align_truth`, the `knn_truth` discipline):
+    * the anchor cartesian runs once per corpus version and both its
+    * registered entry and [[qAlignEval]] read the artifact — at 100 TB
+    * the exact side runs over a sampled stratum and is persisted, never
+    * recomputed per consumer. The production twin stays LIVE in its
+    * entry and in the eval: caching the screen under evaluation would
+    * defeat the eval (the ann_eval rule). */
+  def qAlignBitext(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SnapshotCache.snapshot("align_truth", spark, dir) {
+      alignBitextLive(spark, dir)
+    }
+
+  private def alignBitextLive(spark: SparkSession, dir: String): DataFrame = {
     val t = tagged(spark, dir)
     val src = t.filter(col("lang") =!= TargetLang)
       .select(col("vec_id").as("src_id"), col("lang").as("src_lang"),

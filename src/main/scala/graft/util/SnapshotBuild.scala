@@ -70,10 +70,17 @@ object SnapshotBuild {
       Future(timed("dsir_weights")(DsirQueries.weightFrame(spark, dir))),
       Future(timed("cm_counters")(CmSketchQueries.counters(spark, dir))),
       Future(timed("knn_truth")(graft.ext.sim.SimQueries.qKnnBrute(spark, dir))),
+      Future(timed("align_truth")(graft.ext.sim.AlignQueries.qAlignBitext(spark, dir))),
       // the PQ index pair shares one task (both read the same 16-row
       // codebook seed; separate tasks would just race two cheap collects)
       Future(timed("pq_codes")(graft.ext.sim.PqQueries.codesSnapshot(spark, dir)) ++
-        timed("pq_luts")(graft.ext.sim.PqQueries.lutSnapshot(spark, dir))))
+        timed("pq_luts")(graft.ext.sim.PqQueries.lutSnapshot(spark, dir))),
+      // frozen-model artifacts of the incremental screens: each is a
+      // dependency chain internally (thresholds read counts; totals read
+      // the model), so each stays one task
+      Future(timed("ppl_inc_model")(TextQueries.pplArtifacts(spark, dir))),
+      Future(timed("dsir_inc_model")(DsirQueries.incModel(spark, dir))),
+      Future(timed("er_base_canon")(graft.ext.er.ErQueries.baseArtifacts(spark, dir))))
     try Await.result(Future.sequence(tasks), Duration.Inf).flatten
     finally pool.shutdown()
   }

@@ -23,18 +23,15 @@ import graft.SparkSpec
 class CrossJoinDisciplineSpec extends SparkSpec {
 
   /** query name → why its cartesian product is the declared operation.
-    * Smaller than the declared-anchor FAMILY because most anchors hide
-    * their all-pairs product: knn_brute materializes through the
-    * knn_truth snapshot (the cartesian runs in the BUILD, consumers scan
-    * a LogicalRDD), dedup_semantic/dedup_embedding ride the emb-pair
-    * snapshots the same way, and knn_filtered's label predicate is an
-    * equi-key so it never plans cartesian at all. */
-  private val DeclaredAnchors: Map[String, String] = Map(
-    "align_bitext" ->
-      ("the all-pairs margin-criterion anchor; align_bitext_lsh is the " +
-        "production tier it gates"),
-    "align_eval" ->
-      "scores the anchor against the LSH tier, so it pays the anchor once")
+    * Currently EMPTY: every declared all-pairs anchor hides its product
+    * behind a truth snapshot — knn_brute materializes through knn_truth
+    * (the cartesian runs in the BUILD, consumers scan a LogicalRDD),
+    * align_bitext/align_eval through align_truth (round 13),
+    * dedup_semantic/dedup_embedding ride the emb-pair snapshots the same
+    * way, and knn_filtered's label predicate is an equi-key so it never
+    * plans cartesian at all. The map stays as the declaration mechanism
+    * for any future anchor whose product must stay in-plan. */
+  private val DeclaredAnchors: Map[String, String] = Map.empty
 
   test("every cross join is an explicit broadcast or a declared all-pairs anchor") {
     val conf = "spark.sql.autoBroadcastJoinThreshold"

@@ -39,8 +39,12 @@ class SnapshotBuildSpec extends SparkSpec {
     "dsir_weights" -> digest(graft.ext.text.DsirQueries.weightFrame(spark, sf)),
     "cm_counters" -> digest(graft.ext.text.CmSketchQueries.counters(spark, sf)),
     "knn_truth" -> digest(graft.ext.sim.SimQueries.qKnnBrute(spark, sf)),
+    "align_truth" -> digest(graft.ext.sim.AlignQueries.qAlignBitext(spark, sf)),
     "pq_codes" -> digest(graft.ext.sim.PqQueries.codesSnapshot(spark, sf)),
-    "pq_luts" -> digest(graft.ext.sim.PqQueries.lutSnapshot(spark, sf)))
+    "pq_luts" -> digest(graft.ext.sim.PqQueries.lutSnapshot(spark, sf)),
+    "ppl_inc_model" -> digest(graft.ext.text.TextQueries.pplArtifacts(spark, sf)._2),
+    "dsir_inc_model" -> digest(graft.ext.text.DsirQueries.incModel(spark, sf)._1),
+    "er_base_canon" -> digest(graft.ext.er.ErQueries.baseArtifacts(spark, sf)._3))
 
   test("concurrent build produces the sequential build's artifacts, keys, and content") {
     SnapshotCache.clearAll()
@@ -58,6 +62,10 @@ class SnapshotBuildSpec extends SparkSpec {
     graft.ext.sim.SimQueries.qKnnBrute(spark, sf)
     graft.ext.sim.PqQueries.codesSnapshot(spark, sf)
     graft.ext.sim.PqQueries.lutSnapshot(spark, sf)
+    graft.ext.sim.AlignQueries.qAlignBitext(spark, sf)
+    graft.ext.text.TextQueries.pplArtifacts(spark, sf)
+    graft.ext.text.DsirQueries.incModel(spark, sf)
+    graft.ext.er.ErQueries.baseArtifacts(spark, sf)
     val sequentialDigests = sample()
     assert(concurrentDigests == sequentialDigests,
       s"concurrent vs sequential artifact content diverged:\n" +
@@ -70,7 +78,8 @@ class SnapshotBuildSpec extends SparkSpec {
       "inc_corpus_index", "span_corpus_index", "emb_inc_index",
       "inc_exact_hashes", "inc_doc_hashes", "baskets", "lm_scores",
       "dsir_weights", "cm_counters",
-      "knn_truth", "pq_codes", "pq_luts"))
+      "knn_truth", "align_truth", "pq_codes", "pq_luts",
+      "ppl_inc_model", "dsir_inc_model", "er_base_canon"))
     // every build actually ran under the clock (no zero-cost phantom)
     assert(concurrent.forall(_._2 >= 0.0))
     SnapshotCache.clearAll()
