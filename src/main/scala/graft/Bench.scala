@@ -49,6 +49,12 @@ object Bench {
       // runtime bloom injection OFF — misinformed on stats-less snapshot
       // LogicalRDDs; rationale in graft.SparkSessions
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      // FAIR job scheduling: only the concurrent snapshot_build section
+      // runs jobs in parallel, and under FIFO its many-small-job tasks
+      // (the bpe merge loop) queue behind other artifacts' 32-task
+      // stages — measured 14.6 s -> 11.0 s for the section at sf0.1.
+      // Queries run one at a time, where FAIR ≡ FIFO.
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")   // same workload shape as Verify on any host
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -64,6 +64,9 @@ object SparkSessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      // FAIR job scheduling for concurrent-job phases (SnapshotBuild);
+      // single-query execution is unaffected (FAIR ≡ FIFO for one job)
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
     // only set the master when spark-submit didn't already provide one
     val withMaster =

@@ -15,6 +15,7 @@ object Profile {
       // runtime bloom injection OFF — misinformed on stats-less snapshot
       // LogicalRDDs; rationale in graft.SparkSessions
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()

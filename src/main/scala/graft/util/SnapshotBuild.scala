@@ -78,6 +78,7 @@ object SnapshotBuild {
       // frozen-model artifacts of the incremental screens: each is a
       // dependency chain internally (thresholds read counts; totals read
       // the model), so each stays one task
+      Future(timed("doc_tokens")(TextQueries.tokenizedDocs(spark, dir))),
       Future(timed("ppl_inc_model")(TextQueries.pplArtifacts(spark, dir))),
       Future(timed("dsir_inc_model")(DsirQueries.incModel(spark, dir))),
       Future(timed("er_base_canon")(graft.ext.er.ErQueries.baseArtifacts(spark, dir))))

@@ -42,6 +42,8 @@ class SnapshotBuildSpec extends SparkSpec {
     "align_truth" -> digest(graft.ext.sim.AlignQueries.qAlignBitext(spark, sf)),
     "pq_codes" -> digest(graft.ext.sim.PqQueries.codesSnapshot(spark, sf)),
     "pq_luts" -> digest(graft.ext.sim.PqQueries.lutSnapshot(spark, sf)),
+    "doc_tokens" -> digest(graft.ext.text.TextQueries.tokenizedDocs(spark, sf)
+      .select(col("doc_id"), col("dl"), md5(concat_ws(" ", col("t"))).as("sig"))),
     "ppl_inc_model" -> digest(graft.ext.text.TextQueries.pplArtifacts(spark, sf)._2),
     "dsir_inc_model" -> digest(graft.ext.text.DsirQueries.incModel(spark, sf)._1),
     "er_base_canon" -> digest(graft.ext.er.ErQueries.baseArtifacts(spark, sf)._3))
@@ -63,6 +65,7 @@ class SnapshotBuildSpec extends SparkSpec {
     graft.ext.sim.PqQueries.codesSnapshot(spark, sf)
     graft.ext.sim.PqQueries.lutSnapshot(spark, sf)
     graft.ext.sim.AlignQueries.qAlignBitext(spark, sf)
+    graft.ext.text.TextQueries.tokenizedDocs(spark, sf)
     graft.ext.text.TextQueries.pplArtifacts(spark, sf)
     graft.ext.text.DsirQueries.incModel(spark, sf)
     graft.ext.er.ErQueries.baseArtifacts(spark, sf)
@@ -79,7 +82,7 @@ class SnapshotBuildSpec extends SparkSpec {
       "inc_exact_hashes", "inc_doc_hashes", "baskets", "lm_scores",
       "dsir_weights", "cm_counters",
       "knn_truth", "align_truth", "pq_codes", "pq_luts",
-      "ppl_inc_model", "dsir_inc_model", "er_base_canon"))
+      "doc_tokens", "ppl_inc_model", "dsir_inc_model", "er_base_canon"))
     // every build actually ran under the clock (no zero-cost phantom)
     assert(concurrent.forall(_._2 >= 0.0))
     SnapshotCache.clearAll()
