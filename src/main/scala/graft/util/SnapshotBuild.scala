@@ -79,6 +79,8 @@ object SnapshotBuild {
       // dependency chain internally (thresholds read counts; totals read
       // the model), so each stays one task
       Future(timed("doc_tokens")(TextQueries.tokenizedDocs(spark, dir))),
+      Future(timed("minhash_sigs")(DedupQueries.signatures(spark, dir))),
+      Future(timed("simhash_sigs")(DedupQueries.qSimhash(spark, dir))),
       Future(timed("ppl_inc_model")(TextQueries.pplArtifacts(spark, dir))),
       Future(timed("dsir_inc_model")(DsirQueries.incModel(spark, dir))),
       Future(timed("er_base_canon")(graft.ext.er.ErQueries.baseArtifacts(spark, dir))))

@@ -44,6 +44,10 @@ class SnapshotBuildSpec extends SparkSpec {
     "pq_luts" -> digest(graft.ext.sim.PqQueries.lutSnapshot(spark, sf)),
     "doc_tokens" -> digest(graft.ext.text.TextQueries.tokenizedDocs(spark, sf)
       .select(col("doc_id"), col("dl"), md5(concat_ws(" ", col("t"))).as("sig"))),
+    "minhash_sigs" -> digest(graft.ext.dedup.DedupQueries.signatures(spark, sf)
+      .select(col("doc_id"),
+        md5(concat_ws(",", transform(col("sig"), x => x.cast("string")))).as("sig"))),
+    "simhash_sigs" -> digest(graft.ext.dedup.DedupQueries.qSimhash(spark, sf)),
     "ppl_inc_model" -> digest(graft.ext.text.TextQueries.pplArtifacts(spark, sf)._2),
     "dsir_inc_model" -> digest(graft.ext.text.DsirQueries.incModel(spark, sf)._1),
     "er_base_canon" -> digest(graft.ext.er.ErQueries.baseArtifacts(spark, sf)._3))
@@ -66,6 +70,8 @@ class SnapshotBuildSpec extends SparkSpec {
     graft.ext.sim.PqQueries.lutSnapshot(spark, sf)
     graft.ext.sim.AlignQueries.qAlignBitext(spark, sf)
     graft.ext.text.TextQueries.tokenizedDocs(spark, sf)
+    graft.ext.dedup.DedupQueries.signatures(spark, sf)
+    graft.ext.dedup.DedupQueries.qSimhash(spark, sf)
     graft.ext.text.TextQueries.pplArtifacts(spark, sf)
     graft.ext.text.DsirQueries.incModel(spark, sf)
     graft.ext.er.ErQueries.baseArtifacts(spark, sf)
@@ -82,7 +88,8 @@ class SnapshotBuildSpec extends SparkSpec {
       "inc_exact_hashes", "inc_doc_hashes", "baskets", "lm_scores",
       "dsir_weights", "cm_counters",
       "knn_truth", "align_truth", "pq_codes", "pq_luts",
-      "doc_tokens", "ppl_inc_model", "dsir_inc_model", "er_base_canon"))
+      "doc_tokens", "minhash_sigs", "simhash_sigs",
+      "ppl_inc_model", "dsir_inc_model", "er_base_canon"))
     // every build actually ran under the clock (no zero-cost phantom)
     assert(concurrent.forall(_._2 >= 0.0))
     SnapshotCache.clearAll()
