@@ -38,10 +38,22 @@ object KMinHashQueries {
   /** Keep pairs whose estimated jaccard is at least this (milli). */
   val KeepMilli = 500L
 
-  /** Per-doc bottom-k sketch as a sorted hash array. Built on the
-    * NON-deduped shingle rows — the aggregate's SET semantics dedup
-    * per-key at O(log k), so the distinct shuffle buys nothing. */
+  /** Per-doc bottom-k sketch as a sorted hash array, persisted as the
+    * `kminhash_sketches` snapshot — the same signature-index discipline
+    * as `minhash_sigs`/`simhash_sigs`: ≤ k longs per doc is exactly what
+    * a deployment stores; the posting build and pair estimator read the
+    * index, never the corpus. Built on the NON-deduped shingle rows —
+    * the aggregate's SET semantics dedup per-key at O(log k), so the
+    * distinct shuffle buys nothing. */
   private def sketches(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SnapshotCache.snapshot("kminhash_sketches", spark, dir)(
+      sketchesLive(spark, dir))
+
+  /** Build-hook for [[graft.util.SnapshotBuild]]. */
+  private[graft] def sketchIndex(spark: SparkSession, dir: String): DataFrame =
+    sketches(spark, dir)
+
+  private def sketchesLive(spark: SparkSession, dir: String): DataFrame =
     DedupQueries.shingleRows(spark, dir, dedup = false)
       .select(col("doc_id"), Exact.md5Long(col("s")).as("h"))
       // pre-contract to distinct (doc, h) BEFORE the object aggregate:
@@ -64,10 +76,9 @@ object KMinHashQueries {
     * denominator is |S|, so short docs stay unbiased. */
   def qKminhash(spark: SparkSession, dir: String): DataFrame =
     // three consumers (posting build + both pair-side attaches) read the
-    // doc-grain sketch frame — materialize it once (the intra-query
-    // localCheckpoint pattern of the posting-list builds): without it the
-    // shingle scan + sketch aggregate re-run per consumer
-    kminhashFrom(sketches(spark, dir).localCheckpoint())
+    // doc-grain sketch frame — the snapshot is already materialized, so
+    // no per-query checkpoint is needed
+    kminhashFrom(sketches(spark, dir))
 
   /** The pair stage over a prepared (doc_id, sk) sketch frame — split out
     * so AlignSpec can drive a synthetic HOT-member fixture through the df

@@ -287,23 +287,44 @@ object SimQueries {
     var assigned: DataFrame = null
     for (_ <- 1 to KmeansIters) {
       assigned = data.withColumn("cl", nearestCell(cents))
-      cents = assigned
-        .select(col("cl"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy(col("cl"), col("i"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        .withColumn("c", floor(col("s").cast("double") / col("n")).cast("long"))
-        .groupBy(col("cl"))
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
-          t => t.getField("c")).as("c"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-        .sortBy(_._1)
+      cents = updateCents(assigned)
     }
     (data, assigned, cents)
   }
 
+  /** The Lloyd centroid-update step: floor-mean per (cell, dim) over an
+    * assignment frame, collected as the driver-held K×dim model. */
+  private def updateCents(assigned: DataFrame): Array[(Long, Array[Long])] =
+    assigned
+      .select(col("cl"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("cl"), col("i"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", floor(col("s").cast("double") / col("n")).cast("long"))
+      .groupBy(col("cl"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        t => t.getField("c")).as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+
+  /** The trained model as an artifact — the LAST Lloyd iteration's
+    * assignment frame (vec_id, v, nsq, cl), snapshot-shared
+    * (`kmeans_assign`) by the trainer entry and the trained-IVF index
+    * build: the deployment shape, where a model trains once per corpus
+    * version and every index/report job reads the training output. The
+    * final centroids are one [[updateCents]] step over this frame, so
+    * nothing else needs persisting. */
+  private def kmeansAssignSnapshot(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SnapshotCache.snapshot("kmeans_assign", spark, dir) {
+      lloyd(spark, dir)._2
+    }
+
+  /** Build-hook for [[graft.util.SnapshotBuild]]. */
+  private[graft] def kmeansModel(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssignSnapshot(spark, dir)
+
   def qKmeansTrain(spark: SparkSession, dir: String): DataFrame = {
-    val (_, assigned, _) = lloyd(spark, dir)
+    val assigned = kmeansAssignSnapshot(spark, dir)
     // final centroids + the member counts of the assignment that produced
     // them, at (cell, dim-index) grain for a fine-grained hash compare
     assigned
@@ -327,8 +348,11 @@ object SimQueries {
     * oracle composes the unrolled trainer CTEs with the search — the
     * whole train→index→probe→search pipeline hash-matches. */
   def qKnnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
-    val (data, _, cents) = lloyd(spark, dir)
-    val corpus = data.withColumn("cell", nearestCell(cents))
+    // read the trained model artifact; the final centroids are one
+    // update step over it (two bounded-key aggregates + a K-row collect)
+    val assigned = kmeansAssignSnapshot(spark, dir)
+    val cents = updateCents(assigned)
+    val corpus = assigned.drop("cl").withColumn("cell", nearestCell(cents))
     val centDf = broadcast(
       spark.createDataFrame(cents.toSeq.map { case (cl, c) => (cl, c.toSeq) })
         .toDF("cell", "csum")

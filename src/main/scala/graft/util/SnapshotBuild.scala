@@ -81,9 +81,12 @@ object SnapshotBuild {
       Future(timed("doc_tokens")(TextQueries.tokenizedDocs(spark, dir))),
       Future(timed("minhash_sigs")(DedupQueries.signatures(spark, dir))),
       Future(timed("simhash_sigs")(DedupQueries.qSimhash(spark, dir))),
+      Future(timed("kminhash_sketches")(
+        graft.ext.dedup.KMinHashQueries.sketchIndex(spark, dir))),
       Future(timed("ppl_inc_model")(TextQueries.pplArtifacts(spark, dir))),
       Future(timed("dsir_inc_model")(DsirQueries.incModel(spark, dir))),
-      Future(timed("er_base_canon")(graft.ext.er.ErQueries.baseArtifacts(spark, dir))))
+      Future(timed("er_base_canon")(graft.ext.er.ErQueries.baseArtifacts(spark, dir))),
+      Future(timed("kmeans_assign")(graft.ext.sim.SimQueries.kmeansModel(spark, dir))))
     try Await.result(Future.sequence(tasks), Duration.Inf).flatten
     finally pool.shutdown()
   }

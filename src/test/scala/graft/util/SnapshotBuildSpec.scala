@@ -48,9 +48,15 @@ class SnapshotBuildSpec extends SparkSpec {
       .select(col("doc_id"),
         md5(concat_ws(",", transform(col("sig"), x => x.cast("string")))).as("sig"))),
     "simhash_sigs" -> digest(graft.ext.dedup.DedupQueries.qSimhash(spark, sf)),
+    "kminhash_sketches" -> digest(
+      graft.ext.dedup.KMinHashQueries.sketchIndex(spark, sf)
+        .select(col("doc_id"),
+          md5(concat_ws(",", transform(col("sk"), x => x.cast("string")))).as("sig"))),
     "ppl_inc_model" -> digest(graft.ext.text.TextQueries.pplArtifacts(spark, sf)._2),
     "dsir_inc_model" -> digest(graft.ext.text.DsirQueries.incModel(spark, sf)._1),
-    "er_base_canon" -> digest(graft.ext.er.ErQueries.baseArtifacts(spark, sf)._3))
+    "er_base_canon" -> digest(graft.ext.er.ErQueries.baseArtifacts(spark, sf)._3),
+    "kmeans_assign" -> digest(graft.ext.sim.SimQueries.kmeansModel(spark, sf)
+      .select(col("vec_id"), col("nsq"), col("cl"))))
 
   test("concurrent build produces the sequential build's artifacts, keys, and content") {
     SnapshotCache.clearAll()
@@ -72,9 +78,11 @@ class SnapshotBuildSpec extends SparkSpec {
     graft.ext.text.TextQueries.tokenizedDocs(spark, sf)
     graft.ext.dedup.DedupQueries.signatures(spark, sf)
     graft.ext.dedup.DedupQueries.qSimhash(spark, sf)
+    graft.ext.dedup.KMinHashQueries.sketchIndex(spark, sf)
     graft.ext.text.TextQueries.pplArtifacts(spark, sf)
     graft.ext.text.DsirQueries.incModel(spark, sf)
     graft.ext.er.ErQueries.baseArtifacts(spark, sf)
+    graft.ext.sim.SimQueries.kmeansModel(spark, sf)
     val sequentialDigests = sample()
     assert(concurrentDigests == sequentialDigests,
       s"concurrent vs sequential artifact content diverged:\n" +
@@ -88,8 +96,8 @@ class SnapshotBuildSpec extends SparkSpec {
       "inc_exact_hashes", "inc_doc_hashes", "baskets", "lm_scores",
       "dsir_weights", "cm_counters",
       "knn_truth", "align_truth", "pq_codes", "pq_luts",
-      "doc_tokens", "minhash_sigs", "simhash_sigs",
-      "ppl_inc_model", "dsir_inc_model", "er_base_canon"))
+      "doc_tokens", "minhash_sigs", "simhash_sigs", "kminhash_sketches",
+      "ppl_inc_model", "dsir_inc_model", "er_base_canon", "kmeans_assign"))
     // every build actually ran under the clock (no zero-cost phantom)
     assert(concurrent.forall(_._2 >= 0.0))
     SnapshotCache.clearAll()
