@@ -88,7 +88,9 @@ class SnapshotBuildSpec extends SparkSpec {
       s"concurrent vs sequential artifact content diverged:\n" +
         s"  concurrent: $concurrentDigests\n  sequential: $sequentialDigests")
     // attribution keys are the sequential-era record keys plus the
-    // round-13 PQ index pair, in order
+    // round-13 artifacts (truth anchors, signature/sketch indexes,
+    // frozen screen models, the tokenized corpus, the k-means model),
+    // in order
     assert(concurrent.map(_._1) == Seq(
       "bpe_tokenizer", "bpe_encoded",
       "jaccard_pairs", "emb_pairs", "emb_lsh_pairs", "span_islands",
