@@ -182,9 +182,25 @@ object SimQueries {
     * band config, and Profile's band-width sweep all share it — a sweep
     * that re-derived planes itself would silently diverge from the
     * numbers it claims to measure. */
+  /** The banded signature index — at the DEFAULT band config a snapshot
+    * artifact (`lsh_bands`, the signature-index discipline: per-vector
+    * band hashes are exactly what a production LSH deployment persists
+    * and bucket-joins); the parameterized variants (the band-width probe)
+    * stay live builds. */
   private[graft] def lshBands(spark: SparkSession, dir: String,
                               nPlanes: Int = NPlanes,
                               planesPerBand: Int = PlanesPerBand): DataFrame =
+    if (nPlanes == NPlanes && planesPerBand == PlanesPerBand)
+      graft.util.SnapshotCache.snapshot("lsh_bands", spark, dir)(
+        lshBandsLive(spark, dir, nPlanes, planesPerBand))
+    else lshBandsLive(spark, dir, nPlanes, planesPerBand)
+
+  /** Build-hook for [[graft.util.SnapshotBuild]]. */
+  private[graft] def lshBandIndex(spark: SparkSession, dir: String): DataFrame =
+    lshBands(spark, dir)
+
+  private def lshBandsLive(spark: SparkSession, dir: String,
+                           nPlanes: Int, planesPerBand: Int): DataFrame =
     quantized(spark, dir).crossJoin(broadcast(planes(spark, nPlanes)))
       .withColumn("dot", VectorFunctions.arrayDotLong(col("v"), col("pv")))
       .withColumn("bit", when(col("dot") >= 0, lit(1L)).otherwise(lit(0L)))

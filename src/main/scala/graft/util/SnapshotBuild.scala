@@ -69,6 +69,10 @@ object SnapshotBuild {
       Future(timed("lm_scores")(TextQueries.lmScoreSnapshot(spark, dir))),
       Future(timed("dsir_weights")(DsirQueries.weightFrame(spark, dir))),
       Future(timed("cm_counters")(CmSketchQueries.counters(spark, dir))),
+      // lsh_bands feeds the emb_lsh_pairs / emb_inc_index builds — submit
+      // it early so racers find it warm more often (races are safe, just
+      // duplicated work)
+      Future(timed("lsh_bands")(graft.ext.sim.SimQueries.lshBandIndex(spark, dir))),
       Future(timed("knn_truth")(graft.ext.sim.SimQueries.qKnnBrute(spark, dir))),
       Future(timed("align_truth")(graft.ext.sim.AlignQueries.qAlignBitext(spark, dir))),
       // the PQ index pair shares one task (both read the same 16-row

@@ -39,6 +39,7 @@ class SnapshotBuildSpec extends SparkSpec {
     "dsir_weights" -> digest(graft.ext.text.DsirQueries.weightFrame(spark, sf)),
     "cm_counters" -> digest(graft.ext.text.CmSketchQueries.counters(spark, sf)),
     "knn_truth" -> digest(graft.ext.sim.SimQueries.qKnnBrute(spark, sf)),
+    "lsh_bands" -> digest(graft.ext.sim.SimQueries.lshBandIndex(spark, sf)),
     "align_truth" -> digest(graft.ext.sim.AlignQueries.qAlignBitext(spark, sf)),
     "pq_codes" -> digest(graft.ext.sim.PqQueries.codesSnapshot(spark, sf)),
     "pq_luts" -> digest(graft.ext.sim.PqQueries.lutSnapshot(spark, sf)),
@@ -72,6 +73,7 @@ class SnapshotBuildSpec extends SparkSpec {
     graft.ext.text.DsirQueries.weightFrame(spark, sf)
     graft.ext.text.CmSketchQueries.counters(spark, sf)
     graft.ext.sim.SimQueries.qKnnBrute(spark, sf)
+    graft.ext.sim.SimQueries.lshBandIndex(spark, sf)
     graft.ext.sim.PqQueries.codesSnapshot(spark, sf)
     graft.ext.sim.PqQueries.lutSnapshot(spark, sf)
     graft.ext.sim.AlignQueries.qAlignBitext(spark, sf)
@@ -97,7 +99,7 @@ class SnapshotBuildSpec extends SparkSpec {
       "inc_corpus_index", "span_corpus_index", "emb_inc_index",
       "inc_exact_hashes", "inc_doc_hashes", "baskets", "lm_scores",
       "dsir_weights", "cm_counters",
-      "knn_truth", "align_truth", "pq_codes", "pq_luts",
+      "lsh_bands", "knn_truth", "align_truth", "pq_codes", "pq_luts",
       "doc_tokens", "minhash_sigs", "simhash_sigs", "kminhash_sketches",
       "ppl_inc_model", "dsir_inc_model", "er_base_canon", "kmeans_assign"))
     // every build actually ran under the clock (no zero-cost phantom)
