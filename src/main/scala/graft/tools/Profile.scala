@@ -332,6 +332,17 @@ object Profile {
       time("components @ 10x (9.2k edges)")(comps(10))
       spark.stop(); return
     }
+    if (args.lift(1).contains("snaptags")) {
+      // enumerate the snapshot-tag universe SnapshotBuild.all produces —
+      // the fixed surface graft.plans.BuilderPlans sweeps (a new artifact
+      // must appear here AND in the sweep's tag set)
+      graft.util.SnapshotCache.clearAll()
+      val names = graft.util.SnapshotBuild.all(spark, dir).map(_._1)
+      println("ATTRIBUTION: " + names.sorted.mkString(", "))
+      println("TAGS: " + graft.util.SnapshotCache.builderPlans(spark, dir)
+        .keys.toSeq.sorted.mkString(", "))
+      spark.stop(); return
+    }
     if (args.lift(1).contains("snapbuild")) {
       // pool-width probe for the concurrent snapshot_build section: wall
       // time of SnapshotBuild.all at each width, one discarded warm round

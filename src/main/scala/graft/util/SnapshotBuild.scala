@@ -24,28 +24,47 @@ import scala.concurrent.duration.Duration
  */
 object SnapshotBuild {
 
-  /** Thread-pool width: enough tasks in flight to fill scheduler gaps,
-    * few enough that individual jobs keep multi-core stages. Measured by
-    * the `snapbuild` probe at sf0.1: 8 → 11.5 s, 12 → 9.3 s, 16 → 8.9 s,
-    * 24 → 15.5 s (oversubscription thrash) — 16 sits at the floor set by
-    * the bpe tokenizer→encode chain, the longest sequential task. */
+  /** Thread-pool width on a 32-core host: enough tasks in flight to fill
+    * scheduler gaps, few enough that individual jobs keep multi-core
+    * stages. Measured by the `snapbuild` probe at sf0.1 on 32 cores:
+    * 8 → 11.5 s, 12 → 9.3 s, 16 → 8.9 s, 24 → 15.5 s (oversubscription
+    * thrash) — 16 sits at the floor set by the bpe tokenizer→encode
+    * chain, the longest sequential task. */
   val Parallelism = 16
 
   /** Build (or re-touch) all shared artifacts; returns per-artifact build
     * seconds in a fixed order. Throws if any build throws (the caller's
     * failure handling is unchanged from the sequential form).
     * `parallelism` is overridable for the pool-width probe
-    * (`graft.tools.Profile <dir> snapbuild`); production callers use the
-    * default. */
+    * (`graft.tools.Profile <dir> snapbuild`); production callers pass 0
+    * and get the width scaled to the SESSION's core count — the probe's
+    * 16 was tuned on 32 cores, and 16 concurrent jobs on a local[4]
+    * driver would reproduce the oversubscription thrash the probe
+    * measured at width 24 (ADVICE r13). */
   def all(spark: SparkSession, dir: String,
-          parallelism: Int = Parallelism): Seq[(String, Double)] = {
+          parallelism: Int = 0): Seq[(String, Double)] = {
     import graft.ext.dedup.DedupQueries
     import graft.ext.text.{CmSketchQueries, DsirQueries, TextQueries}
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    val width =
+      if (parallelism > 0) parallelism
+      else math.max(2, math.min(Parallelism, spark.sparkContext.defaultParallelism / 2))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(width)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // Under spark.scheduler.mode=FAIR each task claims its own ad-hoc
+    // pool (named by its first artifact) so concurrent builds FAIR-share
+    // the scheduler: without the per-thread pool property every job lands
+    // in the single 'default' pool, which FairSchedulableBuilder runs
+    // FIFO internally — same behavior as FIFO mode (ADVICE r13). Pools
+    // not in an allocation file get weight 1 / minShare 0, i.e. equal
+    // shares — exactly what independent same-priority artifacts want.
+    // Cleared in a finally: pool threads are reused across tasks, and the
+    // property is thread-local to the submitting thread.
     def timed(name: String)(b: => Any): Seq[(String, Double)] = {
-      val t0 = System.nanoTime(); b
-      Seq(name -> (System.nanoTime() - t0) / 1e9)
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+      try {
+        val t0 = System.nanoTime(); b
+        Seq(name -> (System.nanoTime() - t0) / 1e9)
+      } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
     }
     val tasks: Seq[Future[Seq[(String, Double)]]] = Seq(
       // the bpe tokenizer→encode chain is the longest task and sets the

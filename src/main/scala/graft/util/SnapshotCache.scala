@@ -27,6 +27,35 @@ object SnapshotCache {
   private val snapshots =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, String), DataFrame]()
 
+  /** UN-materialized builder frames, captured at build time keyed like the
+    * snapshots. This is the plan-sweep surface (VERDICT r13 #2): round 13
+    * moved every declared all-pairs cartesian into snapshot builders, whose
+    * plans no registered-query sweep could see — the discipline specs
+    * (CrossJoinDisciplineSpec / WindowDisciplineSpec / PlanDigestSpec) read
+    * these frames to police builder plans exactly like query plans.
+    * Entries survive [[clearAll]] (the plan is metadata, not blocks) and
+    * are overwritten on rebuild. */
+  private val builtPlans =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, String), DataFrame]()
+
+  /** Every captured builder frame for (spark, dir) under the session's
+    * CURRENT conf key (so a DeterminismSpec-style shuffle-partition rerun
+    * cannot leak its variants into the sweep): tag → the frame as the
+    * builder composed it, BEFORE checkpointing — its logical plan is the
+    * artifact's build pipeline (dependency snapshots appear as their
+    * materialized LogicalRDD leaves). Callers re-plan via `select("*")`
+    * when they need planning under a different conf (the executed plan of
+    * the returned frame is fixed under build-time conf). */
+  def builderPlans(spark: SparkSession, dir: String): Map[String, DataFrame] = {
+    val tier = spark.conf.getOption(ReliableConf).exists(_.toBoolean).toString
+    val confKey = spark.conf.get("spark.sql.shuffle.partitions") + "|" + tier
+    val out = Map.newBuilder[String, DataFrame]
+    builtPlans.forEach { (k, df) =>
+      if ((k._1 eq spark) && k._2 == dir && k._3 == confKey) out += (k._4 -> df)
+    }
+    out.result()
+  }
+
   /** Release the storage behind one checkpointed snapshot frame (the
     * localCheckpoint materializes as a persisted LogicalRDD — `unpersist`
     * on the Dataset would be a no-op since it was never `cache`d). */
@@ -81,6 +110,7 @@ object SnapshotCache {
     // evict entries for stopped sessions (their blocks died with the
     // executors — nothing left to unpersist)
     snapshots.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    builtPlans.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val tier = spark.conf.getOption(ReliableConf).exists(_.toBoolean).toString
     val key = (spark, dir,
       spark.conf.get("spark.sql.shuffle.partitions") + "|" + tier, tag)
@@ -90,7 +120,9 @@ object SnapshotCache {
       // build OUTSIDE the map's bin lock: computeIfAbsent would hold it
       // for the length of a full Spark job, blocking unrelated builds
       // that hash to the same bin; on a race the loser's blocks are freed
-      val built = materialize(spark, build)
+      val frame = build
+      builtPlans.put(key, frame)
+      val built = materialize(spark, frame)
       val winner = snapshots.putIfAbsent(key, built)
       if (winner ne null) { release(built); winner } else built
     }

@@ -56,4 +56,51 @@ class CrossJoinDisciplineSpec extends SparkSpec {
     assert(stale.isEmpty,
       s"stale DeclaredAnchors entries (no cartesian left): ${stale.toSeq.sorted.mkString(", ")}")
   }
+
+  /** snapshot tag → why that BUILDER's cartesian product is the declared
+    * operation (VERDICT r13 #2: the r13 artifact migration moved every
+    * all-pairs anchor INTO a builder, emptying the in-query allowlist
+    * above — this is where those declarations now live). Each anchor's
+    * product gates a bucketed/banded production twin; the build runs once
+    * per corpus version and persists, so the n² cost is paid off-query. */
+  private val BuilderAnchors: Map[String, String] = Map(
+    "knn_truth" ->
+      ("the exact brute-force top-k truth table — the declared all-pairs " +
+        "anchor ann_eval calibrates the IVF/LSH/PQ tiers against"),
+    "align_truth" ->
+      ("the exact margin-criterion bitext alignment over all src×tgt " +
+        "pairs — the truth anchor align_eval scores align_bitext_lsh " +
+        "against"),
+    "emb" ->
+      ("the exact all-pairs cosine near-dup truth set — the anchor " +
+        "dedup_embedding_lsh / dedup_semantic_bucketed are measured " +
+        "against (SCALING.md dedup-suite recall rows)"))
+
+  test("every snapshot-builder cross join is an explicit broadcast or a declared anchor") {
+    // build (and capture) BEFORE flipping the conf — the capture executes
+    // real builds, and those must run under the session's normal planner
+    val builders = BuilderPlans.all(spark, sf)
+    val conf = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(conf)
+    val offenders = scala.collection.mutable.Map.empty[String, Int]
+    try {
+      spark.conf.set(conf, "-1")
+      builders.foreach { case (tag, df) =>
+        // select("*") re-plans the captured logical plan under THIS conf
+        // (the captured frame's own physical plan is fixed at build time)
+        val plan = df.select("*").queryExecution.executedPlan.toString
+        val n = "CartesianProduct".r.findAllIn(plan).length
+        if (n > 0) offenders(tag) = n
+      }
+    } finally spark.conf.set(conf, prev)
+    val unexplained = offenders.keySet -- BuilderAnchors.keySet
+    assert(unexplained.isEmpty,
+      s"CartesianProduct in non-anchor snapshot builders: ${unexplained.toSeq.sorted.mkString(", ")} — " +
+        "broadcast() the tiny side explicitly (scale-independent), or " +
+        "declare the artifact an all-pairs anchor in BuilderAnchors with " +
+        "the production tier it gates")
+    val stale = BuilderAnchors.keySet -- offenders.keySet
+    assert(stale.isEmpty,
+      s"stale BuilderAnchors entries (no cartesian left): ${stale.toSeq.sorted.mkString(", ")}")
+  }
 }

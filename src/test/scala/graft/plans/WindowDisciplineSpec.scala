@@ -65,14 +65,27 @@ class WindowDisciplineSpec extends SparkSpec {
         "strict both-sides walk stops at that join (corpus side), so the " +
         "bound is argued here instead"))
 
-  test("no partition-less Window over an unbounded frame in any registered query") {
+  /** Every swept plan: registered queries + spec-only entries + the 33
+    * snapshot-builder frames (VERDICT r13 #2 — builders get the same
+    * window discipline as queries; their names carry a `snapshot:` prefix
+    * so allowlist entries can't collide with query names). The builder
+    * frames re-plan fresh via select("*") — their own physical plans are
+    * fixed at build time. */
+  private def sweptPlans() =
+    (graft.SparkEntry.queries ++ graft.SparkEntry.specOnly).toSeq.map {
+      case (name, fn) => name -> (() => fn(spark, sf).queryExecution.optimizedPlan)
+    } ++ BuilderPlans.all(spark, sf).toSeq.map {
+      case (tag, df) => s"snapshot:$tag" -> (() => df.select("*").queryExecution.optimizedPlan)
+    }
+
+  test("no partition-less Window over an unbounded frame in any swept plan") {
     // limitBounded walks the DIRECT input path (a collectFirst over the
     // whole subtree would admit a limit re-inflated by a join/explode
     // above it — ADVICE r12)
     val offenders = scala.collection.mutable.Map.empty[String, Int]
-    (graft.SparkEntry.queries ++ graft.SparkEntry.specOnly).foreach {
-      case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.optimizedPlan
+    sweptPlans().foreach {
+      case (name, plan0) =>
+        val plan = plan0()
         val unbounded = plan.collect {
           case w: LogicalWindow
               if w.partitionSpec.isEmpty && !PlanWalk.limitBounded(w.child) => w
@@ -94,14 +107,72 @@ class WindowDisciplineSpec extends SparkSpec {
     * fixed bucket ids). A Window PARTITIONED by only these keys has
     * O(|domain|) tasks, so if its input is still raw fact/document grain
     * each task sorts n/|domain| rows — the q_mad_outliers funnel
-    * (VERDICT r12 #2). Name-based, so a future bounded column must be
-    * added here to be policed — the sweep errs loose on unknown names,
-    * never strict. */
+    * (VERDICT r12 #2). Name-based; the closed-world test below forces
+    * every partition-key name appearing in any swept plan to be
+    * classified either here or in [[UnboundedKeyNames]] — an unclassified
+    * novel name fails the suite, so a new bounded-cardinality column can
+    * no longer slip past the funnel sweep unpoliced (VERDICT r13 #3). */
   private val BoundedKeyNames: Set[String] = Set(
     "event_type", "event_date", "prev_type", "t1", "t2", "key_col",
     "lang", "split", "source", "country", "device", "segment",
     "n_name", "r_name", "flag", "l_returnflag", "l_linestatus",
-    "day", "b", "bucket", "side", "method", "sym")
+    "day", "b", "bucket", "side", "method", "sym",
+    // label vocabulary (knn_label_eval): its windows ride the
+    // label x label confusion-matrix aggregate, which the contraction
+    // walk admits
+    "true_label")
+
+  /** Column names known to be DATA-grain keys (documents, users, orders,
+    * vectors, clusters …): a Window partitioned by any of these has
+    * O(data) groups, so parallelism scales with the corpus and the funnel
+    * concern doesn't apply. Together with [[BoundedKeyNames]] this is the
+    * closed world the classification test enforces: every partition-key
+    * name in every swept plan must appear in exactly one of the two sets
+    * (VERDICT r13 #3 — the old list "erred loose on unknown names", so a
+    * bounded-cardinality column under a novel name could reintroduce the
+    * q_mad_outliers funnel unseen). */
+  private val UnboundedKeyNames: Set[String] = Set(
+    "doc_id", "doc_a", "doc_b",     // document grain (tfidf ranks, span pairs)
+    "diag",                          // span-island anti-diagonal: O(pair volume)
+    "cluster_id",                    // dup-cluster grain (dedup_survivors)
+    "event_id", "user_id",           // event/user fact grain
+    "query_id",                      // ANN query-set grain (fixed workload, grows with deployment)
+    "src_id",                        // bitext source-sentence grain
+    "o_custkey", "l_partkey", "p_partkey", "p_name",  // TPC-H key grain
+    "k",                             // q_asof_order's join key = user_id renamed
+    "shard")                         // pack_manifest: O(total_tokens / shard_size)
+
+  test("every Window partition-key name in every swept plan is classified bounded or unbounded") {
+    val seen = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[String]]
+    sweptPlans().foreach { case (name, plan0) =>
+      plan0().foreach {
+        case w: LogicalWindow =>
+          w.partitionSpec.flatMap(_.references.map(_.name)).foreach { k =>
+            seen.getOrElseUpdate(k, scala.collection.mutable.Set.empty) += name
+          }
+        case _ => ()
+      }
+    }
+    val unclassified = seen.keySet -- BoundedKeyNames -- UnboundedKeyNames
+    assert(unclassified.isEmpty,
+      "unclassified Window partition-key names: " +
+        unclassified.toSeq.sorted.map(k => s"$k (in ${seen(k).toSeq.sorted.take(3).mkString(", ")})")
+          .mkString("; ") +
+        " — classify each as BoundedKeyNames (domain-bounded dimension: the " +
+        "funnel sweep polices it) or UnboundedKeyNames (data-grain key: " +
+        "parallelism scales with data)")
+    val doubly = BoundedKeyNames & UnboundedKeyNames
+    assert(doubly.isEmpty, s"names in BOTH classifications: ${doubly.toSeq.sorted.mkString(", ")}")
+    // stale-entry rule for the UNBOUNDED side only: every entry was added
+    // because a swept window used it, and keeping dead ones would blur the
+    // audit trail. The BOUNDED side is deliberately exempt — it is a
+    // policy-forward dimension vocabulary (country/day/device … may enter
+    // a window later), and an unused bounded name makes the funnel sweep
+    // STRICTER, never looser, so it cannot rot into a bypass.
+    val staleUnbounded = UnboundedKeyNames -- seen.keySet
+    assert(staleUnbounded.isEmpty,
+      s"stale UnboundedKeyNames entries (no swept window uses them): ${staleUnbounded.toSeq.sorted.mkString(", ")}")
+  }
 
   /** query name → why its bounded-key window's uncontracted input is an
     * acceptable trade (same contract as [[BoundedAggInput]]: stale
@@ -137,11 +208,11 @@ class WindowDisciplineSpec extends SparkSpec {
         "partial WindowGroupLimit so each map task emits at most 3 rows " +
         "per nation into the exchange"))
 
-  test("no bounded-key Window over an uncontracted raw-grain frame in any registered query") {
+  test("no bounded-key Window over an uncontracted raw-grain frame in any swept plan") {
     val offenders = scala.collection.mutable.Map.empty[String, Int]
-    (graft.SparkEntry.queries ++ graft.SparkEntry.specOnly).foreach {
-      case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.optimizedPlan
+    sweptPlans().foreach {
+      case (name, plan0) =>
+        val plan = plan0()
         val funnels = plan.collect {
           case w: LogicalWindow if w.partitionSpec.nonEmpty && {
             val refs = w.partitionSpec.flatMap(_.references.map(_.name))
