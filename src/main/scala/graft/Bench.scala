@@ -9,6 +9,38 @@ object Bench {
     * `detail` object off its one record line. Returns "null" on any
     * failure (missing classpath in an exotic launcher, timeout), never
     * throws — the bench record must not die on its own diagnostics. */
+  private def loadAvg1(): Double =
+    try math.max(java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage, -1.0)
+    catch { case _: Throwable => -1.0 }
+
+  /** Load-gate for the standalone probe (VERDICT r13 #2): the standalone
+    * reading is the number BASELINE.md pins its band on, and rounds 12–13
+    * both stamped it under host load ≥ 5.5 — bit-identical semantics, 2×
+    * low throughput, a footnote instead of a fact. Wait (with doubling
+    * backoff, bounded total budget) until 1-min load is inside policy
+    * before forking the probe JVM; if the host never settles, run anyway —
+    * a contended reading beats no reading — but the gate JSON carries the
+    * probe-time load, the waits, and an `in_policy` verdict so the record
+    * is self-interpreting with no footnote. Bound default 3.0 on this
+    * 32-core box (≲10% busy), override via SPARK_GRAFT_LOAD_BOUND. */
+  private def waitForQuietHost(): String = {
+    val bound = sys.env.get("SPARK_GRAFT_LOAD_BOUND")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(3.0)
+    var waits = 0
+    var sleepMs = 30000L
+    var budgetMs = 480000L // ~8 min total; load avg1 decays in ~2 min
+    var l = loadAvg1()
+    while (l > bound && budgetMs > 0) {
+      val ms = math.min(sleepMs, budgetMs)
+      Thread.sleep(ms)
+      budgetMs -= ms; sleepMs = math.min(sleepMs * 2, 240000L); waits += 1
+      l = loadAvg1()
+    }
+    val ok = l >= 0 && l <= bound
+    s"""{"probe_load":${BigDecimal(l).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bound":$bound,"waits":$waits,"in_policy":$ok}"""
+  }
+
   private def standaloneStreamProbe(cpus: String): String =
     try {
       import scala.jdk.CollectionConverters._
@@ -153,7 +185,7 @@ object Bench {
     // Streaming-throughput record (reference flagship plan, fixed load):
     // its OWN field, not a queries entry — rows/s is not seconds, and the
     // batch total must stay apples-to-apples across rounds. Release the
-    // seven persisted snapshot artifacts FIRST: the probe must measure the
+    // persisted snapshot artifacts FIRST: the probe must measure the
     // streaming plan, not the streaming plan competing with ~GBs of
     // checkpointed batch state for executor memory (VERDICT r8: the 2.3×
     // probe regression appeared exactly when the artifact count grew 3→7).
@@ -172,8 +204,12 @@ object Bench {
     // forked JVM — same classpath, same JVM flags, nothing else on its
     // heap — is the number BASELINE.md pins its band on; the in-bench
     // reading stays for continuity and as the contention canary.
+    // r14 (VERDICT r13 #2): gate the standalone fork on host quiet — the
+    // reading BASELINE.md's band is pinned on must not be stamped under
+    // contention and explained by footnote.
+    val gate = waitForQuietHost()
     val streamStandalone = standaloneStreamProbe(cpus)
-    val stream = s"""{"in_bench":$streamInBench,"standalone":$streamStandalone}"""
+    val stream = s"""{"in_bench":$streamInBench,"standalone":$streamStandalone,"standalone_gate":$gate}"""
     // r13 (VERDICT r12 #8): driver-vs-builder totals on the identical tree
     // differed 14% with no code change — record the host pressure so the
     // next verdict can separate plan movement from machine contention.

@@ -63,7 +63,8 @@ object SparkEntry {
     * and DeterminismSpec still covers the deterministic ones. */
   def specOnly: Map[String, (SparkSession, String) => DataFrame] =
     etl.EventsQueries.specOnly ++
-      batch.SqlSurfaceQueries.specOnly
+      batch.SqlSurfaceQueries.specOnly ++
+      batch.DqQueries.specOnly
 
   def oracleSql: Map[String, String] =
     etl.EventsQueries.oracles ++

@@ -188,13 +188,46 @@ object DqQueries {
       .agg(min(col(c)).as(s"med_$c"))
   }
 
+  /** Sketch accuracy for [[lowerMedianApprox]] — the q_approx_pctl
+    * setting: rank error ≤ n/accuracy, summaries exact below it. */
+  val ApproxAcc = 10000
+
+  /** Sketch twin of [[lowerMedian]] (VERDICT r13 #4): `approx_percentile`
+    * — a mergeable GK-style summary, so the median becomes ONE map-side-
+    * combinable aggregate with bounded state, with no cumulative window
+    * at all. This is the documented swap for the day the VALUE domain
+    * itself grows unbounded (the q_weighted_median scale13 axis, where
+    * the exact count-of-counts frame — and therefore the window input —
+    * grows with the domain): rank error is ≤ n/[[ApproxAcc]], the state
+    * is O(accuracy·log n) per group regardless of distinct values. Kept
+    * spec-only (DqSpec bounds it against the exact oracled
+    * q_mad_outliers at the identical grain); the exact form stays the
+    * oracle anchor, the same split as q_percentiles vs q_approx_pctl. */
+  private def lowerMedianApprox(df: DataFrame, c: String): DataFrame =
+    df.groupBy(col("event_type"))
+      .agg(expr(s"approx_percentile($c, 0.5, $ApproxAcc)").as(s"med_$c"))
+
   /** The kernel over an (event_type, x: long) frame — DqSpec drives it
     * over crafted fixtures (MAD = 0, masking) the corpus can't express. */
-  def madOutliers(e: DataFrame): DataFrame = {
-    val med = lowerMedian(e, "x")
+  def madOutliers(e: DataFrame): DataFrame = madOutliersWith(e, lowerMedian)
+
+  /** [[madOutliers]] on the sketch median — identical flag pass, the two
+    * exact count-of-counts medians swapped for [[lowerMedianApprox]]. */
+  def madOutliersApprox(e: DataFrame): DataFrame =
+    madOutliersWith(e, lowerMedianApprox)
+
+  def qMadOutliersApprox(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    madOutliersApprox(Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), Exact.cents(col("value")).as("x")))
+  }
+
+  private def madOutliersWith(e: DataFrame,
+      median: (DataFrame, String) => DataFrame): DataFrame = {
+    val med = median(e, "x")
     val dev = e.join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("x") - col("med_x")))
-    val mad = lowerMedian(dev.select(col("event_type"), col("dev")), "dev")
+    val mad = median(dev.select(col("event_type"), col("dev")), "dev")
     dev.join(broadcast(mad), "event_type")
       .withColumn("f", when(col("dev") > lit(MadK) * col("med_dev"), 1L).otherwise(0L))
       .groupBy(col("event_type"))
@@ -526,6 +559,12 @@ object DqQueries {
     "q_drift_ks" -> (qDriftKs _),
     "q_anomaly_days" -> (qAnomalyDays _),
     "q_skew_metrics" -> (qSkewMetrics _))
+
+  /** Sketch queries (SURVEY §5.2): no DuckDB oracle — GK summaries are
+    * engine-specific — DqSpec tolerance-bounds each against its exact
+    * oracled twin above. */
+  val specOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mad_outliers_approx" -> (qMadOutliersApprox _))
 
   private def refEdgeSql(name: String, child: String, key: String,
                          parent: String, pkey: String): String =

@@ -499,8 +499,54 @@ object TextQueries {
       .withColumn("chars_per_token_milli",
         expr("(1000 * n_word_chars) DIV n_bpe_tokens"))
 
-  private val byWord =
-    org.apache.spark.sql.expressions.Window.partitionBy("sym").orderBy("i")
+  /** Adjacent-pair frame of a symbol-sequence vocab: each word's
+    * (symbol, successor) pairs by ARRAY SLICING — per-row, codegen'd, no
+    * shuffle (r14, VERDICT r13 #7: the previous `lead() OVER (PARTITION
+    * BY sym)` form shuffled the vocab×word-length frame on the word key
+    * once per census and TWICE per rewrite, which was the whole
+    * snapshot_build critical path — the bpe chain at 9–11 s of the
+    * section). A word is its own tiny ordered sequence; pairing within
+    * it never needed a distributed window. */
+  private def bpePairFrame(vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val syms = split(col("sym"), " ")
+    vocab.select(col("freq"),
+      explode(zip_with(
+        slice(syms, lit(1), size(syms) - 1),
+        slice(syms, lit(2), size(syms) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"), col("freq"))
+  }
+
+  /** Greedy left-to-right merge of pair (bl, br) over ONE word's symbol
+    * array, as a codegen'd fold (`aggregate` over the (symbol, successor)
+    * zip): state is (rewritten-prefix, consumed-next?) — a matched pair
+    * emits the fused symbol and consumes its right side, which is exactly
+    * the BPE scan order including self-pair runs ("o o o" → "oo o", the
+    * odd-offset rule, falls out of the consume flag). The finish lambda
+    * restores the last symbol unless the final pair consumed it. Word
+    * arrays are character-bounded, so the quadratic-looking prefix
+    * concat is a few tiny copies per word. */
+  private def bpeMergeExpr(syms: Column, bl: Column, br: Column): Column = {
+    val pairs = zip_with(
+      slice(syms, lit(1), size(syms) - 1),
+      slice(syms, lit(2), size(syms) - 1),
+      (a, b) => struct(a.as("s"), b.as("nx")))
+    aggregate(
+      pairs,
+      struct(typedLit(Seq.empty[String]).as("out"), lit(false).as("skip")),
+      (acc, p) => {
+        val out = acc.getField("out"); val skip = acc.getField("skip")
+        val s = p.getField("s"); val nx = p.getField("nx")
+        when(skip, struct(out.as("out"), lit(false).as("skip")))
+          .when(s === bl && nx === br,
+            struct(concat(out, array(concat(bl, br))).as("out"),
+              lit(true).as("skip")))
+          .otherwise(struct(concat(out, array(s)).as("out"),
+            lit(false).as("skip")))
+      },
+      acc => when(acc.getField("skip"), acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(element_at(syms, -1)))))
+  }
 
   /** The loop: (merge table rows, final vocabulary). */
   private def bpeTrainLoop(spark: SparkSession,
@@ -514,8 +560,8 @@ object TextQueries {
     var round = 1
     var exhausted = false
     while (round <= BpeMerges && !exhausted) {
-      val best = bpePositions(vocab).filter(col("nx").isNotNull)
-        .groupBy(col("s").as("l"), col("nx").as("r"))
+      val best = bpePairFrame(vocab)
+        .groupBy(col("l"), col("r"))
         .agg(sum(col("freq")).as("c"))
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(1).collect()
@@ -531,39 +577,20 @@ object TextQueries {
     (merges.toSeq, vocab)
   }
 
-  /** (sym, freq, i, s, nx) — each word's symbol sequence with its
-    * successor, the frame both the census and the rewrite read. */
-  private def bpePositions(vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    vocab.select(col("sym"), col("freq"),
-      posexplode(split(col("sym"), " ")).as(Seq("i", "s")))
-      .withColumn("nx", lead(col("s"), 1).over(byWord))
-
   /** One greedy left-to-right merge pass of pair (bl, br) over every
-    * word. Runs of consecutive match positions (possible only for
-    * self-pairs) merge at ODD run offsets — the BPE scan order. */
+    * word — a pure projection through [[bpeMergeExpr]]: no shuffle, no
+    * window, no join (r14; the relational windows-and-join form this
+    * replaces cost ~5 vocab-frame shuffles per round and set the
+    * snapshot_build critical path). Word identity is preserved (a sym
+    * with spaces removed IS its word), so the (sym, freq) grain needs no
+    * re-aggregation. Gated by TextModelSpec's independent driver-side
+    * greedy BPE replay and the unrolled DuckDB oracle. */
   private def bpeApplyMerge(vocab: org.apache.spark.sql.DataFrame,
-                            bl: String, br: String): org.apache.spark.sql.DataFrame = {
-    val m = bpePositions(vocab)
-      .withColumn("m", col("s") === bl && col("nx") === br)
-    val starts = m.filter(col("m"))
-      .withColumn("rn", row_number().over(byWord))
-      .withColumn("off", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("sym"), col("i") - col("rn")).orderBy("i")))
-      .select(col("sym").as("sym2"), col("i").as("i2"),
-        (col("off") % 2 === 1).as("start"))
-    m.join(starts, col("sym") === col("sym2") && col("i") === col("i2"), "left")
-      .withColumn("st", coalesce(col("start"), lit(false)))
-      .withColumn("cons", coalesce(lag(col("st"), 1).over(byWord), lit(false)))
-      .withColumn("out", when(col("st"), lit(bl + br))
-        .when(col("cons"), lit(null).cast("string")).otherwise(col("s")))
-      .filter(col("out").isNotNull)
-      .groupBy(col("sym"), col("freq"))
-      .agg(concat_ws(" ", transform(
-        array_sort(collect_list(struct(col("i"), col("out")))),
-        x => x.getField("out"))).as("sym2"))
-      .select(col("sym2").as("sym"), col("freq"))
-  }
+                            bl: String, br: String): org.apache.spark.sql.DataFrame =
+    vocab.select(
+      concat_ws(" ",
+        bpeMergeExpr(split(col("sym"), " "), lit(bl), lit(br))).as("sym"),
+      col("freq"))
 
   /** Integer weights of the quality model, in micro-logit units: keep
     * score = [[QmBias]] + [[QmWAlpha]]·alpha_micro + [[QmWStop]]·stop_micro

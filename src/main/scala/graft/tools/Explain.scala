@@ -157,6 +157,19 @@ object Explain {
       "the merge exchange carries days x types rows, never events; in " +
       "deployment the base branch is a read of the persisted view, so " +
       "history is never rescanned."),
+    "q_mad_outliers_approx" -> ("The MAD gate on approx_percentile " +
+      "(r14, spec-only): both medians become one map-side-combinable " +
+      "GK-sketch aggregate — O(accuracy*log n) state per type, no " +
+      "cumulative window at all — the documented swap for a value " +
+      "domain that grows unbounded; DqSpec tolerance-bounds it against " +
+      "the exact oracled q_mad_outliers."),
+    "q_weighted_median_bucketed" -> ("The at-scale twin of " +
+      "q_weighted_median (r14): EXACT result through two bounded " +
+      "phases — a 4096-bucket weight census whose cumulative window " +
+      "sees <=B rows per flag, then the per-value window only over the " +
+      "crossing bucket's grain rows (expected grain/B). No window ever " +
+      "sees the full value-grain frame, the axis scale13 measured " +
+      "growing 6.4x; hash-matches the one-window oracle verbatim."),
     "q_mad_outliers" -> ("Robust outlier gate (r13 count-of-counts): " +
       "both medians (median, then MAD over deviations) contract to " +
       "(type, value) counts before any Window forms, so the sorts run " +

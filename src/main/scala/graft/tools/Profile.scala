@@ -726,6 +726,60 @@ object Profile {
         probe(label, d, Seq("q_forget"))
       spark.stop(); return
     }
+    if (args.lift(1).contains("scale14")) {
+      // 10x curve for the multimodal family (VERDICT r13 #6) — the last
+      // dedup-family member without a measured scale row. Fixture: the
+      // scale13 content-salt generator (each copy replicates the
+      // original's near-dup structure without inflating cross-copy dup
+      // mass), so the media corpus [[graft.ext.multimodal.Multimodal
+      // .corpus]] derives from grows 10x in items AND distinct payloads —
+      // digests, frame explosion, and sig-pair candidates all grow on
+      // their own axis instead of collapsing into one dup class. Also
+      // probes the two r14 median-family twins on their scale13
+      // adversarial fixtures (lineitem x10 with perturbed prices for the
+      // bucketed weighted median; events x10 value-salted for the
+      // approx MAD gate) so SCALING.md's swap claim is measured, not
+      // asserted.
+      val out = "/tmp/graft_scale14"
+      def salted = when(col("copy") === 0, col("text")).otherwise(
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, lit("c"), col("copy").cast("string")))))
+      Tables.documents(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+        .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
+          salted.as("text"), col("lang"), col("source"),
+          length(salted).cast("long").as("n_chars"))
+        .write.mode("overwrite").parquet(s"$out/docs/documents.parquet")
+      Tables.lineitem(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+        .withColumn("l_orderkey", col("l_orderkey") * 10 + col("copy"))
+        .withColumn("l_extendedprice",
+          col("l_extendedprice") + col("copy").cast("double") / 100.0)
+        .drop("copy")
+        .write.mode("overwrite").parquet(s"$out/li/lineitem.parquet")
+      // events x10 with VALUES salted per copy — the distinct-cents
+      // domain grows ~10x, the exact MAD gate's adversarial axis
+      Tables.events(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+        .withColumn("event_id", col("event_id") * 10 + col("copy"))
+        .withColumn("user_id", col("user_id") * 10 + col("copy"))
+        .withColumn("value", col("value") + col("copy").cast("double") / 1000.0)
+        .drop("copy")
+        .write.mode("overwrite").parquet(s"$out/ev/events.parquet")
+      def probe(label: String, d: String, names: Seq[String]): Unit =
+        names.foreach { name =>
+          val fn = (graft.SparkEntry.queries ++ graft.SparkEntry.specOnly)(name)
+          fn(spark, d).count() // warm (plan + codegen)
+          time(s"$name @ $label")(fn(spark, d).count())
+        }
+      for ((label, d) <- Seq("base" -> dir, "docs_x10" -> s"$out/docs")) {
+        graft.util.SnapshotCache.clearAll()
+        probe(label, d, Seq("mm_meta", "mm_features", "mm_frames",
+          "mm_dedup", "mm_frames_dedup"))
+      }
+      for ((label, d) <- Seq("base" -> dir, "li_x10" -> s"$out/li"))
+        probe(label, d, Seq("q_weighted_median", "q_weighted_median_bucketed"))
+      for ((label, d) <- Seq("base" -> dir, "ev_x10" -> s"$out/ev"))
+        probe(label, d, Seq("q_mad_outliers", "q_mad_outliers_approx"))
+      spark.stop(); return
+    }
     if (args.lift(1).contains("scale10d")) {
       // 10x multiplier probes for the round-10-continuation additions:
       // text_lm_score + q_l_diversity (documents x10), q_drift_ks

@@ -110,6 +110,34 @@ class DqSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("q_mad_outliers_approx tracks the exact MAD gate within sketch tolerance") {
+    // the q_approx_pctl discipline (VERDICT r13 #4): the sketch form's
+    // correctness gate is a tolerance bound against the exact oracled
+    // twin at the identical grain — rank error ≤ n/ApproxAcc means the
+    // sketch median sits within a handful of sorted positions of the
+    // exact one; 5% relative (small absolute floor for near-zero MADs)
+    // is the same envelope SqlSurfaceSpec grants q_approx_pctl
+    val exact = DqQueries.qMadOutliers(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val approx = DqQueries.qMadOutliersApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    approx.foreach { case (t, (n, med, mad, out)) =>
+      val (en, emed, emad, eout) = exact(t)
+      assert(n == en, s"$t: n_events must be exact")
+      def close(a: Long, e: Long, what: String): Unit =
+        assert(math.abs(a - e) <= math.max(0.05 * math.abs(e), 5.0),
+          s"$t $what: approx $a vs exact $e")
+      close(med, emed, "median_cents")
+      close(mad, emad, "mad_cents")
+      // a shifted threshold re-judges only the near-threshold band
+      assert(math.abs(out - eout) <= math.max(0.02 * n, 5.0),
+        s"$t n_outliers: approx $out vs exact $eout (n=$n)")
+    }
+  }
+
   test("median kernels window only contracted value-grain frames (VERDICT r12 #1)") {
     // lowerMedian's count-of-counts contraction: every WindowExec input
     // must be a (key, value)-grain aggregate, never raw event rows — the

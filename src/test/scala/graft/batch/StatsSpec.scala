@@ -125,4 +125,26 @@ class StatsSpec extends SparkSpec {
     val vals = rows.map(t => (t._1, t._2)).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
     got.foreach { case (f, _, m) => assert(vals(f).contains(m)) }
   }
+
+  test("q_weighted_median_bucketed: hash-equal to the one-window form; windows stay bucket-bounded") {
+    // the at-scale twin must be EXACT — same rows, same values, no
+    // tolerance (it shares q_weighted_median's DuckDB oracle verbatim)
+    val exact = StatsQueries.qWeightedMedian(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    val bucketed = StatsQueries.qWeightedMedianBucketed(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    assert(bucketed == exact && bucketed.nonEmpty)
+    // plan shape: the phase-A census window rides the (flag, bucket)
+    // census Aggregate (contracted); the phase-B tail window reads the
+    // checkpointed grain frame filtered to ONE bucket, which the
+    // mechanical walk can't see through — WindowDisciplineSpec carries
+    // its BoundedKeyWindowOk argument, and the census contraction is
+    // what this asserts
+    val ws = StatsQueries.qWeightedMedianBucketed(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(ws.nonEmpty)
+    assert(ws.exists(w => graft.plans.PlanWalk.contracted(w.child)),
+      "bucketed median: the census window must ride the census Aggregate")
+  }
 }

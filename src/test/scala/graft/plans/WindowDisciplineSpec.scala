@@ -200,6 +200,13 @@ class WindowDisciplineSpec extends SparkSpec {
         "WindowGroupLimit (running counter, only cap rows survive each " +
         "map task), so the exchange never carries raw doc grain; the " +
         "corpus' handful of sources is a fixture artifact"),
+    "q_weighted_median_bucketed" ->
+      ("the tail window reads the checkpointed (flag, value) grain " +
+        "frame FILTERED to the census crossing bucket — grain/4096 rows " +
+        "per flag by construction; the contraction (grain aggregate + " +
+        "4096-bucket census) happens before the checkpoint, where the " +
+        "mechanical walk cannot follow, and StatsSpec pins the result " +
+        "hash-equal to the contracted one-window form"),
     "q_topk_per_nation" ->
       ("the window rides the per-customer revenue Aggregate (orders " +
         "contract to one row per customer FIRST — the documented W1 " +
