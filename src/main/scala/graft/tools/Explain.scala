@@ -14,6 +14,13 @@ object Explain {
     "q1_pricing" -> ("Scan→agg baseline: the shipdate predicate in " +
       "PushedFilters, ReadSchema pruned to the 7 referenced columns of an " +
       "11-column table; partial/final hash agg on a bounded key."),
+    "q_weighted_median_bucketed" -> ("Two-phase exact quantile kernel " +
+      "(r14): ONE parquet scan feeds the checkpointed (flag, value) " +
+      "grain frame; bounds/census/tail are RDD rescans of that " +
+      "materialization; both WindowExecs ride bounded inputs (<=4096 " +
+      "census rows per flag; the tail only the crossing bucket's grain " +
+      "rows) — contrast q_weighted_median, whose single window re-sorts " +
+      "the FULL value grain per flag."),
     "q22_idle_custs" -> ("Broadcast-scalar discipline (r12): the global " +
       "average balance is a 1-ROW aggregate attached by " +
       "BroadcastNestedLoopJoin — no partition-less WindowExec anywhere, " +
@@ -381,7 +388,8 @@ object Explain {
       sb.append("to exhibit is stated above its plan. Enforced variants of these\n")
       sb.append("assertions live in the specs (QueriesSpec/IoSpec/LayoutSpec).\n")
       audited.foreach { case (name, why) =>
-        val df = underlying.getOrElse(name, graft.SparkEntry.queries(name))(spark, dir)
+        val df = underlying.getOrElse(name,
+          (graft.SparkEntry.queries ++ graft.SparkEntry.specOnly)(name))(spark, dir)
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         sb.append(s"\n## $name\n\n$why\n\n```\n$plan```\n")
