@@ -500,13 +500,15 @@ object TextQueries {
         expr("(1000 * n_word_chars) DIV n_bpe_tokens"))
 
   /** Adjacent-pair frame of a symbol-sequence vocab: each word's
-    * (symbol, successor) pairs by ARRAY SLICING — per-row, codegen'd, no
-    * shuffle (r14, VERDICT r13 #7: the previous `lead() OVER (PARTITION
-    * BY sym)` form shuffled the vocab×word-length frame on the word key
+    * (symbol, successor) pairs by ARRAY SLICING — per-row, no shuffle
+    * (r14, VERDICT r13 #7: the previous `lead() OVER (PARTITION BY
+    * sym)` form shuffled the vocab×word-length frame on the word key
     * once per census and TWICE per rewrite, which was the whole
     * snapshot_build critical path — the bpe chain at 9–11 s of the
     * section). A word is its own tiny ordered sequence; pairing within
-    * it never needed a distributed window. */
+    * it never needed a distributed window. The higher-order functions
+    * here are CodegenFallback (interpreted inside the codegen'd stage) —
+    * the win is the removed shuffles, not codegen. */
   private def bpePairFrame(vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val syms = split(col("sym"), " ")
     vocab.select(col("freq"),
@@ -518,7 +520,7 @@ object TextQueries {
   }
 
   /** Greedy left-to-right merge of pair (bl, br) over ONE word's symbol
-    * array, as a codegen'd fold (`aggregate` over the (symbol, successor)
+    * array, as a fold (`aggregate` over the (symbol, successor)
     * zip): state is (rewritten-prefix, consumed-next?) — a matched pair
     * emits the fused symbol and consumes its right side, which is exactly
     * the BPE scan order including self-pair runs ("o o o" → "oo o", the
