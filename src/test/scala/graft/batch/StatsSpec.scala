@@ -147,4 +147,40 @@ class StatsSpec extends SparkSpec {
     assert(ws.exists(w => graft.plans.PlanWalk.contracted(w.child)),
       "bucketed median: the census window must ride the census Aggregate")
   }
+
+  test("bucketed median: the tail window's input is a vanishing fraction of the grain (measured)") {
+    // the BoundedKeyWindowOk argument, measured instead of asserted: only
+    // grain rows inside each flag's crossing bucket reach the phase-B
+    // window. Re-derive that row count independently and bound it against
+    // the full grain — expected grain/4096, asserted ≤ grain/64 to leave
+    // two orders of slack for value clustering before the suite complains
+    // that the equi-width escalation (re-bucket inside the crossing
+    // bucket) is due.
+    import org.apache.spark.sql.expressions.Window
+    val b = StatsQueries.MedianBuckets
+    val grain = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"),
+        graft.functions.Exact.cents(col("l_extendedprice")).as("v"),
+        col("l_quantity").cast("long").as("wt"))
+      .groupBy(col("flag"), col("v")).agg(sum(col("wt")).as("w"))
+      .localCheckpoint()
+    val nGrain = grain.count()
+    val bounds = grain.groupBy(col("flag"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val bucketed = grain.join(broadcast(bounds), "flag")
+      .withColumn("bucket", expr(s"((v - lo) * $b) DIV (hi - lo + 1)"))
+    val byFlag = Window.partitionBy("flag")
+    val crossing = bucketed.groupBy(col("flag"), col("bucket"))
+      .agg(sum(col("w")).as("bw"))
+      .withColumn("cumw", sum(col("bw")).over(byFlag.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total_w", sum(col("bw")).over(byFlag))
+      .filter(col("cumw") * 2 >= col("total_w"))
+      .groupBy(col("flag")).agg(min(col("bucket")).as("cb"))
+    val tailRows = bucketed.join(broadcast(crossing), "flag")
+      .filter(col("bucket") === col("cb")).count()
+    assert(tailRows > 0 && tailRows * 64 <= nGrain,
+      s"tail window input $tailRows rows vs grain $nGrain — the crossing " +
+        "bucket is no longer a contraction; re-bucket inside it")
+  }
 }
