@@ -64,7 +64,8 @@ object SparkEntry {
   def specOnly: Map[String, (SparkSession, String) => DataFrame] =
     etl.EventsQueries.specOnly ++
       batch.SqlSurfaceQueries.specOnly ++
-      batch.DqQueries.specOnly
+      batch.DqQueries.specOnly ++
+      ext.pipeline.CurateQueries.specOnly
 
   def oracleSql: Map[String, String] =
     etl.EventsQueries.oracles ++

@@ -301,6 +301,23 @@ object CurateQueries {
         min(when(col("cum") >= expr("(99 * n_docs + 99) div 100"), col("n"))).as("p99_tokens"))
   }
 
+  /** Sketch twin of [[qLenQuantiles]] (VERDICT r13 #4, the
+    * q_mad_outliers_approx discipline): all three quantiles as ONE
+    * mergeable `approx_percentile` aggregate — no count frame, no
+    * cumulative window — the swap for a value domain (here: distinct
+    * token lengths) that outgrows the count-of-counts contraction. Rank
+    * error ≤ n/accuracy; spec-only (sketch internals cannot hash-match
+    * DuckDB), tolerance-bounded against the exact oracled twin in
+    * CurateSpec. */
+  def qLenQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("lang"),
+      size(TextNorm.toks(col("text"))).cast("long").as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"approx_percentile(n, 0.5, ${graft.batch.DqQueries.ApproxAcc})").as("p50_tokens"),
+        expr(s"approx_percentile(n, 0.9, ${graft.batch.DqQueries.ApproxAcc})").as("p90_tokens"),
+        expr(s"approx_percentile(n, 0.99, ${graft.batch.DqQueries.ApproxAcc})").as("p99_tokens"))
+
   /** SPAN-LEVEL decontamination — the scrubbing complement of
     * [[qContamination]]: that audit *flags* held-out leakage; this one
     * *removes* it. For every TRAIN-split document, every token range that
@@ -979,6 +996,11 @@ object CurateQueries {
       .select(col("strategy"), col("n_batches"), col("sum_tokens"),
         col("pad_tokens"), col("pad_milli"))
   }
+
+  /** Sketch queries (SURVEY §5.2): no DuckDB oracle — CurateSpec
+    * tolerance-bounds each against its exact oracled twin. */
+  val specOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_len_quantiles_approx" -> (qLenQuantilesApprox _))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_diff"      -> (qCorpusDiff _),

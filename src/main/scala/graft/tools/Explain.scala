@@ -164,6 +164,12 @@ object Explain {
       "the merge exchange carries days x types rows, never events; in " +
       "deployment the base branch is a read of the persisted view, so " +
       "history is never rescanned."),
+    "q_len_quantiles_approx" -> ("The length report on approx_percentile " +
+      "(r14, spec-only): all three quantiles as ONE mergeable GK-sketch " +
+      "aggregate — no count frame, no cumulative window — the swap for a " +
+      "token-length domain that outgrows the count-of-counts " +
+      "contraction; CurateSpec tolerance-bounds it against the exact " +
+      "oracled q_len_quantiles."),
     "q_mad_outliers_approx" -> ("The MAD gate on approx_percentile " +
       "(r14, spec-only): both medians become one map-side-combinable " +
       "GK-sketch aggregate — O(accuracy*log n) state per type, no " +

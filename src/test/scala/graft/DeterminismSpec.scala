@@ -22,7 +22,8 @@ class DeterminismSpec extends SparkSpec {
     // scale-factor bump from reading as a correctness regression. (HLL's
     // q_approx_distinct stays IN: its merge is deterministic.) The
     // exempted query's correctness gate is its tolerance spec instead.
-    val sketchExempt = Set("q_approx_pctl", "q_mad_outliers_approx")
+    val sketchExempt = Set("q_approx_pctl", "q_mad_outliers_approx",
+      "q_len_quantiles_approx")
     val failures = (SparkEntry.queries ++ SparkEntry.specOnly).toSeq.sortBy(_._1)
       .filterNot(q => sketchExempt(q._1)).flatMap { case (name, fn) =>
       // the second pass also disables AQE, so runtime re-planning

@@ -341,6 +341,28 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("q_len_quantiles_approx tracks the exact quantiles within sketch tolerance") {
+    // the q_mad_outliers_approx discipline: the sketch twin's gate is a
+    // tolerance bound against the exact oracled form — 5% relative with
+    // a small absolute floor (token lengths are small integers where one
+    // rank step can be a whole token)
+    val exact = CurateQueries.qLenQuantiles(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val approx = CurateQueries.qLenQuantilesApprox(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    approx.foreach { case (lang, (_, n, a50, a90, a99)) =>
+      val (_, en, e50, e90, e99) = exact(lang)
+      assert(n == en, s"$lang: n_docs must be exact")
+      def close(a: Long, e: Long, what: String): Unit =
+        assert(math.abs(a - e) <= math.max(0.05 * e, 3.0),
+          s"$lang $what: approx $a vs exact $e")
+      close(a50, e50, "p50"); close(a90, e90, "p90"); close(a99, e99, "p99")
+    }
+  }
+
   test("stratified sample: realized rates track targets, and resampling is stable") {
     val s1 = CurateQueries.qStratifiedSample(spark, "/root/testdata/sf0.01")
     val rows = s1.collect()
