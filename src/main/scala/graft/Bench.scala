@@ -37,7 +37,10 @@ object Bench {
       budgetMs -= ms; sleepMs = math.min(sleepMs * 2, 240000L); waits += 1
       l = loadAvg1()
     }
-    val ok = l >= 0 && l <= bound
+    // load unavailable (getSystemLoadAverage = -1) is UNKNOWN, not
+    // out-of-policy: in_policy:null distinguishes "couldn't read the
+    // host" from "host was contended" in the record (ADVICE r14)
+    val ok = if (l < 0) "null" else (l <= bound).toString
     s"""{"probe_load":${BigDecimal(l).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bound":$bound,"waits":$waits,"in_policy":$ok}"""
   }
 

@@ -86,13 +86,21 @@ object DsirQueries {
     * bucket) and the 1-row normalizer totals. BOTH bounded at
     * [[NBuckets]] rows at any corpus size. */
   private[graft] def modelOf(f: DataFrame): (DataFrame, DataFrame) = {
-    val ct = f.filter(col("lang") === TargetLang)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("c_t"))
-    val cr = f.groupBy(col("bucket")).agg(count(lit(1)).as("c_r"))
-    val totals = f.groupBy()
-      .agg(count(lit(1)).as("n_r"),
-        sum(when(col("lang") === TargetLang, 1L).otherwise(0L)).as("n_t"))
-    (cr.join(ct, Seq("bucket"), "left"), totals)
+    // ONE aggregate pass over the feature stream builds both count
+    // columns (r15 — the former cr/ct/totals trio planned three passes
+    // plus a bucket join); c_t reads null where the target never hit the
+    // bucket, matching the old left join exactly. The normalizer totals
+    // then re-aggregate the ≤ NBuckets-row counts frame — free at any
+    // corpus size, and no third fact-sized pass exists at 100 TB either.
+    val counts = f.groupBy(col("bucket")).agg(
+      count(lit(1)).as("c_r"),
+      sum(when(col("lang") === TargetLang, 1L).otherwise(0L)).as("c_t0"))
+    val model = counts.select(col("bucket"), col("c_r"),
+      when(col("c_t0") > 0L, col("c_t0")).as("c_t"))
+    val totals = counts.groupBy()
+      .agg(coalesce(sum(col("c_r")), lit(0L)).as("n_r"),
+        coalesce(sum(col("c_t0")), lit(0L)).as("n_t"))
+    (model, totals)
   }
 
   /** Score a feature stream against a FROZEN model — the kernel shared by
@@ -125,9 +133,21 @@ object DsirQueries {
       weightFrameRaw(spark, dir))
 
   /** The snapshot's BUILD pipeline (audited in PLANS.md — the registered
-    * entry serves a localCheckpoint whose plan is an RDD scan). */
+    * entry serves a localCheckpoint whose plan is an RDD scan).
+    *
+    * The feature stream materializes ONCE (eager localCheckpoint — the
+    * same one-scan discipline as the weighted-median grain frame): four
+    * consumers read it (target counts, raw counts, the normalizer totals,
+    * and the scoring join's stream side), and without the checkpoint
+    * Catalyst plans four independent scan→tokenize→bigram→md5 subtrees —
+    * the md5-per-bigram feature build is the expensive term, and paying
+    * it 4× made dsir_weights the snapshot section's critical path
+    * (VERDICT r14 #4: 7.8–8.3 s in-pool; ~3 s with the single build). At
+    * 100 TB the checkpoint is the persisted feature extraction any DSIR
+    * deployment would stage before fitting the two count tables. */
   private[graft] def weightFrameRaw(spark: SparkSession, dir: String): DataFrame = {
-    val f = featureRows(spark, dir)
+    val f = graft.util.SnapshotCache.scratchCheckpoint(spark,
+      featureRows(spark, dir))
     val (model, totals) = modelOf(f)
     scoreAgainst(f, model, totals)
   }
@@ -178,10 +198,15 @@ object DsirQueries {
     * OUTSIDE the incoming slice, frozen as suite-scoped snapshots. */
   private[graft] def incModel(spark: SparkSession,
                               dir: String): (DataFrame, DataFrame) = {
-    def corpusFeatures = featureRowsOf(
-      Tables.rebalanced(spark, Tables.documents(spark, dir))
-        .filter(col("source") =!=
-          graft.ext.dedup.DedupQueries.IncomingSource))
+    // lazy + checkpointed: the corpus feature build (the expensive
+    // md5-per-bigram pass) runs at most ONCE across the two snapshot
+    // builds (model counts + totals, 3 consumers) — and not at all when
+    // both snapshots are already cached
+    lazy val corpusFeatures = graft.util.SnapshotCache.scratchCheckpoint(spark,
+      featureRowsOf(
+        Tables.rebalanced(spark, Tables.documents(spark, dir))
+          .filter(col("source") =!=
+            graft.ext.dedup.DedupQueries.IncomingSource)))
     val model = graft.util.SnapshotCache.snapshot("dsir_inc_model", spark, dir)(
       modelOf(corpusFeatures)._1)
     val totals = graft.util.SnapshotCache.snapshot("dsir_inc_totals", spark, dir)(

@@ -15,12 +15,14 @@ object Explain {
       "PushedFilters, ReadSchema pruned to the 7 referenced columns of an " +
       "11-column table; partial/final hash agg on a bounded key."),
     "q_weighted_median_bucketed" -> ("Two-phase exact quantile kernel " +
-      "(r14): ONE parquet scan feeds the checkpointed (flag, value) " +
-      "grain frame; bounds/census/tail are RDD rescans of that " +
-      "materialization; both WindowExecs ride bounded inputs (<=4096 " +
-      "census rows per flag; the tail only the crossing bucket's grain " +
-      "rows) — contrast q_weighted_median, whose single window re-sorts " +
-      "the FULL value grain per flag."),
+      "(r14; grain promoted to a snapshot artifact r15): the (flag, " +
+      "value) weight census builds once in snapshot_build (one " +
+      "map-side-combinable aggregate over the fact — see " +
+      "snapshot:wmedian_grain in PLAN_DIGESTS); bounds/census/tail are " +
+      "RDD rescans of that materialization; both WindowExecs ride " +
+      "bounded inputs (<=4096 census rows per flag; the tail only the " +
+      "crossing bucket's grain rows) — contrast q_weighted_median, " +
+      "whose single window re-sorts the FULL value grain per flag."),
     "q22_idle_custs" -> ("Broadcast-scalar discipline (r12): the global " +
       "average balance is a 1-ROW aggregate attached by " +
       "BroadcastNestedLoopJoin — no partition-less WindowExec anywhere, " +
@@ -176,13 +178,6 @@ object Explain {
       "cumulative window at all — the documented swap for a value " +
       "domain that grows unbounded; DqSpec tolerance-bounds it against " +
       "the exact oracled q_mad_outliers."),
-    "q_weighted_median_bucketed" -> ("The at-scale twin of " +
-      "q_weighted_median (r14): EXACT result through two bounded " +
-      "phases — a 4096-bucket weight census whose cumulative window " +
-      "sees <=B rows per flag, then the per-value window only over the " +
-      "crossing bucket's grain rows (expected grain/B). No window ever " +
-      "sees the full value-grain frame, the axis scale13 measured " +
-      "growing 6.4x; hash-matches the one-window oracle verbatim."),
     "q_mad_outliers" -> ("Robust outlier gate (r13 count-of-counts): " +
       "both medians (median, then MAD over deviations) contract to " +
       "(type, value) counts before any Window forms, so the sorts run " +
@@ -393,6 +388,12 @@ object Explain {
       sb.append("(local[4], shuffle.partitions=4); the property each query is chosen\n")
       sb.append("to exhibit is stated above its plan. Enforced variants of these\n")
       sb.append("assertions live in the specs (QueriesSpec/IoSpec/LayoutSpec).\n")
+      // duplicate names would build (and eagerly execute any checkpointed
+      // subtree of) the same plan twice AND emit two identical dossier
+      // sections (ADVICE r14 — q_weighted_median_bucketed was listed twice)
+      require(audited.map(_._1).distinct.size == audited.size,
+        "duplicate audited entries: " + audited.map(_._1)
+          .groupBy(identity).collect { case (n, g) if g.size > 1 => n }.mkString(", "))
       audited.foreach { case (name, why) =>
         val df = underlying.getOrElse(name,
           (graft.SparkEntry.queries ++ graft.SparkEntry.specOnly)(name))(spark, dir)

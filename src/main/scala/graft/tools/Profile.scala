@@ -332,6 +332,44 @@ object Profile {
       time("components @ 10x (9.2k edges)")(comps(10))
       spark.stop(); return
     }
+    if (args.lift(1).contains("dsir")) {
+      // stage-attributed timing of the dsir_weights build (r15): feature
+      // extraction (tokenize→bigram→md5, materialized once), the three
+      // bounded aggregates, the scoring join, the snapshot checkpoint.
+      import graft.ext.text.DsirQueries
+      for (round <- 1 to 3) {
+        graft.util.SnapshotCache.clearAll()
+        time(s"dsir_weights full build r$round")(
+          DsirQueries.weightFrame(spark, dir).count())
+      }
+      val docs = Tables.rebalanced(spark, Tables.documents(spark, dir))
+      time("featureRows count")(DsirQueries.featureRowsOf(docs).count())
+      time("featureRows count again")(DsirQueries.featureRowsOf(docs).count())
+      val fckpt = DsirQueries.featureRowsOf(docs).localCheckpoint()
+      time("feature localCheckpoint + model aggs")({
+        val (m, t) = DsirQueries.modelOf(fckpt)
+        m.count() + t.count()
+      })
+      time("scoreAgainst over ckpt")({
+        val (m, t) = DsirQueries.modelOf(fckpt)
+        DsirQueries.scoreAgainst(fckpt, m, t).count()
+      })
+      spark.stop(); return
+    }
+    if (args.lift(1).contains("snapiso")) {
+      // isolated per-artifact build cost: width-1 pool is still
+      // concurrent-build code but one task at a time, so each task's
+      // elapsed is its own work (plus nothing) — the number in-pool
+      // attribution approximates badly when every task spans the wall
+      graft.util.SnapshotCache.clearAll()
+      graft.util.SnapshotBuild.all(spark, dir) // warm (codegen/classload)
+      graft.util.SnapshotCache.clearAll()
+      val d = graft.util.SnapshotBuild.all(spark, dir, parallelism = 1)
+      println("snapiso " + d.sortBy(-_._2)
+        .map { case (n, s) => f"$n=$s%.2f" }.mkString(", "))
+      println(f"snapiso total=${d.map(_._2).sum}%.2f s")
+      spark.stop(); return
+    }
     if (args.lift(1).contains("snaptags")) {
       // enumerate the snapshot-tag universe SnapshotBuild.all produces —
       // the fixed surface graft.plans.BuilderPlans sweeps (a new artifact
@@ -358,7 +396,7 @@ object Profile {
         val t0 = System.nanoTime()
         val d = graft.util.SnapshotBuild.all(spark, dir, p)
         println(f"snapbuild parallelism=$p%-3d wall=${(System.nanoTime() - t0) / 1e9}%6.2f s" +
-          s"  slowest=${d.maxBy(_._2)}")
+          s"  top5=${d.sortBy(-_._2).take(5).map { case (n, s) => f"$n=$s%.2f" }.mkString(",")}")
       }
       spark.stop(); return
     }
@@ -756,11 +794,15 @@ object Profile {
         .drop("copy")
         .write.mode("overwrite").parquet(s"$out/li/lineitem.parquet")
       // events x10 with VALUES salted per copy — the distinct-cents
-      // domain grows ~10x, the exact MAD gate's adversarial axis
+      // domain grows ~10x, the exact MAD gate's adversarial axis. Salt by
+      // a FULL CENT per copy (copy/100.0, the lineitem fixture's shape):
+      // copy/1000.0 was a tenth of a cent, which Exact.cents collapsed to
+      // ~2 distinct cent values per original — the probe under-exercised
+      // the very domain growth it exists to measure (ADVICE r14)
       Tables.events(spark, dir).crossJoin(spark.range(10).toDF("copy"))
         .withColumn("event_id", col("event_id") * 10 + col("copy"))
         .withColumn("user_id", col("user_id") * 10 + col("copy"))
-        .withColumn("value", col("value") + col("copy").cast("double") / 1000.0)
+        .withColumn("value", col("value") + col("copy").cast("double") / 100.0)
         .drop("copy")
         .write.mode("overwrite").parquet(s"$out/ev/events.parquet")
       def probe(label: String, d: String, names: Seq[String]): Unit =

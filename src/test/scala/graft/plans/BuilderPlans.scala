@@ -33,9 +33,9 @@ object BuilderPlans {
     "inc_doc_hashes", "inc_exact_hashes", "jaccard_pairs", "kmeans_assign",
     "kminhash_sketches", "knn_truth", "lm_scores", "lsh_bands",
     "minhash_sigs", "ppl_inc_model", "pq_codes", "pq_luts", "simhash_sigs",
-    "span_corpus_index", "span_islands")
+    "span_corpus_index", "span_islands", "wmedian_grain")
 
-  /** The snapshot tags those 28 builds capture (some builds materialize
+  /** The snapshot tags those builds capture (some builds materialize
     * more than one snapshot — the bpe chain, the paired incremental
     * indexes) — the exact plan surface the sweeps iterate. Restricting to
     * this set keeps the swept universe deterministic under any suite
@@ -49,7 +49,7 @@ object BuilderPlans {
     "jaccard", "kmeans_assign", "kminhash_sketches", "knn_truth",
     "lm_counts", "lm_scores", "lsh_bands", "minhash_sigs",
     "ppl_inc_counts", "ppl_inc_thresholds", "pq_codes", "pq_luts",
-    "simhash_sigs", "span-posts", "spans")
+    "simhash_sigs", "span-posts", "spans", "wmedian_grain")
 
   @volatile private var cached: Map[String, DataFrame] = null
 

@@ -43,7 +43,7 @@ class PlanDigestSpec extends SparkSpec {
   }
 
   test("every registered query's physical plan shape matches PLAN_DIGESTS.json") {
-    // the 33 snapshot-builder frames are fingerprinted alongside the
+    // the snapshot-builder frames are fingerprinted alongside the
     // queries (VERDICT r13 #2): a lost broadcast hint inside an artifact
     // build now shifts a committed digest exactly like one inside a
     // query. select("*") re-plans the captured frame under the spec conf;

@@ -57,7 +57,8 @@ class SnapshotBuildSpec extends SparkSpec {
     "dsir_inc_model" -> digest(graft.ext.text.DsirQueries.incModel(spark, sf)._1),
     "er_base_canon" -> digest(graft.ext.er.ErQueries.baseArtifacts(spark, sf)._3),
     "kmeans_assign" -> digest(graft.ext.sim.SimQueries.kmeansModel(spark, sf)
-      .select(col("vec_id"), col("nsq"), col("cl"))))
+      .select(col("vec_id"), col("nsq"), col("cl"))),
+    "wmedian_grain" -> digest(graft.batch.StatsQueries.wmedianGrain(spark, sf)))
 
   test("concurrent build produces the sequential build's artifacts, keys, and content") {
     SnapshotCache.clearAll()
@@ -85,6 +86,7 @@ class SnapshotBuildSpec extends SparkSpec {
     graft.ext.text.DsirQueries.incModel(spark, sf)
     graft.ext.er.ErQueries.baseArtifacts(spark, sf)
     graft.ext.sim.SimQueries.kmeansModel(spark, sf)
+    graft.batch.StatsQueries.wmedianGrain(spark, sf)
     val sequentialDigests = sample()
     assert(concurrentDigests == sequentialDigests,
       s"concurrent vs sequential artifact content diverged:\n" +
@@ -101,7 +103,8 @@ class SnapshotBuildSpec extends SparkSpec {
       "dsir_weights", "cm_counters",
       "lsh_bands", "knn_truth", "align_truth", "pq_codes", "pq_luts",
       "doc_tokens", "minhash_sigs", "simhash_sigs", "kminhash_sketches",
-      "ppl_inc_model", "dsir_inc_model", "er_base_canon", "kmeans_assign"))
+      "ppl_inc_model", "dsir_inc_model", "er_base_canon", "kmeans_assign",
+      "wmedian_grain"))
     // every build actually ran under the clock (no zero-cost phantom)
     assert(concurrent.forall(_._2 >= 0.0))
     SnapshotCache.clearAll()
