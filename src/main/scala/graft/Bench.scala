@@ -44,7 +44,11 @@ object Bench {
     s"""{"probe_load":${BigDecimal(l).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bound":$bound,"waits":$waits,"in_policy":$ok}"""
   }
 
-  private def standaloneStreamProbe(cpus: String): String =
+  /** Fork one StreamBench child (CLI `mode`, empty = the flagship
+    * pipeline probe) and lift the `detail` object off its `metric` record
+    * line. */
+  private def standaloneStreamProbe(cpus: String, mode: Seq[String] = Nil,
+                                    metric: String = "stream_rows_per_sec"): String =
     try {
       import scala.jdk.CollectionConverters._
       val javaBin = java.nio.file.Paths
@@ -53,7 +57,7 @@ object Bench {
         .getRuntimeMXBean.getInputArguments.asScala.toSeq
         .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xrunjdwp"))
       val cmd = Seq(javaBin) ++ jvmArgs ++
-        Seq("-cp", sys.props("java.class.path"), "graft.stream.StreamBench")
+        Seq("-cp", sys.props("java.class.path"), "graft.stream.StreamBench") ++ mode
       val pb = new ProcessBuilder(cmd.asJava)
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
       // child stderr (Spark logs) joins ours; stdout is read for the record
@@ -64,7 +68,7 @@ object Bench {
         p.destroyForcibly(); "null"
       } else {
         out.linesIterator
-          .find(_.contains("\"metric\":\"stream_rows_per_sec\""))
+          .find(_.contains(s""""metric":"$metric""""))
           .flatMap { line =>
             val k = line.indexOf("\"detail\":")
             // the detail object runs to the record's closing brace
@@ -111,8 +115,17 @@ object Bench {
       "\"rows_per_sec\":(\\d+)".r.findFirstMatchIn(detail)
         .map(_.group(1).toLong).getOrElse(-1L)
     val streamStandalone = standaloneRuns.maxBy(rps)
+    // stream-stream attribution join (VERDICT r14 #3): same gate window,
+    // same fork + best-of-3 policy — the join family's first measured
+    // number (rows/s, watermark-gated outer emissions, and a state_curve
+    // that must plateau: the eviction proof StreamJoinSpec makes, with a
+    // number)
+    val joinRuns = (1 to 3).map(_ =>
+      standaloneStreamProbe(cpus, Seq("join"), "stream_join_rows_per_sec"))
+    val joinStandalone = joinRuns.maxBy(rps)
     val gateFull = gate.dropRight(1) +
-      s""","readings":${standaloneRuns.map(rps).mkString("[", ",", "]")}}"""
+      s""","readings":${standaloneRuns.map(rps).mkString("[", ",", "]")}""" +
+      s""","join_readings":${joinRuns.map(rps).mkString("[", ",", "]")}}"""
     // Steady-state methodology: one untimed warm pass over every query
     // (JIT + whole-stage-codegen compilation + parquet footers), then the
     // timed pass in fixed name order. Wide plans cost seconds of one-time
@@ -124,9 +137,6 @@ object Bench {
     // DuckDB gate by design, not the clock. Without them the BASELINE.md
     // contract query q_approx_distinct had no bench row since round 6.
     val ordered = (SparkEntry.queries ++ SparkEntry.specOnly).toSeq.sortBy(_._1)
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
     // Each timed pass: reset the suite-scoped pair snapshots and time the
     // rebuild as ONE attributable pseudo-entry so the shared
     // scan→shingle→posting pipeline cost is under the clock instead of
@@ -135,10 +145,12 @@ object Bench {
     // snapshot is a persisted artifact built once per corpus version.
     // buildSnapshots also returns per-artifact seconds so a regression in
     // one index is attributable without bisecting the aggregate.
-    def timedPass(): (Seq[(String, Double)], Seq[(String, Double)]) = {
+    // `names` restricts the pass to a query subset (the contract section);
+    // null = every registered query.
+    def timedPass(names: Set[String] = null): (Seq[(String, Double)], Seq[(String, Double)]) = {
       graft.ext.dedup.DedupQueries.clearSnapshots()
       val snapT0 = System.nanoTime()
-      // r13 (VERDICT r12 #3): the 16 artifacts build CONCURRENTLY — they
+      // r13 (VERDICT r12 #3): the artifacts build CONCURRENTLY — they
       // are independent (the tokenizer→tokenized-corpus chain stays
       // sequential inside its task), and a single artifact's stages left
       // most of local[32] idle. Same artifacts, cache keys, and
@@ -148,7 +160,9 @@ object Bench {
         try { val d = graft.util.SnapshotBuild.all(spark, sfDir)
               ((System.nanoTime() - snapT0) / 1e9, d) }
         catch { case _: Throwable => (-1.0, Seq.empty[(String, Double)]) }
-      val entries = ("snapshot_build" -> snapSecs) +: ordered.map { case (name, fn) =>
+      val subset =
+        if (names == null) ordered else ordered.filter(e => names(e._1))
+      val entries = ("snapshot_build" -> snapSecs) +: subset.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // a failed query reports -1.0, not its (meaningless) elapsed time —
         // otherwise a plan-time exception would masquerade as a fast success
@@ -158,6 +172,44 @@ object Bench {
         name -> secs
       }
       (entries, snapDetail)
+    }
+    // --- Gated contract record (VERDICT r14 #1: the stream probe's
+    // gate + best-of discipline, applied to the OTHER headline number).
+    // The 40-query BASELINE.md contract subset runs FIRST — before the
+    // full suite has fragmented the heap — as a load-gated, probe-first,
+    // best-of-3 section: wait for a quiet host (the forks above load the
+    // box; the gate absorbs their decay), one untimed warm pass, then
+    // three timed passes with the per-query minimum as the committed
+    // reading. The gate object (probe load, waits, in_policy, per-pass
+    // totals) makes the record self-interpreting — a contended reading
+    // carries its own evidence instead of a footnote.
+    val contractNames: Set[String] = Set(
+      "curate_pipeline", "dedup_embedding", "dedup_exact", "dedup_minhash",
+      "dedup_ngram_capped", "dedup_ngram_jaccard", "dedup_simhash",
+      "dedup_simhash_pairs", "knn_brute", "knn_ivf", "mm_meta", "pack_shards",
+      "q12_late_lines", "q14_promo_share", "q1_pricing", "q3_top_orders",
+      "q5_nation_revenue", "q6_forecast", "q9_profit", "q_approx_distinct",
+      "q_clean", "q_daily_rank", "q_dedup", "q_enrich", "q_inactive_custs",
+      "q_orders_histogram", "q_percentiles", "q_pivot_pricing",
+      "q_premium_rollup", "q_rollup_pricing", "q_sessionize",
+      "q_top_suppliers", "q_topk_per_nation", "q_user_cohorts",
+      "q_window_agg", "sample_split", "text_fingerprint", "text_langid",
+      "text_quality", "text_tokens", "snapshot_build")
+    val contractGateObj = waitForQuietHost()
+    timedPass(contractNames) // untimed warm (codegen + parquet footers)
+    val contractPasses = (1 to 3).map(_ => timedPass(contractNames)._1)
+    val contractBest: Seq[(String, Double)] = contractPasses.head.map(_._1).map { name =>
+      val samples = contractPasses.flatMap(_.collectFirst {
+        case (`name`, s) if s >= 0 => s })
+      name -> (if (samples.isEmpty) -1.0 else samples.min)
+    }
+    val contractReadings = contractPasses.map(p =>
+      p.collect { case (_, s) if s >= 0 => s }.sum)
+    // warm the REST of the suite (the contract section warmed its 40)
+    // before the full timed passes
+    ordered.foreach { case (name, fn) =>
+      if (!contractNames(name))
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // TWO timed passes, per-query minimum (the round-2 best-of-two
     // methodology): run-to-run noise on this machine is ±15% with rare
@@ -225,7 +277,7 @@ object Bench {
     // band on is the STANDALONE best-of-3 taken at the TOP of this main
     // (fresh child JVMs on a pre-suite host — r14); the in-bench reading
     // stays for continuity and as the contention canary.
-    val stream = s"""{"in_bench":$streamInBench,"standalone":$streamStandalone,"standalone_gate":$gateFull}"""
+    val stream = s"""{"in_bench":$streamInBench,"standalone":$streamStandalone,"join":$joinStandalone,"standalone_gate":$gateFull}"""
     // r13 (VERDICT r12 #8): driver-vs-builder totals on the identical tree
     // differed 14% with no code change — record the host pressure so the
     // next verdict can separate plan movement from machine contention.
@@ -240,7 +292,17 @@ object Bench {
         } catch { case _: Throwable => -1L }
       s"""{"avg1":${fmt(math.max(avg, -1.0))},"procs":$procs,"cores":${Runtime.getRuntime.availableProcessors}}"""
     }
-    val record = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"flaky":$flaky,"stream":$stream,"load":$load,"snapshot_detail":$snapDetail,"queries":$qs,"sf":"$sfDir"}"""
+    // The GATED contract object: per-query best-of-3 under the load gate,
+    // the three pass totals, and the gate verdict. This is the number
+    // BASELINE.md's 40-query contract band pins from round 15 on; the
+    // full-suite `queries` map (min-of-2, ungated) stays for continuity
+    // and per-query archaeology.
+    val contractQs = contractBest.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val contractTotal = contractBest.collect { case (_, s) if s >= 0 => s }.sum
+    val contract =
+      s"""{"total":${fmt(contractTotal)},"readings":${contractReadings.map(fmt).mkString("[", ",", "]")},"gate":$contractGateObj,"queries":$contractQs}"""
+    val record = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"flaky":$flaky,"contract":$contract,"stream":$stream,"load":$load,"snapshot_detail":$snapDetail,"queries":$qs,"sf":"$sfDir"}"""
     // Full 167-entry record → per-run scratch target/bench_full.json (and
     // the committed BENCH_LOCAL.json below at the artifact's scale).
     try {
@@ -273,21 +335,9 @@ object Bench {
     // queries) in ~1.5 KB, guaranteed inside any tail window; the full
     // 167-entry record is committed in BENCH_LOCAL.json (and per-run in
     // target/bench_full.json).
-    val headline: Set[String] = Set(
-      "curate_pipeline", "dedup_embedding", "dedup_exact", "dedup_minhash",
-      "dedup_ngram_capped", "dedup_ngram_jaccard", "dedup_simhash",
-      "dedup_simhash_pairs", "knn_brute", "knn_ivf", "mm_meta", "pack_shards",
-      "q12_late_lines", "q14_promo_share", "q1_pricing", "q3_top_orders",
-      "q5_nation_revenue", "q6_forecast", "q9_profit", "q_approx_distinct",
-      "q_clean", "q_daily_rank", "q_dedup", "q_enrich", "q_inactive_custs",
-      "q_orders_histogram", "q_percentiles", "q_pivot_pricing",
-      "q_premium_rollup", "q_rollup_pricing", "q_sessionize",
-      "q_top_suppliers", "q_topk_per_nation", "q_user_cohorts",
-      "q_window_agg", "sample_split", "text_fingerprint", "text_langid",
-      "text_quality", "text_tokens", "snapshot_build")
-    val qsCompact = results.collect { case (k, v) if headline(k) =>
+    val qsCompact = results.collect { case (k, v) if contractNames(k) =>
       s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"flaky":$flaky,"stream":$stream,"load":$load,"queries":$qsCompact,"full_record":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"flaky":$flaky,"contract":$contract,"stream":$stream,"load":$load,"queries":$qsCompact,"full_record":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     // TWO fixed paths for the compact record: tools/bench.sh emits
     // bench_last.json as its one stdout line; bench_compact.json is the
     // driver-facing artifact (VERDICT r11 ask #5 — BENCH_r11 still had

@@ -841,6 +841,11 @@ object CurateQueries {
   /** Percent of corpus documents on the synthetic deletion list — at
     * deployment, the actual RTBF request list (q_forget's convention). */
   val ForgetPct = 5L
+  /** Ceiling on one forget batch's request list: deletion requests are
+    * human-initiated and arrive through a rate-limited API, so a batch is
+    * operationally bounded — the boundedCollect gate pins that assumption
+    * (a corpus-scale "deletion" should be a rebuild, not a literal). */
+  val MaxForgetBatch = 100000
 
   /** The deterministic deletion list: corpus docs (never the incoming
     * batch — you can't forget what isn't indexed yet) whose salted hash
@@ -848,11 +853,14 @@ object CurateQueries {
     * deletion list is human-initiated and bounded, and the posting-list
     * rewrite needs it as a literal ([[DedupQueries.indexForget]]). */
   private def forgetList(spark: SparkSession, dir: String): Seq[Long] =
-    Tables.documents(spark, dir)
-      .filter(col("source") =!= DedupQueries.IncomingSource)
-      .filter(pmod(Exact.md5Long(concat(lit("forget|"), col("doc_id"))),
-        lit(100L)) < ForgetPct)
-      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    graft.util.Bounded.boundedCollect(
+      Tables.documents(spark, dir)
+        .filter(col("source") =!= DedupQueries.IncomingSource)
+        .filter(pmod(Exact.md5Long(concat(lit("forget|"), col("doc_id"))),
+          lit(100L)) < ForgetPct)
+        .select(col("doc_id")),
+      MaxForgetBatch, "right-to-be-forgotten request list")
+      .map(_.getLong(0)).toSeq
 
   /** The index-forget GATE query — [[qIndexAppend]]'s inverse lifecycle
     * step: the posting table AFTER deleting the request list from the

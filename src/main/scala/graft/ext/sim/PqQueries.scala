@@ -39,8 +39,9 @@ object PqQueries {
     * test. Indexed [m][j][dim-within-subspace]; dimension-sized driver
     * state, like the k-means centroid literals. */
   private def codebook(spark: SparkSession, dir: String): Array[Array[Array[Long]]] = {
-    val seed = quantized(spark, dir).select(col("vec_id"), col("v"))
-      .orderBy(col("vec_id")).limit(PqK).collect()
+    val seed = graft.util.Bounded.boundedCollect(
+      quantized(spark, dir).select(col("vec_id"), col("v"))
+        .orderBy(col("vec_id")).limit(PqK), PqK, "pq codebook seed")
       .map(r => r.getSeq[Long](1).toArray)
     Array.tabulate(M)(m => seed.map(v => v.slice(m * SubDim, (m + 1) * SubDim)))
   }

@@ -250,6 +250,11 @@ object SimQueries {
     * movement threshold; a FIXED count keeps the result a pure function
     * of the input, which is what the determinism/oracle gates require. */
   val KmeansIters = 3
+  /** Declared ceiling on driver-held cell models (per-label drift
+    * centroids): cell counts are index CONFIG (an IVF list count, a
+    * label vocabulary), never data-grain — the boundedCollect gate that
+    * makes the convention mechanical. */
+  val MaxDriverCells = 4096
 
   /** Distributed k-means (Lloyd's) over the quantized embeddings — the
     * training job that produces [[qKnnIvf]]'s cells (the fixture `label`
@@ -297,8 +302,8 @@ object SimQueries {
       : (DataFrame, DataFrame, Array[(Long, Array[Long])]) = {
     val data = quantized(spark, dir).select(col("vec_id"), col("v"), col("nsq"))
       .localCheckpoint() // iterations re-scan this; never re-quantize
-    var cents: Array[(Long, Array[Long])] = data
-      .orderBy(col("vec_id")).limit(KmeansK).collect()
+    var cents: Array[(Long, Array[Long])] = graft.util.Bounded.boundedCollect(
+      data.orderBy(col("vec_id")).limit(KmeansK), KmeansK, "kmeans seed")
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     var assigned: DataFrame = null
     for (_ <- 1 to KmeansIters) {
@@ -311,15 +316,16 @@ object SimQueries {
   /** The Lloyd centroid-update step: floor-mean per (cell, dim) over an
     * assignment frame, collected as the driver-held K×dim model. */
   private def updateCents(assigned: DataFrame): Array[(Long, Array[Long])] =
-    assigned
-      .select(col("cl"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col("cl"), col("i"))
-      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-      .withColumn("c", floor(col("s").cast("double") / col("n")).cast("long"))
-      .groupBy(col("cl"))
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
-        t => t.getField("c")).as("c"))
-      .collect()
+    graft.util.Bounded.boundedCollect(
+      assigned
+        .select(col("cl"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cl"), col("i"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .withColumn("c", floor(col("s").cast("double") / col("n")).cast("long"))
+        .groupBy(col("cl"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          t => t.getField("c")).as("c")),
+      KmeansK, "kmeans centroid update")
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
 
@@ -482,16 +488,17 @@ object SimQueries {
   def qEmbDrift(spark: SparkSession, dir: String): DataFrame = {
     val stride = DedupQueries.IncomingVecStride
     val isInc = (col("vec_id") % stride === 0).cast("long")
-    val cents: Array[(Long, Array[Long])] = quantized(spark, dir)
-      .filter(col("vec_id") % stride =!= 0)
-      .select(col("label").cast("long").as("cl"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col("cl"), col("i"))
-      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-      .withColumn("c", floor(col("s").cast("double") / col("n")).cast("long"))
-      .groupBy(col("cl"))
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
-        t => t.getField("c")).as("c"))
-      .collect()
+    val cents: Array[(Long, Array[Long])] = graft.util.Bounded.boundedCollect(
+      quantized(spark, dir)
+        .filter(col("vec_id") % stride =!= 0)
+        .select(col("label").cast("long").as("cl"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cl"), col("i"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .withColumn("c", floor(col("s").cast("double") / col("n")).cast("long"))
+        .groupBy(col("cl"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          t => t.getField("c")).as("c")),
+      MaxDriverCells, "frozen drift cells (per-label centroids)")
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
     val census = quantized(spark, dir)
@@ -599,12 +606,14 @@ object SimQueries {
       val dotCol = (0 until Dim)
         .map(i => element_at(col("v"), i + 1) * lit(vec(i)))
         .reduce(_ + _)
-      val w = a.withColumn("dot", dotCol)
-        .select(col("dot"), posexplode(col("v")).as(Seq("i0", "x")))
-        .groupBy(col("i0").cast("long").as("i0"))
-        .agg(sum(floor(col("dot") / lit(1000.0)) *
-          floor(col("x") / lit(1000.0))).as("w"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val w = graft.util.Bounded.boundedCollect(
+        a.withColumn("dot", dotCol)
+          .select(col("dot"), posexplode(col("v")).as(Seq("i0", "x")))
+          .groupBy(col("i0").cast("long").as("i0"))
+          .agg(sum(floor(col("dot") / lit(1000.0)) *
+            floor(col("x") / lit(1000.0))).as("w")),
+        Dim, "power-iteration weight vector")
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
       val wArr = (0 until Dim).map(i => w.getOrElse(i.toLong, 0L)).toArray
       val m = math.max(wArr.map(math.abs).max, 1L)
       vec = wArr.map(x => x * PowerVScale / m)

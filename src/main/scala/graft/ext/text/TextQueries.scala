@@ -562,11 +562,12 @@ object TextQueries {
     var round = 1
     var exhausted = false
     while (round <= BpeMerges && !exhausted) {
-      val best = bpePairFrame(vocab)
-        .groupBy(col("l"), col("r"))
-        .agg(sum(col("freq")).as("c"))
-        .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1).collect()
+      val best = graft.util.Bounded.boundedCollect(
+        bpePairFrame(vocab)
+          .groupBy(col("l"), col("r"))
+          .agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1), 1, "bpe best pair")
       if (best.isEmpty) exhausted = true
       else {
         val (bl, br, bc) = (best.head.getString(0), best.head.getString(1),

@@ -2,6 +2,7 @@ package graft.stream
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 /**
@@ -186,6 +187,113 @@ object StreamBench extends Serializable {
     Result(total / elapsed, total, math.rint(elapsed * 1000) / 1000, batches, stateRows, outRows)
   }
 
+  final case class JoinResult(rowsPerSec: Double, rows: Long,
+      elapsedSec: Double, batches: Long, stateRows: Long, innerRows: Long,
+      outerRows: Long, stateCurve: Seq[Long]) {
+    def json: String =
+      s"""{"rows_per_sec":${rowsPerSec.round},"rows":$rows,""" +
+        s""""elapsed_sec":$elapsedSec,"batches":$batches,""" +
+        s""""state_rows":$stateRows,"inner_rows":$innerRows,""" +
+        s""""outer_rows":$outerRows,""" +
+        s""""state_curve":${stateCurve.mkString("[", ",", "]")}}"""
+  }
+
+  /** Stream-stream attribution-join probe (VERDICT r14 #3): drive
+    * [[StreamJoin.attributionOuter]] — the left-outer, range-bounded,
+    * dual-watermark join — from two MemoryStreams and measure rows/second
+    * through the join plus the state story the spec proves
+    * (StreamJoinSpec:92), now with numbers: `state_curve` is the
+    * state-store row total after each micro-batch and must PLATEAU (the
+    * range condition + watermarks evict clicks older than the purchase
+    * watermark − window, so steady state holds ~2 batches of rows, not
+    * the whole history), and `outer_rows` counts the watermark-gated
+    * null emissions.
+    *
+    * Fixture shape (deterministic): user space sized so one user's
+    * consecutive clicks sit 2400 s apart — OUTSIDE the 1800 s attribution
+    * window — and every third click gets a purchase 60 s later, so each
+    * purchase matches EXACTLY its own click: inner = ⌈clicks/3⌉, outer =
+    * the rest, pinned. Each batch spans 1200 s of event time, so the
+    * watermark (600 s delay) proves "no match" for a click ~2 batches
+    * after it arrives — outer rows trail by design, and two sentinel
+    * rows (user_id −1/−2, never matching anything) push both watermarks
+    * past the last real close AFTER the clock stops, flushing the tail. */
+  def probeJoin(spark: SparkSession, nClicks: Long = 120000L,
+                nBatches: Int = 12): JoinResult = {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", ProbePartitions)
+    try probeJoinPinned(spark, nClicks, nBatches)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Users per click-index cycle: cycle length × per-click spacing must
+    * exceed [[StreamJoin.WindowSeconds]] so a user's previous click can
+    * never steal a purchase (see [[probeJoin]]'s exact-match argument). */
+  private val JoinUsers = 20000L
+
+  private def probeJoinPinned(spark: SparkSession, nClicks: Long,
+                              nBatches: Int): JoinResult = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val t0ms = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val perBatch = (nClicks / nBatches).toInt
+    val batchSpanMs = 1200000.0 // 1200 s of event time per batch
+    val msPerClick = batchSpanMs / perBatch
+    def clickTsMs(i: Long): Long = t0ms + (i * msPerClick).toLong
+    // executor-side row build from pre-generated indices (the task-binary
+    // discipline shared by every probe in this file)
+    def click(i: Long) = (i % JoinUsers + 1L, s"c_$i",
+      new java.sql.Timestamp(clickTsMs(i)))
+    def purchase(i: Long) = (i % JoinUsers + 1L, s"p_$i",
+      new java.sql.Timestamp(clickTsMs(i) + 60000L), (i % 9973) / 100.0)
+    val chunks: IndexedSeq[IndexedSeq[Long]] =
+      (0 until nBatches).map(b =>
+        (0 until perBatch).map(j => b.toLong * perBatch + j))
+    val clicks = MemoryStream[Long](ProbePartitions.toInt)
+    val purchases = MemoryStream[Long](ProbePartitions.toInt)
+    val out = StreamJoin.attributionOuter(
+      clicks.toDS().map(click).toDF("user_id", "click_id", "click_ts"),
+      purchases.toDS().map(purchase)
+        .toDF("user_id", "purchase_id", "purchase_ts", "amount"))
+    val name = s"stream_join_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append")
+      .trigger(Trigger.ProcessingTime(0L))
+      .format("memory").queryName(name).start()
+    val clock0 = System.nanoTime()
+    var nPurchases = 0L
+    val stateCurve = chunks.map { c =>
+      clicks.addData(c: _*)
+      val p = c.filter(_ % 3 == 0)
+      nPurchases += p.size
+      purchases.addData(p: _*)
+      q.processAllAvailable()
+      Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    }
+    val elapsed = (System.nanoTime() - clock0) / 1e9
+    // tail flush OUTSIDE the clock: one far-future index on each stream
+    // advances both watermarks past the last real click's close
+    // (click_ts + window + delay), so every real click's verdict — match
+    // or provably-none — has emitted and the counts below are the full
+    // deterministic answer. The sentinel pair matches only itself and is
+    // excluded from the counts.
+    val farIdx = nClicks +
+      ((StreamJoin.WindowSeconds + 2L * StreamJoin.DelaySeconds + 3600L) *
+        1000L / msPerClick).toLong
+    clicks.addData(farIdx); purchases.addData(farIdx)
+    q.processAllAvailable()
+    val stateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    val result = spark.table(name).where(col("click_id") =!= s"c_$farIdx")
+    val innerRows = result.where(col("purchase_id").isNotNull).count()
+    val outerRows = result.where(col("purchase_id").isNull).count()
+    q.stop()
+    spark.sql(s"DROP VIEW IF EXISTS $name")
+    val total = nClicks + nPurchases
+    JoinResult(total / elapsed, total, math.rint(elapsed * 1000) / 1000,
+      chunks.size.toLong, stateRows, innerRows, outerRows, stateCurve.toSeq)
+  }
+
   final case class LargeStateResult(rowsPerSec: Double, rows: Long,
       elapsedSec: Double, stateRows: Long, outRows: Long, memBudgetMb: Int,
       sstMb: Long, changelog: Boolean, batchRps: Seq[Long]) {
@@ -304,7 +412,9 @@ object StreamBench extends Serializable {
   /** Standalone CLI: prints the one-line JSON record. Env overrides:
     * SPARK_GRAFT_STREAM_EVENTS, SPARK_GRAFT_STREAM_BATCHES, SPARK_GRAFT_CPUS.
     * With arg `large`, runs [[probeLargeState]] instead (the beyond-memory
-    * RocksDB record; SPARK_GRAFT_STREAM_BUDGET_MB overrides the budget). */
+    * RocksDB record; SPARK_GRAFT_STREAM_BUDGET_MB overrides the budget);
+    * with arg `join`, the stream-stream attribution-join probe
+    * [[probeJoin]]; with arg `mv`, the MV-fold probe [[probeMvFold]]. */
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -323,6 +433,15 @@ object StreamBench extends Serializable {
       probeMvFold(spark, n / 10, math.max(b / 5, 2)) // untimed warm pass
       val r = probeMvFold(spark, n, b)
       println(s"""{"metric":"stream_mv_fold_rows_per_sec","value":${r.rowsPerSec.round},"unit":"rows/sec","detail":${r.json}}""")
+      spark.stop(); return
+    }
+    if (args.headOption.contains("join")) {
+      val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "120000").toLong
+      val b = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "12").toInt
+      // untimed warm pass (codegen for the join plan), then the record
+      probeJoin(spark, n / 4, math.max(b / 4, 2))
+      val r = probeJoin(spark, n, b)
+      println(s"""{"metric":"stream_join_rows_per_sec","value":${r.rowsPerSec.round},"unit":"rows/sec","detail":${r.json}}""")
       spark.stop(); return
     }
     if (args.headOption.contains("large")) {

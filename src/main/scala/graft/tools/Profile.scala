@@ -8,6 +8,46 @@ import graft.sources.Tables
 
 /** Scratch profiler for stage-level timings (dev tool). */
 object Profile {
+
+  /** The scale14 10× fixture family (shared by the `scale14` probe and
+    * the `scalepin` regression gate): documents ×10 content-salted (near
+    * -dup structure replicated per copy, no cross-copy dup mass),
+    * lineitem ×10 with prices perturbed one cent per copy, events ×10
+    * with values salted one cent per copy (distinct-cents domain ×10 —
+    * ADVICE r14's corrected axis). Returns (docsDir, liDir, evDir). */
+  private def scale14Fixtures(spark: SparkSession, dir: String,
+                              out: String): (String, String, String) = {
+    def salted = when(col("copy") === 0, col("text")).otherwise(
+      concat_ws(" ", transform(split(col("text"), " "),
+        t => concat(t, lit("c"), col("copy").cast("string")))))
+    Tables.documents(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+      .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
+        salted.as("text"), col("lang"), col("source"),
+        length(salted).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/docs/documents.parquet")
+    Tables.lineitem(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+      .withColumn("l_orderkey", col("l_orderkey") * 10 + col("copy"))
+      .withColumn("l_extendedprice",
+        col("l_extendedprice") + col("copy").cast("double") / 100.0)
+      .drop("copy")
+      .write.mode("overwrite").parquet(s"$out/li/lineitem.parquet")
+    Tables.events(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+      .withColumn("event_id", col("event_id") * 10 + col("copy"))
+      .withColumn("user_id", col("user_id") * 10 + col("copy"))
+      .withColumn("value", col("value") + col("copy").cast("double") / 100.0)
+      .drop("copy")
+      .write.mode("overwrite").parquet(s"$out/ev/events.parquet")
+    (s"$out/docs", s"$out/li", s"$out/ev")
+  }
+
+  /** The headline probe pairs the `scalepin` gate re-measures: query →
+    * the scale14 fixture (docs/li/ev) its 10× axis lives on. */
+  private val PinProbes: Seq[(String, String)] = Seq(
+    "mm_meta" -> "docs", "mm_features" -> "docs", "mm_frames" -> "docs",
+    "mm_dedup" -> "docs", "mm_frames_dedup" -> "docs",
+    "q_weighted_median" -> "li", "q_weighted_median_bucketed" -> "li",
+    "q_mad_outliers" -> "ev", "q_mad_outliers_approx" -> "ev")
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
@@ -778,48 +818,89 @@ object Profile {
       // bucketed weighted median; events x10 value-salted for the
       // approx MAD gate) so SCALING.md's swap claim is measured, not
       // asserted.
-      val out = "/tmp/graft_scale14"
-      def salted = when(col("copy") === 0, col("text")).otherwise(
-        concat_ws(" ", transform(split(col("text"), " "),
-          t => concat(t, lit("c"), col("copy").cast("string")))))
-      Tables.documents(spark, dir).crossJoin(spark.range(10).toDF("copy"))
-        .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
-          salted.as("text"), col("lang"), col("source"),
-          length(salted).cast("long").as("n_chars"))
-        .write.mode("overwrite").parquet(s"$out/docs/documents.parquet")
-      Tables.lineitem(spark, dir).crossJoin(spark.range(10).toDF("copy"))
-        .withColumn("l_orderkey", col("l_orderkey") * 10 + col("copy"))
-        .withColumn("l_extendedprice",
-          col("l_extendedprice") + col("copy").cast("double") / 100.0)
-        .drop("copy")
-        .write.mode("overwrite").parquet(s"$out/li/lineitem.parquet")
-      // events x10 with VALUES salted per copy — the distinct-cents
-      // domain grows ~10x, the exact MAD gate's adversarial axis. Salt by
-      // a FULL CENT per copy (copy/100.0, the lineitem fixture's shape):
-      // copy/1000.0 was a tenth of a cent, which Exact.cents collapsed to
-      // ~2 distinct cent values per original — the probe under-exercised
-      // the very domain growth it exists to measure (ADVICE r14)
-      Tables.events(spark, dir).crossJoin(spark.range(10).toDF("copy"))
-        .withColumn("event_id", col("event_id") * 10 + col("copy"))
-        .withColumn("user_id", col("user_id") * 10 + col("copy"))
-        .withColumn("value", col("value") + col("copy").cast("double") / 100.0)
-        .drop("copy")
-        .write.mode("overwrite").parquet(s"$out/ev/events.parquet")
+      val (docsDir, liDir, evDir) =
+        scale14Fixtures(spark, dir, "/tmp/graft_scale14")
       def probe(label: String, d: String, names: Seq[String]): Unit =
         names.foreach { name =>
           val fn = (graft.SparkEntry.queries ++ graft.SparkEntry.specOnly)(name)
           fn(spark, d).count() // warm (plan + codegen)
           time(s"$name @ $label")(fn(spark, d).count())
         }
-      for ((label, d) <- Seq("base" -> dir, "docs_x10" -> s"$out/docs")) {
+      for ((label, d) <- Seq("base" -> dir, "docs_x10" -> docsDir)) {
         graft.util.SnapshotCache.clearAll()
         probe(label, d, Seq("mm_meta", "mm_features", "mm_frames",
           "mm_dedup", "mm_frames_dedup"))
       }
-      for ((label, d) <- Seq("base" -> dir, "li_x10" -> s"$out/li"))
+      for ((label, d) <- Seq("base" -> dir, "li_x10" -> liDir))
         probe(label, d, Seq("q_weighted_median", "q_weighted_median_bucketed"))
-      for ((label, d) <- Seq("base" -> dir, "ev_x10" -> s"$out/ev"))
+      for ((label, d) <- Seq("base" -> dir, "ev_x10" -> evDir))
         probe(label, d, Seq("q_mad_outliers", "q_mad_outliers_approx"))
+      spark.stop(); return
+    }
+    if (args.lift(1).contains("scalepin")) {
+      // Mechanized 10x-curve regression gate (VERDICT r14 #5): SCALING.md's
+      // scale tables were prose a plan change could silently invalidate.
+      // This mode re-measures the headline probe pairs on the scale14
+      // fixtures and compares each query's GROWTH RATIO (x10 sec / base
+      // sec) against the committed SCALING_PINS.json; a ratio degraded by
+      // more than [[PinSlack]] fails with a diff (exit 2). Regenerate the
+      // pin file after an INTENDED plan change:
+      //   sbt 'runMain graft.tools.Profile <sf0.1> scalepin record'
+      // Per-reading noise policy: best-of-2 timed runs per point (the
+      // bench minimum methodology), warm pass first.
+      val PinSlack = 1.5
+      val pinPath = java.nio.file.Paths.get("SCALING_PINS.json")
+      val (docsDir, liDir, evDir) =
+        scale14Fixtures(spark, dir, "/tmp/graft_scalepin")
+      val fixtureDir = Map("docs" -> docsDir, "li" -> liDir, "ev" -> evDir)
+      def measure(name: String, d: String): Double = {
+        val fn = (graft.SparkEntry.queries ++ graft.SparkEntry.specOnly)(name)
+        fn(spark, d).count() // warm (plan + codegen + snapshot build)
+        val samples = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); fn(spark, d).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        samples.min
+      }
+      val measured: Seq[(String, (Double, Double, Double))] =
+        PinProbes.map { case (name, fx) =>
+          graft.util.SnapshotCache.clearAll()
+          val base = measure(name, dir)
+          graft.util.SnapshotCache.clearAll()
+          val x10 = measure(name, fixtureDir(fx))
+          val growth = if (base > 0) x10 / base else -1.0
+          println(f"scalepin $name%-28s base=$base%6.2f s  x10=$x10%6.2f s  growth=$growth%5.2fx")
+          name -> (base, x10, growth)
+        }
+      def fmt(v: Double) = f"$v%.3f"
+      if (args.lift(2).contains("record")) {
+        val body = measured.map { case (n, (b, x, g)) =>
+          s"""  "$n": {"base_sec": ${fmt(b)}, "x10_sec": ${fmt(x)}, "growth": ${fmt(g)}}"""
+        }.mkString("{\n", ",\n", "\n}\n")
+        java.nio.file.Files.write(pinPath, body.getBytes("UTF-8"))
+        println(s"scalepin recorded ${measured.size} pins -> $pinPath")
+      } else {
+        require(java.nio.file.Files.exists(pinPath),
+          s"missing $pinPath — record it first: Profile <dir> scalepin record")
+        val Entry = """^\s*"([^"]+)":\s*\{[^}]*"growth":\s*([0-9.]+)\}.*$""".r
+        val pins = new String(java.nio.file.Files.readAllBytes(pinPath), "UTF-8")
+          .linesIterator.collect { case Entry(k, g) => k -> g.toDouble }.toMap
+        val missing = PinProbes.map(_._1).filterNot(pins.contains)
+        val degraded = measured.collect {
+          case (n, (_, _, g)) if pins.get(n).exists(p => g > p * PinSlack) =>
+            f"$n: growth $g%.2fx vs pinned ${pins(n)}%.2fx (slack ${PinSlack}x)"
+        }
+        if (missing.nonEmpty)
+          println(s"scalepin MISSING pins (re-record): ${missing.mkString(", ")}")
+        if (degraded.nonEmpty) {
+          println("scalepin DEGRADED growth ratios — a plan change hurt the " +
+            "10x curve; fix it or re-record the pin with the regression " +
+            "explained in SCALING.md:\n  " + degraded.mkString("\n  "))
+          spark.stop(); sys.exit(2)
+        }
+        println(s"scalepin OK: ${measured.size} growth ratios within " +
+          s"${PinSlack}x of SCALING_PINS.json")
+      }
       spark.stop(); return
     }
     if (args.lift(1).contains("scale10d")) {

@@ -122,6 +122,25 @@ class StreamJoinSpec extends SparkSpec {
     q.stop()
   }
 
+  test("join probe: pinned inner/outer counts, state curve plateaus and drains") {
+    // the bench probe's semantics gate at fixture size: every third click
+    // converts (exactly its own purchase — users spaced past the window),
+    // so inner = clicks/3 and outer = the rest once the sentinel flushes
+    // the tail; the state curve must PLATEAU (eviction) rather than grow
+    // with the stream, and end-state holds only the sentinel pair
+    val r = StreamBench.probeJoin(spark, nClicks = 2400L, nBatches = 6)
+    assert(r.innerRows == 800 && r.outerRows == 1600,
+      s"inner=${r.innerRows} outer=${r.outerRows}")
+    assert(r.batches == 6 && r.rows == 2400 + 800)
+    // plateau: the last three readings within 2x of each other AND the
+    // max never exceeds ~3 batches of rows (probe adds ~533 rows/batch)
+    val tail = r.stateCurve.takeRight(3)
+    assert(tail.max <= tail.min * 2, s"state curve not flat: ${r.stateCurve}")
+    assert(r.stateCurve.max < 3L * (2400 / 6 + 2400 / 6 / 3 + 1),
+      s"state grew past the eviction bound: ${r.stateCurve}")
+    assert(r.stateRows <= 2, s"state did not drain after the flush: ${r.stateRows}")
+  }
+
   private implicit class ArrAsScala[A](a: Array[A]) {
     def asScala: Seq[A] = a.toSeq
   }
