@@ -882,13 +882,27 @@ object Profile {
       } else {
         require(java.nio.file.Files.exists(pinPath),
           s"missing $pinPath — record it first: Profile <dir> scalepin record")
-        val Entry = """^\s*"([^"]+)":\s*\{[^}]*"growth":\s*([0-9.]+)\}.*$""".r
+        val Entry =
+          ("""^\s*"([^"]+)":\s*\{"base_sec":\s*([0-9.]+),\s*"x10_sec":\s*""" +
+            """([0-9.]+),\s*"growth":\s*([0-9.]+)\}.*$""").r
         val pins = new String(java.nio.file.Files.readAllBytes(pinPath), "UTF-8")
-          .linesIterator.collect { case Entry(k, g) => k -> g.toDouble }.toMap
+          .linesIterator.collect {
+            case Entry(k, b, x, g) => k -> (b.toDouble, x.toDouble, g.toDouble)
+          }.toMap
         val missing = PinProbes.map(_._1).filterNot(pins.contains)
+        // degraded = the growth ratio AND the 10x absolute time both
+        // exceed their pins by the slack. Ratio alone is fragile the
+        // wrong way: a quieter host shrinks the sub-second BASE readings
+        // faster than the x10 ones and "degrades" the ratio of a run
+        // whose absolute times all IMPROVED (observed on the first check
+        // run: every x10 below its pin, two ratios above slack). The
+        // x10-time conjunct anchors the gate to what it protects — cost
+        // at scale.
         val degraded = measured.collect {
-          case (n, (_, _, g)) if pins.get(n).exists(p => g > p * PinSlack) =>
-            f"$n: growth $g%.2fx vs pinned ${pins(n)}%.2fx (slack ${PinSlack}x)"
+          case (n, (_, x, g)) if pins.get(n).exists { case (_, px, pg) =>
+              g > pg * PinSlack && x > px * PinSlack } =>
+            f"$n: growth $g%.2fx vs pinned ${pins(n)._3}%.2fx AND x10 " +
+              f"$x%.2fs vs pinned ${pins(n)._2}%.2fs (slack ${PinSlack}x)"
         }
         if (missing.nonEmpty)
           println(s"scalepin MISSING pins (re-record): ${missing.mkString(", ")}")
