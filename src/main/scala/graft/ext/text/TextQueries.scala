@@ -843,8 +843,12 @@ object TextQueries {
     * count table; every downstream read is doc-grain. */
   private[graft] def lmScoreSnapshot(spark: SparkSession, dir: String): DataFrame =
     graft.util.SnapshotCache.snapshot("lm_scores", spark, dir) {
-      val (docs, counts) = lmArtifacts(spark, dir)
-      scoreAgainstCounts(docs, counts)
+      // one materialized bigram stream feeds BOTH the count fit and the
+      // scoring pass (the dsir/ppl r15 discipline — each would otherwise
+      // re-plan scan→tokenize→bigram over the corpus)
+      val bigrams = graft.util.SnapshotCache.scratchCheckpoint(spark,
+        bigramRows(lmTagged(spark, dir)))
+      scoreBigramsAgainstCounts(bigrams, lmCountsFrom(spark, dir)(bigrams))
     }
 
   /** The LM lifecycle split (the corpusIndex / screenAgainstIndex shape
@@ -856,14 +860,19 @@ object TextQueries {
   private[graft] def lmArtifacts(spark: SparkSession,
                                  dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val docs = lmTagged(spark, dir)
-    // the trained count table is itself a snapshot artifact (the thing a
-    // deployment persists per model version) so the streaming twin and
-    // any re-score screen against the SAME materialization
-    val counts = graft.util.SnapshotCache.snapshot("lm_counts", spark, dir)(
-      bigramRows(docs).filter(col("is_train"))
-        .groupBy(col("bg")).agg(count(lit(1)).as("cnt")))
-    (docs, counts)
+    (docs, lmCountsFrom(spark, dir)(bigramRows(docs)))
   }
+
+  /** The trained count table is itself a snapshot artifact (the thing a
+    * deployment persists per model version) so the streaming twin and
+    * any re-score screen against the SAME materialization; the bigram
+    * frame is a parameter so lm_scores can pass its shared scratch
+    * checkpoint (by-name: a warm lm_counts builds nothing). */
+  private def lmCountsFrom(spark: SparkSession, dir: String)
+                          (bgRows: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.util.SnapshotCache.snapshot("lm_counts", spark, dir)(
+      bgRows.filter(col("is_train"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("cnt")))
 
   /** The scoring pass given the PERSISTED count table — per-doc scores
     * are independent given the model, so micro-batch outputs union to
@@ -871,7 +880,14 @@ object TextQueries {
     * (doc_id, is_train, text). */
   private[graft] def scoreAgainstCounts(batch: org.apache.spark.sql.DataFrame,
                                         counts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    bigramRows(batch).join(counts, Seq("bg"), "left")
+    scoreBigramsAgainstCounts(bigramRows(batch), counts)
+
+  /** [[scoreAgainstCounts]] over a PRE-BUILT (doc_id, is_train, bg)
+    * bigram frame — lets a builder share one materialized bigram stream
+    * across the count fit and the threshold scoring (pplArtifacts). */
+  private[graft] def scoreBigramsAgainstCounts(bgRows: org.apache.spark.sql.DataFrame,
+                                               counts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bgRows.join(counts, Seq("bg"), "left")
       .withColumn("fam", length(bin(lit(1L) + coalesce(col("cnt"), lit(0L)))).cast("long") - 1L)
       .groupBy(col("doc_id"))
       .agg(max(col("is_train")).as("is_train"),
@@ -1013,11 +1029,18 @@ object TextQueries {
                                   dir: String): (DataFrame, DataFrame) = {
     val corpus = lmTagged(spark, dir)
       .filter(col("source") =!= graft.ext.dedup.DedupQueries.IncomingSource)
+    // the corpus bigram stream materializes at most ONCE across the two
+    // snapshot builds (the dsir r15 discipline — counts AND the threshold
+    // scoring both consume it, and each would otherwise re-plan the
+    // scan→tokenize→bigram pipeline); lazy so two warm snapshots build
+    // nothing
+    lazy val bigrams = graft.util.SnapshotCache.scratchCheckpoint(spark,
+      bigramRows(corpus))
     val counts = graft.util.SnapshotCache.snapshot("ppl_inc_counts", spark, dir)(
-      bigramRows(corpus).filter(col("is_train"))
+      bigrams.filter(col("is_train"))
         .groupBy(col("bg")).agg(count(lit(1)).as("cnt")))
     val thresholds = graft.util.SnapshotCache.snapshot("ppl_inc_thresholds", spark, dir) {
-      val scored = scoreAgainstCounts(corpus, counts)
+      val scored = scoreBigramsAgainstCounts(bigrams, counts)
         .select(col("doc_id"), col("lm_milli"))
         .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
       tercileMap(scored).groupBy(col("lang")).agg(
