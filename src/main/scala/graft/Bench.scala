@@ -196,7 +196,14 @@ object Bench {
       "q_window_agg", "sample_split", "text_fingerprint", "text_langid",
       "text_quality", "text_tokens", "snapshot_build")
     val contractGateObj = waitForQuietHost()
-    timedPass(contractNames) // untimed warm (codegen + parquet footers)
+    // TWO untimed warm passes (codegen + parquet footers + JIT tiering):
+    // with one, the gated readings sat ~20% above the same queries'
+    // full-suite minimums — the full suite executes each query 6+ times
+    // by its second timed pass, and C2 is still compiling hot loops on a
+    // query's second execution. Two warm + three timed ≈ the same
+    // steady state the full-suite mins enjoy, so the gate measures load
+    // trust, not JIT phase.
+    timedPass(contractNames); timedPass(contractNames)
     val contractPasses = (1 to 3).map(_ => timedPass(contractNames)._1)
     val contractBest: Seq[(String, Double)] = contractPasses.head.map(_._1).map { name =>
       val samples = contractPasses.flatMap(_.collectFirst {
