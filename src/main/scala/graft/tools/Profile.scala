@@ -41,10 +41,16 @@ object Profile {
   }
 
   /** The headline probe pairs the `scalepin` gate re-measures: query →
-    * the scale14 fixture (docs/li/ev) its 10× axis lives on. */
+    * the scale14 fixture (docs/li/ev) its 10× axis lives on. Includes a
+    * text-family representative (quality scoring — real per-doc compute
+    * with no snapshot to hide behind; the lm/ppl entries serve persisted
+    * artifacts, so their per-call cost pins nothing) and the exact-dedup
+    * hash-groupBy (the simplest operator whose curve a regression could
+    * silently bend). */
   private val PinProbes: Seq[(String, String)] = Seq(
     "mm_meta" -> "docs", "mm_features" -> "docs", "mm_frames" -> "docs",
     "mm_dedup" -> "docs", "mm_frames_dedup" -> "docs",
+    "text_quality" -> "docs", "dedup_exact" -> "docs",
     "q_weighted_median" -> "li", "q_weighted_median_bucketed" -> "li",
     "q_mad_outliers" -> "ev", "q_mad_outliers_approx" -> "ev")
 
