@@ -29,7 +29,11 @@ class CollectDisciplineSpec extends AnyFunSuite {
 
   test("no raw .collect() in src/main query paths outside Bounded.boundedCollect") {
     import scala.jdk.CollectionConverters._
-    val raw = "\\.collect(AsList)?\\(\\)".r
+    // toLocalIterator is the same unbounded driver pull with a streaming
+    // façade — swept alongside collect; .head()/.first() are left alone
+    // (textually indistinguishable from Scala-collection heads, and a
+    // 1-row pull can't be unbounded)
+    val raw = "\\.(collect(AsList)?|toLocalIterator)\\(\\)".r
     val files = java.nio.file.Files.walk(Root).iterator().asScala
       .filter(p => p.toString.endsWith(".scala"))
       .filterNot(p => p.toString.startsWith("src/main/scala/graft/tools/"))
