@@ -178,7 +178,7 @@ object Bench {
     // The 40-query BASELINE.md contract subset runs FIRST — before the
     // full suite has fragmented the heap — as a load-gated, probe-first,
     // best-of-3 section: wait for a quiet host (the forks above load the
-    // box; the gate absorbs their decay), one untimed warm pass, then
+    // box; the gate absorbs their decay), two untimed warm passes, then
     // three timed passes with the per-query minimum as the committed
     // reading. The gate object (probe load, waits, in_policy, per-pass
     // totals) makes the record self-interpreting — a contended reading
