@@ -222,11 +222,12 @@ object Explain {
       "customer, so 10x customers means more partitions, not deeper " +
       "sorts (1.7x measured at 10x)."),
     "text_lm_score" -> ("Bigram-LM scoring: the zip-slice bigram build " +
-      "is one narrow projection (no lambda, no shuffle); the train-" +
-      "split count aggregate is vocabulary-sized with map-side " +
-      "combine; the scoring join keys by bigram with 1:1 fan-out " +
-      "(counts unique per key) and the per-doc aggregate closes the " +
-      "pipeline — the canonical LM shuffle, linear in corpus tokens " +
+      "is one narrow projection (no lambda, no shuffle), materialized " +
+      "ONCE per build and shared by the count fit and the scoring pass " +
+      "(r15); the train-split count aggregate is vocabulary-sized with " +
+      "map-side combine; the scoring join keys by bigram with 1:1 " +
+      "fan-out (counts unique per key) and the per-doc aggregate closes " +
+      "the pipeline — the canonical LM shuffle, linear in corpus tokens " +
       "(3.6x at 10x docs)."),
     "q_pit_features" -> ("Point-in-time feature join: equi-join on the " +
       "user key with the interval predicate evaluated as the join " +
@@ -307,11 +308,13 @@ object Explain {
       "kilobyte-sized, which is what lets persisted daily sketches " +
       "answer any date-range cardinality without a rescan."),
     "dsir_weights" -> ("DSIR importance weights: the hashed-bigram " +
-      "feature pass is one narrow zip-slice projection; BOTH model " +
-      "count tables are <=4096-bucket map-combinable aggregates that " +
-      "BROADCAST back onto the feature stream (the model attach never " +
-      "shuffles the fact); scoring closes with one doc-keyed aggregate " +
-      "plus a 1-row normalizer broadcast."),
+      "feature pass is one narrow zip-slice projection, materialized " +
+      "ONCE and read by all four consumers (r15); the model count " +
+      "tables fuse into ONE <=4096-bucket map-combinable aggregate " +
+      "(c_t null where the target never hit) that BROADCASTS back onto " +
+      "the feature stream (the model attach never shuffles the fact); " +
+      "scoring closes with one doc-keyed aggregate plus a 1-row " +
+      "normalizer broadcast."),
     "knn_label_eval" -> ("Embedding-space label eval: the vote join " +
       "attaches the id->label map to the (queries x K) neighbor frame " +
       "on the id key; the argmax window partitions per query over " +
