@@ -14,19 +14,24 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage, -1.0)
     catch { case _: Throwable => -1.0 }
 
-  /** Load-gate for the standalone probe (VERDICT r13 #2): the standalone
-    * reading is the number BASELINE.md pins its band on, and rounds 12–13
-    * both stamped it under host load ≥ 5.5 — bit-identical semantics, 2×
-    * low throughput, a footnote instead of a fact. Wait (with doubling
-    * backoff, bounded total budget) until 1-min load is inside policy
-    * before forking the probe JVM; if the host never settles, run anyway —
-    * a contended reading beats no reading — but the gate JSON carries the
-    * probe-time load, the waits, and an `in_policy` verdict so the record
-    * is self-interpreting with no footnote. Bound default 3.0 on this
-    * 32-core box (≲10% busy), override via SPARK_GRAFT_LOAD_BOUND. */
-  private def waitForQuietHost(): String = {
-    val bound = sys.env.get("SPARK_GRAFT_LOAD_BOUND")
+  /** Policy bound for the quiet-host gates: 3.0 on this 32-core box
+    * (≲10% busy), override via SPARK_GRAFT_LOAD_BOUND. */
+  private def loadBound(): Double =
+    sys.env.get("SPARK_GRAFT_LOAD_BOUND")
       .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(3.0)
+
+  /** Load-gate for the gated sections (VERDICT r13 #2): the gated
+    * readings are the numbers BASELINE.md pins its bands on, and rounds
+    * 12–13 both stamped them under host load ≥ 5.5 — bit-identical
+    * semantics, 2× low throughput, a footnote instead of a fact. Wait
+    * (with doubling backoff, bounded total budget) until 1-min load is
+    * inside policy; if the host never settles, run anyway — a contended
+    * reading beats no reading — but the gate JSON carries the probe-time
+    * load, the waits, and an `in_policy` verdict so the record is
+    * self-interpreting with no footnote. Returns (probe-time load, waits,
+    * bound) for the caller's gate object. */
+  private def waitForQuietHost(): (Double, Int, Double) = {
+    val bound = loadBound()
     var waits = 0
     var sleepMs = 30000L
     var budgetMs = 480000L // ~8 min total; load avg1 decays in ~2 min
@@ -37,12 +42,18 @@ object Bench {
       budgetMs -= ms; sleepMs = math.min(sleepMs * 2, 240000L); waits += 1
       l = loadAvg1()
     }
-    // load unavailable (getSystemLoadAverage = -1) is UNKNOWN, not
-    // out-of-policy: in_policy:null distinguishes "couldn't read the
-    // host" from "host was contended" in the record (ADVICE r14)
-    val ok = if (l < 0) "null" else (l <= bound).toString
-    s"""{"probe_load":${BigDecimal(l).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bound":$bound,"waits":$waits,"in_policy":$ok}"""
+    (l, waits, bound)
   }
+
+  private def fmt2(v: Double): String =
+    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** The gate object's `in_policy` tri-state: load unavailable
+    * (getSystemLoadAverage = -1) is UNKNOWN, not out-of-policy —
+    * in_policy:null distinguishes "couldn't read the host" from "host
+    * was contended" in the record (ADVICE r14). */
+  private def policyStr(l: Double, bound: Double): String =
+    if (l < 0) "null" else (l <= bound).toString
 
   /** Fork one StreamBench child (CLI `mode`, empty = the flagship
     * pipeline probe) and lift the `detail` object off its `metric` record
@@ -109,23 +120,48 @@ object Bench {
     // ways 1-min loadavg cannot gate on. Three forks, best-of (the batch
     // min-of-2 methodology for throughput: contention only ever LOWERS a
     // reading); all readings land in the gate object for auditability.
-    val gate = waitForQuietHost()
-    val standaloneRuns = (1 to 3).map(_ => standaloneStreamProbe(cpus))
+    val (sLoad, sWaits, sBound) = waitForQuietHost()
     def rps(detail: String): Long =
       "\"rows_per_sec\":(\\d+)".r.findFirstMatchIn(detail)
         .map(_.group(1).toLong).getOrElse(-1L)
-    val streamStandalone = standaloneRuns.maxBy(rps)
+    // Bounded spread-retry on the forks (VERDICT r15 #2: the one-shot
+    // probe gate left the next ~2 min unguarded — a burst landing AFTER
+    // the probe contaminates readings the gate object then blesses).
+    // Contention only ever LOWERS a throughput reading, so the committed
+    // number is the max; the retry exists so a burst-squashed trio doesn't
+    // under-pin the band: while the top-3 spread exceeds 1.3× (one fork
+    // read 30%+ below another), re-wait for a quiet host and append a
+    // replacement fork, at most twice. ALL readings land in the gate
+    // object — discards are visible, never silent.
+    def forkBestOf(mode: Seq[String], metric: String): (String, Seq[Long], Int) = {
+      val runs = scala.collection.mutable.ArrayBuffer[String]()
+      (1 to 3).foreach(_ => runs += standaloneStreamProbe(cpus, mode, metric))
+      var retries = 0
+      def spreadOk: Boolean = {
+        val top = runs.map(rps).filter(_ > 0).sorted.takeRight(3)
+        top.size < 2 || top.max.toDouble / math.max(top.min, 1L) <= 1.3
+      }
+      while (!spreadOk && retries < 2) {
+        waitForQuietHost()
+        runs += standaloneStreamProbe(cpus, mode, metric)
+        retries += 1
+      }
+      (runs.maxBy(rps), runs.map(rps).toSeq, retries)
+    }
+    val (streamStandalone, standaloneRps, sRetries) =
+      forkBestOf(Nil, "stream_rows_per_sec")
     // stream-stream attribution join (VERDICT r14 #3): same gate window,
-    // same fork + best-of-3 policy — the join family's first measured
-    // number (rows/s, watermark-gated outer emissions, and a state_curve
-    // that must plateau: the eviction proof StreamJoinSpec makes, with a
-    // number)
-    val joinRuns = (1 to 3).map(_ =>
-      standaloneStreamProbe(cpus, Seq("join"), "stream_join_rows_per_sec"))
-    val joinStandalone = joinRuns.maxBy(rps)
-    val gateFull = gate.dropRight(1) +
-      s""","readings":${standaloneRuns.map(rps).mkString("[", ",", "]")}""" +
-      s""","join_readings":${joinRuns.map(rps).mkString("[", ",", "]")}}"""
+    // same fork + best-of policy — rows/s, watermark-gated outer
+    // emissions, and a state_curve that must plateau (the eviction proof
+    // StreamJoinSpec makes, with a number)
+    val (joinStandalone, joinRps, jRetries) =
+      forkBestOf(Seq("join"), "stream_join_rows_per_sec")
+    val gateFull =
+      s"""{"probe_load":${fmt2(sLoad)},"bound":$sBound,"waits":$sWaits,""" +
+        s""""in_policy":${policyStr(sLoad, sBound)},""" +
+        s""""readings":${standaloneRps.mkString("[", ",", "]")},""" +
+        s""""join_readings":${joinRps.mkString("[", ",", "]")},""" +
+        s""""retries":${sRetries + jRetries}}"""
     // Steady-state methodology: one untimed warm pass over every query
     // (JIT + whole-stage-codegen compilation + parquet footers), then the
     // timed pass in fixed name order. Wide plans cost seconds of one-time
@@ -195,7 +231,7 @@ object Bench {
       "q_top_suppliers", "q_topk_per_nation", "q_user_cohorts",
       "q_window_agg", "sample_split", "text_fingerprint", "text_langid",
       "text_quality", "text_tokens", "snapshot_build")
-    val contractGateObj = waitForQuietHost()
+    val (cLoad, cWaits, cBound) = waitForQuietHost()
     // TWO untimed warm passes (codegen + parquet footers + JIT tiering):
     // with one, the gated readings sat ~20% above the same queries'
     // full-suite minimums — the full suite executes each query 6+ times
@@ -204,14 +240,64 @@ object Bench {
     // steady state the full-suite mins enjoy, so the gate measures load
     // trust, not JIT phase.
     timedPass(contractNames); timedPass(contractNames)
-    val contractPasses = (1 to 3).map(_ => timedPass(contractNames)._1)
+    // Blind-window self-check (VERDICT r15 #2): the r15 gate probed load
+    // ONCE, then trusted the next ~80 s — and the driver's committed
+    // record showed readings [44.1/88.7/27.3 s] at in-policy probe load
+    // 1.65 (a burst landed after the probe; one pass read 4.3× another).
+    // Now every pass records the 1-min load at its END, and while the
+    // best-3 pass-total spread exceeds 1.3×, the gate re-waits for a
+    // quiet host and appends a replacement pass (at most 3 extra). The
+    // committed `readings` are the best-3 totals; discarded totals,
+    // per-pass loads, and the final spread all land in the gate object,
+    // and `in_policy` is the CONJUNCTION of probe-in-bound and
+    // spread ≤ 1.3 — a record that couldn't settle says so itself.
+    case class CPass(entries: Seq[(String, Double)], total: Double, load: Double)
+    def runContractPass(): CPass = {
+      val e = timedPass(contractNames)._1
+      CPass(e, e.collect { case (_, s) if s >= 0 => s }.sum, loadAvg1())
+    }
+    val cPasses = scala.collection.mutable.ArrayBuffer(
+      runContractPass(), runContractPass(), runContractPass())
+    def best3(ps: Seq[CPass]): Seq[CPass] = ps.sortBy(_.total).take(3)
+    def spreadOf(ps: Seq[CPass]): Double = {
+      val t = ps.map(_.total)
+      if (t.isEmpty || t.min <= 0) Double.MaxValue else t.max / t.min
+    }
+    var cRetries = 0
+    while (spreadOf(best3(cPasses.toSeq)) > 1.3 && cRetries < 3) {
+      waitForQuietHost()
+      cPasses += runContractPass()
+      cRetries += 1
+    }
+    val committedPasses = best3(cPasses.toSeq)
+    val discardedTotals = {
+      val keep = committedPasses.map(_.total).groupBy(identity).map { case (k, v) => k -> v.size }
+      val counts = scala.collection.mutable.Map(keep.toSeq: _*)
+      cPasses.toSeq.map(_.total).filter { t =>
+        val n = counts.getOrElse(t, 0)
+        if (n > 0) { counts(t) = n - 1; false } else true
+      }
+    }
+    // per-query minimum over ALL passes (discarded included — contention
+    // only ever inflates a batch reading, so every pass's min is valid)
+    val contractPasses = cPasses.toSeq.map(_.entries)
     val contractBest: Seq[(String, Double)] = contractPasses.head.map(_._1).map { name =>
       val samples = contractPasses.flatMap(_.collectFirst {
         case (`name`, s) if s >= 0 => s })
       name -> (if (samples.isEmpty) -1.0 else samples.min)
     }
-    val contractReadings = contractPasses.map(p =>
-      p.collect { case (_, s) if s >= 0 => s }.sum)
+    val contractReadings = committedPasses.map(_.total)
+    val cSpread = spreadOf(committedPasses)
+    val cPolicy = {
+      val probe = policyStr(cLoad, cBound)
+      if (cSpread > 1.3) "false" else probe
+    }
+    val contractGateObj =
+      s"""{"probe_load":${fmt2(cLoad)},"bound":$cBound,"waits":$cWaits,""" +
+        s""""in_policy":$cPolicy,""" +
+        s""""pass_loads":${cPasses.map(p => fmt2(p.load)).mkString("[", ",", "]")},""" +
+        s""""discarded":${discardedTotals.map(t => fmt2(t)).mkString("[", ",", "]")},""" +
+        s""""retries":$cRetries,"spread":${fmt2(if (cSpread == Double.MaxValue) -1.0 else cSpread)}}"""
     // warm the REST of the suite (the contract section warmed its 40)
     // before the full timed passes
     ordered.foreach { case (name, fn) =>
@@ -307,9 +393,22 @@ object Bench {
     val contractQs = contractBest.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val contractTotal = contractBest.collect { case (_, s) if s >= 0 => s }.sum
-    val contract =
-      s"""{"total":${fmt(contractTotal)},"readings":${contractReadings.map(fmt).mkString("[", ",", "]")},"gate":$contractGateObj,"queries":$contractQs}"""
-    val record = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"flaky":$flaky,"contract":$contract,"stream":$stream,"load":$load,"snapshot_detail":$snapDetail,"queries":$qs,"sf":"$sfDir"}"""
+    // the compact line's contract carries total + readings + gate ONLY
+    // (VERDICT r15 #1 / ADVICE r15: the 41-entry per-query map pushed the
+    // line past the driver's 2000-char tail capture and BENCH_r15 came
+    // back "parsed": null); the per-query map rides the full record
+    val contractSlim =
+      s"""{"total":${fmt(contractTotal)},"readings":${contractReadings.map(fmt).mkString("[", ",", "]")},"gate":$contractGateObj}"""
+    val contract = contractSlim.dropRight(1) + s""","queries":$contractQs}"""
+    // Record provenance (VERDICT r15 #7): BENCH_LOCAL.json is last-writer-
+    // wins between builder and driver runs, and the working tree
+    // habitually carried a driver record whose gate story differed from
+    // the committed narrative with nothing in the file saying whose run it
+    // was. The writer tag rides in from the environment (tools/bench.sh
+    // passes SPARK_GRAFT_BENCH_WRITER through; the builder's quiet runs
+    // export =builder) — an unattributed record is a driver/CI run.
+    val writer = sys.env.getOrElse("SPARK_GRAFT_BENCH_WRITER", "unattributed")
+    val record = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","writer":"$writer","failed":$failed,"flaky":$flaky,"contract":$contract,"stream":$stream,"load":$load,"snapshot_detail":$snapDetail,"queries":$qs,"sf":"$sfDir"}"""
     // Full 167-entry record → per-run scratch target/bench_full.json (and
     // the committed BENCH_LOCAL.json below at the artifact's scale).
     try {
@@ -338,13 +437,13 @@ object Bench {
     // was correct — the line's HEAD fell outside the window, so no JSON
     // parsed. A 5 KB single line would front-truncate even through
     // bench.sh's clean stdout. The compact line pins the contract surface
-    // (total, failures, stream probe, the 40 round-1 BASELINE.md contract
-    // queries) in ~1.5 KB, guaranteed inside any tail window; the full
-    // 167-entry record is committed in BENCH_LOCAL.json (and per-run in
-    // target/bench_full.json).
-    val qsCompact = results.collect { case (k, v) if contractNames(k) =>
-      s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"flaky":$flaky,"contract":$contract,"stream":$stream,"load":$load,"queries":$qsCompact,"full_record":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    // (suite total, failures, the GATED contract total/readings/gate, the
+    // stream probes) in ~1.4 KB, guaranteed inside the driver's 2000-char
+    // tail window — NO per-query map rides it (VERDICT r15 #1: the
+    // duplicated 41-entry maps grew the line to ~2.8 KB and BENCH_r15
+    // front-truncated to "parsed": null). Per-query numbers live in the
+    // committed BENCH_LOCAL.json (and per-run in target/bench_full.json).
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","writer":"$writer","n_queries":${results.size},"failed":$failed,"flaky":$flaky,"contract":$contractSlim,"stream":$stream,"load":$load,"full_record":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     // TWO fixed paths for the compact record: tools/bench.sh emits
     // bench_last.json as its one stdout line; bench_compact.json is the
     // driver-facing artifact (VERDICT r11 ask #5 — BENCH_r11 still had
