@@ -219,32 +219,47 @@ object StreamBench extends Serializable {
     * rows (user_id −1/−2, never matching anything) push both watermarks
     * past the last real close AFTER the clock stops, flushing the tail. */
   def probeJoin(spark: SparkSession, nClicks: Long = 120000L,
-                nBatches: Int = 12): JoinResult = {
+                nBatches: Int = 12,
+                windowSeconds: Long = StreamJoin.WindowSeconds,
+                delaySeconds: Long = StreamJoin.DelaySeconds,
+                users: Long = JoinUsers): JoinResult = {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", ProbePartitions)
-    try probeJoinPinned(spark, nClicks, nBatches)
+    try probeJoinPinned(spark, nClicks, nBatches, windowSeconds, delaySeconds, users)
     finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Users per click-index cycle: cycle length × per-click spacing must
     * exceed [[StreamJoin.WindowSeconds]] so a user's previous click can
-    * never steal a purchase (see [[probeJoin]]'s exact-match argument). */
+    * never steal a purchase (see [[probeJoin]]'s exact-match argument).
+    * The `join2x` probe passes a larger count for its doubled window. */
   private val JoinUsers = 20000L
 
   private def probeJoinPinned(spark: SparkSession, nClicks: Long,
-                              nBatches: Int): JoinResult = {
+                              nBatches: Int, windowSeconds: Long,
+                              delaySeconds: Long, users: Long): JoinResult = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     val t0ms = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
     val perBatch = (nClicks / nBatches).toInt
     val batchSpanMs = 1200000.0 // 1200 s of event time per batch
     val msPerClick = batchSpanMs / perBatch
+    // the exact-match invariant (inner = purchases, 1:1) requires a
+    // user's CONSECUTIVE clicks to sit outside the attribution window
+    // plus the 60 s purchase offset — enforce rather than document
+    // (ADVICE r15: an env override shrinking msPerClick silently let a
+    // previous click also match, inflating inner_rows and the pinned
+    // identity the record and spec rely on)
+    require(users * msPerClick > (windowSeconds + 60L) * 1000L,
+      s"probeJoin fixture degenerate: users($users) x msPerClick($msPerClick) " +
+        s"must exceed window+60s (${(windowSeconds + 60L) * 1000L} ms) or " +
+        "consecutive same-user clicks fall inside the attribution window")
     def clickTsMs(i: Long): Long = t0ms + (i * msPerClick).toLong
     // executor-side row build from pre-generated indices (the task-binary
     // discipline shared by every probe in this file)
-    def click(i: Long) = (i % JoinUsers + 1L, s"c_$i",
+    def click(i: Long) = (i % users + 1L, s"c_$i",
       new java.sql.Timestamp(clickTsMs(i)))
-    def purchase(i: Long) = (i % JoinUsers + 1L, s"p_$i",
+    def purchase(i: Long) = (i % users + 1L, s"p_$i",
       new java.sql.Timestamp(clickTsMs(i) + 60000L), (i % 9973) / 100.0)
     val chunks: IndexedSeq[IndexedSeq[Long]] =
       (0 until nBatches).map(b =>
@@ -254,7 +269,8 @@ object StreamBench extends Serializable {
     val out = StreamJoin.attributionOuter(
       clicks.toDS().map(click).toDF("user_id", "click_id", "click_ts"),
       purchases.toDS().map(purchase)
-        .toDF("user_id", "purchase_id", "purchase_ts", "amount"))
+        .toDF("user_id", "purchase_id", "purchase_ts", "amount"),
+      windowSeconds, delaySeconds)
     val name = s"stream_join_${System.nanoTime()}"
     val q = out.writeStream.outputMode("append")
       .trigger(Trigger.ProcessingTime(0L))
@@ -278,7 +294,7 @@ object StreamBench extends Serializable {
     // deterministic answer. The sentinel pair matches only itself and is
     // excluded from the counts.
     val farIdx = nClicks +
-      ((StreamJoin.WindowSeconds + 2L * StreamJoin.DelaySeconds + 3600L) *
+      ((windowSeconds + 2L * delaySeconds + 3600L) *
         1000L / msPerClick).toLong
     clicks.addData(farIdx); purchases.addData(farIdx)
     q.processAllAvailable()
@@ -289,7 +305,10 @@ object StreamBench extends Serializable {
     val outerRows = result.where(col("purchase_id").isNull).count()
     q.stop()
     spark.sql(s"DROP VIEW IF EXISTS $name")
-    val total = nClicks + nPurchases
+    // clicks actually pushed, not the requested nClicks: a non-divisible
+    // event-count override drops nClicks % nBatches indices on the floor,
+    // and counting them would overstate rows_per_sec (ADVICE r15)
+    val total = chunks.map(_.size.toLong).sum + nPurchases
     JoinResult(total / elapsed, total, math.rint(elapsed * 1000) / 1000,
       chunks.size.toLong, stateRows, innerRows, outerRows, stateCurve.toSeq)
   }
@@ -433,6 +452,24 @@ object StreamBench extends Serializable {
       probeMvFold(spark, n / 10, math.max(b / 5, 2)) // untimed warm pass
       val r = probeMvFold(spark, n, b)
       println(s"""{"metric":"stream_mv_fold_rows_per_sec","value":${r.rowsPerSec.round},"unit":"rows/sec","detail":${r.json}}""")
+      spark.stop(); return
+    }
+    if (args.headOption.contains("join2x")) {
+      // Doubled window AND delay at the SAME corpus/batch span (VERDICT
+      // r15 #6): join state retains rows spanning ~(window + delay) of
+      // event time, so windows-in-flight doubles while corpus size holds —
+      // the state_curve plateau must read ~2x the `join` probe's, pinning
+      // that state scales with windows-in-flight, not corpus. Users double
+      // too (the require above: consecutive same-user clicks must stay
+      // outside the doubled window), which leaves the plateau untouched —
+      // retention is event-time-driven, not key-count-driven.
+      val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "120000").toLong
+      val b = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "12").toInt
+      val w2 = StreamJoin.WindowSeconds * 2
+      val d2 = StreamJoin.DelaySeconds * 2
+      probeJoin(spark, n / 4, math.max(b / 4, 2), w2, d2, JoinUsers * 2)
+      val r = probeJoin(spark, n, b, w2, d2, JoinUsers * 2)
+      println(s"""{"metric":"stream_join2x_rows_per_sec","value":${r.rowsPerSec.round},"unit":"rows/sec","detail":${r.json}}""")
       spark.stop(); return
     }
     if (args.headOption.contains("join")) {

@@ -53,13 +53,15 @@ object StreamJoin {
     * [[WindowSeconds]]. Works identically on batch frames (the spec's
     * batch-twin gate) and on streaming frames (where the watermarks bound
     * both state stores). */
-  def attribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
-    val c = clicks.withWatermark("click_ts", s"$DelaySeconds seconds")
-    val p = purchases.withWatermark("purchase_ts", s"$DelaySeconds seconds")
+  def attribution(clicks: DataFrame, purchases: DataFrame,
+                  windowSeconds: Long = WindowSeconds,
+                  delaySeconds: Long = DelaySeconds): DataFrame = {
+    val c = clicks.withWatermark("click_ts", s"$delaySeconds seconds")
+    val p = purchases.withWatermark("purchase_ts", s"$delaySeconds seconds")
     c.join(p,
       c("user_id") === p("user_id") &&
         p("purchase_ts") >= c("click_ts") &&
-        p("purchase_ts") <= c("click_ts") + expr(s"INTERVAL $WindowSeconds SECONDS"),
+        p("purchase_ts") <= c("click_ts") + expr(s"INTERVAL $windowSeconds SECONDS"),
       "inner")
       .select(c("user_id"), col("click_id"), col("click_ts"),
         col("purchase_id"), col("purchase_ts"), col("amount"))
@@ -67,16 +69,21 @@ object StreamJoin {
 
   /** LEFT OUTER variant: every click appears — matched rows as in
     * [[attribution]], unmatched clicks with null purchase columns emitted
-    * once the purchase-side watermark passes `click_ts + WindowSeconds`
+    * once the purchase-side watermark passes `click_ts + windowSeconds`
     * (the earliest moment "no match" is provable). The funnel-analysis
-    * shape: conversion AND abandonment from one operator. */
-  def attributionOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
-    val c = clicks.withWatermark("click_ts", s"$DelaySeconds seconds")
-    val p = purchases.withWatermark("purchase_ts", s"$DelaySeconds seconds")
+    * shape: conversion AND abandonment from one operator. The window and
+    * delay default to the module constants; [[graft.stream.StreamBench]]'s
+    * `join2x` probe doubles both to pin that join state scales with
+    * windows-in-flight, not corpus size. */
+  def attributionOuter(clicks: DataFrame, purchases: DataFrame,
+                       windowSeconds: Long = WindowSeconds,
+                       delaySeconds: Long = DelaySeconds): DataFrame = {
+    val c = clicks.withWatermark("click_ts", s"$delaySeconds seconds")
+    val p = purchases.withWatermark("purchase_ts", s"$delaySeconds seconds")
     c.join(p,
       c("user_id") === p("user_id") &&
         p("purchase_ts") >= c("click_ts") &&
-        p("purchase_ts") <= c("click_ts") + expr(s"INTERVAL $WindowSeconds SECONDS"),
+        p("purchase_ts") <= c("click_ts") + expr(s"INTERVAL $windowSeconds SECONDS"),
       "leftOuter")
       .select(c("user_id").as("user_id"), col("click_id"), col("click_ts"),
         col("purchase_id"), col("purchase_ts"), col("amount"))
