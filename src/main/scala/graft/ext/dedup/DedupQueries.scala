@@ -315,6 +315,7 @@ object DedupQueries {
       timed("jaccard_pairs")(jaccardPairSnapshot(spark, dir)),
       timed("emb_pairs")(embeddingPairSnapshot(spark, dir)),
       timed("emb_lsh_pairs")(embeddingLshPairSnapshot(spark, dir)),
+      timed("span_windows")(spanWindowsSnapshot(spark, dir)),
       timed("span_islands")(spanIslandsSnapshot(spark, dir)),
       timed("inc_corpus_index")(corpusIndex(spark, dir)),
       timed("span_corpus_index")(spanCorpusIndex(spark, dir)),
@@ -590,9 +591,31 @@ object DedupQueries {
         max(col("run_w") + lit(SpanWindow - 1)).as("max_span_tokens"))
 
   /** Suite-scoped materialization of [[spanIslands]] (tag "spans") —
-    * shared by dedup_spans and dedup_spans_scrub. */
+    * shared by dedup_spans and dedup_spans_scrub. Builds from the shared
+    * [[spanWindowsSnapshot]], so the window-hash pipeline — the dominant
+    * cost of BOTH span artifacts — is paid once per corpus version, not
+    * once per artifact (VERDICT r15 #3, the dsir_weights discipline). */
   private[graft] def spanIslandsSnapshot(spark: SparkSession, dir: String): DataFrame =
-    snapshot("spans", spark, dir)(spanIslands(spark, dir))
+    snapshot("spans", spark, dir)(
+      spanIslandsFromWindows(spanWindowsSnapshot(spark, dir).drop("source")))
+
+  /** Positioned window hashes over the FULL corpus — (doc_id, source,
+    * pos, h) — the shared upstream of [[spanIslandsSnapshot]] and
+    * [[spanCorpusIndex]] (VERDICT r15 #3): each previously ran its own
+    * [[windowRows]] pipeline, and the W-slice zip + per-window md5 over
+    * every corpus token is ~2/3 of either artifact's cost, so the pair
+    * paid the window build twice. Materialized once, both tails read the
+    * checkpoint; `source` rides along so the corpus index can exclude the
+    * incoming batch AFTER windowing (filtering per-doc rows commutes with
+    * per-doc windowing — bit-identical posting lists). At 100 TB this is
+    * the positioned-window parquet a deployment maintains next to the
+    * corpus, re-sharded by content version like the other indexes. */
+  private[graft] def spanWindowsSnapshot(spark: SparkSession, dir: String): DataFrame =
+    snapshot("span_windows", spark, dir)(
+      windowRows(
+        Tables.rebalanced(spark, Tables.documents(spark, dir))
+          .select(col("doc_id"), col("source"), TextNorm.toks(col("text")).as("t")),
+        keep = Seq("source")))
 
   /** Normalized token stream per document — ALL documents, including those
     * too short to window (the scrub must hand them back unchanged). */
@@ -603,17 +626,20 @@ object DedupQueries {
   /** Positioned window hashes (doc_id, pos, h) over a (doc_id, t) frame —
     * W staggered slices zipped = all W-token windows, one codegen'd
     * projection (the shingleRows build generalized to width W, keeping
-    * the window's 1-based start position via posexplode). */
-  private[graft] def windowRows(docs: DataFrame): DataFrame = {
+    * the window's 1-based start position via posexplode). `keep` names
+    * extra per-doc columns to carry through (the shared
+    * [[spanWindowsSnapshot]] keeps `source` so downstream filters run on
+    * the materialization instead of forcing a re-window). */
+  private[graft] def windowRows(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val n = size(col("t"))
     val len = n - (SpanWindow - 1)
     val zipped = arrays_zip(
       (1 to SpanWindow).map(k => slice(col("t"), lit(k), len).as(s"w$k")): _*)
     docs.filter(n >= SpanWindow)
-      .select(col("doc_id"), posexplode(zipped))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+      .select(col("doc_id") +: keep.map(col) :+ posexplode(zipped): _*)
+      .select(col("doc_id") +: keep.map(col) :+ (col("pos") + 1).as("pos") :+
         Exact.md5Long(concat_ws(" ",
-          (1 to SpanWindow).map(k => col(s"col.w$k")): _*)).as("h"))
+          (1 to SpanWindow).map(k => col(s"col.w$k")): _*)).as("h"): _*)
   }
 
   /** Maximal runs on the match diagonal of a (doc_a, doc_b, pa, diag)
@@ -635,8 +661,13 @@ object DedupQueries {
     * first window position `pa0` in doc_a (`pa0 − diag` is the twin
     * position in doc_b). [[qSharedSpans]] rolls these up per pair;
     * [[qSpanScrub]] explodes them into covered token positions. */
-  private def spanIslands(spark: SparkSession, dir: String): DataFrame = {
-    val win = windowRows(spanTokens(spark, dir))
+  private def spanIslands(spark: SparkSession, dir: String): DataFrame =
+    spanIslandsFromWindows(windowRows(spanTokens(spark, dir)))
+
+  /** The post-window span pipeline, shared by the raw form (full build
+    * visible for the plan sweeps) and the snapshot form (windows read
+    * from the shared materialization). */
+  private def spanIslandsFromWindows(win: DataFrame): DataFrame = {
     // posting lists per window hash, df-capped; pair generation explodes
     // in-place (no shuffle between candidates and the diagonal grouping
     // other than the (doc_a, doc_b) partition the window function needs)
@@ -709,10 +740,8 @@ object DedupQueries {
     * only. */
   private[graft] def spanCorpusIndex(spark: SparkSession, dir: String): DataFrame =
     snapshot("span-posts", spark, dir)(
-      windowRows(
-          Tables.rebalanced(spark,
-            Tables.documents(spark, dir).filter(col("source") =!= IncomingSource))
-          .select(col("doc_id"), TextNorm.toks(col("text")).as("t")))
+      spanWindowsSnapshot(spark, dir)
+        .filter(col("source") =!= IncomingSource).drop("source")
         .groupBy(col("h"))
         .agg(collect_list(struct(col("doc_id"), col("pos"))).as("ds"))
         .filter(size(col("ds")) <= MaxWindowDf))
