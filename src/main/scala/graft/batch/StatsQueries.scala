@@ -296,34 +296,116 @@ object StatsQueries {
     * while the isolated probe — which amortizes the build — showed the
     * structural 1.7× win; as an attributed artifact the suite and the
     * probe measure the same thing. */
-  def qWeightedMedianBucketed(spark: SparkSession, dir: String): DataFrame = {
+  def qWeightedMedianBucketed(spark: SparkSession, dir: String): DataFrame =
+    bucketedMedianOver(wmedianGrain(spark, dir))._1
+
+  /** Escalation trigger for [[bucketedMedianOver]]: phase B escalates
+    * when the crossing bucket holds more than this multiple of its
+    * equi-share (grain/B) of distinct values — the equi-width worst case
+    * (a value domain concentrated inside one bucket's width) that would
+    * otherwise silently re-inflate the tail window to the exact form's
+    * cost at 100 TB (VERDICT r15 #5). */
+  private[graft] val MedianEscalateFactor = 4L
+
+  /** The two-phase kernel over an explicit (flag, v, w) grain frame —
+    * factored out of [[qWeightedMedianBucketed]] so StatsSpec can drive
+    * the escalation path on an adversarially concentrated domain the
+    * TPC-H fixture never produces. Returns (result, escalated).
+    *
+    * Escalation (one recursion level, previously documented prose): the
+    * phase-A census counts distinct values per bucket (`nb`) alongside
+    * the weights; the crossing-bucket row count comes back with the
+    * per-flag crossing frame (a flag-grain bounded pull — the same
+    * driver-side decision size as a centroid read), and when any flag's
+    * crossing bucket exceeds [[MedianEscalateFactor]] × its equi-share,
+    * the rows inside `cb` re-bucket equi-width over cb's OWN value
+    * envelope and a second census window picks the crossing sub-bucket —
+    * so the tail window's input is bounded by cbRows/B instead of
+    * cbRows. Exactness is the same minimality argument at each level:
+    * every value below the crossing (sub-)bucket has 2·cum < W, so the
+    * global crossing value lies inside it, and the tail computes its
+    * exact rank offset by the accumulated weight-before. The crossing
+    * frame is localCheckpointed (flag-grain, a handful of rows) so the
+    * decision pull and the tail plan share ONE phase-A execution. */
+  /** Phase A as its own (lazy) frame: the equi-width census, the
+    * bucket-grain cumulative window, and the per-flag crossing summary —
+    * (flag, cb, total_w, w_before, cb_n, total_n). Exposed so StatsSpec
+    * can assert the census window rides the census Aggregate (the
+    * contraction), which the checkpoint in [[bucketedMedianOver]] hides
+    * from the final plan. */
+  private[graft] def wmedianCrossing(vals: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vals = wmedianGrain(spark, dir)
     val bounds = vals.groupBy(col("flag"))
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
-    def bucketed(df: DataFrame): DataFrame =
-      df.join(broadcast(bounds), "flag")
-        .withColumn("bucket", expr(s"((v - lo) * $MedianBuckets) DIV (hi - lo + 1)"))
-    val census = bucketed(vals)
-      .groupBy(col("flag"), col("bucket")).agg(sum(col("w")).as("bw"))
+    val census = vals.join(broadcast(bounds), "flag")
+      .withColumn("bucket", expr(s"((v - lo) * $MedianBuckets) DIV (hi - lo + 1)"))
+      .groupBy(col("flag"), col("bucket"))
+      .agg(sum(col("w")).as("bw"), count(lit(1)).as("nb"))
     val byFlag = Window.partitionBy("flag")
     val cum = census
       .withColumn("cumw", sum(col("bw")).over(byFlag.orderBy(col("bucket"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("total_w", sum(col("bw")).over(byFlag))
-    val crossing = cum.filter(col("cumw") * 2 >= col("total_w"))
+      .withColumn("total_n", sum(col("nb")).over(byFlag))
+    cum.filter(col("cumw") * 2 >= col("total_w"))
       .groupBy(col("flag"))
       .agg(min(col("bucket")).as("cb"), max(col("total_w")).as("total_w"),
-        min_by(col("cumw") - col("bw"), col("bucket")).as("w_before"))
-    bucketed(vals).join(broadcast(crossing), "flag")
-      .filter(col("bucket") === col("cb"))
-      .withColumn("cumw", col("w_before") +
+        min_by(col("cumw") - col("bw"), col("bucket")).as("w_before"),
+        min_by(col("nb"), col("bucket")).as("cb_n"),
+        max(col("total_n")).as("total_n"))
+  }
+
+  private[graft] def bucketedMedianOver(vals: DataFrame): (DataFrame, Boolean) = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = vals.groupBy(col("flag"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    def bucketed(df: DataFrame): DataFrame =
+      df.join(broadcast(bounds), "flag")
+        .withColumn("bucket", expr(s"((v - lo) * $MedianBuckets) DIV (hi - lo + 1)"))
+    val byFlag = Window.partitionBy("flag")
+    val crossing = wmedianCrossing(vals).localCheckpoint()
+    // flag-grain escalation decision (one row per flag; bounded pull)
+    val stats = graft.util.Bounded.boundedCollect(
+      crossing.select(col("cb_n"), col("total_n")), 64,
+      "wmedian crossing census (one row per return flag)")
+    val escalate = stats.exists(r =>
+      r.getLong(0) * MedianBuckets > r.getLong(1) * MedianEscalateFactor)
+    def finish(rows: DataFrame, base: org.apache.spark.sql.Column): DataFrame =
+      rows.withColumn("cumw", base +
         sum(col("w")).over(byFlag.orderBy(col("v"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("cumw") * 2 >= col("total_w"))
-      .groupBy(col("flag"))
-      .agg(max(col("total_w")).as("total_weight"),
-        min(col("v")).as("weighted_median_cents"))
+        .filter(col("cumw") * 2 >= col("total_w"))
+        .groupBy(col("flag"))
+        .agg(max(col("total_w")).as("total_weight"),
+          min(col("v")).as("weighted_median_cents"))
+    val cbRows = bucketed(vals).join(broadcast(crossing), "flag")
+      .filter(col("bucket") === col("cb"))
+    if (!escalate) (finish(cbRows, col("w_before")), false)
+    else {
+      // level-2 re-bucket inside cb over cb's own envelope: distinct
+      // values spread across B sub-buckets unless they re-concentrate
+      // within a (hi-lo)/B² span — one level suffices for any physical
+      // value domain (cents are integers; a span below B² cents IS the
+      // bounded case)
+      val bounds2 = cbRows.groupBy(col("flag"))
+        .agg(min(col("v")).as("lo2"), max(col("v")).as("hi2"))
+      val r2 = cbRows.join(broadcast(bounds2), "flag")
+        .withColumn("b2", expr(s"((v - lo2) * $MedianBuckets) DIV (hi2 - lo2 + 1)"))
+      val census2 = r2.groupBy(col("flag"), col("b2"))
+        .agg(sum(col("w")).as("bw2"), max(col("total_w")).as("tw"),
+          max(col("w_before")).as("wb"))
+      val cum2 = census2
+        .withColumn("cumw2", col("wb") +
+          sum(col("bw2")).over(byFlag.orderBy(col("b2"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val crossing2 = cum2.filter(col("cumw2") * 2 >= col("tw"))
+        .groupBy(col("flag"))
+        .agg(min(col("b2")).as("cb2"),
+          min_by(col("cumw2") - col("bw2"), col("b2")).as("w_before2"))
+      val tail = r2.join(broadcast(crossing2), "flag")
+        .filter(col("b2") === col("cb2"))
+      (finish(tail, col("w_before2")), true)
+    }
   }
 
   /** Number of delete-one blocks in [[qJackknife]]. */

@@ -139,8 +139,11 @@ class StatsSpec extends SparkSpec {
     // checkpointed grain frame filtered to ONE bucket, which the
     // mechanical walk can't see through — WindowDisciplineSpec carries
     // its BoundedKeyWindowOk argument, and the census contraction is
-    // what this asserts
-    val ws = StatsQueries.qWeightedMedianBucketed(spark, sf)
+    // what this asserts. Since r16 phase A is checkpointed (the
+    // escalation decision and the tail share one execution), so the
+    // assertion targets the exposed phase-A frame, whose plan the final
+    // query's RDDScan leaf no longer shows.
+    val ws = StatsQueries.wmedianCrossing(StatsQueries.wmedianGrain(spark, sf))
       .queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
     assert(ws.nonEmpty)
@@ -182,5 +185,30 @@ class StatsSpec extends SparkSpec {
     assert(tailRows > 0 && tailRows * 64 <= nGrain,
       s"tail window input $tailRows rows vs grain $nGrain — the crossing " +
         "bucket is no longer a contraction; re-bucket inside it")
+  }
+
+  test("bucketed median: adversarial value concentration takes the escalation path and stays exact") {
+    // VERDICT r15 #5: equi-width's worst case — a value domain
+    // concentrated inside one bucket's width (99 distinct cents in a
+    // 100-cent span, envelope stretched by a single far outlier, so the
+    // census puts ~all grain rows in one bucket). The one-level
+    // re-bucket must fire AND the answer must equal the exact weighted
+    // lower median.
+    import spark.implicits._
+    val rows = (0 until 99).map(i => ("A", 1000L + i, (i % 7 + 1).toLong)) :+
+      (("A", 100000000L, 5L))
+    val (df, escalated) = StatsQueries.bucketedMedianOver(rows.toDF("flag", "v", "w"))
+    assert(escalated, "concentrated domain must trigger the cb re-bucket")
+    val total = rows.map(_._3).sum
+    var cum = 0L
+    val med = rows.sortBy(_._2)
+      .find { case (_, _, w) => cum += w; cum * 2 >= total }.get._2
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("A", total, med)))
+    // a spread domain must NOT escalate — the fixture path stays the
+    // cheap single-level plan
+    val spread = (0 until 4096).map(i => ("A", i * 30L, 1L))
+    assert(!StatsQueries.bucketedMedianOver(spread.toDF("flag", "v", "w"))._2)
   }
 }
