@@ -40,17 +40,67 @@ object Profile {
     (s"$out/docs", s"$out/li", s"$out/ev")
   }
 
+  /** scale12's rotated-copy embedding ×10 fixture, factored for reuse by
+    * the `scale12` probe and the `scalepin` gate: norm-preserving
+    * decorrelated rotations; copies > 0 remapped OFF the query stride
+    * (span % stride = 2 keeps every remapped id odd) so the query set
+    * stays fixed while the corpus grows 10× — the corpus-linear axis
+    * knn_ivf claims. */
+  private def embeddingsX10(spark: SparkSession, dir: String, out: String): String = {
+    import graft.ext.sim.SimQueries
+    val maxVecId = Tables.embeddings(spark, dir)
+      .agg(max(col("vec_id"))).head.getLong(0)
+    val copySpan = maxVecId * SimQueries.QueryStride.toLong + 2
+    Tables.embeddings(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+      .select(
+        when(col("copy") === 0, col("vec_id"))
+          .otherwise(col("copy") * copySpan + col("vec_id") * lit(SimQueries.QueryStride.toLong) + 1)
+          .as("vec_id"),
+        when(col("copy") === 0, col("embedding")).otherwise(
+          concat(slice(col("embedding"), col("copy").cast("int") * 6 + 1,
+              lit(SimQueries.Dim)),
+            slice(col("embedding"), lit(1), col("copy").cast("int") * 6)))
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    out
+  }
+
+  /** TPC-H fact ×10 fixture for the join-heavy pin heads (VERDICT r15
+    * #4): lineitem and orders ×10 with order keys remapped — 10× orders
+    * at constant per-order width, the scale axis q9's fact⋈fact join and
+    * q21's per-order two-level aggregate both claim — and the broadcast
+    * dims (part/supplier/nation) copied through UNCHANGED, so a pin
+    * degradation means the fact-side plan bent, not the fixture. */
+  private def tpchX10(spark: SparkSession, dir: String, out: String): String = {
+    Tables.lineitem(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+      .withColumn("l_orderkey", col("l_orderkey") * 10 + col("copy"))
+      .drop("copy")
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    Tables.orders(spark, dir).crossJoin(spark.range(10).toDF("copy"))
+      .withColumn("o_orderkey", col("o_orderkey") * 10 + col("copy"))
+      .drop("copy")
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    Seq("part", "supplier", "nation").foreach(t =>
+      Tables.load(spark, dir, t).write.mode("overwrite").parquet(s"$out/$t.parquet"))
+    out
+  }
+
   /** The headline probe pairs the `scalepin` gate re-measures: query →
-    * the scale14 fixture (docs/li/ev) its 10× axis lives on. Includes a
+    * the fixture (docs/li/ev/tpch/emb) its 10× axis lives on. Includes a
     * text-family representative (quality scoring — real per-doc compute
     * with no snapshot to hide behind; the lm/ppl entries serve persisted
-    * artifacts, so their per-call cost pins nothing) and the exact-dedup
+    * artifacts, so their per-call cost pins nothing), the exact-dedup
     * hash-groupBy (the simplest operator whose curve a regression could
-    * silently bend). */
+    * silently bend), and — VERDICT r15 #4 — the most expensive contract
+    * entries: the df-capped n-gram posting pipeline, the two join-heavy
+    * TPC-H heads, the merge-on-read index append, and the IVF tier. */
   private val PinProbes: Seq[(String, String)] = Seq(
     "mm_meta" -> "docs", "mm_features" -> "docs", "mm_frames" -> "docs",
     "mm_dedup" -> "docs", "mm_frames_dedup" -> "docs",
     "text_quality" -> "docs", "dedup_exact" -> "docs",
+    "dedup_ngram_capped" -> "docs", "curate_index_append" -> "docs",
+    "q9_profit" -> "tpch", "q21_sole_late" -> "tpch", "knn_ivf" -> "emb",
     "q_weighted_median" -> "li", "q_weighted_median_bucketed" -> "li",
     "q_mad_outliers" -> "ev", "q_mad_outliers_approx" -> "ev")
 
@@ -699,22 +749,9 @@ object Profile {
       // span = max*20+2, copy c's remapped range [c*span+1, (c+1)*span-1]
       // is disjoint from every other copy and from copy 0's [0, max]; and
       // span % 20 = 2 keeps every remapped id at 2c+1 (mod 20) — odd, so
-      // never on the query stride, at ANY corpus size.
-      val maxVecId = Tables.embeddings(spark, dir)
-        .agg(max(col("vec_id"))).head.getLong(0)
-      val copySpan = maxVecId * SimQueries.QueryStride.toLong + 2
-      Tables.embeddings(spark, dir).crossJoin(spark.range(10).toDF("copy"))
-        .select(
-          when(col("copy") === 0, col("vec_id"))
-            .otherwise(col("copy") * copySpan + col("vec_id") * lit(SimQueries.QueryStride.toLong) + 1)
-            .as("vec_id"),
-          when(col("copy") === 0, col("embedding")).otherwise(
-            concat(slice(col("embedding"), col("copy").cast("int") * 6 + 1,
-                lit(SimQueries.Dim)),
-              slice(col("embedding"), lit(1), col("copy").cast("int") * 6)))
-            .as("embedding"),
-          col("label"))
-        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      // never on the query stride, at ANY corpus size. (Generator factored
+      // to [[embeddingsX10]], shared with the scalepin gate.)
+      embeddingsX10(spark, dir, out)
       val qs = Seq("knn_pq", "knn_ivf_pq", "knn_ivf_trained",
         "emb_power_iter", "emb_drift", "kmeans_train")
       for (d <- Seq(dir, out)) {
@@ -858,7 +895,9 @@ object Profile {
       val pinPath = java.nio.file.Paths.get("SCALING_PINS.json")
       val (docsDir, liDir, evDir) =
         scale14Fixtures(spark, dir, "/tmp/graft_scalepin")
-      val fixtureDir = Map("docs" -> docsDir, "li" -> liDir, "ev" -> evDir)
+      val fixtureDir = Map("docs" -> docsDir, "li" -> liDir, "ev" -> evDir,
+        "tpch" -> tpchX10(spark, dir, "/tmp/graft_scalepin/tpch"),
+        "emb" -> embeddingsX10(spark, dir, "/tmp/graft_scalepin/emb"))
       def measure(name: String, d: String): Double = {
         val fn = (graft.SparkEntry.queries ++ graft.SparkEntry.specOnly)(name)
         fn(spark, d).count() // warm (plan + codegen + snapshot build)
