@@ -15,14 +15,17 @@ object Explain {
       "PushedFilters, ReadSchema pruned to the 7 referenced columns of an " +
       "11-column table; partial/final hash agg on a bounded key."),
     "q_weighted_median_bucketed" -> ("Two-phase exact quantile kernel " +
-      "(r14; grain promoted to a snapshot artifact r15): the (flag, " +
-      "value) weight census builds once in snapshot_build (one " +
-      "map-side-combinable aggregate over the fact — see " +
-      "snapshot:wmedian_grain in PLAN_DIGESTS); bounds/census/tail are " +
-      "RDD rescans of that materialization; both WindowExecs ride " +
-      "bounded inputs (<=4096 census rows per flag; the tail only the " +
-      "crossing bucket's grain rows) — contrast q_weighted_median, " +
-      "whose single window re-sorts the FULL value grain per flag."),
+      "(r14; grain promoted to a snapshot artifact r15; equi-width " +
+      "worst case guarded r16): the (flag, value) weight census builds " +
+      "once in snapshot_build (one map-side-combinable aggregate over " +
+      "the fact — see snapshot:wmedian_grain in PLAN_DIGESTS); phase A " +
+      "(census + crossing summary) is checkpointed at flag grain, so " +
+      "the final plan is the tail window over ONE bucket's grain rows, " +
+      "and a concentrated value domain (crossing bucket > 4x its " +
+      "equi-share of distinct values) triggers a one-level re-bucket " +
+      "inside the crossing bucket (StatsSpec drives it) — contrast " +
+      "q_weighted_median, whose single window re-sorts the FULL value " +
+      "grain per flag."),
     "q22_idle_custs" -> ("Broadcast-scalar discipline (r12): the global " +
       "average balance is a 1-ROW aggregate attached by " +
       "BroadcastNestedLoopJoin — no partition-less WindowExec anywhere, " +
@@ -83,11 +86,12 @@ object Explain {
       "dedup exchanges only the thresholded survivors — the full " +
       "candidate mass never shuffles."),
     "dedup_spans" -> ("Exact-substring spans without a suffix array: the " +
-      "staggered-slice window build stays narrow; ONE exchange on the " +
-      "window hash forms df-capped posting lists; pair explode runs " +
-      "pipelined, and the diagonal gaps-and-islands window needs only a " +
-      "(doc_a, doc_b, diag)-keyed exchange sized by actual cross-doc " +
-      "duplication."),
+      "staggered-slice window build stays narrow (materialized ONCE as " +
+      "the span_windows artifact r16, shared with the incremental " +
+      "screen's corpus index); ONE exchange on the window hash forms " +
+      "df-capped posting lists; pair explode runs pipelined, and the " +
+      "diagonal gaps-and-islands window needs only a (doc_a, doc_b, " +
+      "diag)-keyed exchange sized by actual cross-doc duplication."),
     "dedup_spans_scrub" -> ("The scrub tail over the same islands: " +
       "covered ranges explode one row per REMOVED token, collapse to " +
       "per-doc position sets in one doc_id exchange, and the token drop " +
