@@ -54,7 +54,9 @@ object KMinHashQueries {
     sketches(spark, dir)
 
   private def sketchesLive(spark: SparkSession, dir: String): DataFrame =
-    DedupQueries.shingleRows(spark, dir, dedup = false)
+    // reads the shared shingle materialization (r16); hash + distinct
+    // applied here, so the sketch values are unchanged
+    DedupQueries.shingleRowsSnapshot(spark, dir)
       .select(col("doc_id"), Exact.md5Long(col("s")).as("h"))
       // pre-contract to distinct (doc, h) BEFORE the object aggregate:
       // TypedImperativeAggregate children evaluate INTERPRETED per update,

@@ -79,6 +79,20 @@ object SnapshotBuild {
       timed("span_islands")(graft.ext.dedup.DedupQueries.spanIslandsSnapshot(spark, dir)))
     val spanIdx = spanWin.map(_ =>
       timed("span_corpus_index")(graft.ext.dedup.DedupQueries.spanCorpusIndex(spark, dir)))
+    // the shingle family shares one exploded-shingle materialization the
+    // same way (r16): four artifact builds previously each re-ran the
+    // scan→tokenize→slice→explode pipeline
+    val shingles: Future[Seq[(String, Double)]] = Future(
+      timed("shingle_rows")(DedupQueries.shingleRowsSnapshot(spark, dir)))
+    val shJaccard = shingles.map(_ ++
+      timed("jaccard_pairs")(DedupQueries.jaccardPairSnapshot(spark, dir)))
+    val shIncIdx = shingles.map(_ =>
+      timed("inc_corpus_index")(DedupQueries.corpusIndex(spark, dir)))
+    val shMinhash = shingles.map(_ =>
+      timed("minhash_sigs")(DedupQueries.signatures(spark, dir)))
+    val shKmin = shingles.map(_ =>
+      timed("kminhash_sketches")(
+        graft.ext.dedup.KMinHashQueries.sketchIndex(spark, dir)))
     val tasks: Seq[Future[Seq[(String, Double)]]] = Seq(
       spanIsl, spanIdx,
       // the bpe tokenizer→encode chain and the span chain above are the
@@ -90,10 +104,9 @@ object SnapshotBuild {
       // discarded)
       Future(timed("bpe_tokenizer")(TextQueries.bpeArtifacts(spark, dir)) ++
         timed("bpe_encoded")(TextQueries.bpeEncoded(spark, dir))),
-      Future(timed("jaccard_pairs")(DedupQueries.jaccardPairSnapshot(spark, dir))),
+      shJaccard, shIncIdx,
       Future(timed("emb_pairs")(DedupQueries.embeddingPairSnapshot(spark, dir))),
       Future(timed("emb_lsh_pairs")(DedupQueries.embeddingLshPairSnapshot(spark, dir))),
-      Future(timed("inc_corpus_index")(DedupQueries.corpusIndex(spark, dir))),
       Future(timed("emb_inc_index")(DedupQueries.embIncCorpusIndex(spark, dir))),
       Future(timed("inc_exact_hashes")(DedupQueries.corpusHashIndex(spark, dir))),
       Future(timed("inc_doc_hashes")(DedupQueries.corpusDocHashes(spark, dir))),
@@ -115,10 +128,9 @@ object SnapshotBuild {
       // dependency chain internally (thresholds read counts; totals read
       // the model), so each stays one task
       Future(timed("doc_tokens")(TextQueries.tokenizedDocs(spark, dir))),
-      Future(timed("minhash_sigs")(DedupQueries.signatures(spark, dir))),
+      shMinhash,
       Future(timed("simhash_sigs")(DedupQueries.qSimhash(spark, dir))),
-      Future(timed("kminhash_sketches")(
-        graft.ext.dedup.KMinHashQueries.sketchIndex(spark, dir))),
+      shKmin,
       Future(timed("ppl_inc_model")(TextQueries.pplArtifacts(spark, dir))),
       Future(timed("dsir_inc_model")(DsirQueries.incModel(spark, dir))),
       Future(timed("er_base_canon")(graft.ext.er.ErQueries.baseArtifacts(spark, dir))),

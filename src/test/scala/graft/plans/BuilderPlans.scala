@@ -32,8 +32,9 @@ object BuilderPlans {
     "emb_lsh_pairs", "emb_pairs", "er_base_canon", "inc_corpus_index",
     "inc_doc_hashes", "inc_exact_hashes", "jaccard_pairs", "kmeans_assign",
     "kminhash_sketches", "knn_truth", "lm_scores", "lsh_bands",
-    "minhash_sigs", "ppl_inc_model", "pq_codes", "pq_luts", "simhash_sigs",
-    "span_corpus_index", "span_islands", "span_windows", "wmedian_grain")
+    "minhash_sigs", "ppl_inc_model", "pq_codes", "pq_luts", "shingle_rows",
+    "simhash_sigs", "span_corpus_index", "span_islands", "span_windows",
+    "wmedian_grain")
 
   /** The snapshot tags those builds capture (some builds materialize
     * more than one snapshot — the bpe chain, the paired incremental
@@ -49,7 +50,8 @@ object BuilderPlans {
     "jaccard", "kmeans_assign", "kminhash_sketches", "knn_truth",
     "lm_counts", "lm_scores", "lsh_bands", "minhash_sigs",
     "ppl_inc_counts", "ppl_inc_thresholds", "pq_codes", "pq_luts",
-    "simhash_sigs", "span-posts", "span_windows", "spans", "wmedian_grain")
+    "shingle_rows", "simhash_sigs", "span-posts", "span_windows", "spans",
+    "wmedian_grain")
 
   @volatile private var cached: Map[String, DataFrame] = null
 

@@ -98,8 +98,8 @@ class SnapshotBuildSpec extends SparkSpec {
     assert(concurrent.map(_._1) == Seq(
       "span_windows", "span_islands", "span_corpus_index",
       "bpe_tokenizer", "bpe_encoded",
-      "jaccard_pairs", "emb_pairs", "emb_lsh_pairs",
-      "inc_corpus_index", "emb_inc_index",
+      "shingle_rows", "jaccard_pairs", "inc_corpus_index",
+      "emb_pairs", "emb_lsh_pairs", "emb_inc_index",
       "inc_exact_hashes", "inc_doc_hashes", "baskets", "lm_scores",
       "dsir_weights", "cm_counters",
       "lsh_bands", "knn_truth", "align_truth", "pq_codes", "pq_luts",
