@@ -373,9 +373,16 @@ object DedupQueries {
                                   dfCap: Option[Int]): DataFrame =
     // 60-bit hash of the shingle, not the string: 8-byte shuffle keys. The
     // oracle hashes identically, so any (vanishingly rare) collision
-    // affects both engines the same way.
+    // affects both engines the same way. Reads the SHARED shingled-corpus
+    // artifact (r16 optimization round, guide §2.4 — remove repeated
+    // passes): the suite already materializes shingle_rows once per
+    // corpus version for the four artifact builds, and re-running the
+    // scan→tokenize→slice→explode pipeline here re-paid its dominant
+    // cost per query. Values are bit-identical — the snapshot is the
+    // same non-deduped (doc_id, s) multiset (`source` rides along,
+    // projected away here).
     jaccardPairsOfShingled(
-      shingleRows(spark, dir, dedup = false)
+      shingleRowsSnapshot(spark, dir)
         .select(col("doc_id"), Exact.md5Long(col("s")).as("h")), dfCap)
 
   /** The jaccard pair kernel over an ARBITRARY (doc_id, h) shingle-hash
@@ -842,8 +849,21 @@ object DedupQueries {
     * Deterministic: min-propagation converges to a unique fixpoint
     * regardless of partitioning or join order. */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
-    components(jaccardPairSnapshot(spark, dir), "doc_a", "doc_b")
-      .toDF("doc_id", "cluster_id")
+    clusterLabels(spark, dir).toDF("doc_id", "cluster_id")
+
+  /** The component-label frame of the jaccard pair graph as a suite-scoped
+    * snapshot (r16 optimization round, guide §1.2 — don't recompute what
+    * three consumers share): dedup_clusters, dedup_survivors and
+    * curate_clustered each re-ran the full iterative min-label loop
+    * (~10 rounds of join+agg jobs) over the SAME pair snapshot. The label
+    * fixpoint is unique and deterministic, so the materialization is
+    * value-identical to each consumer's former private run; at 100 TB it
+    * is the cluster-assignment parquet a dedup deployment persists next
+    * to the pair snapshot. Built by `SnapshotBuild.all` (continuation of
+    * the jaccard chain) so the cost stays one attributable entry. */
+  private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    snapshot("jaccard_clusters", spark, dir)(
+      components(jaccardPairSnapshot(spark, dir), "doc_a", "doc_b"))
 
   /** Survivor election: which document each near-dup cluster KEEPS —
     * the step that turns detection into an actionable kept-corpus, and
@@ -1255,7 +1275,9 @@ object DedupQueries {
     * one groupBy(doc_id) is the only exchange, and the distinct count is
     * exact (countDistinct over the 60-bit shingle hash). */
   def qRepetition(spark: SparkSession, dir: String): DataFrame =
-    shingleRows(spark, dir, dedup = false)
+    // reads the shared shingle_rows artifact (r16, same move as the
+    // capped jaccard): identical non-deduped multiset, tokenize paid once
+    shingleRowsSnapshot(spark, dir)
       .select(col("doc_id"), Exact.md5Long(col("s")).as("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),

@@ -213,8 +213,21 @@ object ErQueries {
       .withColumn("is_canonical", col("p_name") === col("canonical_name"))
   }
 
+  /** The full-vocabulary canonical map as a suite-scoped snapshot (r16
+    * optimization round, guide §1.2): er_canonical and er_resolve each
+    * re-ran the fuzzy pair generation PLUS the iterative components loop
+    * over the same vocabulary. The fixpoint is unique and deterministic,
+    * so the materialization is value-identical to both former private
+    * runs; at 100 TB it is the canonical-entity lookup table a resolution
+    * deployment persists per vocabulary version (exactly the docstring's
+    * "lookup table that rewrites the dirty dimension"). Built by
+    * `SnapshotBuild.all` as its own attributable entry. */
+  private[graft] def canonMap(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SnapshotCache.snapshot("er_canon_map", spark, dir)(
+      canonicalFrom(namesCk(spark, dir)))
+
   def qErCanonical(spark: SparkSession, dir: String): DataFrame =
-    canonicalFrom(namesCk(spark, dir))
+    canonMap(spark, dir)
 
   /** The payoff step: the fact table re-aggregated by CANONICAL entity —
     * what the whole family exists to make correct. Per canonical name:
@@ -226,7 +239,7 @@ object ErQueries {
     * followed by one aggregate on the (smaller) canonical key space;
     * nothing new shuffles beyond the aggregate itself. */
   def qErResolve(spark: SparkSession, dir: String): DataFrame = {
-    val canon = canonicalFrom(namesCk(spark, dir))
+    val canon = canonMap(spark, dir)
       .select(col("p_name"), col("canonical_name"))
     Tables.part(spark, dir)
       .join(broadcast(canon), Seq("p_name"))

@@ -245,7 +245,10 @@ object CurateQueries {
   def qContamination(spark: SparkSession, dir: String): DataFrame = {
     // val-split rows (TrainPct ≤ bucket < ValPct) are dropped BEFORE the
     // materialization — no consumer reads them
-    val sh = DedupQueries.shingleRows(spark, dir)
+    // reads the shared shingle_rows artifact (r16): distinct over the
+    // materialized multiset ≡ the former dedup=true live build
+    val sh = DedupQueries.shingleRowsSnapshot(spark, dir)
+      .select(col("doc_id"), col("s")).distinct()
       .select(col("doc_id"), Exact.md5Long(col("s")).as("h"), splitBucket.as("bucket"))
       .filter(col("bucket") < TrainPct || col("bucket") >= ValPct)
       .localCheckpoint()

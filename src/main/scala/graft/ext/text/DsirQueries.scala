@@ -58,26 +58,44 @@ object DsirQueries {
   /** Selected-corpus size for [[qDsirSelect]]. */
   val DsirK = 100
 
-  /** (doc_id, lang, bucket) hashed-bigram feature rows — multiset, like
-    * DSIR's bag-of-ngrams (repeats weigh). Docs with < 2 tokens emit no
-    * feature row and drop out of the weight frame (nothing to score). */
-  private def featureRows(spark: SparkSession, dir: String): DataFrame =
-    featureRowsOf(Tables.rebalanced(spark, Tables.documents(spark, dir)))
+  /** The corpus-wide (doc_id, lang, inc, bucket) hashed-bigram feature
+    * stream as ONE suite-scoped snapshot (r16 optimization round, guide
+    * §1.2/§2.4): the full-corpus weight build and the incremental model
+    * previously each ran their own scan→tokenize→bigram→md5 pass — the
+    * md5-per-bigram projection is the dominant cost of both, and
+    * dsir_weights was the snapshot section's critical path. The `inc`
+    * flag marks the incoming slice so [[incModel]] derives its
+    * corpus-minus-incoming stream by FILTER over the same
+    * materialization; per-row values are bit-identical to the former
+    * private builds (filter commutes with the per-doc feature explode).
+    * At 100 TB this is the persisted feature-extraction parquet any DSIR
+    * deployment stages before fitting count tables. */
+  private[graft] def dsirFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SnapshotCache.snapshot("dsir_features", spark, dir)(
+      featureRowsOf(
+        Tables.rebalanced(spark, Tables.documents(spark, dir)),
+        carry = Seq("inc"),
+        prep = _.withColumn("inc",
+          col("source") === graft.ext.dedup.DedupQueries.IncomingSource)))
 
-  /** [[featureRows]] over an arbitrary (doc_id, lang, text) frame — the
-    * kernel the incremental screen drives with a micro-batch. */
-  private[graft] def featureRowsOf(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), col("lang"), TextNorm.toks(col("text")).as("t"))
+  /** [[dsirFeatures]]' kernel over an arbitrary (doc_id, lang, text)
+    * frame — also what the incremental screen drives with a micro-batch.
+    * `carry` names extra columns to ride every feature row (must be
+    * functionally dependent on doc_id); `prep` derives them first. */
+  private[graft] def featureRowsOf(docs: DataFrame, carry: Seq[String] = Nil,
+                                   prep: DataFrame => DataFrame = identity): DataFrame = {
+    val keys = Seq(col("doc_id"), col("lang")) ++ carry.map(col)
+    val toks = prep(docs)
+      .select(keys :+ TextNorm.toks(col("text")).as("t"): _*)
     val len = greatest(size(col("t")) - 1, lit(0))
     val zipped = arrays_zip(
       slice(col("t"), lit(1), len).as("w1"),
       slice(col("t"), lit(2), len).as("w2"))
-    toks.select(col("doc_id"), col("lang"), explode(zipped).as("z"))
-      .select(col("doc_id"), col("lang"),
+    toks.select(keys :+ explode(zipped).as("z"): _*)
+      .select(keys :+
         pmod(Exact.md5Long28(
           concat(lit("dsirf|"), col("z.w1"), lit(" "), col("z.w2"))),
-          lit(NBuckets)).as("bucket"))
+          lit(NBuckets)).as("bucket"): _*)
   }
 
   /** The persisted DSIR model of a feature stream: the (bucket, c_r, c_t)
@@ -135,19 +153,19 @@ object DsirQueries {
   /** The snapshot's BUILD pipeline (audited in PLANS.md — the registered
     * entry serves a localCheckpoint whose plan is an RDD scan).
     *
-    * The feature stream materializes ONCE (eager localCheckpoint — the
-    * same one-scan discipline as the weighted-median grain frame): four
-    * consumers read it (target counts, raw counts, the normalizer totals,
-    * and the scoring join's stream side), and without the checkpoint
-    * Catalyst plans four independent scan→tokenize→bigram→md5 subtrees —
-    * the md5-per-bigram feature build is the expensive term, and paying
-    * it 4× made dsir_weights the snapshot section's critical path
-    * (VERDICT r14 #4: 7.8–8.3 s in-pool; ~3 s with the single build). At
-    * 100 TB the checkpoint is the persisted feature extraction any DSIR
-    * deployment would stage before fitting the two count tables. */
+    * The feature stream materializes ONCE (the [[dsirFeatures]] snapshot —
+    * the same one-scan discipline as the weighted-median grain frame):
+    * four consumers read it here (target counts, raw counts, the
+    * normalizer totals, and the scoring join's stream side), and without
+    * the materialization Catalyst plans four independent
+    * scan→tokenize→bigram→md5 subtrees — the md5-per-bigram feature build
+    * is the expensive term, and paying it 4× made dsir_weights the
+    * snapshot section's critical path (VERDICT r14 #4: 7.8–8.3 s in-pool;
+    * ~3 s with the single build). Since r16 the SAME materialization also
+    * feeds [[incModel]] (filter on `inc`), removing the second full
+    * feature pass the incremental model used to pay. */
   private[graft] def weightFrameRaw(spark: SparkSession, dir: String): DataFrame = {
-    val f = graft.util.SnapshotCache.scratchCheckpoint(spark,
-      featureRows(spark, dir))
+    val f = dsirFeatures(spark, dir)
     val (model, totals) = modelOf(f)
     scoreAgainst(f, model, totals)
   }
@@ -198,15 +216,11 @@ object DsirQueries {
     * OUTSIDE the incoming slice, frozen as suite-scoped snapshots. */
   private[graft] def incModel(spark: SparkSession,
                               dir: String): (DataFrame, DataFrame) = {
-    // lazy + checkpointed: the corpus feature build (the expensive
-    // md5-per-bigram pass) runs at most ONCE across the two snapshot
-    // builds (model counts + totals, 3 consumers) — and not at all when
-    // both snapshots are already cached
-    lazy val corpusFeatures = graft.util.SnapshotCache.scratchCheckpoint(spark,
-      featureRowsOf(
-        Tables.rebalanced(spark, Tables.documents(spark, dir))
-          .filter(col("source") =!=
-            graft.ext.dedup.DedupQueries.IncomingSource)))
+    // a FILTER over the shared corpus-wide feature snapshot (r16): the
+    // incremental model's stream is dsir_features minus the incoming
+    // slice — the md5-per-bigram pass is paid once suite-wide instead of
+    // once per model. Lazy so two warm snapshots below build nothing.
+    lazy val corpusFeatures = dsirFeatures(spark, dir).filter(!col("inc"))
     val model = graft.util.SnapshotCache.snapshot("dsir_inc_model", spark, dir)(
       modelOf(corpusFeatures)._1)
     val totals = graft.util.SnapshotCache.snapshot("dsir_inc_totals", spark, dir)(

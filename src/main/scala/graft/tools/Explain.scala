@@ -411,6 +411,23 @@ object Explain {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         sb.toString.getBytes("UTF-8"))
       println(s"wrote $out (${audited.size} plans)")
+    } else if (args.headOption.contains("--dump")) {
+      // batch plan capture for the optimization-round dossier
+      // (plans/r16/<query>_{before,after}.txt): ONE JVM writes
+      // <outDir>/<name><suffix>.txt per named query — a per-query
+      // `runMain` fork would pay ~40 s of sbt/Spark startup each.
+      //   runMain graft.tools.Explain --dump <outDir> <suffix> <sfDir> <name...>
+      val outDir = args(1); val suffix = args(2); val dir = args(3)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      args.drop(4).foreach { name =>
+        val df = (graft.SparkEntry.queries ++ graft.SparkEntry.specOnly)(name)(spark, dir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outDir, s"$name$suffix.txt"),
+          plan.getBytes("UTF-8"))
+        println(s"dumped $name")
+      }
     } else {
       val name = args.headOption.getOrElse("q1_pricing")
       val dir = args.lift(1).getOrElse("/root/testdata/sf0.01")

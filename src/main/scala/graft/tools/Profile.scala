@@ -116,6 +116,14 @@ object Profile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev-only A/B hook: SPARK_GRAFT_TEST_CONF="k=v;k=v" applies session
+    // confs before any probe runs, so a candidate engine setting (join
+    // strategy preference, AQE knobs) can be measured against the same
+    // probes without a code edit per experiment
+    sys.env.get("SPARK_GRAFT_TEST_CONF").foreach(_.split(';').foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
+    })
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
       println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")

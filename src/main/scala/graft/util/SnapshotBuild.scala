@@ -93,6 +93,25 @@ object SnapshotBuild {
     val shKmin = shingles.map(_ =>
       timed("kminhash_sketches")(
         graft.ext.dedup.KMinHashQueries.sketchIndex(spark, dir)))
+    // the cluster-label artifact continues the jaccard chain (r16): its
+    // input IS the pair snapshot, and three registered queries
+    // (dedup_clusters / dedup_survivors / curate_clustered) read the
+    // labels instead of each re-running the components loop
+    val shClusters = shJaccard.map(_ ++
+      timed("jaccard_clusters")(DedupQueries.clusterLabels(spark, dir)))
+    // lm_scores → ppl_inc_model share one materialized bigram stream
+    // (r16): submitting them independently would race both into building
+    // lm_bigrams, re-paying the duplication the shared artifact removes —
+    // the span/shingle continuation discipline
+    val lmChain: Future[Seq[(String, Double)]] = Future(
+      timed("lm_scores")(TextQueries.lmScoreSnapshot(spark, dir)))
+    val pplChain = lmChain.map(_ ++
+      timed("ppl_inc_model")(TextQueries.pplArtifacts(spark, dir)))
+    // dsir_weights → dsir_inc_model share the feature stream the same way
+    val dsirChain: Future[Seq[(String, Double)]] = Future(
+      timed("dsir_weights")(DsirQueries.weightFrame(spark, dir)))
+    val dsirInc = dsirChain.map(_ ++
+      timed("dsir_inc_model")(DsirQueries.incModel(spark, dir)))
     val tasks: Seq[Future[Seq[(String, Double)]]] = Seq(
       spanIsl, spanIdx,
       // the bpe tokenizer→encode chain and the span chain above are the
@@ -104,15 +123,15 @@ object SnapshotBuild {
       // discarded)
       Future(timed("bpe_tokenizer")(TextQueries.bpeArtifacts(spark, dir)) ++
         timed("bpe_encoded")(TextQueries.bpeEncoded(spark, dir))),
-      shJaccard, shIncIdx,
+      shClusters, shIncIdx,
       Future(timed("emb_pairs")(DedupQueries.embeddingPairSnapshot(spark, dir))),
       Future(timed("emb_lsh_pairs")(DedupQueries.embeddingLshPairSnapshot(spark, dir))),
       Future(timed("emb_inc_index")(DedupQueries.embIncCorpusIndex(spark, dir))),
       Future(timed("inc_exact_hashes")(DedupQueries.corpusHashIndex(spark, dir))),
       Future(timed("inc_doc_hashes")(DedupQueries.corpusDocHashes(spark, dir))),
       Future(timed("baskets")(graft.batch.BasketQueries.basketSnapshot(spark, dir))),
-      Future(timed("lm_scores")(TextQueries.lmScoreSnapshot(spark, dir))),
-      Future(timed("dsir_weights")(DsirQueries.weightFrame(spark, dir))),
+      pplChain,
+      dsirInc,
       Future(timed("cm_counters")(CmSketchQueries.counters(spark, dir))),
       // lsh_bands feeds the emb_lsh_pairs / emb_inc_index builds — submit
       // it early so racers find it warm more often (races are safe, just
@@ -131,9 +150,11 @@ object SnapshotBuild {
       shMinhash,
       Future(timed("simhash_sigs")(DedupQueries.qSimhash(spark, dir))),
       shKmin,
-      Future(timed("ppl_inc_model")(TextQueries.pplArtifacts(spark, dir))),
-      Future(timed("dsir_inc_model")(DsirQueries.incModel(spark, dir))),
       Future(timed("er_base_canon")(graft.ext.er.ErQueries.baseArtifacts(spark, dir))),
+      // the full-vocabulary canonical map (r16): er_canonical serves it
+      // verbatim and er_resolve broadcasts it into the fact scan — each
+      // previously re-ran fuzzy pairs + the components loop
+      Future(timed("er_canon_map")(graft.ext.er.ErQueries.canonMap(spark, dir))),
       Future(timed("kmeans_assign")(graft.ext.sim.SimQueries.kmeansModel(spark, dir))),
       // the bucketed weighted median's (flag, value) weight census
       // (VERDICT r14 #2 — built live it put the twin BEHIND the exact

@@ -29,8 +29,9 @@ object BuilderPlans {
   val Artifacts: Set[String] = Set(
     "align_truth", "baskets", "bpe_encoded", "bpe_tokenizer", "cm_counters",
     "doc_tokens", "dsir_inc_model", "dsir_weights", "emb_inc_index",
-    "emb_lsh_pairs", "emb_pairs", "er_base_canon", "inc_corpus_index",
-    "inc_doc_hashes", "inc_exact_hashes", "jaccard_pairs", "kmeans_assign",
+    "emb_lsh_pairs", "emb_pairs", "er_base_canon", "er_canon_map",
+    "inc_corpus_index", "inc_doc_hashes", "inc_exact_hashes",
+    "jaccard_clusters", "jaccard_pairs", "kmeans_assign",
     "kminhash_sketches", "knn_truth", "lm_scores", "lsh_bands",
     "minhash_sigs", "ppl_inc_model", "pq_codes", "pq_luts", "shingle_rows",
     "simhash_sigs", "span_corpus_index", "span_islands", "span_windows",
@@ -44,10 +45,11 @@ object BuilderPlans {
     * order-dependent extras). */
   val Tags: Set[String] = Set(
     "align_truth", "baskets", "bpe_encoded", "bpe_merges", "bpe_vocab",
-    "cm_counters", "doc_tokens", "dsir_inc_model", "dsir_inc_totals",
-    "dsir_weights", "emb", "emb-inc-corpus", "emb_lsh", "er_base_canon",
-    "inc-doc-hashes", "inc-exact-hashes", "inc-posts", "inc-sizes",
-    "jaccard", "kmeans_assign", "kminhash_sketches", "knn_truth",
+    "cm_counters", "doc_tokens", "dsir_features", "dsir_inc_model",
+    "dsir_inc_totals", "dsir_weights", "emb", "emb-inc-corpus", "emb_lsh",
+    "er_base_canon", "er_canon_map", "inc-doc-hashes", "inc-exact-hashes",
+    "inc-posts", "inc-sizes", "jaccard", "jaccard_clusters",
+    "kmeans_assign", "kminhash_sketches", "knn_truth", "lm_bigrams",
     "lm_counts", "lm_scores", "lsh_bands", "minhash_sigs",
     "ppl_inc_counts", "ppl_inc_thresholds", "pq_codes", "pq_luts",
     "shingle_rows", "simhash_sigs", "span-posts", "span_windows", "spans",

@@ -58,7 +58,12 @@ class SnapshotBuildSpec extends SparkSpec {
     "er_base_canon" -> digest(graft.ext.er.ErQueries.baseArtifacts(spark, sf)._3),
     "kmeans_assign" -> digest(graft.ext.sim.SimQueries.kmeansModel(spark, sf)
       .select(col("vec_id"), col("nsq"), col("cl"))),
-    "wmedian_grain" -> digest(graft.batch.StatsQueries.wmedianGrain(spark, sf)))
+    "wmedian_grain" -> digest(graft.batch.StatsQueries.wmedianGrain(spark, sf)),
+    // r16 shared-materialization artifacts: component labels and the
+    // canonical map must come out identical whether built concurrently
+    // (continuation chains) or on demand in the sequential replay
+    "jaccard_clusters" -> digest(graft.ext.dedup.DedupQueries.clusterLabels(spark, sf)),
+    "er_canon_map" -> digest(graft.ext.er.ErQueries.canonMap(spark, sf)))
 
   test("concurrent build produces the sequential build's artifacts, keys, and content") {
     SnapshotCache.clearAll()
@@ -93,18 +98,22 @@ class SnapshotBuildSpec extends SparkSpec {
         s"  concurrent: $concurrentDigests\n  sequential: $sequentialDigests")
     // attribution keys are the sequential-era record keys plus the
     // round-13 artifacts (truth anchors, signature/sketch indexes,
-    // frozen screen models, the tokenized corpus, the k-means model),
-    // in order
+    // frozen screen models, the tokenized corpus, the k-means model)
+    // plus the r16 shared-materialization entries (the cluster-label
+    // and canonical-map artifacts; ppl/dsir incrementals now ride their
+    // upstream chains as continuations), in order
     assert(concurrent.map(_._1) == Seq(
       "span_windows", "span_islands", "span_corpus_index",
       "bpe_tokenizer", "bpe_encoded",
-      "shingle_rows", "jaccard_pairs", "inc_corpus_index",
+      "shingle_rows", "jaccard_pairs", "jaccard_clusters",
+      "inc_corpus_index",
       "emb_pairs", "emb_lsh_pairs", "emb_inc_index",
-      "inc_exact_hashes", "inc_doc_hashes", "baskets", "lm_scores",
-      "dsir_weights", "cm_counters",
+      "inc_exact_hashes", "inc_doc_hashes", "baskets",
+      "lm_scores", "ppl_inc_model",
+      "dsir_weights", "dsir_inc_model", "cm_counters",
       "lsh_bands", "knn_truth", "align_truth", "pq_codes", "pq_luts",
       "doc_tokens", "minhash_sigs", "simhash_sigs", "kminhash_sketches",
-      "ppl_inc_model", "dsir_inc_model", "er_base_canon", "kmeans_assign",
+      "er_base_canon", "er_canon_map", "kmeans_assign",
       "wmedian_grain"))
     // every build actually ran under the clock (no zero-cost phantom)
     assert(concurrent.forall(_._2 >= 0.0))
