@@ -768,14 +768,27 @@ object CurateQueries {
     * sizes, hash set — exactly what a deployment snapshots between
     * batches. Cost grows with the batch, not the corpus: the scale10
     * probe in SCALING.md pins it. */
-  def qCurateIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val inc = DedupQueries.IncomingSource
-    val (posts, oldSizes) = DedupQueries.corpusIndex(spark, dir)
-    val corpusHashes = DedupQueries.corpusHashIndex(spark, dir)
-    val batch = Tables.rebalanced(spark,
-      Tables.documents(spark, dir).filter(col("source") === inc))
-    curateScreen(batch, posts, oldSizes, corpusHashes)
-  }
+  def qCurateIncremental(spark: SparkSession, dir: String): DataFrame =
+    screenVerdicts(spark, dir)
+
+  /** The incoming batch's screen verdict frame as a suite-scoped snapshot
+    * (r16 optimization round, guide §1.2): curate_incremental and
+    * curate_index_append both ran the full screen (quality + exact-hash
+    * probe + index screen + within-batch jaccard); the verdicts given
+    * frozen artifacts are deterministic, and the lifecycle doc already
+    * describes screen → append as sequential steps over ONE screen
+    * output — this is "the routing table a daily ingest writes before
+    * appending survivors", persisted once per batch. Built by
+    * `SnapshotBuild.all` as a continuation of the corpus-index chain. */
+  private[graft] def screenVerdicts(spark: SparkSession, dir: String): DataFrame =
+    graft.util.SnapshotCache.snapshot("curate_screen", spark, dir) {
+      val inc = DedupQueries.IncomingSource
+      val (posts, oldSizes) = DedupQueries.corpusIndex(spark, dir)
+      val corpusHashes = DedupQueries.corpusHashIndex(spark, dir)
+      val batch = Tables.rebalanced(spark,
+        Tables.documents(spark, dir).filter(col("source") === inc))
+      curateScreen(batch, posts, oldSizes, corpusHashes)
+    }
 
   /** The screen kernel of [[qCurateIncremental]] over explicit artifact
     * frames — the foreachBatch-drivable form, and what the sequential
@@ -830,7 +843,10 @@ object CurateQueries {
     val corpusHashes = DedupQueries.corpusHashIndex(spark, dir)
     val batch = Tables.rebalanced(spark,
       Tables.documents(spark, dir).filter(col("source") === inc))
-    val kept = curateScreen(batch, posts, oldSizes, corpusHashes)
+    // the screen verdicts come from the SHARED screen snapshot (r16) —
+    // the append folds the survivors the persisted routing table kept,
+    // instead of re-running the whole screen inside this query
+    val kept = screenVerdicts(spark, dir)
       .filter(col("keep")).select(col("doc_id"))
     val survivors = batch.join(kept, Seq("doc_id"), "left_semi")
     val (newPosts, _, _) =

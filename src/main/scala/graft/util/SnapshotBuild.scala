@@ -86,8 +86,6 @@ object SnapshotBuild {
       timed("shingle_rows")(DedupQueries.shingleRowsSnapshot(spark, dir)))
     val shJaccard = shingles.map(_ ++
       timed("jaccard_pairs")(DedupQueries.jaccardPairSnapshot(spark, dir)))
-    val shIncIdx = shingles.map(_ =>
-      timed("inc_corpus_index")(DedupQueries.corpusIndex(spark, dir)))
     val shMinhash = shingles.map(_ =>
       timed("minhash_sigs")(DedupQueries.signatures(spark, dir)))
     val shKmin = shingles.map(_ =>
@@ -99,6 +97,16 @@ object SnapshotBuild {
     // labels instead of each re-running the components loop
     val shClusters = shJaccard.map(_ ++
       timed("jaccard_clusters")(DedupQueries.clusterLabels(spark, dir)))
+    // the curation screen verdict continues the corpus-index chain (r16):
+    // its inputs are the posting/size indexes that chain builds (the
+    // exact-hash set may race its own task — SnapshotCache discards the
+    // loser); curate_incremental serves it and curate_index_append folds
+    // its survivors
+    val shIncIdx: Future[Seq[(String, Double)]] = shingles.map(_ =>
+      timed("inc_corpus_index")(DedupQueries.corpusIndex(spark, dir)))
+    val shScreen = shIncIdx.map(_ ++
+      timed("curate_screen")(
+        graft.ext.pipeline.CurateQueries.screenVerdicts(spark, dir)))
     // lm_scores → ppl_inc_model share one materialized bigram stream
     // (r16): submitting them independently would race both into building
     // lm_bigrams, re-paying the duplication the shared artifact removes —
@@ -123,7 +131,7 @@ object SnapshotBuild {
       // discarded)
       Future(timed("bpe_tokenizer")(TextQueries.bpeArtifacts(spark, dir)) ++
         timed("bpe_encoded")(TextQueries.bpeEncoded(spark, dir))),
-      shClusters, shIncIdx,
+      shClusters, shScreen,
       Future(timed("emb_pairs")(DedupQueries.embeddingPairSnapshot(spark, dir))),
       Future(timed("emb_lsh_pairs")(DedupQueries.embeddingLshPairSnapshot(spark, dir))),
       Future(timed("emb_inc_index")(DedupQueries.embIncCorpusIndex(spark, dir))),

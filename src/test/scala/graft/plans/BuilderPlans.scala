@@ -28,7 +28,8 @@ object BuilderPlans {
     * closed-world rule the r13 artifact migration was missing). */
   val Artifacts: Set[String] = Set(
     "align_truth", "baskets", "bpe_encoded", "bpe_tokenizer", "cm_counters",
-    "doc_tokens", "dsir_inc_model", "dsir_weights", "emb_inc_index",
+    "curate_screen", "doc_tokens", "dsir_inc_model", "dsir_weights",
+    "emb_inc_index",
     "emb_lsh_pairs", "emb_pairs", "er_base_canon", "er_canon_map",
     "inc_corpus_index", "inc_doc_hashes", "inc_exact_hashes",
     "jaccard_clusters", "jaccard_pairs", "kmeans_assign",
@@ -45,7 +46,8 @@ object BuilderPlans {
     * order-dependent extras). */
   val Tags: Set[String] = Set(
     "align_truth", "baskets", "bpe_encoded", "bpe_merges", "bpe_vocab",
-    "cm_counters", "doc_tokens", "dsir_features", "dsir_inc_model",
+    "cm_counters", "curate_screen", "doc_tokens", "dsir_features",
+    "dsir_inc_model",
     "dsir_inc_totals", "dsir_weights", "emb", "emb-inc-corpus", "emb_lsh",
     "er_base_canon", "er_canon_map", "inc-doc-hashes", "inc-exact-hashes",
     "inc-posts", "inc-sizes", "jaccard", "jaccard_clusters",

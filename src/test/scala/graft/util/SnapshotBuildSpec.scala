@@ -63,7 +63,8 @@ class SnapshotBuildSpec extends SparkSpec {
     // canonical map must come out identical whether built concurrently
     // (continuation chains) or on demand in the sequential replay
     "jaccard_clusters" -> digest(graft.ext.dedup.DedupQueries.clusterLabels(spark, sf)),
-    "er_canon_map" -> digest(graft.ext.er.ErQueries.canonMap(spark, sf)))
+    "er_canon_map" -> digest(graft.ext.er.ErQueries.canonMap(spark, sf)),
+    "curate_screen" -> digest(graft.ext.pipeline.CurateQueries.screenVerdicts(spark, sf)))
 
   test("concurrent build produces the sequential build's artifacts, keys, and content") {
     SnapshotCache.clearAll()
@@ -106,7 +107,7 @@ class SnapshotBuildSpec extends SparkSpec {
       "span_windows", "span_islands", "span_corpus_index",
       "bpe_tokenizer", "bpe_encoded",
       "shingle_rows", "jaccard_pairs", "jaccard_clusters",
-      "inc_corpus_index",
+      "inc_corpus_index", "curate_screen",
       "emb_pairs", "emb_lsh_pairs", "emb_inc_index",
       "inc_exact_hashes", "inc_doc_hashes", "baskets",
       "lm_scores", "ppl_inc_model",
