@@ -249,8 +249,14 @@ object TpchBreadthQueries {
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
     val badSupp = Tables.supplier(spark, dir)
       .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    // no pre-distinct (r16, guide §2.4): countDistinct is insensitive to
+    // (partkey, suppkey) multiplicity, and the former
+    // `.select(pk, sk).distinct()` paid a FULL lineitem-grain exchange
+    // before the selective broadcast joins could prune anything. The
+    // distinct-aggregate below dedups map-side on the (brand, type,
+    // size, suppkey) grain — strictly fewer shuffled bytes at any scale.
     Tables.lineitem(spark, dir)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .select(col("l_partkey"), col("l_suppkey"))
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
       .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))

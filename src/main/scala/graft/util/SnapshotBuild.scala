@@ -107,18 +107,24 @@ object SnapshotBuild {
     val shScreen = shIncIdx.map(_ ++
       timed("curate_screen")(
         graft.ext.pipeline.CurateQueries.screenVerdicts(spark, dir)))
-    // lm_scores → ppl_inc_model share one materialized bigram stream
-    // (r16): submitting them independently would race both into building
-    // lm_bigrams, re-paying the duplication the shared artifact removes —
-    // the span/shingle continuation discipline
-    val lmChain: Future[Seq[(String, Double)]] = Future(
+    // lm_scores and ppl_inc_model share one materialized bigram stream
+    // (r16): the stream builds FIRST as its own attributed task, then the
+    // two models run CONCURRENTLY as continuations (the span_windows
+    // fan-out shape) — independent submission would race both into
+    // building lm_bigrams, and a sequential chain would needlessly
+    // serialize the two model fits behind each other
+    val lmBigrams: Future[Seq[(String, Double)]] = Future(
+      timed("lm_bigrams")(TextQueries.lmBigrams(spark, dir)))
+    val lmChain = lmBigrams.map(_ ++
       timed("lm_scores")(TextQueries.lmScoreSnapshot(spark, dir)))
-    val pplChain = lmChain.map(_ ++
+    val pplChain = lmBigrams.map(_ =>
       timed("ppl_inc_model")(TextQueries.pplArtifacts(spark, dir)))
-    // dsir_weights → dsir_inc_model share the feature stream the same way
-    val dsirChain: Future[Seq[(String, Double)]] = Future(
+    // dsir_weights / dsir_inc_model share the feature stream the same way
+    val dsirFeat: Future[Seq[(String, Double)]] = Future(
+      timed("dsir_features")(DsirQueries.dsirFeatures(spark, dir)))
+    val dsirChain = dsirFeat.map(_ ++
       timed("dsir_weights")(DsirQueries.weightFrame(spark, dir)))
-    val dsirInc = dsirChain.map(_ ++
+    val dsirInc = dsirFeat.map(_ =>
       timed("dsir_inc_model")(DsirQueries.incModel(spark, dir)))
     val tasks: Seq[Future[Seq[(String, Double)]]] = Seq(
       spanIsl, spanIdx,
@@ -138,8 +144,8 @@ object SnapshotBuild {
       Future(timed("inc_exact_hashes")(DedupQueries.corpusHashIndex(spark, dir))),
       Future(timed("inc_doc_hashes")(DedupQueries.corpusDocHashes(spark, dir))),
       Future(timed("baskets")(graft.batch.BasketQueries.basketSnapshot(spark, dir))),
-      pplChain,
-      dsirInc,
+      lmChain, pplChain,
+      dsirChain, dsirInc,
       Future(timed("cm_counters")(CmSketchQueries.counters(spark, dir))),
       // lsh_bands feeds the emb_lsh_pairs / emb_inc_index builds — submit
       // it early so racers find it warm more often (races are safe, just

@@ -28,12 +28,13 @@ object BuilderPlans {
     * closed-world rule the r13 artifact migration was missing). */
   val Artifacts: Set[String] = Set(
     "align_truth", "baskets", "bpe_encoded", "bpe_tokenizer", "cm_counters",
-    "curate_screen", "doc_tokens", "dsir_inc_model", "dsir_weights",
-    "emb_inc_index",
+    "curate_screen", "doc_tokens", "dsir_features", "dsir_inc_model",
+    "dsir_weights", "emb_inc_index",
     "emb_lsh_pairs", "emb_pairs", "er_base_canon", "er_canon_map",
     "inc_corpus_index", "inc_doc_hashes", "inc_exact_hashes",
     "jaccard_clusters", "jaccard_pairs", "kmeans_assign",
-    "kminhash_sketches", "knn_truth", "lm_scores", "lsh_bands",
+    "kminhash_sketches", "knn_truth", "lm_bigrams", "lm_scores",
+    "lsh_bands",
     "minhash_sigs", "ppl_inc_model", "pq_codes", "pq_luts", "shingle_rows",
     "simhash_sigs", "span_corpus_index", "span_islands", "span_windows",
     "wmedian_grain")

@@ -110,8 +110,8 @@ class SnapshotBuildSpec extends SparkSpec {
       "inc_corpus_index", "curate_screen",
       "emb_pairs", "emb_lsh_pairs", "emb_inc_index",
       "inc_exact_hashes", "inc_doc_hashes", "baskets",
-      "lm_scores", "ppl_inc_model",
-      "dsir_weights", "dsir_inc_model", "cm_counters",
+      "lm_bigrams", "lm_scores", "ppl_inc_model",
+      "dsir_features", "dsir_weights", "dsir_inc_model", "cm_counters",
       "lsh_bands", "knn_truth", "align_truth", "pq_codes", "pq_luts",
       "doc_tokens", "minhash_sigs", "simhash_sigs", "kminhash_sketches",
       "er_base_canon", "er_canon_map", "kmeans_assign",
