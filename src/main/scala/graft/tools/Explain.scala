@@ -115,12 +115,12 @@ object Explain {
       "only the K-row candidate frame (broadcast joins on both the " +
       "vector attach and the 1-row reference vector), and every fusion " +
       "window runs over K rows — no corpus-sized work after recall."),
-    "text_boilerplate" -> ("Boilerplate census: the staggered-slice " +
-      "shingle build stays narrow (source carried through the one " +
-      "projection), ONE exchange on the shingle key with map-side " +
-      "partial aggregation, and the top-K cut is TakeOrderedAndProject " +
-      "— only K rows survive each partial, vocabulary-sized aggregate " +
-      "output at any corpus size."),
+    "text_boilerplate" -> ("Boilerplate census: reads the shared " +
+      "shingle_rows artifact (r16 — the staggered-slice build is paid " +
+      "once suite-wide), per-doc distinct, then ONE exchange on the " +
+      "shingle key with map-side partial aggregation; the top-K cut is " +
+      "TakeOrderedAndProject — only K rows survive each partial, " +
+      "vocabulary-sized aggregate output at any corpus size."),
     "text_novelty" -> ("Per-doc novelty WITHOUT the fan-out join: only " +
       "df=1 shingles matter for the numerator, and a df=1 shingle's " +
       "posting list IS its one document — min(doc_id) rides the " +
@@ -313,7 +313,9 @@ object Explain {
       "answer any date-range cardinality without a rescan."),
     "dsir_weights" -> ("DSIR importance weights: the hashed-bigram " +
       "feature pass is one narrow zip-slice projection, materialized " +
-      "ONCE and read by all four consumers (r15); the model count " +
+      "ONCE as the dsir_features artifact and read by all four " +
+      "consumers here AND by the incremental model's filter (r16); " +
+      "the model count " +
       "tables fuse into ONE <=4096-bucket map-combinable aggregate " +
       "(c_t null where the target never hit) that BROADCASTS back onto " +
       "the feature stream (the model attach never shuffles the fact); " +
@@ -362,8 +364,9 @@ object Explain {
       ((s, d) => graft.ext.dedup.DedupQueries.qSpanScrubRaw(s, d)),
     "text_novelty" ->
       ((s, d) => graft.ext.text.TextQueries.noveltyFrom(
-        graft.ext.dedup.DedupQueries.shingleRowsOf(
-          graft.sources.Tables.rebalanced(s, graft.sources.Tables.documents(s, d))))),
+        graft.ext.dedup.DedupQueries.shingleRowsSnapshot(s, d)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("s")).distinct())),
     "dsir_weights" ->
       ((s, d) => graft.ext.text.DsirQueries.weightFrameRaw(s, d)),
     "text_cm_counters" ->

@@ -42,10 +42,13 @@ class BroadcastDisciplineSpec extends SparkSpec {
         "day-scale batch deployment drops the hint and lets AQE pick"),
     "dedup_embedding_incremental" ->
       ("same incremental contract: the hinted side is the batch's LSH " +
-        "band arm, the corpus index is the probe side"),
-    "curate_incremental" ->
-      ("same incremental contract: the daily batch broadcasts against " +
-        "the frozen corpus artifacts"))
+        "band arm, the corpus index is the probe side"))
+  // curate_incremental's batch-bounded broadcasts moved into the
+  // curate_screen SNAPSHOT BUILDER (r16 — the screen verdict is a shared
+  // artifact); the registered query is now an RDD scan of the
+  // materialization, so it no longer flags here. The builder's broadcast
+  // grain stays pinned by the incremental contract (scale11 probe) and
+  // the builder-plan digest.
 
   private def scansFactGrain(p: LogicalPlan): Boolean =
     p.collectLeaves().exists {
