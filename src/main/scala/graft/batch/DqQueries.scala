@@ -90,17 +90,24 @@ object DqQueries {
     * of every near-threshold row rounding-dependent. Zero-variance groups
     * flag nothing: all x equal ⇒ n·x − S = 0.
     *
-    * Shape: one scan builds the per-type moments (map-side combinable,
-    * |types| rows), which broadcast back onto the fact for the flag pass,
-    * and the output aggregate is per-type again — two scans, zero wide
-    * exchanges, |types| output rows at any scale. The same two-pass
-    * broadcast-stats shape handles any "flag rows vs their group
-    * statistic" rule. */
+    * Shape (r17 rewrite, guide §1.2/§2.3 — one pass, flag the census not
+    * the rows): ONE scan collapses the fact to the (event_type, x, cnt)
+    * census — the only input-sized pass, map-side combinable. The
+    * per-type moments are census sums weighted by cnt (Σ x·cnt, Σ x²·cnt
+    * — the identical decimal values the raw-row sums produced), they
+    * broadcast back onto the CENSUS for the flag pass, and the output
+    * aggregate weights each distinct value's flag by its count. The
+    * previous form scanned the fact twice and ran the flag expression
+    * per raw row; flags are per distinct value, so the census form is
+    * value-identical with domain-bounded (Zipf-bounded distinct cents)
+    * downstream frames. The same census shape handles any "flag rows vs
+    * their group statistic" rule whose flag depends only on the value. */
   def qOutliers(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Exact
     def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val e = Tables.events(spark, dir).filter(col("value").isNotNull)
       .select(col("event_type"), Exact.cents(col("value")).as("x"))
+      .groupBy(col("event_type"), col("x")).agg(count(lit(1)).as("cnt"))
     // moments accumulate in decimal(38,0) from the first multiply — a
     // LongType x·x would overflow at a single ~$30M value and a LongType
     // Σx² at ~10¹⁰ ordinary rows per type, both plausible at 100 TB.
@@ -111,15 +118,15 @@ object DqQueries {
     // 1e38/n — comfortably beyond any cents-scale corpus, but a rule
     // over raw 1e15-scale values would need decimal rescaling first)
     val stats = e.groupBy(col("event_type")).agg(
-      count(lit(1)).as("n"), sum(d(col("x"))).as("s"),
-      sum(d(col("x")) * d(col("x"))).as("q"))
+      sum(col("cnt")).as("n"), sum(d(col("x")) * d(col("cnt"))).as("s"),
+      sum(d(col("x")) * d(col("x")) * d(col("cnt"))).as("q"))
     val lhs = d(col("n")) * d(col("x")) - d(col("s"))
     val rhs = lit(OutlierSigma * OutlierSigma).cast("decimal(38,0)") *
       (d(col("n")) * d(col("q")) - d(col("s")) * d(col("s")))
     e.join(broadcast(stats), "event_type")
-      .withColumn("f", when(lhs * lhs > rhs, 1L).otherwise(0L))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("f")).as("n_outliers"))
+      .agg(sum(col("cnt")).as("n_events"),
+        sum(when(lhs * lhs > rhs, col("cnt")).otherwise(0L)).as("n_outliers"))
       .withColumn("outlier_milli", expr("(1000 * n_outliers) DIV n_events"))
   }
 
@@ -171,10 +178,18 @@ object DqQueries {
     * input is domain-bounded (distinct cents / distinct daily counts),
     * not data-bounded. DqSpec pins the plan shape (every Window sits
     * above an Aggregate). */
-  private def lowerMedian(df: DataFrame, c: String): DataFrame = {
+  private def lowerMedian(df: DataFrame, c: String): DataFrame =
+    lowerMedianOfCounts(
+      df.groupBy(col("event_type"), col(c)).agg(count(lit(1)).as("cnt")), c)
+
+  /** [[lowerMedian]]'s window half over an ALREADY-CONTRACTED
+    * (event_type, c, cnt) count frame — factored out (r17) so
+    * [[madOutliers]] can derive its deviation median from the value-grain
+    * count frame directly instead of re-scanning raw rows (the dev
+    * distribution is a pure function of the (value, cnt) census: dev
+    * counts = Σ cnt grouped by |x − med|). */
+  private def lowerMedianOfCounts(counts: DataFrame, c: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = df.groupBy(col("event_type"), col(c))
-      .agg(count(lit(1)).as("cnt"))
     // the group total rides the SAME WindowExec as the running sum (same
     // partition key, whole-partition frame) — a groupBy+join twin would
     // recompute the count frame from the scan a second time
@@ -208,8 +223,39 @@ object DqQueries {
       .agg(expr(s"approx_percentile($c, 0.5, $ApproxAcc)").as(s"med_$c"))
 
   /** The kernel over an (event_type, x: long) frame — DqSpec drives it
-    * over crafted fixtures (MAD = 0, masking) the corpus can't express. */
-  def madOutliers(e: DataFrame): DataFrame = madOutliersWith(e, lowerMedian)
+    * over crafted fixtures (MAD = 0, masking) the corpus can't express.
+    *
+    * r17 rewrite (guide §1.2/§2.3 — one pass, shuffle the census not the
+    * rows): the previous form scanned the input FOUR times (x-median's
+    * count frame, the dev frame, the dev-median's count frame through it,
+    * and the final flag pass — each a full raw-grain subtree Catalyst
+    * plans independently). But every number this query emits is a pure
+    * function of the (event_type, x, cnt) census: the dev distribution is
+    * Σ cnt grouped by |x − med_x|, n_events = Σ cnt, and the flag pass
+    * weights each distinct value by its count. So the input collapses to
+    * the census in ONE map-side-combinable aggregate — the only
+    * input-sized pass — and medians, deviations, and flags all contract
+    * over domain-bounded frames (distinct cents per type, Zipf-bounded).
+    * Values are bit-identical: the census is the same multiset the raw
+    * passes consumed, and the per-value expressions are unchanged. */
+  def madOutliers(e: DataFrame): DataFrame = {
+    val counts = e.groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = lowerMedianOfCounts(counts, "x")
+    val devCounts = counts.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), abs(col("x") - col("med_x")).as("dev"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = lowerMedianOfCounts(devCounts, "dev")
+    counts.join(broadcast(med), "event_type")
+      .join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n_events"),
+        max(col("med_x")).as("median_cents"),
+        max(col("med_dev")).as("mad_cents"),
+        sum(when(abs(col("x") - col("med_x")) > lit(MadK) * col("med_dev"),
+          col("cnt")).otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_milli", expr("(1000 * n_outliers) DIV n_events"))
+  }
 
   /** [[madOutliers]] on the sketch median — identical flag pass, the two
     * exact count-of-counts medians swapped for [[lowerMedianApprox]]. */
@@ -502,10 +548,10 @@ object DqQueries {
   }
 
   def qRefIntegrity(spark: SparkSession, dir: String): DataFrame = {
-    // edges grouped by CHILD so each child table's base stats (row count +
-    // per-key null counts) come from ONE aggregate — the fact table must
-    // not be rescanned once per outgoing FK. Orphan checks stay one anti-
-    // join per edge (each is its own exchange regardless).
+    // edges grouped by CHILD so each child table's WHOLE report — row
+    // count, per-key null counts, AND per-key orphan counts — comes from
+    // ONE scan (r17 rewrite, guide §1.2: the per-edge anti-joins each
+    // re-scanned the child, so lineitem paid four full passes).
     val edges: Seq[(String, DataFrame, Seq[(String, DataFrame, String)])] = Seq(
       ("lineitem", Tables.lineitem(spark, dir), Seq(
         ("l_orderkey", Tables.orders(spark, dir), "o_orderkey"),
@@ -521,24 +567,38 @@ object DqQueries {
         ("n_regionkey", Tables.region(spark, dir), "r_regionkey"))),
       ("events", Tables.events(spark, dir), Seq(
         ("user_id", Tables.customer(spark, dir), "c_custkey"))))
-    edges.flatMap { case (childName, child, fks) =>
-      val baseAgg = child.agg(
-        count(lit(1)).as("n_child"),
-        fks.map { case (k, _, _) =>
-          sum(col(k).isNull.cast("long")).as(s"null__$k") }: _*)
-      // materialize the 1-row stats when several edges share them —
-      // three lazily-reused plans would each rescan the fact otherwise
-      val base = if (fks.size > 1) baseAgg.localCheckpoint() else baseAgg
-      fks.map { case (key, parent, pkey) =>
-        val orphans = child.select(col(key)).filter(col(key).isNotNull)
-          .join(parent.select(col(pkey)), col(key) === col(pkey), "left_anti")
-          .agg(count(lit(1)).as("n_orphans"))
-        base.crossJoin(broadcast(orphans))
-          .select(lit(s"$childName.$key->${parentName(pkey)}").as("relation"),
-            col("n_child"), col(s"null__$key").as("n_null_keys"),
-            col("n_orphans"),
-            (col(s"null__$key") === 0 && col("n_orphans") === 0).as("intact"))
+    edges.map { case (childName, child, fks) =>
+      // One pass per child: LEFT-join the child's key projection against
+      // each parent's DISTINCT key column (≤1 match per child row by
+      // construction, so n_child is preserved), then fold row count, null
+      // counts, and orphan counts (key present, no parent hit) into one
+      // map-side-combinable aggregate. Dimension parents broadcast,
+      // fact-sized ones shuffle — Catalyst/AQE's choice, exactly as the
+      // former per-edge anti-joins left it. A left join against distinct
+      // keys is the anti-join's superset: the anti-join's survivors are
+      // precisely the null-hit rows counted here.
+      val joined = fks.zipWithIndex.foldLeft(
+        child.select(fks.map { case (k, _, _) => col(k) }: _*)) {
+        case (df, ((k, parent, pkey), i)) =>
+          val pk = parent.select(col(pkey).as(s"__pk_$i")).distinct()
+            .withColumn(s"__hit_$i", lit(true))
+          df.join(pk, col(k) === col(s"__pk_$i"), "left").drop(s"__pk_$i")
       }
+      val aggCols = fks.zipWithIndex.flatMap { case ((k, _, _), i) => Seq(
+        sum(col(k).isNull.cast("long")).as(s"__null_$i"),
+        sum((col(k).isNotNull && col(s"__hit_$i").isNull).cast("long"))
+          .as(s"__orph_$i"))
+      }
+      val reports = fks.zipWithIndex.map { case ((k, _, pkey), i) =>
+        struct(lit(s"$childName.$k->${parentName(pkey)}").as("relation"),
+          col(s"__null_$i").as("n_null_keys"), col(s"__orph_$i").as("n_orphans"))
+      }
+      joined.agg(count(lit(1)).as("n_child"), aggCols: _*)
+        .select(col("n_child"), explode(array(reports: _*)).as("e"))
+        .select(col("e.relation").as("relation"), col("n_child"),
+          col("e.n_null_keys").as("n_null_keys"),
+          col("e.n_orphans").as("n_orphans"),
+          (col("e.n_null_keys") === 0 && col("e.n_orphans") === 0).as("intact"))
     }.reduce(_ unionByName _)
   }
 

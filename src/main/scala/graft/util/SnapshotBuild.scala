@@ -126,6 +126,16 @@ object SnapshotBuild {
       timed("dsir_weights")(DsirQueries.weightFrame(spark, dir)))
     val dsirInc = dsirFeat.map(_ =>
       timed("dsir_inc_model")(DsirQueries.incModel(spark, dir)))
+    // the semantic component-label artifacts continue their pair-snapshot
+    // tasks (r17, VERDICT r16 #1 — the jaccard_clusters move applied to
+    // the embedding family): dedup_semantic / dedup_semantic_bucketed
+    // read the labels instead of each re-running the components loop
+    val embClusters = Future(
+      timed("emb_pairs")(DedupQueries.embeddingPairSnapshot(spark, dir)) ++
+        timed("sem_clusters")(DedupQueries.semClusterLabels(spark, dir)))
+    val embLshClusters = Future(
+      timed("emb_lsh_pairs")(DedupQueries.embeddingLshPairSnapshot(spark, dir)) ++
+        timed("sem_clusters_lsh")(DedupQueries.semClusterLabelsLsh(spark, dir)))
     val tasks: Seq[Future[Seq[(String, Double)]]] = Seq(
       spanIsl, spanIdx,
       // the bpe tokenizer→encode chain and the span chain above are the
@@ -138,8 +148,7 @@ object SnapshotBuild {
       Future(timed("bpe_tokenizer")(TextQueries.bpeArtifacts(spark, dir)) ++
         timed("bpe_encoded")(TextQueries.bpeEncoded(spark, dir))),
       shClusters, shScreen,
-      Future(timed("emb_pairs")(DedupQueries.embeddingPairSnapshot(spark, dir))),
-      Future(timed("emb_lsh_pairs")(DedupQueries.embeddingLshPairSnapshot(spark, dir))),
+      embClusters, embLshClusters,
       Future(timed("emb_inc_index")(DedupQueries.embIncCorpusIndex(spark, dir))),
       Future(timed("inc_exact_hashes")(DedupQueries.corpusHashIndex(spark, dir))),
       Future(timed("inc_doc_hashes")(DedupQueries.corpusDocHashes(spark, dir))),

@@ -35,7 +35,8 @@ object BuilderPlans {
     "jaccard_clusters", "jaccard_pairs", "kmeans_assign",
     "kminhash_sketches", "knn_truth", "lm_bigrams", "lm_scores",
     "lsh_bands",
-    "minhash_sigs", "ppl_inc_model", "pq_codes", "pq_luts", "shingle_rows",
+    "minhash_sigs", "ppl_inc_model", "pq_codes", "pq_luts",
+    "sem_clusters", "sem_clusters_lsh", "shingle_rows",
     "simhash_sigs", "span_corpus_index", "span_islands", "span_windows",
     "wmedian_grain")
 
@@ -55,6 +56,7 @@ object BuilderPlans {
     "kmeans_assign", "kminhash_sketches", "knn_truth", "lm_bigrams",
     "lm_counts", "lm_scores", "lsh_bands", "minhash_sigs",
     "ppl_inc_counts", "ppl_inc_thresholds", "pq_codes", "pq_luts",
+    "sem_clusters", "sem_clusters_lsh",
     "shingle_rows", "simhash_sigs", "span-posts", "span_windows", "spans",
     "wmedian_grain")
 

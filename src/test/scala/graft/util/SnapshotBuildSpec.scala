@@ -64,7 +64,10 @@ class SnapshotBuildSpec extends SparkSpec {
     // (continuation chains) or on demand in the sequential replay
     "jaccard_clusters" -> digest(graft.ext.dedup.DedupQueries.clusterLabels(spark, sf)),
     "er_canon_map" -> digest(graft.ext.er.ErQueries.canonMap(spark, sf)),
-    "curate_screen" -> digest(graft.ext.pipeline.CurateQueries.screenVerdicts(spark, sf)))
+    "curate_screen" -> digest(graft.ext.pipeline.CurateQueries.screenVerdicts(spark, sf)),
+    // r17: the semantic component-label artifacts (VERDICT r16 #1)
+    "sem_clusters" -> digest(graft.ext.dedup.DedupQueries.semClusterLabels(spark, sf)),
+    "sem_clusters_lsh" -> digest(graft.ext.dedup.DedupQueries.semClusterLabelsLsh(spark, sf)))
 
   test("concurrent build produces the sequential build's artifacts, keys, and content") {
     SnapshotCache.clearAll()
@@ -108,7 +111,8 @@ class SnapshotBuildSpec extends SparkSpec {
       "bpe_tokenizer", "bpe_encoded",
       "shingle_rows", "jaccard_pairs", "jaccard_clusters",
       "inc_corpus_index", "curate_screen",
-      "emb_pairs", "emb_lsh_pairs", "emb_inc_index",
+      "emb_pairs", "sem_clusters", "emb_lsh_pairs", "sem_clusters_lsh",
+      "emb_inc_index",
       "inc_exact_hashes", "inc_doc_hashes", "baskets",
       "lm_bigrams", "lm_scores", "ppl_inc_model",
       "dsir_features", "dsir_weights", "dsir_inc_model", "cm_counters",
