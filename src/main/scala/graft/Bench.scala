@@ -55,11 +55,14 @@ object Bench {
   private def policyStr(l: Double, bound: Double): String =
     if (l < 0) "null" else (l <= bound).toString
 
-  /** Fork one StreamBench child (CLI `mode`, empty = the flagship
-    * pipeline probe) and lift the `detail` object off its `metric` record
-    * line. */
-  private def standaloneStreamProbe(cpus: String, mode: Seq[String] = Nil,
-                                    metric: String = "stream_rows_per_sec"): String =
+  /** Fork one StreamBench child (CLI `mode`) and return its full stdout
+    * ("" on any failure — the bench record must not die on its own
+    * diagnostics). Since r17 the bench forks the `pair` mode — flagship
+    * AND join probe in one child JVM, two record lines (VERDICT r16 #6:
+    * six cold forks' JVM+session startup was the bench's biggest fixed
+    * overhead after the suite itself; now three forks carry both
+    * metrics). */
+  private def standaloneStreamFork(cpus: String, mode: Seq[String]): String =
     try {
       import scala.jdk.CollectionConverters._
       val javaBin = java.nio.file.Paths
@@ -76,19 +79,21 @@ object Bench {
       val p = pb.start()
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
       if (!p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
-        p.destroyForcibly(); "null"
-      } else {
-        out.linesIterator
-          .find(_.contains(s""""metric":"$metric""""))
-          .flatMap { line =>
-            val k = line.indexOf("\"detail\":")
-            // the detail object runs to the record's closing brace
-            if (k >= 0 && line.endsWith("}"))
-              Some(line.substring(k + 9, line.length - 1))
-            else None
-          }.getOrElse("null")
-      }
-    } catch { case _: Throwable => "null" }
+        p.destroyForcibly(); ""
+      } else out
+    } catch { case _: Throwable => "" }
+
+  /** Lift the `detail` object off a child's `metric` record line. */
+  private def detailOf(out: String, metric: String): String =
+    out.linesIterator
+      .find(_.contains(s""""metric":"$metric""""))
+      .flatMap { line =>
+        val k = line.indexOf("\"detail\":")
+        // the detail object runs to the record's closing brace
+        if (k >= 0 && line.endsWith("}"))
+          Some(line.substring(k + 9, line.length - 1))
+        else None
+      }.getOrElse("null")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -129,39 +134,43 @@ object Bench {
     // the probe contaminates readings the gate object then blesses).
     // Contention only ever LOWERS a throughput reading, so the committed
     // number is the max; the retry exists so a burst-squashed trio doesn't
-    // under-pin the band: while the top-3 spread exceeds 1.3× (one fork
-    // read 30%+ below another), re-wait for a quiet host and append a
-    // replacement fork, at most twice. ALL readings land in the gate
-    // object — discards are visible, never silent.
-    def forkBestOf(mode: Seq[String], metric: String): (String, Seq[Long], Int) = {
-      val runs = scala.collection.mutable.ArrayBuffer[String]()
-      (1 to 3).foreach(_ => runs += standaloneStreamProbe(cpus, mode, metric))
-      var retries = 0
-      def spreadOk: Boolean = {
-        val top = runs.map(rps).filter(_ > 0).sorted.takeRight(3)
-        top.size < 2 || top.max.toDouble / math.max(top.min, 1L) <= 1.3
-      }
-      while (!spreadOk && retries < 2) {
-        waitForQuietHost()
-        runs += standaloneStreamProbe(cpus, mode, metric)
-        retries += 1
-      }
-      (runs.maxBy(rps), runs.map(rps).toSeq, retries)
+    // under-pin the band: while the top-3 spread of EITHER metric exceeds
+    // 1.3× (one fork read 30%+ below another), re-wait for a quiet host
+    // and append a replacement fork, at most twice. ALL readings land in
+    // the gate object — discards are visible, never silent. Since r17
+    // each fork is one `pair` child carrying BOTH probes (flagship then
+    // join — the record order; VERDICT r16 #6), so a retry refreshes both
+    // metrics' reading lists together.
+    val forks = scala.collection.mutable.ArrayBuffer[String]()
+    (1 to 3).foreach(_ => forks += standaloneStreamFork(cpus, Seq("pair")))
+    def detailsFor(metric: String): Seq[String] = forks.toSeq.map(detailOf(_, metric))
+    def spreadOk(metric: String): Boolean = {
+      val top = detailsFor(metric).map(rps).filter(_ > 0).sorted.takeRight(3)
+      top.size < 2 || top.max.toDouble / math.max(top.min, 1L) <= 1.3
     }
-    val (streamStandalone, standaloneRps, sRetries) =
-      forkBestOf(Nil, "stream_rows_per_sec")
+    var pairRetries = 0
+    while ((!spreadOk("stream_rows_per_sec") ||
+        !spreadOk("stream_join_rows_per_sec")) && pairRetries < 2) {
+      waitForQuietHost()
+      forks += standaloneStreamFork(cpus, Seq("pair"))
+      pairRetries += 1
+    }
+    val standaloneDetails = detailsFor("stream_rows_per_sec")
+    val streamStandalone = standaloneDetails.maxBy(rps)
+    val standaloneRps = standaloneDetails.map(rps)
     // stream-stream attribution join (VERDICT r14 #3): same gate window,
     // same fork + best-of policy — rows/s, watermark-gated outer
     // emissions, and a state_curve that must plateau (the eviction proof
     // StreamJoinSpec makes, with a number)
-    val (joinStandalone, joinRps, jRetries) =
-      forkBestOf(Seq("join"), "stream_join_rows_per_sec")
+    val joinDetails = detailsFor("stream_join_rows_per_sec")
+    val joinStandalone = joinDetails.maxBy(rps)
+    val joinRps = joinDetails.map(rps)
     val gateFull =
       s"""{"probe_load":${fmt2(sLoad)},"bound":$sBound,"waits":$sWaits,""" +
         s""""in_policy":${policyStr(sLoad, sBound)},""" +
         s""""readings":${standaloneRps.mkString("[", ",", "]")},""" +
         s""""join_readings":${joinRps.mkString("[", ",", "]")},""" +
-        s""""retries":${sRetries + jRetries}}"""
+        s""""retries":$pairRetries}"""
     // Steady-state methodology: one untimed warm pass over every query
     // (JIT + whole-stage-codegen compilation + parquet footers), then the
     // timed pass in fixed name order. Wide plans cost seconds of one-time
@@ -393,12 +402,19 @@ object Bench {
     val contractQs = contractBest.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val contractTotal = contractBest.collect { case (_, s) if s >= 0 => s }.sum
+    // ex-snapshot contract (r17, VERDICT r16 #4): snapshot_build IS a
+    // contract entry, but since r16 it carries shared builds for mostly
+    // NON-contract consumers — the raw contract total moves when build
+    // work is relocated, not when queries change speed. BASELINE.md pins
+    // its band on this statistic from r17 on.
+    val contractExSnapshot = contractTotal -
+      contractBest.collectFirst { case ("snapshot_build", s) if s >= 0 => s }.getOrElse(0.0)
     // the compact line's contract carries total + readings + gate ONLY
     // (VERDICT r15 #1 / ADVICE r15: the 41-entry per-query map pushed the
     // line past the driver's 2000-char tail capture and BENCH_r15 came
     // back "parsed": null); the per-query map rides the full record
     val contractSlim =
-      s"""{"total":${fmt(contractTotal)},"readings":${contractReadings.map(fmt).mkString("[", ",", "]")},"gate":$contractGateObj}"""
+      s"""{"total":${fmt(contractTotal)},"ex_snapshot":${fmt(contractExSnapshot)},"readings":${contractReadings.map(fmt).mkString("[", ",", "]")},"gate":$contractGateObj}"""
     val contract = contractSlim.dropRight(1) + s""","queries":$contractQs}"""
     // Record provenance (VERDICT r15 #7): BENCH_LOCAL.json is last-writer-
     // wins between builder and driver runs, and the working tree

@@ -766,8 +766,11 @@ object CurateQueries {
     * flags broadcast against the batch quality frame); the corpus
     * contributes only its persisted indexes — posting lists, per-doc
     * sizes, hash set — exactly what a deployment snapshots between
-    * batches. Cost grows with the batch, not the corpus: the scale10
-    * probe in SCALING.md pins it. */
+    * batches. Since r16 the registered query SERVES the shared
+    * curate_screen snapshot, so the batch-not-corpus scaling contract
+    * (the scale10 probe in SCALING.md) pins the curate_screen BUILDER's
+    * cost — the screen pipeline below — not this query's re-read (the
+    * BroadcastDisciplineSpec comment makes the same attribution). */
   def qCurateIncremental(spark: SparkSession, dir: String): DataFrame =
     screenVerdicts(spark, dir)
 

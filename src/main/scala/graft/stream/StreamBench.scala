@@ -472,6 +472,23 @@ object StreamBench extends Serializable {
       println(s"""{"metric":"stream_join2x_rows_per_sec","value":${r.rowsPerSec.round},"unit":"rows/sec","detail":${r.json}}""")
       spark.stop(); return
     }
+    if (args.headOption.contains("pair")) {
+      // One child JVM, two records (VERDICT r16 #6): the flagship and
+      // join probes previously forked a JVM each — ~10 s of JVM + session
+      // startup per fork, ×3 best-of forks ×2 probes was the bench's
+      // biggest fixed overhead after the suite itself. Probe order
+      // matches the bench's record order (flagship first); each probe
+      // keeps its own untimed warm pass, and the bench re-pins both
+      // bands on the folded fork (BASELINE.md round 17). Bench defaults
+      // only — env overrides would be ambiguous across the two probes.
+      probe(spark, 60000L, 3)
+      val r = probe(spark)
+      println(s"""{"metric":"stream_rows_per_sec","value":${r.rowsPerSec.round},"unit":"rows/sec","detail":${r.json}}""")
+      probeJoin(spark, 30000L, 3)
+      val rj = probeJoin(spark)
+      println(s"""{"metric":"stream_join_rows_per_sec","value":${rj.rowsPerSec.round},"unit":"rows/sec","detail":${rj.json}}""")
+      spark.stop(); return
+    }
     if (args.headOption.contains("join")) {
       val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "120000").toLong
       val b = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "12").toInt

@@ -379,6 +379,18 @@ object Explain {
         materialize = false)))
 
   def main(args: Array[String]): Unit = {
+    // --dump arg validation BEFORE the session builds (ADVICE r16): a
+    // short arg list or a typo'd query name must print usage, not throw a
+    // raw IndexOutOfBounds/NoSuchElement after ~30 s of Spark startup
+    if (args.headOption.contains("--dump")) {
+      require(args.length >= 5,
+        "usage: Explain --dump <outDir> <suffix> <sfDir> <name...>")
+      val registry = graft.SparkEntry.queries ++ graft.SparkEntry.specOnly
+      val unknown = args.drop(4).filterNot(registry.contains)
+      require(unknown.isEmpty,
+        s"unknown queries: ${unknown.mkString(", ")} — names come from " +
+          "SparkEntry.queries/specOnly")
+    }
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       // runtime bloom injection OFF — misinformed on stats-less snapshot
@@ -420,10 +432,12 @@ object Explain {
       // <outDir>/<name><suffix>.txt per named query — a per-query
       // `runMain` fork would pay ~40 s of sbt/Spark startup each.
       //   runMain graft.tools.Explain --dump <outDir> <suffix> <sfDir> <name...>
+      // (args validated before the session built — top of main)
       val outDir = args(1); val suffix = args(2); val dir = args(3)
+      val registry = graft.SparkEntry.queries ++ graft.SparkEntry.specOnly
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
       args.drop(4).foreach { name =>
-        val df = (graft.SparkEntry.queries ++ graft.SparkEntry.specOnly)(name)(spark, dir)
+        val df = registry(name)(spark, dir)
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         java.nio.file.Files.write(

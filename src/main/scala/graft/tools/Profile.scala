@@ -119,11 +119,21 @@ object Profile {
     // dev-only A/B hook: SPARK_GRAFT_TEST_CONF="k=v;k=v" applies session
     // confs before any probe runs, so a candidate engine setting (join
     // strategy preference, AQE knobs) can be measured against the same
-    // probes without a code edit per experiment
-    sys.env.get("SPARK_GRAFT_TEST_CONF").foreach(_.split(';').foreach { kv =>
-      val i = kv.indexOf('=')
-      if (i > 0) spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
-    })
+    // probes without a code edit per experiment. IGNORED in `scalepin
+    // record` mode (ADVICE r16): that mode writes the committed
+    // SCALING_PINS.json gate, and a stray env var would silently bake a
+    // non-default engine config into pinned records with no provenance.
+    val pinRecordMode =
+      args.lift(1).contains("scalepin") && args.lift(2).contains("record")
+    sys.env.get("SPARK_GRAFT_TEST_CONF").foreach { conf =>
+      if (pinRecordMode)
+        println(s"scalepin record: ignoring SPARK_GRAFT_TEST_CONF='$conf' — " +
+          "pinned gate records carry default engine config only")
+      else conf.split(';').foreach { kv =>
+        val i = kv.indexOf('=')
+        if (i > 0) spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
+      }
+    }
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
       println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
