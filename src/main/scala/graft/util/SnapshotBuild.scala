@@ -136,6 +136,21 @@ object SnapshotBuild {
     val embLshClusters = Future(
       timed("emb_lsh_pairs")(DedupQueries.embeddingLshPairSnapshot(spark, dir)) ++
         timed("sem_clusters_lsh")(DedupQueries.semClusterLabelsLsh(spark, dir)))
+    // Heavy roots HOISTED ahead of the tasks Seq (r17, VERDICT r16 #3 —
+    // shorten the section's critical path): futures enqueue in CREATION
+    // order, and these four (two ER canonical builds with sequential
+    // components loops inside, the simhash census, the k-means model) sat
+    // ~19th-21st in the submission order — behind the width-16 pool's
+    // first wave, so they started seconds late and set the section's
+    // tail. Creating them here starts them at t=0; their slots in the
+    // tasks Seq below keep the attribution record order unchanged.
+    val erBase = Future(
+      timed("er_base_canon")(graft.ext.er.ErQueries.baseArtifacts(spark, dir)))
+    val erCanon = Future(
+      timed("er_canon_map")(graft.ext.er.ErQueries.canonMap(spark, dir)))
+    val simhash = Future(timed("simhash_sigs")(DedupQueries.qSimhash(spark, dir)))
+    val kmeans = Future(
+      timed("kmeans_assign")(graft.ext.sim.SimQueries.kmeansModel(spark, dir)))
     val tasks: Seq[Future[Seq[(String, Double)]]] = Seq(
       spanIsl, spanIdx,
       // the bpe tokenizer→encode chain and the span chain above are the
@@ -171,14 +186,14 @@ object SnapshotBuild {
       // the model), so each stays one task
       Future(timed("doc_tokens")(TextQueries.tokenizedDocs(spark, dir))),
       shMinhash,
-      Future(timed("simhash_sigs")(DedupQueries.qSimhash(spark, dir))),
+      simhash,
       shKmin,
-      Future(timed("er_base_canon")(graft.ext.er.ErQueries.baseArtifacts(spark, dir))),
+      erBase,
       // the full-vocabulary canonical map (r16): er_canonical serves it
       // verbatim and er_resolve broadcasts it into the fact scan — each
       // previously re-ran fuzzy pairs + the components loop
-      Future(timed("er_canon_map")(graft.ext.er.ErQueries.canonMap(spark, dir))),
-      Future(timed("kmeans_assign")(graft.ext.sim.SimQueries.kmeansModel(spark, dir))),
+      erCanon,
+      kmeans,
       // the bucketed weighted median's (flag, value) weight census
       // (VERDICT r14 #2 — built live it put the twin BEHIND the exact
       // form in-suite; as an artifact the suite measures the operator)
