@@ -182,12 +182,14 @@ object Explain {
       "cumulative window at all — the documented swap for a value " +
       "domain that grows unbounded; DqSpec tolerance-bounds it against " +
       "the exact oracled q_mad_outliers."),
-    "q_mad_outliers" -> ("Robust outlier gate (r13 count-of-counts): " +
-      "both medians (median, then MAD over deviations) contract to " +
-      "(type, value) counts before any Window forms, so the sorts run " +
-      "over distinct cents, never rows; the per-type thresholds " +
-      "broadcast back onto the value frame for the flag pass; output " +
-      "|types| rows."),
+    "q_mad_outliers" -> ("Robust outlier gate (r13 count-of-counts, r17 " +
+      "one-census form): the fact collapses ONCE to the (type, value, " +
+      "cnt) census — the only input-sized pass — and both medians, the " +
+      "deviation distribution (regrouped census, Σ cnt by |x − med|), " +
+      "and the count-weighted flag pass all run over that domain-bounded " +
+      "frame; the per-type thresholds broadcast back onto the census; " +
+      "output |types| rows. AQE stage reuse serves the census exchange " +
+      "to all four consumers from one computation."),
     "q_drift_tv" -> ("Drift monitor: ONE scan with the window side as a " +
       "conditional-sum pivot (no per-side self-join), global bounds as " +
       "a 1-row broadcast, and every frame after the (type x bucket) " +
@@ -382,9 +384,9 @@ object Explain {
     // --dump arg validation BEFORE the session builds (ADVICE r16): a
     // short arg list or a typo'd query name must print usage, not throw a
     // raw IndexOutOfBounds/NoSuchElement after ~30 s of Spark startup
-    if (args.headOption.contains("--dump")) {
+    if (args.headOption.contains("--dump") || args.headOption.contains("--dumpexec")) {
       require(args.length >= 5,
-        "usage: Explain --dump <outDir> <suffix> <sfDir> <name...>")
+        "usage: Explain --dump|--dumpexec <outDir> <suffix> <sfDir> <name...>")
       val registry = graft.SparkEntry.queries ++ graft.SparkEntry.specOnly
       val unknown = args.drop(4).filterNot(registry.contains)
       require(unknown.isEmpty,
@@ -426,7 +428,8 @@ object Explain {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         sb.toString.getBytes("UTF-8"))
       println(s"wrote $out (${audited.size} plans)")
-    } else if (args.headOption.contains("--dump")) {
+    } else if (args.headOption.contains("--dump") ||
+        args.headOption.contains("--dumpexec")) {
       // batch plan capture for the optimization-round dossier
       // (plans/r16/<query>_{before,after}.txt): ONE JVM writes
       // <outDir>/<name><suffix>.txt per named query — a per-query
@@ -438,6 +441,13 @@ object Explain {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
       args.drop(4).foreach { name =>
         val df = registry(name)(spark, dir)
+        // --dumpexec (r17): EXECUTE the query first so the dumped plan is
+        // the FINAL adaptive plan (isFinalPlan=true) — the only place AQE
+        // stage reuse (ReusedQueryStage/AQEShuffleRead) of repeated
+        // subtrees is visible; the static plan shows duplicates that
+        // never execute twice. collect() runs through df's own
+        // queryExecution, so the explain below reflects the executed run.
+        if (args.headOption.contains("--dumpexec")) df.collect()
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         java.nio.file.Files.write(
